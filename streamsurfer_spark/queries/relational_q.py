@@ -1,0 +1,681 @@
+"""Relational core queries (SURVEY.md §2.3 B, Q-R1..Q-R19).
+
+The reference library has no relational surface at all (SURVEY §2.2 —
+/root/reference/main.go:1-312 contains no joins/aggregates/windows), so this
+module is pure engine-side capability, built exclusively on Catalyst
+primitives: parquet scans with pushdown, broadcast/sort-merge joins chosen by
+AQE, hash aggregates with map-side partial aggregation, window functions,
+set ops, and the scalar function packs.
+
+Scale notes (100 TB):
+- Dimension joins (region/nation/customer vs orders/lineitem) are broadcast
+  candidates; we hint `broadcast()` for the tiny dims so the plan never
+  shuffles the fact table for them.
+- Aggregations group on low-cardinality keys → partial aggregation collapses
+  almost everything map-side; no skew concern.
+- Window queries partition by customer key — high cardinality, well spread.
+- Everything is expressible without collect(); no driver-side loops.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from streamsurfer_spark.queries import QuerySpec
+from streamsurfer_spark.session import load_tables, table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return table(spark, sf_dir, name)
+
+
+# --- Q-R1: parquet scan + full-table checksum ------------------------------
+
+def qr01_scan_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_orderkey").alias("sum_okey"),
+        F.sum("l_linenumber").alias("sum_lineno"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+QR01_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+       CAST(sum(l_linenumber) AS BIGINT) AS sum_lineno,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+"""
+
+
+# --- Q-R2: projection + filter + agg (TPC-H Q6 shape) -----------------------
+
+def qr02_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # Predicates are plain column comparisons → Catalyst pushes them into the
+    # parquet scan (PushedFilters) and prunes to 4 columns (ReadSchema).
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+QR02_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- Q-R3: inner equi-join ---------------------------------------------------
+
+def qr03_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    # customer is ~1% the size of lineitem-side tables; broadcast it so the
+    # orders scan never shuffles. At 100 TB, customer at full SF still fits
+    # executor memory comfortably (TPC-H customer ≈ 1.5 GB at SF1000).
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QR03_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --- Q-R4: multi-way join (TPC-H Q5 shape) ----------------------------------
+
+def qr04_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    # Star-join: broadcast the whole dimension chain (region⋈nation⋈customer)
+    # so the only shuffle is the final aggregation on n_name (25 keys →
+    # collapses map-side). orders⋈lineitem is the one big join; at scale both
+    # sides are bucketed/shuffled on orderkey.
+    dims = (
+        region.where(F.col("r_name") == "ASIA")
+        .join(nation, F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(customer, F.col("n_nationkey") == F.col("c_nationkey"))
+    )
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+QR04_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM region
+JOIN nation ON r_regionkey = n_regionkey
+JOIN customer ON n_nationkey = c_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# --- Q-R5: left / semi / anti joins -----------------------------------------
+
+def qr05_left_join_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+QR05_LEFT_SQL = """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+ORDER BY n_orders
+"""
+
+
+def qr05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    sel = customer.where(F.col("c_acctbal") > 7000).join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    )
+    return sel.agg(
+        F.count("*").alias("n_cust"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+QR05_SEMI_SQL = """
+SELECT count(*) AS n_cust,
+       CAST(min(c_custkey) AS BIGINT) AS min_key,
+       CAST(max(c_custkey) AS BIGINT) AS max_key
+FROM customer
+WHERE c_acctbal > 7000
+  AND c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def qr05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    sel = customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+    return sel.agg(
+        F.count("*").alias("n_cust"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+QR05_ANTI_SQL = """
+SELECT count(*) AS n_cust,
+       CAST(min(c_custkey) AS BIGINT) AS min_key,
+       CAST(max(c_custkey) AS BIGINT) AS max_key,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- Q-R6: hash aggregate (TPC-H Q1 shape) ----------------------------------
+
+def qr06_hash_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+QR06_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q-R7: distinct / count-distinct ----------------------------------------
+
+def qr07_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.countDistinct("o_custkey", "o_orderstatus").alias("n_cust_status"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+QR07_SQL = """
+SELECT count(DISTINCT o_custkey) AS n_cust,
+       count(DISTINCT o_orderpriority) AS n_prio,
+       count(DISTINCT (o_custkey, o_orderstatus)) AS n_cust_status,
+       count(*) AS n_orders
+FROM orders
+"""
+
+
+# --- Q-R8: approximate count-distinct (property-tested, rows-only gate) ------
+
+def qr08_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch — the scale path for distinct counting.
+
+    Nondeterministic w.r.t. an exact oracle, so no oracle_sql entry; the
+    pytest property asserts relative error < 5% vs the exact count.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_cust"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --- Q-R9: rollup / grouping sets --------------------------------------------
+
+def qr09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.col("order_year").asc_nulls_first(), F.col("o_orderstatus").asc_nulls_first())
+    )
+
+
+QR09_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       o_orderstatus,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (order_year, o_orderstatus)
+ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+# --- Q-R10: window ranking ----------------------------------------------------
+
+def qr10_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_custkey", "rn")
+    )
+
+
+QR10_SQL = """
+SELECT o_custkey, rn, o_orderkey, price
+FROM (
+  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+# --- Q-R11: window analytic with frame ---------------------------------------
+
+def qr11_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(frame), 2).alias("running_total"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+QR11_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER w_frame, 2) AS running_total,
+       round(lag(o_totalprice, 1) OVER w_order, 2) AS prev_price,
+       round(lead(o_totalprice, 1) OVER w_order, 2) AS next_price
+FROM orders
+WINDOW w_frame AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w_order AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# --- Q-R12: sort / limit / top-k ---------------------------------------------
+
+def qr12_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    # orderBy().limit() compiles to TakeOrderedAndProject — a distributed
+    # top-k (per-partition heap + driver merge), NOT a full sort. This is the
+    # shape that survives 100 TB.
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+QR12_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- Q-R13: set operations ----------------------------------------------------
+
+def _segments(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    customer = _t(spark, sf_dir, "customer")
+    building = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = customer.where(F.col("c_acctbal") > 7000).select("c_custkey")
+    return building, rich
+
+
+def _keyset_agg(df: DataFrame) -> DataFrame:
+    return df.agg(
+        F.count("*").alias("n_keys"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+        F.sum("c_custkey").alias("sum_keys"),
+    )
+
+
+def qr13_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    building, rich = _segments(spark, sf_dir)
+    return _keyset_agg(building.union(rich).distinct())
+
+
+def qr13_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    building, rich = _segments(spark, sf_dir)
+    return _keyset_agg(building.intersect(rich))
+
+
+def qr13_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    building, rich = _segments(spark, sf_dir)
+    return _keyset_agg(building.subtract(rich))
+
+
+_QR13_TMPL = """
+SELECT count(*) AS n_keys,
+       CAST(min(c_custkey) AS BIGINT) AS min_key,
+       CAST(max(c_custkey) AS BIGINT) AS max_key,
+       CAST(sum(c_custkey) AS BIGINT) AS sum_keys
+FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  {op}
+  SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+)
+"""
+
+QR13_UNION_SQL = _QR13_TMPL.format(op="UNION")
+QR13_INTERSECT_SQL = _QR13_TMPL.format(op="INTERSECT")
+QR13_EXCEPT_SQL = _QR13_TMPL.format(op="EXCEPT")
+
+
+# --- Q-R14: scalar string functions -------------------------------------------
+
+def qr14_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_pre"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").like("%bolt%").alias("is_bolt"),
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.length("p_name").alias("name_len"),
+        F.size(F.split("p_name", " ")).cast("long").alias("n_tokens"),
+        F.regexp_replace("p_name", r"\s+", "_").alias("snake_name"),
+    ).orderBy("p_partkey")
+
+
+QR14_SQL = r"""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substr(p_name, 1, 5) AS name_pre,
+       p_brand || ':' || p_type AS brand_type,
+       (p_name LIKE '%bolt%') AS is_bolt,
+       regexp_extract(p_name, '(\w+)$', 1) AS last_word,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_tokens,
+       regexp_replace(p_name, '\s+', '_', 'g') AS snake_name
+FROM part
+ORDER BY p_partkey
+"""
+
+
+# --- Q-R15: scalar date functions ----------------------------------------------
+
+def qr15_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias("days_since"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus3m"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    ).orderBy("o_orderkey")
+
+
+QR15_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+# --- Q-R16: math / decimal -------------------------------------------------------
+
+def qr16_math_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # Exercise exact decimal accumulation: widen double → decimal(12,2) at the
+    # scan, sum in decimal (exact), render as double at the edge.
+    dec = F.col("l_extendedprice").cast("decimal(12,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(dec).cast("double").alias("sum_dec_price"),
+            F.round(F.avg(dec).cast("double"), 2).alias("avg_dec_price"),
+            F.floor(F.max("l_quantity")).cast("long").alias("max_qty_floor"),
+            F.round(F.abs(F.min(F.col("l_discount") - 0.05)), 4).alias("min_disc_dev"),
+            F.round(F.sqrt(F.sum("l_quantity")), 4).alias("sqrt_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QR16_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_dec_price,
+       round(CAST(avg(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS avg_dec_price,
+       CAST(floor(max(l_quantity)) AS BIGINT) AS max_qty_floor,
+       round(abs(min(l_discount - 0.05)), 4) AS min_disc_dev,
+       round(sqrt(sum(l_quantity)), 4) AS sqrt_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --- Q-R17: array functions -------------------------------------------------------
+
+def qr17_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # Higher-order functions run inside codegen — no Python boundary.
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(
+            F.expr(
+                "aggregate(transform(embedding, x -> abs(cast(x as double))),"
+                " cast(0.0 as double), (a, x) -> a + x)"
+            ),
+            4,
+        ).alias("l1_norm"),
+        F.round(
+            F.expr(
+                "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),"
+                " cast(0.0 as double), (a, x) -> a + x)"
+            ),
+            4,
+        ).alias("sq_norm"),
+    ).orderBy("vec_id")
+
+
+QR17_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS n_dims,
+       round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+       round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 4) AS l1_norm,
+       round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 4) AS sq_norm
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+# --- Q-R18: subqueries (scalar / IN / EXISTS) --------------------------------------
+
+def qr18_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n_above,
+               CAST(min(c_custkey) AS BIGINT) AS min_key,
+               CAST(max(c_custkey) AS BIGINT) AS max_key
+        FROM customer
+        WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer)
+          AND c_custkey IN (SELECT o_custkey FROM orders)
+          AND EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c_custkey AND o.o_totalprice > 1000)
+        """
+    )
+
+
+QR18_SQL = """
+SELECT count(*) AS n_above,
+       CAST(min(c_custkey) AS BIGINT) AS min_key,
+       CAST(max(c_custkey) AS BIGINT) AS max_key
+FROM customer
+WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer)
+  AND c_custkey IN (SELECT o_custkey FROM orders)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c_custkey AND o.o_totalprice > 1000)
+"""
+
+
+# --- Q-R19: CASE / conditional -----------------------------------------------------
+
+def qr19_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "mid")
+        .otherwise("low")
+    )
+    status_adj = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING"))
+    return (
+        orders.select(bucket.alias("prio_bucket"), status_adj.alias("status_adj"), "o_totalprice")
+        .groupBy("prio_bucket", "status_adj")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .orderBy("prio_bucket", "status_adj")
+    )
+
+
+QR19_SQL = """
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+            WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+            ELSE 'low' END AS prio_bucket,
+       coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_adj,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
+    "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
+    "qr03_join_orders_customer": QuerySpec(qr03_join_orders_customer, QR03_SQL, "Q-R3 broadcast equi-join"),
+    "qr04_multiway_join": QuerySpec(qr04_multiway_join, QR04_SQL, "Q-R4 star join (Q5 shape)"),
+    "qr05_left_join_histogram": QuerySpec(qr05_left_join_histogram, QR05_LEFT_SQL, "Q-R5 left join"),
+    "qr05_semi_join": QuerySpec(qr05_semi_join, QR05_SEMI_SQL, "Q-R5 left-semi join"),
+    "qr05_anti_join": QuerySpec(qr05_anti_join, QR05_ANTI_SQL, "Q-R5 left-anti join"),
+    "qr06_hash_agg_q1": QuerySpec(qr06_hash_agg_q1, QR06_SQL, "Q-R6 hash aggregate (Q1 shape)"),
+    "qr07_count_distinct": QuerySpec(qr07_count_distinct, QR07_SQL, "Q-R7 count distinct"),
+    "qr08_approx_count_distinct": QuerySpec(qr08_approx_count_distinct, None, "Q-R8 HLL++ approx distinct"),
+    "qr09_rollup": QuerySpec(qr09_rollup, QR09_SQL, "Q-R9 rollup"),
+    "qr10_window_rank": QuerySpec(qr10_window_rank, QR10_SQL, "Q-R10 window ranking"),
+    "qr11_window_running": QuerySpec(qr11_window_running, QR11_SQL, "Q-R11 window frame analytics"),
+    "qr12_topk": QuerySpec(qr12_topk, QR12_SQL, "Q-R12 distributed top-k"),
+    "qr13_union": QuerySpec(qr13_union, QR13_UNION_SQL, "Q-R13 union distinct"),
+    "qr13_intersect": QuerySpec(qr13_intersect, QR13_INTERSECT_SQL, "Q-R13 intersect"),
+    "qr13_except": QuerySpec(qr13_except, QR13_EXCEPT_SQL, "Q-R13 except"),
+    "qr14_string_fns": QuerySpec(qr14_string_fns, QR14_SQL, "Q-R14 string function pack"),
+    "qr15_date_fns": QuerySpec(qr15_date_fns, QR15_SQL, "Q-R15 date function pack"),
+    "qr16_math_decimal": QuerySpec(qr16_math_decimal, QR16_SQL, "Q-R16 math/decimal pack"),
+    "qr17_array_fns": QuerySpec(qr17_array_fns, QR17_SQL, "Q-R17 array higher-order functions"),
+    "qr18_subqueries": QuerySpec(qr18_subqueries, QR18_SQL, "Q-R18 scalar/IN/EXISTS subqueries"),
+    "qr19_case_when": QuerySpec(qr19_case_when, QR19_SQL, "Q-R19 conditional expressions"),
+}
