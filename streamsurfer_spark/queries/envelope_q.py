@@ -1,7 +1,154 @@
-"""Event-envelope queries (SURVEY.md §2.3 A, Q-V1..Q-V6) — filled in task 2."""
+"""Event-envelope queries (SURVEY.md §2.3 A, Q-V1..Q-V6) on `events`.
+
+These exercise the reference's ingestion contract as declarative DataFrame
+ops: `event_type` plays the required "event" field, `props` the open JSON
+payload, the fixture's `ts` stands in for the (nondeterministic) wall clock
+so the timestamp render is oracle-checkable (FIXTURES.md §2).
+
+Q-V7 (chunker), Q-V8 (uuid partition keys) and Q-V9 (ARN parsing) are
+property/unit-tested in tests/test_chunker.py and tests/test_envelope.py —
+no SQL analog exists (SURVEY §2.3 A).
+"""
 
 from __future__ import annotations
 
-from streamsurfer_spark.queries import QuerySpec
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-QUERIES: dict[str, QuerySpec] = {}
+from streamsurfer_spark.envelope import render_timestamp
+from streamsurfer_spark.queries import QuerySpec
+from streamsurfer_spark.session import table
+
+
+# --- Q-V1: required-field validation -----------------------------------------
+
+def qv01_validate_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # The reference rejects events without a string "event" field
+    # (main.go:175-177); as a set operation that's a partition into
+    # valid/invalid streams, counted here.
+    return ev.agg(
+        F.count(F.when(F.col("event_type").isNotNull(), 1)).alias("n_valid"),
+        F.count(F.when(F.col("event_type").isNull(), 1)).alias("n_invalid"),
+    )
+
+
+QV01_SQL = """
+SELECT count(CASE WHEN event_type IS NOT NULL THEN 1 END) AS n_valid,
+       count(CASE WHEN event_type IS NULL THEN 1 END) AS n_invalid
+FROM events
+"""
+
+
+# --- Q-V2: payload parse validation ------------------------------------------
+
+def qv02_payload_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.withColumn("payload", F.from_json("props", "k INT"))
+    # from_json yields NULL for unparseable payloads — the engine's analog
+    # of the reference's type-assertion reject (main.go:175).
+    return parsed.agg(
+        F.count(F.when(F.col("payload").isNotNull(), 1)).alias("n_parse_ok"),
+        F.count(F.when(F.col("payload").isNull(), 1)).alias("n_parse_fail"),
+        F.sum(F.col("payload.k").cast("long")).alias("sum_k"),
+    )
+
+
+QV02_SQL = """
+SELECT count(CASE WHEN json_valid(props) THEN 1 END) AS n_parse_ok,
+       count(CASE WHEN NOT json_valid(props) THEN 1 END) AS n_parse_fail,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+"""
+
+
+# --- Q-V3: origin stamp --------------------------------------------------------
+
+def qv03_origin_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamsurfer_spark.envelope import stamp_origin
+
+    ev = table(spark, sf_dir, "events")
+    stamped = stamp_origin(ev.select("event_id", "event_type"), "test-app")
+    return stamped.groupBy("origin", "event_type").agg(
+        F.count("*").alias("n_events")
+    ).orderBy("origin", "event_type")
+
+
+QV03_SQL = """
+SELECT 'test-app' AS origin, event_type, count(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY origin, event_type
+"""
+
+
+# --- Q-V4: timestamp render (ms precision, Go trailing-zero trim) --------------
+
+def qv04_ts_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # Deterministic input (fixture ts) instead of the reference's now();
+    # identical rendering: UTC, "yyyy-MM-ddTHH:mm:ss.SSSZ" with Go's .999
+    # trailing-zero trimming (main.go:179).
+    return ev.select(
+        "event_id", render_timestamp("ts").alias("server_timestamp")
+    ).orderBy("event_id")
+
+
+QV04_SQL = """
+SELECT event_id,
+       regexp_replace(regexp_replace(strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ'),
+                                     '0+Z$', 'Z'),
+                      '\\.Z$', 'Z') AS server_timestamp
+FROM events
+ORDER BY event_id
+"""
+
+
+# --- Q-V5: JSON envelope serialization ------------------------------------------
+
+def qv05_envelope_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # Canonical wire format: sorted keys, no whitespace — matches Go
+    # json.Marshal (main.go:202). Struct fields listed alphabetically =
+    # sorted-key JSON from to_json.
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type", "user_id")).alias("envelope"),
+    ).orderBy("event_id")
+
+
+QV05_SQL = """
+SELECT event_id,
+       '{"event_id":' || event_id || ',"event_type":"' || event_type ||
+       '","user_id":' || user_id || '}' AS envelope
+FROM events
+ORDER BY event_id
+"""
+
+
+# --- Q-V6: JSON payload extraction ------------------------------------------------
+
+def qv06_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    ).orderBy("event_id")
+
+
+QV06_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+FROM events
+ORDER BY event_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "qv01_validate_required": QuerySpec(qv01_validate_required, QV01_SQL, "Q-V1 required-field check"),
+    "qv02_payload_parse": QuerySpec(qv02_payload_parse, QV02_SQL, "Q-V2 payload parse validation"),
+    "qv03_origin_stamp": QuerySpec(qv03_origin_stamp, QV03_SQL, "Q-V3 origin stamp"),
+    "qv04_ts_render": QuerySpec(qv04_ts_render, QV04_SQL, "Q-V4 envelope timestamp render"),
+    "qv05_envelope_json": QuerySpec(qv05_envelope_json, QV05_SQL, "Q-V5 JSON envelope serialize"),
+    "qv06_json_extract": QuerySpec(qv06_json_extract, QV06_SQL, "Q-V6 JSON payload extract"),
+}

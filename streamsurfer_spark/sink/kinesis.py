@@ -1,0 +1,166 @@
+"""Kinesis writers: the executor-side sink and the pluggable client.
+
+OSS PySpark has no first-party Kinesis sink, so the scale path is
+``df.writeStream.foreachBatch(...)`` → per-partition batching →
+``put_record`` (SURVEY §1.3). Each partition runs the same greedy chunker as
+the reference queue; one JSON-array record per chunk, random-UUID partition
+key (uniform shard spread, no ordering — main.go:275).
+
+The client is injected (``client_factory``) so tests substitute a mock —
+the same seam the reference proves consumers need (mocks/KinesisQueue.go).
+boto3 is gated behind an import-try: absent in this container, present on a
+real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from streamsurfer_spark.sink.chunker import greedy_chunks
+from streamsurfer_spark.sink.config import KinesisSinkConfig
+
+
+def boto3_client_factory(config: KinesisSinkConfig):
+    """Real AWS client with the reference's retry budget (main.go:165)."""
+    try:
+        import boto3
+        from botocore.config import Config as BotoConfig
+    except ImportError as exc:  # pragma: no cover - boto3 not in this container
+        raise NotImplementedError(
+            "boto3 is not installed; inject a client_factory (tests use MockKinesisClient)"
+        ) from exc
+    return boto3.client(
+        "kinesis",
+        region_name=config.region,
+        config=BotoConfig(retries={"max_attempts": config.retry_max_attempts}),
+    )
+
+
+class MockKinesisClient:
+    """In-memory put_record recorder (test double for the sink seam)."""
+
+    def __init__(self, fail: bool = False) -> None:
+        self.records: list[dict] = []
+        self.fail = fail
+
+    def put_record(self, **record) -> dict:
+        if self.fail:
+            raise RuntimeError("failed to put record to kinesis: mock failure")
+        self.records.append(record)
+        return {"SequenceNumber": str(len(self.records)), "ShardId": "shardId-0"}
+
+
+class FileKinesisClient:
+    """File-backed client for end-to-end local-mode tests: each put_record
+    appends one JSON line to a spool file (executors share the local FS)."""
+
+    def __init__(self, spool_dir: str) -> None:
+        self.spool_dir = spool_dir
+
+    def put_record(self, **record) -> dict:
+        import os
+
+        os.makedirs(self.spool_dir, exist_ok=True)
+        path = f"{self.spool_dir}/{uuid.uuid4().hex}.json"
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(
+                {**record, "Data": record["Data"].decode("utf-8")}, f, sort_keys=True
+            )
+        return {"SequenceNumber": "0", "ShardId": "shardId-0"}
+
+
+def _rows_to_sized_payloads(rows: Iterator) -> Iterator[tuple[int, str]]:
+    """Each row must carry a pre-serialized ``payload`` string column; size
+    accounting is that string's UTF-8 byte length (per-item, like
+    main.go:202-203)."""
+    for row in rows:
+        payload = row["payload"]
+        yield len(payload.encode("utf-8")), payload
+
+
+def write_partition(
+    rows: Iterator,
+    config: KinesisSinkConfig,
+    client_factory: Callable[[KinesisSinkConfig], object],
+) -> int:
+    """Ship one partition: greedy-chunk the serialized events, one PutRecord
+    per chunk. Runs on the executor; returns records written."""
+    client = client_factory(config)
+    n = 0
+    for chunk in greedy_chunks(_rows_to_sized_payloads(rows), config.max_size_bytes):
+        data = ("[" + ",".join(chunk) + "]").encode("utf-8")
+        record = {
+            "Data": data,
+            "StreamName": config.stream_name,
+            "PartitionKey": str(uuid.uuid4()),
+        }
+        if config.stream_arn != "":
+            record["StreamARN"] = config.stream_arn
+        client.put_record(**record)
+        n += 1
+    return n
+
+
+def envelope_payload(
+    df: DataFrame,
+    event_col: str = "event_type",
+    ts_col: str | None = None,
+    origin: str = "",
+) -> DataFrame:
+    """Validate + enrich + serialize a DataFrame of events into a single
+    ``payload`` JSON-string column ready for the sink.
+
+    Pure built-ins: the JSON render (sorted keys via alphabetical struct
+    field order) happens JVM-side in codegen, not in Python.
+    """
+    from streamsurfer_spark.envelope import (
+        stamp_origin,
+        stamp_server_timestamp,
+        validate_events,
+    )
+
+    valid = validate_events(df, event_col)
+    stamped = stamp_origin(stamp_server_timestamp(valid, ts_col), origin)
+    ordered = stamped.select(*sorted(stamped.columns))
+    return ordered.select(F.to_json(F.struct(*ordered.columns)).alias("payload"))
+
+
+def write_batch_to_kinesis(
+    df: DataFrame,
+    config: KinesisSinkConfig,
+    client_factory: Callable[[KinesisSinkConfig], object] = boto3_client_factory,
+) -> None:
+    """Batch (or foreachBatch micro-batch) sink entry point.
+
+    At 100 TB the partition count bounds parallel PutRecord calls; callers
+    should coalesce/repartition to match shard throughput (1 MiB/s/shard)
+    upstream. No collect(): data flows executor→Kinesis directly.
+    """
+    payloads = df if df.columns == ["payload"] else envelope_payload(df, origin=config.origin)
+    payloads.foreachPartition(
+        lambda rows: write_partition(rows, config, client_factory)
+    )
+
+
+def kinesis_stream_writer(
+    stream_df: DataFrame,
+    config: KinesisSinkConfig,
+    client_factory: Callable[[KinesisSinkConfig], object] = boto3_client_factory,
+    checkpoint_dir: str | None = None,
+):
+    """Structured Streaming sink: readStream → foreachBatch(write_batch).
+
+    ``query.processAllAvailable()`` is the streaming twin of the reference's
+    Flush (main.go:254-264): it drains everything ingested so far.
+    """
+    writer = stream_df.writeStream.foreachBatch(
+        lambda batch_df, _epoch: write_batch_to_kinesis(batch_df, config, client_factory)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
