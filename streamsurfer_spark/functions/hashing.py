@@ -1,0 +1,52 @@
+"""Seeded, engine-portable hashing primitives.
+
+The dedup/LSH operators need hash functions that are (a) deterministic,
+(b) seedable, and (c) reproducible by the DuckDB oracle — which rules out
+Spark-private hashes (xxhash64/murmur) for oracle-checked paths. We use the
+first 15 hex chars of md5 (60 bits, always positive in int64), identical on
+both engines:
+
+    Spark : CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)
+    DuckDB: ('0x' || substr(md5(s), 1, 15))::BIGINT
+
+Seeding = suffixing the input with '#<seed>'.
+
+At 100 TB md5 is ~3× slower than xxhash64; swap `md5_long64` for
+`F.xxhash64` in production paths where oracle parity is not required (the
+operators take a `hash_fn` parameter for exactly this).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+MOD_PRIME = 1_000_000_007
+
+
+def md5_long64(col: Column) -> Column:
+    """60-bit positive int64 from md5 — portable across Spark/DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_long64_expr(sql_expr: str) -> str:
+    """Same as md5_long64, as a SQL-expression fragment (for use inside
+    higher-order lambdas where Column API can't reach)."""
+    return f"cast(conv(substring(md5({sql_expr}), 1, 15), 16, 10) as bigint)"
+
+
+def duckdb_md5_long64(sql_expr: str) -> str:
+    """DuckDB twin of md5_long64_expr — used when generating oracle SQL."""
+    return f"('0x' || substr(md5({sql_expr}), 1, 15))::BIGINT"
+
+
+def md5_long64_py(s: str) -> int:
+    """Python twin (unit-test oracle)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def seeded(sql_expr: str, seed_expr: str) -> str:
+    """Seed-suffix an input expression (portable: plain string concat)."""
+    return f"concat({sql_expr}, '#', cast({seed_expr} as string))"

@@ -1,0 +1,213 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY §2.3 D).
+
+The reference library has no dedup surface (/root/reference/main.go:1-312 —
+evidence of absence in SURVEY §2.2); these are engine-side capabilities built
+for the 100 TB north star:
+
+- exact dedup: hash-groupBy — one shuffle on a uniform 128-bit key, no skew.
+- MinHash + LSH: shingle → seeded min-hash signature → band buckets →
+  bucket-equijoin. All signature math is per-row column expressions
+  (whole-stage codegen, zero Python); the only shuffles are the band
+  groupBy/join, whose keys are uniform hashes → no skew. Candidate pairs
+  scale with true near-duplicate density, not O(n²).
+- SimHash: per-token hash → per-bit majority vote → 48-bit signature; one
+  partial-aggregating groupBy on doc_id (unique key → map-side combine does
+  all the work).
+- n-gram Jaccard: exact verification for candidate pairs — inverted-index
+  self-join on distinct shingles. At 100 TB you run it AFTER LSH pruning;
+  at fixture scale we run it on everything sharing >=1 shingle.
+
+Hashing is the md5-based portable scheme from functions/hashing.py so every
+operator is DuckDB-oracle-checkable; swap `hash_fn`/HASH_SQL to xxhash64 for
+production throughput (≈3× faster, same topology).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from streamsurfer_spark.functions.hashing import md5_long64_expr, seeded
+
+SHINGLE_N = 3
+N_MINHASH = 8
+ROWS_PER_BAND = 2
+N_BANDS = N_MINHASH // ROWS_PER_BAND
+SIMHASH_BITS = 48
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (content hash, group size, min id).
+
+    One shuffle on md5(text) — uniform 128-bit key, perfectly skew-free even
+    when one document is duplicated millions of times (the group is still a
+    single reduce key; the *values* concentrate, which partial aggregation
+    absorbs map-side because we only keep count+min, not the member list).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    """Add a `shingles` array column: word n-grams joined by single spaces.
+
+    Documents shorter than n tokens contribute one truncated shingle (the
+    whole text) — slice() clamps at the array end on both engines.
+    """
+    return df.withColumn("toks", F.split(F.col(text_col), " ")).withColumn(
+        "shingles",
+        F.expr(
+            f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)),"
+            f" i -> concat_ws(' ', slice(toks, i, {n})))"
+        ),
+    )
+
+
+def minhash_signature(df: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """Add `sig`: array of n_hashes seeded min-hashes over `shingles`.
+
+    Each element is min over shingles of hash(shingle + '#' + seed) — a pure
+    per-row expression chain (transform + array_min), no shuffle at all.
+    """
+    mins = [
+        F.expr(
+            f"array_min(transform(shingles, x -> {md5_long64_expr(seeded('x', str(s)))}))"
+        )
+        for s in range(n_hashes)
+    ]
+    return df.withColumn("sig", F.array(*mins))
+
+
+def lsh_bands(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode the signature into (id, band, band_key) rows.
+
+    band_key is the comma-joined signature slice — collisions in a band are
+    LSH candidate hits. Output is N_BANDS rows per document.
+    """
+    bands = F.expr(
+        f"transform(sequence(0, {N_BANDS - 1}),"
+        f" b -> concat_ws(',', slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND})))"
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(bands).alias("band", "band_key")
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MinHash-LSH candidate pairs: (doc_a, doc_b, n_shared_bands).
+
+    Topology: per-row signature math → explode to bands → self-equijoin on
+    (band, band_key) → pair groupBy. The join key is a uniform hash digest,
+    so the shuffle is balanced; pair volume tracks near-dup density. At
+    100 TB, replace the self-join with a groupBy(band_key) + within-bucket
+    pair expansion to cap worst-case bucket fan-out.
+    """
+    bands = lsh_bands(minhash_signature(with_shingles(df, text_col)), id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def _simhash_expr(shift_tpl: str, bits: int = SIMHASH_BITS) -> str:
+    """Bit-majority SimHash aggregate expression (engine-parametrized shift).
+
+    shift_tpl: e.g. "shiftright(h, {b})" (Spark) or "(h >> {b})" (DuckDB).
+    The whole signature is one expression: sum over bits of
+    2^b * [majority of tokens have bit b set].
+    """
+    terms = [
+        f"(CASE WHEN sum(CASE WHEN ({shift_tpl.format(b=b)}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """48-bit SimHash per document: (id, simhash).
+
+    explode tokens → 60-bit token hash → one groupBy(doc_id) computing all 48
+    bit-majorities as partial-aggregating sums. doc_id is unique, so the
+    map-side combine collapses each document locally; the shuffle moves one
+    row of 48 counters per doc.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).withColumn("h", F.expr(md5_long64_expr("token")))
+    return toks.groupBy(id_col).agg(
+        F.expr(_simhash_expr("shiftright(h, {b})")).alias("simhash")
+    )
+
+
+def simhash_oracle_expr() -> str:
+    """The DuckDB twin of the simhash aggregate (for oracle SQL)."""
+    return _simhash_expr("(h >> {b})")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index shape: distinct (doc, shingle) → self-join on shingle →
+    |A∩B| per pair → join per-doc set sizes → J = |A∩B| / (|A|+|B|-|A∩B|).
+    Emits pairs with J ≥ threshold. At 100 TB this runs on LSH candidates
+    only; a frequency cap on shingles (drop shingles in >k docs) bounds the
+    join fan-out — unnecessary at fixture scale.
+    """
+    sh = (
+        with_shingles(df, text_col)
+        .select(F.col(id_col), F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )

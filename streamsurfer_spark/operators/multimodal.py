@@ -1,0 +1,93 @@
+"""Multimodal column plumbing (SURVEY §2.3 D, Q-L7).
+
+No counterpart in the reference (its only payload handling is JSON
+marshalling — /root/reference/main.go:202,267); engine-side capability.
+
+Design: media travel as opaque ``binary`` columns plus typed metadata
+(modality, byte size, content hash). The Spark-side plumbing — schema,
+partition sizing, Arrow-batched UDF signatures — is real and tested; the
+actual decode (image/audio libs are not in this container) is stubbed behind
+``decode_stub``/NotImplementedError with a deterministic fake so batch
+shapes and schemas are exercised end-to-end.
+
+Scale notes (100 TB of media):
+- binary payloads ride in parquet as-is; `spark.sql.files.maxPartitionBytes`
+  bounds scan-partition memory, and metadata predicates (modality, n_bytes)
+  push down so a "images under 1 MB" filter never deserializes audio rows.
+- feature extraction is mapInPandas — Arrow moves the binary batches
+  zero-copy; per-batch decode amortizes Python overhead; output schema is
+  declared up front so the optimizer can prune unused features.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, modality string, n_bytes bigint, content_md5 string, payload binary"
+)
+
+FEATURE_SCHEMA = "doc_id bigint, modality string, n_bytes bigint, feat_dim int, feat_checksum bigint"
+
+
+def as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Wrap a table into the media envelope, faking payloads from text bytes.
+
+    In production the payload column comes straight from the source (parquet
+    binary / object-store pointers); here we synthesize deterministic bytes
+    so the plumbing is testable without media files.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        (F.when(F.col(id_col) % 3 == 0, F.lit("image"))
+         .when(F.col(id_col) % 3 == 1, F.lit("audio"))
+         .otherwise(F.lit("video"))).alias("modality"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+        payload.alias("payload"),
+    )
+
+
+def decode_stub(payload: bytes, modality: str) -> bytes:
+    """Placeholder for the real decoder (PIL / torchaudio / pyav).
+
+    STUB: the container has no media libraries. The deterministic fake
+    returns the payload unchanged so downstream shapes are real; a real
+    deployment replaces this body and nothing else.
+    """
+    if modality not in ("image", "audio", "video"):
+        raise NotImplementedError(f"unknown modality: {modality}")
+    return payload
+
+
+def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over the media envelope.
+
+    mapInPandas: each Arrow batch arrives as a pandas DataFrame; we decode
+    (stubbed) and emit fixed-schema features. feat_checksum is a
+    deterministic stand-in for an embedding (sum of payload bytes) so tests
+    can assert the batch plumbing moved the right bytes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                decode_stub(bytes(p), m)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feat_dim": [len(d) % 512 for d in decoded],
+                    "feat_checksum": [sum(d) for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,107 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY §2.3 D).
+
+All hot paths are built-in column expressions (codegen, zero Python);
+everything is per-row → embarrassingly parallel, no shuffle, scales linearly
+with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from streamsurfer_spark.functions.hashing import MOD_PRIME, md5_long64
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and frozen: they are part of the operator's
+# deterministic contract (changing them changes fingerprints of runs).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "it", "that", "for", "on"),
+    "es": ("el", "de", "la", "que", "y", "en", "un", "por", "con", "los"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "ist", "den", "nicht"),
+    "fr": ("le", "de", "la", "et", "les", "des", "en", "un", "du", "une"),
+    "zh": ("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"),
+}
+
+# BPE-ish pretokenizer: word pieces OR single non-space punctuation — the
+# shape GPT-style tokenizers use for pre-splitting.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text_col: Column | str = "text") -> Column:
+    """Whitespace tokenization (fixture texts are single-space joined)."""
+    return F.split(text_col, " ")
+
+
+def token_count(text_col: Column | str = "text") -> Column:
+    return F.size(tokens(text_col)).cast("long")
+
+
+def bpe_ish_token_count(text_col: Column | str = "text") -> Column:
+    """Sub-word-ish token count via the pretokenizer regex (codegen-side)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("long")
+
+
+def stopword_hits(text_col: Column | str, lang: str) -> Column:
+    """How many tokens are stopwords of `lang` (per-token, with repeats)."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text_col), lambda t: F.array_contains(stop, t))).cast("long")
+
+
+def language_scores(text_col: Column | str = "text") -> dict[str, Column]:
+    return {lang: stopword_hits(text_col, lang) for lang in STOPWORDS}
+
+
+def predict_language(scores: dict[str, Column]) -> Column:
+    """Deterministic argmax with fixed precedence order (dict order)."""
+    langs = list(scores)
+    expr = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, token stats, punct/stopword ratios,
+    and a composite score in [0,1]. Formula is frozen (oracle-replicated)."""
+    tc = token_count(text_col)
+    n_chars = F.length(text_col).cast("long")
+    punct_chars = (n_chars - F.length(F.regexp_replace(text_col, r"[.,!?;:]", ""))).cast("long")
+    stop_en = stopword_hits(text_col, "en")
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_actual"),
+        tc.alias("n_tokens"),
+        F.round(n_chars.cast("double") / tc, 4).alias("avg_token_span"),
+        F.round(punct_chars.cast("double") / n_chars, 4).alias("punct_ratio"),
+        F.round(stop_en.cast("double") / tc, 4).alias("stopword_ratio"),
+        F.round(
+            F.least(F.lit(1.0), tc.cast("double") / 100.0) * 0.5
+            + F.least(F.lit(1.0), stop_en.cast("double") / tc * 5.0) * 0.5,
+            4,
+        ).alias("quality_score"),
+    )
+
+
+def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Position-weighted polynomial fingerprint mod 1e9+7.
+
+    fp(doc) = Σ_pos ((md5_60bit(token) mod P) · (pos+1) mod P) mod P
+
+    Per-term modular reduction keeps every partial < P² ≈ 9e17 < 2^63 —
+    no overflow. Distributed shape: posexplode → per-doc sum; the groupBy
+    key is doc_id (unique) so partial aggregation does all the work.
+    """
+    toks = df.select("doc_id", F.posexplode(tokens(text_col)).alias("pos", "token"))
+    term = (md5_long64(F.col("token")) % MOD_PRIME) * (F.col("pos") + 1) % MOD_PRIME
+    return (
+        toks.groupBy("doc_id")
+        .agg((F.sum(term) % MOD_PRIME).alias("fingerprint"))
+    )

@@ -1,7 +1,433 @@
-"""LLM-data-pipeline queries (SURVEY.md §2.3 D) — filled in task 4."""
+"""LLM-data-pipeline queries (SURVEY.md §2.3 D, Q-L1..Q-L7 + extensions).
+
+The reference has none of this surface (/root/reference/main.go:1-312 is an
+event-batching client — SURVEY §2.2 evidence of absence); these queries are
+the engine's north-star extensions: dedup (exact / MinHash-LSH / SimHash /
+n-gram Jaccard), similarity search (exact top-k + LSH-bucketed ANN),
+text analysis (stats, top-terms, quality, language-ID, fingerprints) and
+multimodal column plumbing.
+
+Every oracle replicates the Spark computation in DuckDB SQL using the
+portable md5-based hash (functions/hashing.py) so candidate sets and
+signatures are bit-identical, not just statistically similar.
+"""
 
 from __future__ import annotations
 
-from streamsurfer_spark.queries import QuerySpec
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-QUERIES: dict[str, QuerySpec] = {}
+from streamsurfer_spark.functions.hashing import MOD_PRIME
+from streamsurfer_spark.operators import dedup, multimodal, similarity
+from streamsurfer_spark.operators import text as text_ops
+from streamsurfer_spark.queries import QuerySpec
+from streamsurfer_spark.session import table
+
+PROBE_MOD = 97  # ~1% of vec_ids serve as similarity probes
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB fragments (mirrors of functions/hashing.py + operators)
+
+DUCK_HASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+DUCK_SHINGLES = (
+    "[array_to_string(toks[i+1:i+3], ' ') for i in range(greatest(len(toks) - 2, 1))]"
+)
+
+
+def _duck_stoplist(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in text_ops.STOPWORDS[lang])
+
+
+def _duck_stop_hits(lang: str) -> str:
+    return (
+        f"len(list_filter(string_split(text, ' '), t -> t IN ({_duck_stoplist(lang)})))"
+    )
+
+
+# --- Q-L1: exact dedup -------------------------------------------------------
+
+def ql01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.exact_duplicate_groups(docs).orderBy("content_md5")
+
+
+QL01_SQL = """
+SELECT md5(text) AS content_md5, count(*) AS n_copies, min(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+ORDER BY content_md5
+"""
+
+
+# --- Q-L2: MinHash + LSH candidate pairs ------------------------------------
+
+def ql02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+QL02_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM d),
+mh AS (
+    SELECT doc_id, seed,
+           min({DUCK_HASH.format(x="shingle || '#' || seed")}) AS mh
+    FROM sh CROSS JOIN (SELECT unnest(range({dedup.N_MINHASH})) AS seed) seeds
+    GROUP BY doc_id, seed
+),
+bands AS (
+    SELECT doc_id, seed // {dedup.ROWS_PER_BAND} AS band,
+           string_agg(mh::VARCHAR, ',' ORDER BY seed) AS band_key
+    FROM mh GROUP BY doc_id, seed // {dedup.ROWS_PER_BAND}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# --- Q-L3: exact top-k cosine similarity ------------------------------------
+
+def ql03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % PROBE_MOD == 0)
+    return similarity.cosine_topk(emb, probes, k=5).orderBy("probe_id", "rk")
+
+
+QL03_SQL = f"""
+WITH e AS (
+    SELECT vec_id, unnest(range(len(embedding))) AS pos,
+           unnest(embedding)::DOUBLE AS v
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+p AS (SELECT vec_id AS probe_id, pos, v FROM e WHERE vec_id % {PROBE_MOD} = 0),
+dots AS (
+    SELECT p.probe_id, e.vec_id, sum(p.v * e.v) AS dot
+    FROM p JOIN e ON p.pos = e.pos AND e.vec_id <> p.probe_id
+    GROUP BY 1, 2
+),
+sims AS (
+    SELECT probe_id, d.vec_id, round(dot / (na.nrm * nb.nrm), 4) AS sim
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.probe_id
+    JOIN norms nb ON nb.vec_id = d.vec_id
+),
+ranked AS (
+    SELECT probe_id, vec_id, sim,
+           row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rk
+    FROM sims
+)
+SELECT probe_id, vec_id, sim, rk FROM ranked WHERE rk <= 5
+ORDER BY probe_id, rk
+"""
+
+
+# --- Q-L4: text stats per source ---------------------------------------------
+
+def ql04_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tc = text_ops.token_count("text")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tc).alias("total_ws_tokens"),
+            F.sum(text_ops.bpe_ish_token_count("text")).alias("total_bpe_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg(tc), 2).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+QL04_SQL = rf"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{text_ops.BPE_ISH_PATTERN}'))) AS BIGINT)
+           AS total_bpe_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(len(string_split(text, ' '))), 2) AS avg_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- Q-L5: tokenize + term frequency (top terms per language) ----------------
+
+def ql05_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(text_ops.tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.col("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )
+
+
+QL05_SQL = """
+WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+counts AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+ranked AS (
+    SELECT lang, token, cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+    FROM counts
+)
+SELECT lang, token, cnt, rk FROM ranked WHERE rk <= 5
+ORDER BY lang, rk
+"""
+
+
+# --- Q-L6: vectorized pandas_udf parity --------------------------------------
+
+def ql06_udf_norm_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(similarity.l2_norm_udf(F.col("embedding")), 4).alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+QL06_SQL = """
+WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v FROM embeddings)
+SELECT vec_id, round(sqrt(sum(v * v)), 4) AS l2_norm
+FROM e GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+# --- Q-L7: multimodal envelope ----------------------------------------------
+
+def ql07_multimodal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return multimodal.as_media(docs).drop("payload").orderBy("doc_id")
+
+
+QL07_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def ql07b_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction — rows-only check (not SQL-expressible;
+    the Arrow batch plumbing is covered by unit tests)."""
+    docs = table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.as_media(docs)).orderBy("doc_id")
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def ql08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash(docs).orderBy("doc_id")
+
+
+QL08_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+h AS (SELECT doc_id, {DUCK_HASH.format(x="token")} AS h FROM toks)
+SELECT doc_id, {dedup.simhash_oracle_expr()} AS simhash
+FROM h GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+def ql09_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+QL09_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM (SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM d)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.4
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- LSH-bucketed ANN / embedding near-dup -----------------------------------
+
+def ql10_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_near_pairs(emb, threshold=0.8).orderBy("id_a", "id_b")
+
+
+def _ql10_sql() -> str:
+    w = similarity.plane_weights()
+    values = ", ".join(
+        f"({p}, {d}, {w[p][d]})"
+        for p in range(similarity.N_PLANES)
+        for d in range(similarity.DIM)
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id, unnest(range(len(embedding))) AS pos,
+           unnest(embedding)::DOUBLE AS v
+    FROM embeddings
+),
+w(p, pos, wt) AS (VALUES {values}),
+dots AS (
+    SELECT e.vec_id, w.p, sum(e.v * w.wt) AS dot
+    FROM e JOIN w ON w.pos = e.pos GROUP BY 1, 2
+),
+sig AS (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+    FROM dots GROUP BY 1
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pair_dots AS (
+    SELECT p.id_a, p.id_b, sum(ea.v * eb.v) AS dot
+    FROM pairs p
+    JOIN e ea ON ea.vec_id = p.id_a
+    JOIN e eb ON eb.vec_id = p.id_b AND eb.pos = ea.pos
+    GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1)
+SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+FROM pair_dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+QL10_SQL = _ql10_sql()
+
+
+# --- quality scoring ---------------------------------------------------------
+
+def ql11_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text_ops.quality_features(docs).orderBy("doc_id")
+
+
+_STOP_EN = _duck_stop_hits("en")
+QL11_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       round(length(text)::DOUBLE / len(string_split(text, ' ')), 4) AS avg_token_span,
+       round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+             / length(text), 4) AS punct_ratio,
+       round({_STOP_EN}::DOUBLE / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       round(least(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+           + least(1.0, {_STOP_EN}::DOUBLE / len(string_split(text, ' ')) * 5.0) * 0.5,
+             4) AS quality_score
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- language identification -------------------------------------------------
+
+def ql12_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pred = text_ops.predict_language(text_ops.language_scores("text"))
+    return (
+        docs.select(F.col("lang").alias("lang_actual"), pred.alias("lang_pred"))
+        .groupBy("lang_actual", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_actual", "lang_pred")
+    )
+
+
+def _ql12_sql() -> str:
+    langs = list(text_ops.STOPWORDS)
+    scores = ",\n       ".join(f"{_duck_stop_hits(lg)} AS s_{lg}" for lg in langs)
+    cases = "\n            ".join(
+        f"WHEN {' AND '.join(f's_{lg} >= s_{o}' for o in langs if o != lg)} THEN '{lg}'"
+        for lg in langs[:-1]
+    )
+    return f"""
+WITH s AS (
+    SELECT lang,
+       {scores}
+    FROM documents
+)
+SELECT lang AS lang_actual,
+       CASE {cases}
+            ELSE '{langs[-1]}' END AS lang_pred,
+       count(*) AS n_docs
+FROM s
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QL12_SQL = _ql12_sql()
+
+
+# --- document fingerprint ----------------------------------------------------
+
+def ql13_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text_ops.document_fingerprint(docs).orderBy("doc_id")
+
+
+QL13_SQL = f"""
+WITH t AS (
+    SELECT doc_id,
+           unnest(range(len(string_split(text, ' ')))) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+)
+SELECT doc_id,
+       sum((({DUCK_HASH.format(x="token")} % {MOD_PRIME}) * (pos + 1)) % {MOD_PRIME})
+           % {MOD_PRIME} AS fingerprint
+FROM t GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
+    "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
+    "ql03_cosine_topk": QuerySpec(ql03_cosine_topk, QL03_SQL, "Q-L3 exact top-k cosine"),
+    "ql04_text_stats": QuerySpec(ql04_text_stats, QL04_SQL, "Q-L4 text stats per source"),
+    "ql05_top_terms": QuerySpec(ql05_top_terms, QL05_SQL, "Q-L5 tokenize + top terms"),
+    "ql06_udf_norm_parity": QuerySpec(ql06_udf_norm_parity, QL06_SQL, "Q-L6 pandas_udf parity"),
+    "ql07_multimodal_envelope": QuerySpec(ql07_multimodal_envelope, QL07_SQL, "Q-L7 multimodal envelope"),
+    "ql07b_multimodal_features": QuerySpec(ql07b_multimodal_features, None, "Q-L7 mapInPandas features (rows-only)"),
+    "ql08_simhash": QuerySpec(ql08_simhash, QL08_SQL, "SimHash signatures"),
+    "ql09_ngram_jaccard": QuerySpec(ql09_ngram_jaccard, QL09_SQL, "n-gram Jaccard pairs"),
+    "ql10_lsh_ann_pairs": QuerySpec(ql10_lsh_ann_pairs, QL10_SQL, "LSH-bucketed ANN pairs"),
+    "ql11_quality_features": QuerySpec(ql11_quality_features, QL11_SQL, "quality scoring features"),
+    "ql12_language_id": QuerySpec(ql12_language_id, QL12_SQL, "language-ID histogram"),
+    "ql13_fingerprint": QuerySpec(ql13_fingerprint, QL13_SQL, "document fingerprints"),
+}

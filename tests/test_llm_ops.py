@@ -1,0 +1,80 @@
+"""Unit tests for the LLM-pipeline operators (SURVEY §2.3 D).
+
+The oracle-differential suite (test_oracle.py) covers value correctness vs
+DuckDB; these tests cover the pieces an oracle can't see: Arrow batch
+plumbing (mapInPandas), hash portability constants, and LSH recall on known
+duplicates.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from streamsurfer_spark.functions.hashing import md5_long64_py
+from streamsurfer_spark.operators import dedup, multimodal, similarity
+
+
+def test_md5_long64_portable():
+    """Python, DuckDB, and (via oracle suite) Spark agree on the 60-bit hash."""
+    assert md5_long64_py("hello") == 419982666956583591
+    got = duckdb.sql("SELECT ('0x' || substr(md5('hello'), 1, 15))::BIGINT").fetchone()[0]
+    assert got == md5_long64_py("hello")
+
+
+def test_plane_weights_deterministic():
+    w = similarity.plane_weights()
+    assert len(w) == similarity.N_PLANES
+    assert all(len(row) == similarity.DIM for row in w)
+    assert all(-1000 <= x <= 1000 for row in w for x in row)
+    # frozen contract: same planes on every run/engine
+    assert w == similarity.plane_weights()
+    assert w[0][0] == md5_long64_py("plane:0:0") % 2001 - 1000
+
+
+def test_lsh_finds_identical_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "completely different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.lsh_candidate_pairs(df).collect()
+    assert [(r.doc_a, r.doc_b, r.n_shared_bands) for r in pairs] == [
+        (1, 2, dedup.N_BANDS)
+    ]
+
+
+def test_exact_dedup_groups(spark):
+    rows = [(1, "same text"), (2, "same text"), (3, "other text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = dedup.exact_duplicate_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0].n_copies == 2
+    assert groups[0].keep_id == 1
+
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [(0, "abc"), (1, "defg"), (2, "h")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = {
+        r.doc_id: r
+        for r in multimodal.extract_features(multimodal.as_media(df)).collect()
+    }
+    # checksum proves the payload bytes crossed the Arrow boundary intact
+    assert feats[0].feat_checksum == sum(b"abc")
+    assert feats[1].feat_checksum == sum(b"defg")
+    assert feats[0].modality == "image" and feats[1].modality == "audio"
+    assert feats[2].modality == "video"
+    assert feats[1].n_bytes == 4 and feats[1].feat_dim == 4
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: shingles {a b c, b c d}; doc2: shingles {a b c, b c e}
+    # intersection 1, union 3 -> J = 0.3333 (below default threshold)
+    rows = [(1, "a b c d"), (2, "a b c e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()
+    assert len(out) == 1
+    assert out[0].n_inter == 1
+    assert abs(out[0].jaccard - 0.3333) < 1e-9
+    assert dedup.ngram_jaccard_pairs(df, threshold=0.4).count() == 0
