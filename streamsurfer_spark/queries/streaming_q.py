@@ -1,7 +1,178 @@
-"""Streaming-equivalent batch queries (SURVEY.md §2.3 C) — filled in task 5."""
+"""Streaming queries (SURVEY.md §2.3 C, Q-S1..Q-S5).
+
+The reference's streaming surface is a byte-bounded in-memory queue with no
+event-time concept (/root/reference/main.go:197-231; SURVEY §2.2) — the
+engine generalizes it to Structured Streaming. Two kinds of entries here:
+
+- **Real streaming runs** (qs01, qs04): the query function starts an actual
+  Structured Streaming job (file source → availableNow → memory sink) and
+  returns its result as a batch DataFrame — so the driver's oracle gate
+  exercises the streaming machinery itself, not a batch stand-in. qs04's
+  oracle encodes the append-mode watermark contract: only windows whose end
+  ≤ max(event time) − watermark are finalized and emitted.
+
+- **Stream/batch-shared transforms run in batch mode** (qs02/02b/03/05):
+  the same functions (streaming/transforms.py) run on spark.read input and
+  hash-match DuckDB; their streaming twins are parity-tested in
+  tests/test_streaming.py.
+
+DuckDB `time_bucket` aligns to 2000-01-01, Spark `window` to the 1970
+epoch; both origins are midnight-aligned so every whole-divisor bucket
+(6 h / 12 h / 1 day) coincides.
+"""
 
 from __future__ import annotations
 
-from streamsurfer_spark.queries import QuerySpec
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-QUERIES: dict[str, QuerySpec] = {}
+from streamsurfer_spark.queries import QuerySpec
+from streamsurfer_spark.session import table
+from streamsurfer_spark.streaming import transforms
+from streamsurfer_spark.streaming.ingest import read_events_stream, run_to_memory
+
+import os
+
+
+def _events_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "events.parquet")
+
+
+# --- Q-S1: streaming ingest (real streaming run) -----------------------------
+
+def qs01_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, _events_path(sf_dir))
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return run_to_memory(agg, "complete").orderBy("event_type")
+
+
+QS01_SQL = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- Q-S2: tumbling window ---------------------------------------------------
+
+def qs02_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return transforms.tumbling_counts(ev).orderBy("w_start", "event_type")
+
+
+QS02_SQL = """
+SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- Q-S2b: sliding window ---------------------------------------------------
+
+def qs02b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return transforms.sliding_counts(ev).orderBy("w_start", "event_type")
+
+
+QS02B_SQL = """
+WITH x AS (
+    SELECT event_type,
+           unnest([time_bucket(INTERVAL '12 hours', ts),
+                   time_bucket(INTERVAL '12 hours', ts) - INTERVAL '12 hours']) AS ws
+    FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, count(*) AS n_events
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- Q-S3: session window ----------------------------------------------------
+
+def qs03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return transforms.session_counts(ev).orderBy("user_id", "session_start")
+
+
+# Gaps-and-islands twin of session_window: a gap >= the session gap starts a
+# new island (Spark sessions are half-open [start, last+gap), so an event at
+# exactly last+gap begins a new session — hence >=, not >).
+QS03_SQL = """
+WITH o AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     >= INTERVAL '4 hours'
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+),
+s AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       min(event_id) AS first_event_id
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+# --- Q-S4: watermark + late-data finalization (real streaming run) -----------
+
+def qs04_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, _events_path(sf_dir))
+    out = run_to_memory(transforms.watermarked_tumbling(stream), "append")
+    return out.orderBy("w_start", "event_type")
+
+
+QS04_SQL = """
+WITH m AS (SELECT max(ts) - INTERVAL '1 day' AS wm FROM events),
+b AS (
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, event_type,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, n_events
+FROM b, m
+WHERE ws + INTERVAL '6 hours' <= wm
+ORDER BY 1, 2
+"""
+
+
+# --- Q-S5: dedup -------------------------------------------------------------
+
+def qs05_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return transforms.dedup_earliest(ev).orderBy("user_id", "event_type")
+
+
+QS05_SQL = """
+WITH r AS (
+    SELECT user_id, event_type, event_id, ts,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+)
+SELECT user_id, event_type, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+FROM r WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "qs01_stream_ingest_counts": QuerySpec(
+        qs01_stream_ingest_counts, QS01_SQL, "Q-S1 real streaming ingest (availableNow)"
+    ),
+    "qs02_tumbling_window": QuerySpec(qs02_tumbling_window, QS02_SQL, "Q-S2 tumbling window"),
+    "qs02b_sliding_window": QuerySpec(qs02b_sliding_window, QS02B_SQL, "Q-S2 sliding window"),
+    "qs03_session_window": QuerySpec(qs03_session_window, QS03_SQL, "Q-S3 session window"),
+    "qs04_watermarked_append": QuerySpec(
+        qs04_watermarked_append, QS04_SQL, "Q-S4 watermark finalization (real streaming run)"
+    ),
+    "qs05_dedup_earliest": QuerySpec(qs05_dedup_earliest, QS05_SQL, "Q-S5 deterministic dedup"),
+}

@@ -1,0 +1,132 @@
+"""Stream/batch-shared transformations (SURVEY §2.3 C).
+
+The reference's only streaming concept is a byte-triggered in-memory queue
+(/root/reference/main.go:197-231 — no windows, no watermarks, no event
+time; SURVEY §2.2). The engine generalizes to Structured Streaming's full
+surface. Every function here takes a DataFrame and works identically on
+``spark.read`` and ``spark.readStream`` inputs — that duality IS the
+stream-batch parity contract (tested in tests/test_streaming.py; the batch
+side is oracle-checked against DuckDB in streaming_q.py).
+
+Scale notes (100 TB/day of events):
+- Windowed aggregates shuffle on (window, key) — bounded cardinality per
+  trigger, partial aggregation map-side. Watermarks bound state: expired
+  windows are evicted, so state size ~ (watermark horizon / slide) × keys.
+- Session windows keep one open session per key in state; the gap bounds
+  their lifetime. Skewed users (bot traffic) are the risk — mitigate
+  upstream with a per-key event cap or salted pre-aggregation.
+- Dedup state is keyed by the dedup columns; ``within_watermark`` variants
+  evict state, unbounded variants must only be used on bounded keys.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+TUMBLE = "6 hours"
+SLIDE_LEN = "1 day"
+SLIDE_STEP = "12 hours"
+SESSION_GAP = "4 hours"
+WATERMARK = "1 day"
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def tumbling_counts(df: DataFrame, window: str = TUMBLE) -> DataFrame:
+    """Per-(window, event_type) counts + value sums over a tumbling window."""
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", TS_FMT).alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame, length: str = SLIDE_LEN, step: str = SLIDE_STEP
+) -> DataFrame:
+    """Overlapping-window counts: each event lands in length/step windows."""
+    return (
+        df.groupBy(F.window("ts", length, step).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", TS_FMT).alias("w_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_counts(df: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Per-user sessions: a gap ≥ `gap` starts a new session.
+
+    session_window keeps one open session per user in streaming state; the
+    batch plan lowers to a sort-based session assignment within each user
+    partition — both views produce identical sessions (parity-tested).
+    """
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT).alias("session_start"),
+            "n_events",
+            "sum_value",
+            "first_event_id",
+        )
+    )
+
+
+def dedup_earliest(df: DataFrame, keys: tuple[str, ...] = ("user_id", "event_type")) -> DataFrame:
+    """Deterministic batch dedup: keep the earliest event per key.
+
+    Streaming twin: ``streaming_dedup`` (dropDuplicates keeps the FIRST
+    arrival, which on an event-time-ordered replay is the same row —
+    parity-tested in tests/test_streaming.py).
+    """
+    w = Window.partitionBy(*keys).orderBy("ts", "event_id")
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(*keys, "event_id", F.date_format("ts", TS_FMT).alias("first_ts"))
+    )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str | None = WATERMARK,
+) -> DataFrame:
+    """Stateful streaming dedup. With a watermark, state for keys older than
+    the horizon is evicted (dropDuplicatesWithinWatermark) — mandatory at
+    scale; the unbounded variant exists for bounded key domains only."""
+    if watermark is not None:
+        return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
+
+
+def watermarked_tumbling(
+    df: DataFrame, window: str = TUMBLE, watermark: str = WATERMARK
+) -> DataFrame:
+    """Tumbling counts with late-data policy: rows later than `watermark`
+    behind the max seen event time are dropped; windows finalize (append
+    mode) once the watermark passes their end."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", TS_FMT).alias("w_start"),
+            "event_type",
+            "n_events",
+        )
+    )

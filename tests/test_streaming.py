@@ -1,0 +1,157 @@
+"""Streaming tests (SURVEY §5.3): stream-batch parity, watermark late-data
+drop, stateful dedup, and the streaming Kinesis sink.
+
+The oracle suite covers the batch twins' values; these tests cover what only
+a real streaming run can show — micro-batch replay order, watermark state
+eviction, and append-mode finalization.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+
+from streamsurfer_spark.sink.config import KinesisSinkConfig
+from streamsurfer_spark.sink.kinesis import (
+    FileKinesisClient,
+    envelope_payload,
+    kinesis_stream_writer,
+)
+from streamsurfer_spark.streaming import transforms
+from streamsurfer_spark.streaming.ingest import read_events_stream, run_to_memory
+
+NS = 1_000_000_000
+
+
+def _ts(hour: float) -> int:
+    """ns timestamp at 2024-01-01 <hour>:00 UTC (fixture epoch area)."""
+    base = 1_704_067_200  # 2024-01-01T00:00:00Z
+    return int((base + hour * 3600) * NS)
+
+
+def _write_events(path, rows):
+    """One parquet file in the raw events layout (ts = int64 nanoseconds)."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_stream_batch_parity_tumbling(spark, tmp_path):
+    """The same transform on readStream and read produces identical rows —
+    the core Structured Streaming invariant (SURVEY §5.3)."""
+    src = "/root/testdata/sf0.001/events.parquet"
+    stream_out = run_to_memory(
+        transforms.tumbling_counts(read_events_stream(spark, src)), "complete"
+    )
+    batch_in = (
+        spark.read.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    batch_out = transforms.tumbling_counts(batch_in)
+    assert sorted(map(tuple, stream_out.collect())) == sorted(
+        map(tuple, batch_out.collect())
+    )
+
+
+def test_stream_batch_parity_session(spark):
+    src = "/root/testdata/sf0.001/events.parquet"
+    stream_out = run_to_memory(
+        transforms.session_counts(read_events_stream(spark, src)), "complete"
+    )
+    from streamsurfer_spark.session import table
+
+    batch_out = transforms.session_counts(table(spark, "/root/testdata/sf0.001", "events"))
+    assert sorted(map(tuple, stream_out.collect())) == sorted(
+        map(tuple, batch_out.collect())
+    )
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving behind the watermark for an already-finalized window is
+    dropped, and the window is never re-emitted (append-mode exactly-once).
+
+    Spark's one-directional guarantee: the input filter uses the previous
+    batch's watermark, so the drop is guaranteed once the window finalized a
+    full batch before the late arrival (probed empirically on 4.1.2).
+    """
+    d = tmp_path / "late_events"
+    d.mkdir()
+    # batch 0: window 09:00 gets state; 12:00 pushes max event time
+    _write_events(d / "f1.parquet", [(1, _ts(9.5), 1, "click", 1.0), (2, _ts(12), 1, "click", 1.0)])
+    time.sleep(1.05)  # file-source batches follow mtime order
+    # batch 1: watermark -> 11:00; evicts + emits ('09:00', 1)
+    _write_events(d / "f2.parquet", [(3, _ts(12.5), 1, "click", 1.0)])
+    time.sleep(1.05)
+    # batch 2: 09:45 is behind the watermark AND its window already emitted
+    # -> dropped; 14:00 is on time (stays unfinalized: end > final watermark)
+    _write_events(d / "f3.parquet", [(4, _ts(9.75), 1, "click", 1.0), (5, _ts(14), 1, "click", 1.0)])
+
+    stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    out = run_to_memory(
+        transforms.watermarked_tumbling(stream, window="1 hour", watermark="1 hour"),
+        "append",
+    )
+    rows = sorted((r.w_start, r.n_events) for r in out.collect())
+    # 09:00 exactly once with the on-time count only; 12:00 window holds
+    # both 12:00 and 12:30 events (finalized by the final 13:00 watermark)
+    assert rows == [("2024-01-01 09:00:00", 1), ("2024-01-01 12:00:00", 2)]
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    _write_events(d / "f1.parquet", [(1, _ts(10), 1, "click", 1.0)])
+    time.sleep(1.05)
+    # same event_id again (within watermark) + one new event
+    _write_events(d / "f2.parquet", [(1, _ts(10.1), 1, "click", 1.0), (2, _ts(11), 2, "view", 2.0)])
+
+    stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    deduped = transforms.streaming_dedup(stream, keys=("event_id",), watermark="1 day")
+    out = run_to_memory(deduped.select("event_id"), "append")
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 2]
+
+
+def test_streaming_kinesis_sink(spark, tmp_path):
+    """readStream → envelope → foreachBatch chunker → (file-mock) Kinesis:
+    every record is a JSON array, chunk sizes respect the byte bound."""
+    spool = str(tmp_path / "spool")
+    config = KinesisSinkConfig(stream_name="s", max_size_bytes=4096, origin="tests")
+    stream = read_events_stream(spark, "/root/testdata/sf0.001/events.parquet")
+    payloads = envelope_payload(stream, ts_col="ts", origin="tests")
+    q = kinesis_stream_writer(
+        payloads,
+        config,
+        client_factory=lambda cfg: FileKinesisClient(spool),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    import glob
+
+    total = 0
+    for f in glob.glob(f"{spool}/*.json"):
+        rec = json.load(open(f))
+        events = json.loads(rec["Data"])
+        assert isinstance(events, list) and events
+        assert all(e["origin"] == "tests" for e in events)
+        # per-item sizes sum below the bound unless a single item exceeds it
+        sizes = [len(json.dumps(e, separators=(",", ":")).encode()) for e in events]
+        assert sum(sizes) < config.max_size_bytes or len(events) == 1
+        total += len(events)
+    assert total == 1000
