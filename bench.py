@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...} — consumed by the round driver
+(BENCH_r{N}.json) and compared against BASELINE.md.
+
+Execution is forced with the noop sink (full computation, all operators, no
+collect/driver materialization), matching how a production job would be
+bounded by the plan, not by driver transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_QUERIES = (
+    # relational core (BASELINE.md gate set)
+    "qr02_filter_agg",
+    "qr04_multiway_join",
+    "qr06_hash_agg_q1",
+    "qr10_window_rank",
+    "qr12_topk",
+    # LLM-pipeline extensions
+    "ql01_exact_dedup",
+    "ql02_minhash_lsh_pairs",
+    "ql03_cosine_topk",
+    # streaming twin (batch mode)
+    "qs02_tumbling_window",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from streamsurfer_spark.queries import registry
+    from streamsurfer_spark.session import get_spark
+
+    spark = get_spark("streamsurfer-bench")
+    reg = registry()
+
+    # warm the JVM/codegen path once so per-query numbers measure the plan,
+    # not first-run classloading
+    reg["qr02_filter_agg"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = reg[name].spark(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "bench_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

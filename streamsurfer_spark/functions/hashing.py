@@ -50,3 +50,19 @@ def md5_long64_py(s: str) -> int:
 def seeded(sql_expr: str, seed_expr: str) -> str:
     """Seed-suffix an input expression (portable: plain string concat)."""
     return f"concat({sql_expr}, '#', cast({seed_expr} as string))"
+
+
+# Affine reseeding: h_i(x) = (a_i * (md5_60bit(x) mod P31) + b_i) mod P31.
+# One md5 per input, then integer arithmetic per seed — ~8x cheaper than
+# hashing per (input, seed), and every term stays < 2^62 (no overflow).
+# P31 is the Mersenne prime 2^31 - 1; a_i/b_i derive from the portable md5
+# so Spark, DuckDB, and Python reproduce identical hash families.
+P31 = 2_147_483_647
+
+
+def affine_params(n_seeds: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per seed; a in [1, P31-1], b in [0, P31-1]."""
+    return [
+        (md5_long64_py(f"minhash-a:{s}") % (P31 - 1) + 1, md5_long64_py(f"minhash-b:{s}") % P31)
+        for s in range(n_seeds)
+    ]

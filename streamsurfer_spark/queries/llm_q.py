@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from streamsurfer_spark.functions.hashing import MOD_PRIME
+from streamsurfer_spark.functions.hashing import MOD_PRIME, P31, affine_params
 from streamsurfer_spark.operators import dedup, multimodal, similarity
 from streamsurfer_spark.operators import text as text_ops
 from streamsurfer_spark.queries import QuerySpec
@@ -67,13 +67,18 @@ def ql02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(docs).orderBy("doc_a", "doc_b")
 
 
+_AFFINE_VALUES = ", ".join(
+    f"({s}, {a}, {b})" for s, (a, b) in enumerate(affine_params(dedup.N_MINHASH))
+)
+
 QL02_SQL = f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 sh AS (SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM d),
+ab(seed, a, b) AS (VALUES {_AFFINE_VALUES}),
+base AS (SELECT doc_id, {DUCK_HASH.format(x="shingle")} % {P31} AS h FROM sh),
 mh AS (
-    SELECT doc_id, seed,
-           min({DUCK_HASH.format(x="shingle || '#' || seed")}) AS mh
-    FROM sh CROSS JOIN (SELECT unnest(range({dedup.N_MINHASH})) AS seed) seeds
+    SELECT doc_id, seed, min((a * h + b) % {P31}) AS mh
+    FROM base CROSS JOIN ab
     GROUP BY doc_id, seed
 ),
 bands AS (
