@@ -1,0 +1,88 @@
+"""File sources & sinks: parquet / CSV / JSON-lines, batch and streaming.
+
+The reference reads nothing (its only I/O is the Kinesis client —
+/root/reference/main.go:159-172; SURVEY §2.2 "no file formats, no
+readers"), so this is engine-side surface: one reader/writer API over the
+formats a data pipeline actually meets, built directly on Spark's
+DataSource framework so pushdown/pruning/partition-discovery all apply.
+
+Scale notes:
+- parquet is the canonical format (columnar, predicate+projection
+  pushdown, splittable); CSV/JSON are ingest-edge formats — land them once,
+  convert to parquet, never re-scan raw text at 100 TB.
+- ``write_table(..., partition_by=...)`` produces hive-style partition
+  dirs → partition pruning turns time/tenant filters into directory skips.
+- explicit schemas everywhere: schema inference reads data twice and can
+  mistype columns at the worst moment (CSV int that later holds a float).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+FORMATS = ("parquet", "csv", "json")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Batch reader. CSV defaults to header=true; JSON means JSON-lines."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format: {fmt!r} (one of {FORMATS})")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Streaming file reader (schema mandatory — streaming can't infer)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format: {fmt!r} (one of {FORMATS})")
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Batch writer; hive-style partitioning via ``partition_by``."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format: {fmt!r} (one of {FORMATS})")
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)

