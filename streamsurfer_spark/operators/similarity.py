@@ -125,6 +125,116 @@ def lsh_buckets(
     )
 
 
+QUANT_SCALE = 1000
+IVF_CENTROID_MOD = 250  # every 250th vector serves as a coarse centroid
+IVF_NPROBE = 2
+
+
+def quantize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Scalar-quantize the embedding to integers (×1000, rounded).
+
+    All downstream IVF math (distances, dots, norms) is then exact integer
+    arithmetic → bit-identical across Spark/DuckDB/numpy regardless of
+    summation order. This mirrors production IVF practice (scalar/product
+    quantization for the coarse stage, full precision only for re-rank).
+    """
+    # cast to double BEFORE scaling: float32 multiply would round at a
+    # different precision than the oracle's double multiply
+    return df.withColumn(
+        "qv",
+        F.expr(
+            f"transform({vec_col}, x -> cast(round(cast(x as double) * {QUANT_SCALE}) as bigint))"
+        ),
+    )
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Assign each vector to its nearest centroid by integer L2².
+
+    centroids is tiny (n/IVF_CENTROID_MOD rows) → broadcast; the argmin is
+    a per-row window over centroid candidates, keyed by vector id. At
+    100 TB the centroid set still fits in a broadcast (k ≤ ~1e5) and the
+    assignment remains a map-only pass over the corpus.
+    """
+    cents = centroids.select(
+        F.col(id_col).alias("cent_id"), F.col("qv").alias("cent_qv")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(qv, cent_qv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    scored = df.join(F.broadcast(cents)).withColumn("dist", dist)
+    w = Window.partitionBy(id_col).orderBy("dist", "cent_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "dist", "cent_qv")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    k: int = 3,
+    probe_mod: int = 97,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize → cluster-route → re-rank.
+
+    1. quantize embeddings to integers; every IVF_CENTROID_MOD-th vector is
+       a centroid ("training-free" IVF — deterministic, no k-means state);
+    2. assign corpus vectors to nearest centroid (broadcast, map-only);
+    3. each probe searches only its IVF_NPROBE nearest clusters — the
+       recall/cost knob: candidates shrink from n to ~n·nprobe/k_clusters;
+    4. exact integer-dot cosine re-rank within candidates, top-k per probe.
+
+    Integer quantization makes every score bit-identical on the DuckDB
+    oracle (integer sums are exact; sqrt/division on identical doubles are
+    correctly rounded), so even the approximate candidate set hash-matches.
+    """
+    q = quantize(corpus).select(id_col, "qv")
+    cents = q.where(F.col(id_col) % IVF_CENTROID_MOD == 0)
+    assigned = ivf_assign(q, cents, id_col)
+
+    probes = q.where(F.col(id_col) % probe_mod == 0).select(
+        F.col(id_col).alias("probe_id"), F.col("qv").alias("probe_qv")
+    )
+    cents_p = cents.select(F.col(id_col).alias("cent_id"), F.col("qv").alias("cent_qv"))
+    pdist = F.expr(
+        "aggregate(zip_with(probe_qv, cent_qv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    pw = Window.partitionBy("probe_id").orderBy("dist", "cent_id")
+    probe_clusters = (
+        probes.join(F.broadcast(cents_p))
+        .withColumn("dist", pdist)
+        .withColumn("_rn", F.row_number().over(pw))
+        .where(F.col("_rn") <= IVF_NPROBE)
+        .select("probe_id", "probe_qv", "cent_id")
+    )
+
+    cand = probe_clusters.join(assigned, "cent_id").where(
+        F.col(id_col) != F.col("probe_id")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(probe_qv, qv, (x, y) -> x * y),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "sqrt(cast(aggregate(transform({a}, x -> x * x),"
+        " cast(0 as bigint), (acc, v) -> acc + v) as double))"
+    )
+    sim = F.round(
+        dot.cast("double") / (F.expr(nrm.format(a="probe_qv")) * F.expr(nrm.format(a="qv"))), 4
+    )
+    kw = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(kw))
+        .where(F.col("rk") <= k)
+        .select("probe_id", id_col, "sim", "rk")
+    )
+
+
 def lsh_near_pairs(
     df: DataFrame,
     threshold: float = 0.8,

@@ -420,6 +420,69 @@ FROM t GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- IVF approximate top-k ---------------------------------------------------
+
+def ql14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, k=3, probe_mod=PROBE_MOD).orderBy("probe_id", "rk")
+
+
+QL14_SQL = f"""
+WITH q AS (
+    SELECT vec_id,
+           [cast(round(x::DOUBLE * {similarity.QUANT_SCALE}) AS BIGINT) for x in embedding] AS qv
+    FROM embeddings
+),
+qe AS (SELECT vec_id, unnest(range(len(qv))) AS pos, unnest(qv) AS v FROM q),
+cents AS (SELECT vec_id AS cent_id, pos, v FROM qe
+          WHERE vec_id % {similarity.IVF_CENTROID_MOD} = 0),
+ad AS (
+    SELECT qe.vec_id, c.cent_id, sum((qe.v - c.v) * (qe.v - c.v)) AS dist
+    FROM qe JOIN cents c ON c.pos = qe.pos GROUP BY 1, 2
+),
+assign AS (
+    SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+        FROM ad
+    ) WHERE rn = 1
+),
+pc AS (
+    SELECT probe_id, cent_id FROM (
+        SELECT vec_id AS probe_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+        FROM ad WHERE vec_id % {PROBE_MOD} = 0
+    ) WHERE rn <= {similarity.IVF_NPROBE}
+),
+cand AS (
+    SELECT pc.probe_id, a.vec_id
+    FROM pc JOIN assign a ON a.cent_id = pc.cent_id
+    WHERE a.vec_id <> pc.probe_id
+),
+dots AS (
+    SELECT cand.probe_id, cand.vec_id, sum(pa.v * ca.v) AS dot
+    FROM cand
+    JOIN qe pa ON pa.vec_id = cand.probe_id
+    JOIN qe ca ON ca.vec_id = cand.vec_id AND ca.pos = pa.pos
+    GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)::DOUBLE) AS nrm FROM qe GROUP BY 1),
+sims AS (
+    SELECT d.probe_id, d.vec_id, round(d.dot::DOUBLE / (np.nrm * nc.nrm), 4) AS sim
+    FROM dots d
+    JOIN norms np ON np.vec_id = d.probe_id
+    JOIN norms nc ON nc.vec_id = d.vec_id
+),
+ranked AS (
+    SELECT probe_id, vec_id, sim,
+           row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rk
+    FROM sims
+)
+SELECT probe_id, vec_id, sim, rk FROM ranked WHERE rk <= 3
+ORDER BY probe_id, rk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -435,4 +498,5 @@ QUERIES: dict[str, QuerySpec] = {
     "ql11_quality_features": QuerySpec(ql11_quality_features, QL11_SQL, "quality scoring features"),
     "ql12_language_id": QuerySpec(ql12_language_id, QL12_SQL, "language-ID histogram"),
     "ql13_fingerprint": QuerySpec(ql13_fingerprint, QL13_SQL, "document fingerprints"),
+    "ql14_ivf_topk": QuerySpec(ql14_ivf_topk, QL14_SQL, "IVF approximate top-k (quantized)"),
 }

@@ -654,6 +654,33 @@ ORDER BY 1, 2
 """
 
 
+# --- Q-R20: pivot ------------------------------------------------------------
+
+def qr20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    # Values pinned explicitly: pivot without values runs a distinct-scan
+    # job first — at 100 TB that's a full extra pass over the fact table.
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("o_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+        .orderBy("o_year")
+    )
+
+
+QR20_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       count(*) FILTER (o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -678,4 +705,5 @@ QUERIES: dict[str, QuerySpec] = {
     "qr17_array_fns": QuerySpec(qr17_array_fns, QR17_SQL, "Q-R17 array higher-order functions"),
     "qr18_subqueries": QuerySpec(qr18_subqueries, QR18_SQL, "Q-R18 scalar/IN/EXISTS subqueries"),
     "qr19_case_when": QuerySpec(qr19_case_when, QR19_SQL, "Q-R19 conditional expressions"),
+    "qr20_pivot": QuerySpec(qr20_pivot, QR20_SQL, "Q-R20 pivot with pinned values"),
 }
