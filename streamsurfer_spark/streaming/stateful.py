@@ -1,0 +1,68 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference's only state is a byte counter + FIFO queue
+(/root/reference/main.go:27-28; SURVEY §2.2 — no keyed state, no timers).
+This module is the engine's arbitrary-stateful surface: Arrow-batched
+per-key state machines for semantics that windowed aggregation can't
+express (running per-key accumulators, session entities, custom eviction).
+
+Scale notes:
+- State lives in the state store keyed by the group key — one row per key,
+  not per event; the shuffle is on the group key only.
+- Arrow moves each group's micro-batch slice as pandas — vectorized, no
+  per-row Python.
+- ProcessingTimeTimeout lets idle keys finalize + evict; without a timeout
+  the key domain must be bounded (documented contract, as with
+  dropDuplicates).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TRACKER_OUTPUT = "user_id bigint, n_events bigint, sum_value double, last_event_id bigint"
+TRACKER_STATE = "n bigint, total double, last_id bigint"
+
+
+def _track(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user running accumulator: count, value sum, latest event_id."""
+    (user_id,) = key
+    n, total, last_id = state.get if state.exists else (0, 0.0, -1)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last_id = int(pdf.loc[pdf["ts"].idxmax(), "event_id"])
+    state.update((n, total, last_id))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value": [round(total, 2)],
+            "last_event_id": [last_id],
+        }
+    )
+
+
+def user_activity_tracker(events: DataFrame) -> DataFrame:
+    """Running per-user activity state, emitted once per key per batch.
+
+    Works on a streaming DataFrame (update mode). Each micro-batch updates
+    the per-user accumulator and emits the new running totals — the pattern
+    for live entity state (feature freshness, quota tracking) that window
+    aggregation can't express because it never closes.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _track,
+        outputStructType=TRACKER_OUTPUT,
+        stateStructType=TRACKER_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

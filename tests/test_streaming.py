@@ -155,3 +155,33 @@ def test_streaming_kinesis_sink(spark, tmp_path):
         assert sum(sizes) < config.max_size_bytes or len(events) == 1
         total += len(events)
     assert total == 1000
+
+
+def test_stateful_tracker_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user state persists across micro-batches;
+    the final update equals the batch aggregate."""
+    from streamsurfer_spark.streaming.stateful import user_activity_tracker
+
+    d = tmp_path / "tracker_events"
+    d.mkdir()
+    _write_events(d / "f1.parquet", [(1, _ts(1), 7, "click", 1.5), (2, _ts(2), 7, "view", 2.0)])
+    time.sleep(1.05)
+    _write_events(d / "f2.parquet", [(3, _ts(3), 7, "click", 3.0), (4, _ts(4), 8, "view", 4.0)])
+
+    stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    out = run_to_memory(user_activity_tracker(stream), "update")
+    # update mode emits one row per key per batch; the row with the highest
+    # n_events per user is the final state
+    rows = out.collect()
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    assert final[7].n_events == 3
+    assert final[7].sum_value == 6.5
+    assert final[7].last_event_id == 3
+    assert final[8].n_events == 1
+    assert final[8].last_event_id == 4
+    # state accumulated across batches: an intermediate emission for user 7
+    # exists with n_events == 2 (batch 1's running total)
+    assert any(r.user_id == 7 and r.n_events == 2 for r in rows)
