@@ -73,16 +73,24 @@ def cosine_topk(
     probe_id. Ties broken by neighbor id on the ROUNDED similarity so
     ranking is reproducible across engines.
     """
+    # norms factored out pre-join: computed once per row instead of once
+    # per (probe, corpus) pair — 2/3 less arithmetic in the O(p·n) stage
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        F.expr(NORM_EXPR.format(a=vec_col)).alias("probe_nrm"),
     )
-    joined = corpus.join(F.broadcast(p), F.col(id_col) != F.col("probe_id"))
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(NORM_EXPR.format(a=vec_col)).alias("corpus_nrm"),
+    )
+    joined = c.join(F.broadcast(p), F.col(id_col) != F.col("probe_id"))
     dot = F.expr(DOT_EXPR.format(a="probe_vec", b=vec_col))
-    norms = F.expr(NORM_EXPR.format(a="probe_vec")) * F.expr(NORM_EXPR.format(a=vec_col))
     sims = joined.select(
         "probe_id",
         F.col(id_col),
-        F.round(dot / norms, 4).alias("sim"),
+        F.round(dot / (F.col("probe_nrm") * F.col("corpus_nrm")), 4).alias("sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.col(id_col))
     return (
