@@ -1,0 +1,110 @@
+"""As-of and range joins — time-series operators Spark lacks natively.
+
+No reference counterpart (/root/reference/main.go:1-312 never holds two
+datasets — SURVEY §2.2). Composed from built-in operators per the engine's
+custom-operator policy (SURVEY §2.3 note: composition first, Pandas UDF
+second, mapPartitions last):
+
+- **as-of join**: "for each left row, the latest right row with the same
+  key at-or-before its timestamp". The naive formulation is an inequality
+  join (quadratic blow-up per key); the distributed shape used here is the
+  union-sort trick: tag both sides, union, sort by (key, time, side), and
+  carry the last right-side payload forward with last_value(ignorenulls)
+  — one shuffle on the key, linear work, no range explosion. This is the
+  standard large-scale as-of topology (same shape kdb/Flink temporal joins
+  lower to).
+
+- **range join**: "pairs within a bounded time distance". Equi-bucketing
+  the time axis turns the inequality into an equi-join on (key, bucket):
+  each left row probes its own and adjacent buckets, then an exact filter
+  trims overshoot. Bucket width = the range bound, so each row lands in
+  ≤2 candidate buckets per side and the shuffle stays keyed/uniform. AQE
+  skew-split handles hot buckets.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+) -> DataFrame:
+    """Left as-of join: latest right row per key with right_time <= left_time.
+
+    Returns all left columns plus `payload` columns from the right side
+    (null when no right row precedes the left row). Ties on equal
+    timestamps resolve to the right row (sort places right rows first).
+    """
+    lt = F.col(left_time)
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        lt.alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
+        *payload,
+    )
+    # right rows sort before left rows at equal (_k, _t): an order placed
+    # exactly at the event time IS visible to the event
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "_side",
+        "_l",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return carried.where(F.col("_side") == 1).select("_l.*", *payload)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    lower_seconds: int,
+    upper_seconds: int,
+) -> DataFrame:
+    """Inner join on key where right_time ∈ [left_time + lower, left_time + upper].
+
+    Buckets the right side by the window span so the candidate join is an
+    equi-join on (key, bucket); the exact predicate filters afterwards.
+    Returns all columns from both sides.
+    """
+    span = upper_seconds - lower_seconds
+    if span <= 0:
+        raise ValueError("upper_seconds must exceed lower_seconds")
+    l_sec = F.unix_timestamp(F.col(left_time))
+    r_sec = F.unix_timestamp(F.col(right_time))
+    # left row's window [l+lower, l+upper] overlaps buckets b0 and b0+1
+    b0 = F.floor((l_sec + lower_seconds) / span)
+    l_b = left.withColumn("_b", F.explode(F.array(b0, b0 + 1)))
+    r_b = right.withColumn("_b", F.floor(r_sec / span))
+    ql_sec = F.unix_timestamp(F.col(f"l.{left_time}"))
+    qr_sec = F.unix_timestamp(F.col(f"r.{right_time}"))
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("l._b") == F.col("r._b"))
+        & (qr_sec >= ql_sec + lower_seconds)
+        & (qr_sec <= ql_sec + upper_seconds)
+    )
+    joined = l_b.alias("l").join(r_b.alias("r"), cond)
+    l_cols = [F.col(f"l.{c}") for c in left.columns]
+    r_cols = [F.col(f"r.{c}") for c in right.columns if c != key]
+    return joined.select(*l_cols, *r_cols)

@@ -30,10 +30,16 @@ class QuerySpec:
 
 def registry() -> dict[str, QuerySpec]:
     """Aggregate all query modules into one name → spec mapping."""
-    from streamsurfer_spark.queries import envelope_q, llm_q, relational_q, streaming_q
+    from streamsurfer_spark.queries import (
+        envelope_q,
+        llm_q,
+        relational_q,
+        streaming_q,
+        timeseries_q,
+    )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational_q, envelope_q, streaming_q, llm_q):
+    for mod in (relational_q, envelope_q, streaming_q, llm_q, timeseries_q):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
