@@ -681,6 +681,111 @@ ORDER BY 1
 """
 
 
+# --- Q-R21: exact percentiles ------------------------------------------------
+
+def qr21_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    # exact interpolated percentiles (both engines use the same continuous
+    # quantile definition); the scale path swaps in approx_percentile —
+    # a mergeable sketch that avoids the per-group sort
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QR21_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+FROM orders
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q-R22: histogram binning ------------------------------------------------
+
+def qr22_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (
+        orders.groupBy(bin_col.alias("price_bin"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("price_bin")
+    )
+
+
+QR22_SQL = """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bin,
+       count(*) AS n_orders
+FROM orders
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q-R9b: cube + grouping id ----------------------------------------------
+
+def qr09b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .cube("order_year", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            F.col("order_year").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+            "gid",
+        )
+    )
+
+
+QR09B_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       o_orderstatus,
+       count(*) AS n_orders,
+       CAST(grouping(order_year) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (order_year, o_orderstatus)
+ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST, gid
+"""
+
+
+# --- Q-R10b: analytic window pack (ntile / percent_rank / cume_dist) ---------
+
+def qr10b_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.first("c_custkey").over(w).alias("top_cust"),
+    ).orderBy("c_custkey")
+
+
+QR10B_SQL = """
+SELECT c_custkey, c_mktsegment,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       round(cume_dist() OVER w, 4) AS cume,
+       first_value(c_custkey) OVER w AS top_cust
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_custkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -706,4 +811,10 @@ QUERIES: dict[str, QuerySpec] = {
     "qr18_subqueries": QuerySpec(qr18_subqueries, QR18_SQL, "Q-R18 scalar/IN/EXISTS subqueries"),
     "qr19_case_when": QuerySpec(qr19_case_when, QR19_SQL, "Q-R19 conditional expressions"),
     "qr20_pivot": QuerySpec(qr20_pivot, QR20_SQL, "Q-R20 pivot with pinned values"),
+    "qr21_percentiles": QuerySpec(qr21_percentiles, QR21_SQL, "Q-R21 exact percentiles"),
+    "qr22_histogram": QuerySpec(qr22_histogram, QR22_SQL, "Q-R22 histogram binning"),
+    "qr09b_cube": QuerySpec(qr09b_cube, QR09B_SQL, "Q-R9 cube + grouping id"),
+    "qr10b_window_analytics": QuerySpec(
+        qr10b_window_analytics, QR10B_SQL, "Q-R10 ntile/percent_rank/cume_dist"
+    ),
 }
