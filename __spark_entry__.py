@@ -21,10 +21,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: TPC-H Q1-shape hash aggregate on lineitem (Q-R6)."""
-    from streamsurfer_spark.queries.relational_q import qr06_hash_agg_q1
+    """Flagship query: the composed curation pipeline (language-ID →
+    quality gate → exact dedup → MinHash-LSH pruning → token accounting)."""
+    from streamsurfer_spark.queries.pipeline_q import qp01_curation_report
 
-    return qr06_hash_agg_q1(spark, SMOKE_SF_DIR)
+    return qp01_curation_report(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -27,8 +27,13 @@ BENCH_QUERIES = (
     "ql01_exact_dedup",
     "ql02_minhash_lsh_pairs",
     "ql03_cosine_topk",
+    "ql14_ivf_topk",
     # streaming twin (batch mode)
     "qs02_tumbling_window",
+    # time-series joins
+    "qt01_asof_last_click",
+    # composed capstone
+    "qp01_curation_report",
 )
 
 

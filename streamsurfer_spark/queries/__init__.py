@@ -33,13 +33,14 @@ def registry() -> dict[str, QuerySpec]:
     from streamsurfer_spark.queries import (
         envelope_q,
         llm_q,
+        pipeline_q,
         relational_q,
         streaming_q,
         timeseries_q,
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational_q, envelope_q, streaming_q, llm_q, timeseries_q):
+    for mod in (relational_q, envelope_q, streaming_q, llm_q, timeseries_q, pipeline_q):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
