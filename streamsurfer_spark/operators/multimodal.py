@@ -91,3 +91,37 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes bigint, frame_md5 string"
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Uniform frame sampling over video rows — the 1→N expansion shape.
+
+    A real decoder (pyav) yields frames; the deterministic stand-in slices
+    the payload into n_frames equal chunks. The Spark-side contract being
+    exercised: mapInPandas may emit MORE rows than it receives (batch
+    explode), the output schema is declared, and non-video rows are pruned
+    by a pushed-down predicate before any Python runs.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = decode_stub(bytes(payload), "video")
+                step = max(len(data) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = data[i * step : (i + 1) * step]
+                    if not chunk:
+                        break
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    videos = df.where(F.col("modality") == "video")
+    return videos.mapInPandas(run, schema=FRAME_SCHEMA)

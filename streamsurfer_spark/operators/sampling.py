@@ -1,0 +1,51 @@
+"""Deterministic, engine-portable sampling (training-data pipelines).
+
+Spark's ``df.sample`` is seed-dependent on partitioning (same seed, new
+file layout → different sample), which breaks reproducibility contracts at
+100 TB where layout changes every compaction. These operators sample by
+content hash instead: membership depends only on the row's key, so the
+sample is stable across partitioning, retries, engines — and replayable by
+the DuckDB oracle.
+
+- hash_sample: Bernoulli-style p% sample via md5(key) mod 100.
+- stratified_sample: exactly n rows per stratum, chosen by hash order —
+  one shuffle on the stratum key; deterministic tiebreak by key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from streamsurfer_spark.functions.hashing import md5_long64
+
+
+def _key_hash(id_col: str) -> Column:
+    return md5_long64(F.col(id_col).cast("string"))
+
+
+def hash_sample(df: DataFrame, id_col: str, rate_pct: int) -> DataFrame:
+    """Keep rows whose key hashes into the first `rate_pct` of 100 buckets.
+
+    Per-row predicate → fully parallel, no shuffle, pushes down past
+    column pruning. Repeated runs (and different engines) select the
+    identical row set.
+    """
+    if not 0 <= rate_pct <= 100:
+        raise ValueError("rate_pct must be in [0, 100]")
+    return df.where(_key_hash(id_col) % 100 < rate_pct)
+
+
+def stratified_sample(df: DataFrame, strata_col: str, id_col: str, n_per_stratum: int) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, in hash order.
+
+    Hash order ≈ uniform random order but reproducible; the window's
+    ORDER BY (hash, key) makes ties impossible. One shuffle on the
+    stratum key; WindowGroupLimit prunes to n per partition map-side.
+    """
+    w = Window.partitionBy(strata_col).orderBy(_key_hash(id_col), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )

@@ -420,6 +420,93 @@ FROM t GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- per-label centroids (vector aggregate) ----------------------------------
+
+def ql15_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label + centroid norm — the vector
+    aggregate an IVF trainer / cluster-quality monitor runs. posexplode →
+    (label, pos) partial-aggregating mean → re-assemble norm."""
+    emb = table(spark, sf_dir, "embeddings")
+    by_dim = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"), F.count("*").alias("n"))
+    )
+    return (
+        by_dim.groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm"),
+            F.max("n").alias("n_vectors"),
+        )
+        .orderBy("label")
+    )
+
+
+QL15_SQL = """
+WITH e AS (
+    SELECT label, unnest(range(len(embedding))) AS pos,
+           unnest(embedding)::DOUBLE AS v
+    FROM embeddings
+),
+by_dim AS (
+    SELECT label, pos, avg(v) AS m, count(*) AS n FROM e GROUP BY 1, 2
+)
+SELECT label,
+       round(sqrt(sum(m * m)), 4) AS centroid_norm,
+       CAST(max(n) AS BIGINT) AS n_vectors
+FROM by_dim GROUP BY label ORDER BY label
+"""
+
+
+# --- deterministic sampling --------------------------------------------------
+
+def ql16_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamsurfer_spark.operators.sampling import hash_sample
+
+    docs = table(spark, sf_dir, "documents")
+    sampled = hash_sample(docs, "doc_id", 10)
+    return sampled.agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum("doc_id").alias("sum_id"),
+    )
+
+
+QL16_SQL = f"""
+SELECT count(*) AS n_sampled,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id
+FROM documents
+WHERE {DUCK_HASH.format(x="doc_id::VARCHAR")} % 100 < 10
+"""
+
+
+def ql17_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamsurfer_spark.operators.sampling import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "lang", "doc_id", 5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+QL17_SQL = f"""
+SELECT lang, doc_id FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {DUCK_HASH.format(x="doc_id::VARCHAR")}, doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= 5
+ORDER BY lang, doc_id
+"""
+
+
 # --- IVF approximate top-k ---------------------------------------------------
 
 def ql14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,4 +586,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ql12_language_id": QuerySpec(ql12_language_id, QL12_SQL, "language-ID histogram"),
     "ql13_fingerprint": QuerySpec(ql13_fingerprint, QL13_SQL, "document fingerprints"),
     "ql14_ivf_topk": QuerySpec(ql14_ivf_topk, QL14_SQL, "IVF approximate top-k (quantized)"),
+    "ql15_label_centroids": QuerySpec(ql15_label_centroids, QL15_SQL, "per-label embedding centroids"),
+    "ql16_hash_sample": QuerySpec(ql16_hash_sample, QL16_SQL, "deterministic hash sampling"),
+    "ql17_stratified_sample": QuerySpec(ql17_stratified_sample, QL17_SQL, "stratified hash sampling"),
 }

@@ -78,3 +78,34 @@ def test_ngram_jaccard_exact_value(spark):
     assert out[0].n_inter == 1
     assert abs(out[0].jaccard - 0.3333) < 1e-9
     assert dedup.ngram_jaccard_pairs(df, threshold=0.4).count() == 0
+
+
+def test_frame_sampling_expansion(spark):
+    from streamsurfer_spark.operators import multimodal
+
+    rows = [(2, "0123456789abcdef"), (5, "xyz"), (3, "not video")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    frames = multimodal.sample_frames(multimodal.as_media(df)).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # only video rows (doc_id % 3 == 2) expand; others never reach Python
+    assert set(by_doc) == {2, 5}
+    assert [f.frame_idx for f in sorted(by_doc[2], key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
+    assert all(f.frame_bytes == 4 for f in by_doc[2])
+    # payload shorter than n_frames: truncated expansion, 1-byte steps
+    assert len(by_doc[5]) == 3
+
+
+def test_hll_sketch_error_bound(spark):
+    """approx_count_distinct (HLL++) must stay within its configured
+    relative error on the fixture — the property the rows-only gate can't
+    check."""
+    import pyspark.sql.functions as F
+    from streamsurfer_spark.session import table
+    from tests.conftest import SF_DIR
+
+    orders = table(spark, SF_DIR, "orders")
+    exact = orders.select(F.countDistinct("o_custkey")).first()[0]
+    approx = orders.select(F.approx_count_distinct("o_custkey", rsd=0.05)).first()[0]
+    assert abs(approx - exact) / exact < 0.10  # 2x headroom over rsd
