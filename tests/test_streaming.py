@@ -185,3 +185,34 @@ def test_stateful_tracker_accumulates_across_batches(spark, tmp_path):
     # state accumulated across batches: an intermediate emission for user 7
     # exists with n_events == 2 (batch 1's running total)
     assert any(r.user_id == 7 and r.n_events == 2 for r in rows)
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restarting a checkpointed query processes only NEW files — no
+    re-emission of already-committed batches (file-sink exactly-once)."""
+    src = tmp_path / "ckpt_events"
+    src.mkdir()
+    out = str(tmp_path / "out_parquet")
+    ckpt = str(tmp_path / "ckpt_dir")
+
+    def run_once():
+        stream = read_events_stream(spark, str(src))
+        q = (
+            stream.select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_events(src / "f1.parquet", [(1, _ts(1), 1, "click", 1.0), (2, _ts(2), 1, "view", 2.0)])
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == 2
+
+    _write_events(src / "f2.parquet", [(3, _ts(3), 2, "click", 3.0)])
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]  # f1 not re-emitted
