@@ -27,13 +27,25 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from streamsurfer_spark.functions.hashing import P31, affine_params, md5_long64_expr
+from streamsurfer_spark.functions.hashing import (
+    P31,
+    affine_params,
+    md5_long64_expr,
+    md5_long64_py,
+)
 
 SHINGLE_N = 3
 N_MINHASH = 8
 ROWS_PER_BAND = 2
 N_BANDS = N_MINHASH // ROWS_PER_BAND
 SIMHASH_BITS = 48
+
+# Positional weights for composing a shingle hash from its 3 token hashes:
+# sh(i) = (th[i]*C1 + th[i+1]*C2 + th[i+2]) mod P31, missing tokens as 0.
+# One md5 per TOKEN instead of per shingle string (and no shingle string
+# materialization) — ~2x less hashing work; order-sensitive by construction.
+SHINGLE_C1 = md5_long64_py("shingle-c1") % (P31 - 1) + 1
+SHINGLE_C2 = md5_long64_py("shingle-c2") % (P31 - 1) + 1
 
 
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -70,22 +82,28 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> 
 
 
 def minhash_signature(df: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """Add `sig`: array of n_hashes min-hashes over `shingles`.
+    """Add `sig`: array of n_hashes min-hashes over word 3-shingles.
 
-    One md5 per shingle (materialized in `bases`), then each hash family
-    member is affine arithmetic (a*h+b mod P31) — pure per-row expression
-    chain (transform + array_min), no shuffle, md5 cost amortized across
-    all seeds (8x less hashing than hash-per-(shingle,seed)).
+    Expects a `toks` column (see with_shingles). One md5 per token, shingle
+    hashes composed positionally (SHINGLE_C1/C2), each hash-family member
+    affine arithmetic (a*h+b mod P31) — pure per-row expression chain
+    (transform + array_min), no shuffle, hashing amortized across both the
+    shingle window and all seeds. try_element_at: trailing shingles of
+    short documents treat missing tokens as hash 0 (ANSI-safe).
     """
-    with_bases = df.withColumn(
-        "bases",
-        F.expr(f"transform(shingles, x -> {md5_long64_expr('x')} % {P31})"),
+    th = f"transform(toks, t -> {md5_long64_expr('t')} % {P31})"
+    sh = (
+        f"transform(sequence(1, greatest(size(toks) - {SHINGLE_N - 1}, 1)),"
+        f" i -> ((try_element_at(th_, i) * {SHINGLE_C1}) % {P31}"
+        f" + (coalesce(try_element_at(th_, i + 1), 0) * {SHINGLE_C2}) % {P31}"
+        f" + coalesce(try_element_at(th_, i + 2), 0)) % {P31})"
     )
+    with_sh = df.withColumn("th_", F.expr(th)).withColumn("sh_", F.expr(sh))
     mins = [
-        F.expr(f"array_min(transform(bases, h -> ({a} * h + {b}) % {P31}))")
+        F.expr(f"array_min(transform(sh_, h -> ({a} * h + {b}) % {P31}))")
         for a, b in affine_params(n_hashes)
     ]
-    return with_bases.withColumn("sig", F.array(*mins))
+    return with_sh.withColumn("sig", F.array(*mins))
 
 
 def lsh_bands(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -71,21 +71,37 @@ _AFFINE_VALUES = ", ".join(
     f"({s}, {a}, {b})" for s, (a, b) in enumerate(affine_params(dedup.N_MINHASH))
 )
 
-QL02_SQL = f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-sh AS (SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM d),
+
+def duck_minhash_bands(src: str) -> str:
+    """CTE chain d/th/sh/ab/mh/bands replicating the Spark MinHash-LSH
+    signature math over `src`(doc_id, text) — token hashes composed into
+    positional shingle hashes, affine hash family, banded keys."""
+    return f"""
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
+th AS (SELECT doc_id, [({DUCK_HASH.format(x="t")}) % {P31} for t in toks] AS th FROM d),
+sh AS (
+    SELECT doc_id,
+           unnest([((th[i+1] * {dedup.SHINGLE_C1}) % {P31}
+                    + (coalesce(th[i+2], 0) * {dedup.SHINGLE_C2}) % {P31}
+                    + coalesce(th[i+3], 0)) % {P31}
+                   for i in range(greatest(len(th) - 2, 1))]) AS h
+    FROM th
+),
 ab(seed, a, b) AS (VALUES {_AFFINE_VALUES}),
-base AS (SELECT doc_id, {DUCK_HASH.format(x="shingle")} % {P31} AS h FROM sh),
 mh AS (
     SELECT doc_id, seed, min((a * h + b) % {P31}) AS mh
-    FROM base CROSS JOIN ab
+    FROM sh CROSS JOIN ab
     GROUP BY doc_id, seed
 ),
 bands AS (
     SELECT doc_id, seed // {dedup.ROWS_PER_BAND} AS band,
            string_agg(mh::VARCHAR, ',' ORDER BY seed) AS band_key
     FROM mh GROUP BY doc_id, seed // {dedup.ROWS_PER_BAND}
-)
+)"""
+
+
+QL02_SQL = f"""
+WITH {duck_minhash_bands("documents")}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id

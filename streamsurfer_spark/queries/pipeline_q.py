@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from streamsurfer_spark.operators import dedup
 from streamsurfer_spark.operators import text as text_ops
 from streamsurfer_spark.pipelines import (
     QUALITY_MAX_PUNCT_RATIO,
@@ -19,13 +18,7 @@ from streamsurfer_spark.pipelines import (
     curation_report,
 )
 from streamsurfer_spark.queries import QuerySpec
-from streamsurfer_spark.queries.llm_q import (
-    _AFFINE_VALUES,
-    DUCK_HASH,
-    DUCK_SHINGLES,
-    _duck_stop_hits,
-)
-from streamsurfer_spark.functions.hashing import P31
+from streamsurfer_spark.queries.llm_q import _duck_stop_hits, duck_minhash_bands
 from streamsurfer_spark.session import table
 
 
@@ -63,19 +56,7 @@ e AS (
         SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM g
     ) WHERE rn = 1
 ),
-d2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM e),
-sh AS (SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM d2),
-ab(seed, a, b) AS (VALUES {_AFFINE_VALUES}),
-base AS (SELECT doc_id, {DUCK_HASH.format(x="shingle")} % {P31} AS h FROM sh),
-mh AS (
-    SELECT doc_id, seed, min((a * h + b) % {P31}) AS mh
-    FROM base CROSS JOIN ab GROUP BY doc_id, seed
-),
-bands AS (
-    SELECT doc_id, seed // {dedup.ROWS_PER_BAND} AS band,
-           string_agg(mh::VARCHAR, ',' ORDER BY seed) AS band_key
-    FROM mh GROUP BY doc_id, seed // {dedup.ROWS_PER_BAND}
-),
+{duck_minhash_bands("e").lstrip()},
 losers AS (
     SELECT DISTINCT b.doc_id
     FROM bands a JOIN bands b
