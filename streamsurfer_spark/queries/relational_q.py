@@ -786,6 +786,66 @@ ORDER BY c_custkey
 """
 
 
+# --- Q-R23: edit-distance self-join (fuzzy matching) -------------------------
+
+def qr23_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    # group-bounded self-join: only parts sharing (brand, size) are
+    # compared, so the quadratic edit-distance work stays inside small
+    # blocks — the blocking pattern every entity-resolution run uses
+    a = part.select("p_brand", "p_size", F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = part.select("p_brand", "p_size", F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, ["p_brand", "p_size"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_dist") <= 12)
+        .select("key_a", "key_b", "edit_dist")
+        .orderBy("key_a", "key_b")
+    )
+
+
+QR23_SQL = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a
+JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+           AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 12
+ORDER BY key_a, key_b
+"""
+
+
+# --- Q-R24: bit aggregates + array normalization -----------------------------
+
+def qr24_bit_and_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    norm = F.array_join(F.array_sort(F.array_distinct(F.split("p_name", " "))), " ")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.expr("bit_or(p_size)").alias("size_bits_or"),
+            F.expr("bit_and(p_size)").alias("size_bits_and"),
+            F.expr("bit_xor(p_size)").alias("size_bits_xor"),
+            F.count_distinct(norm).alias("n_norm_names"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+QR24_SQL = """
+SELECT p_brand,
+       CAST(bit_or(p_size) AS INT) AS size_bits_or,
+       CAST(bit_and(p_size) AS INT) AS size_bits_and,
+       CAST(bit_xor(p_size) AS INT) AS size_bits_xor,
+       count(DISTINCT array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ' '))
+           AS n_norm_names
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -816,5 +876,11 @@ QUERIES: dict[str, QuerySpec] = {
     "qr09b_cube": QuerySpec(qr09b_cube, QR09B_SQL, "Q-R9 cube + grouping id"),
     "qr10b_window_analytics": QuerySpec(
         qr10b_window_analytics, QR10B_SQL, "Q-R10 ntile/percent_rank/cume_dist"
+    ),
+    "qr23_levenshtein_pairs": QuerySpec(
+        qr23_levenshtein_pairs, QR23_SQL, "Q-R23 blocked edit-distance pairs"
+    ),
+    "qr24_bit_and_array_ops": QuerySpec(
+        qr24_bit_and_array_ops, QR24_SQL, "Q-R24 bit aggregates + array normalize"
     ),
 }

@@ -114,6 +114,36 @@ def streaming_dedup(
     return df.dropDuplicates(list(keys))
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Stream-stream inner join within a bounded event-time interval.
+
+    Both sides carry watermarks and the join condition bounds right_time
+    relative to left_time — the two requirements that let Spark evict join
+    state (otherwise both sides buffer forever). State per side ≈ rows
+    within (watermark + interval) of the frontier, independent of total
+    stream length. Works identically on batch inputs (parity-tested
+    against the bucketed batch range_join).
+    """
+    l = left.withWatermark(left_time, watermark).alias("l")
+    r = right.withWatermark(right_time, watermark).alias("r")
+    lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rt >= lt + F.expr(f"INTERVAL {lower_seconds} SECONDS"))
+        & (rt <= lt + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
+    )
+    return l.join(r, cond)
+
+
 def watermarked_tumbling(
     df: DataFrame, window: str = TUMBLE, watermark: str = WATERMARK
 ) -> DataFrame:

@@ -216,3 +216,49 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     run_once()
     rows = spark.read.parquet(out).collect()
     assert sorted(r.event_id for r in rows) == [1, 2, 3]  # f1 not re-emitted
+
+
+def test_stream_stream_interval_join_parity(spark):
+    """Stream-stream interval join (watermarked both sides) produces the
+    same pairs as the batch bucketed range_join — Q-T2's streaming twin."""
+    import pyspark.sql.functions as F
+    from streamsurfer_spark.operators.asof import range_join
+    from streamsurfer_spark.session import table
+
+    src = "/root/testdata/sf0.001/events.parquet"
+
+    def split_streams(df):
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", "ts"
+        )
+        errors = df.where(F.col("event_type") == "error").select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        return purchases, errors
+
+    sp, se = split_streams(read_events_stream(spark, src))
+    se = se.withColumnRenamed("e_user", "user_id")
+    joined = transforms.interval_join(
+        sp, se, key="user_id", left_time="ts", right_time="error_ts",
+        lower_seconds=-6 * 3600, upper_seconds=6 * 3600,
+    ).select("purchase_id", "error_id")
+    stream_pairs = sorted(map(tuple, run_to_memory(joined, "append").collect()))
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    bp = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    be = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts")
+    )
+    batch_pairs = sorted(
+        map(
+            tuple,
+            range_join(bp, be, "user_id", "ts", "error_ts", -6 * 3600, 6 * 3600)
+            .select("purchase_id", "error_id")
+            .collect(),
+        )
+    )
+    assert stream_pairs == batch_pairs and len(stream_pairs) > 0
