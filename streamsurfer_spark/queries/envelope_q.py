@@ -144,6 +144,37 @@ ORDER BY event_id
 """
 
 
+def qv07_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with a declared schema (the typed-payload path): parse the
+    open props payload into a struct and aggregate over it — the pattern a
+    production envelope uses instead of per-field get_json_object calls
+    (one parse per row, all fields, columnar after the parse)."""
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("p.k").alias("n_with_k"),
+            F.sum("p.k").alias("sum_k"),
+            F.round(F.avg("p.k"), 2).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QV07_SQL = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qv01_validate_required": QuerySpec(qv01_validate_required, QV01_SQL, "Q-V1 required-field check"),
     "qv02_payload_parse": QuerySpec(qv02_payload_parse, QV02_SQL, "Q-V2 payload parse validation"),
@@ -151,4 +182,5 @@ QUERIES: dict[str, QuerySpec] = {
     "qv04_ts_render": QuerySpec(qv04_ts_render, QV04_SQL, "Q-V4 envelope timestamp render"),
     "qv05_envelope_json": QuerySpec(qv05_envelope_json, QV05_SQL, "Q-V5 JSON envelope serialize"),
     "qv06_json_extract": QuerySpec(qv06_json_extract, QV06_SQL, "Q-V6 JSON payload extract"),
+    "qv07_json_typed_parse": QuerySpec(qv07_json_typed_parse, QV07_SQL, "Q-V6 typed from_json parse"),
 }

@@ -54,6 +54,13 @@ class MockKinesisClient:
         self.records.append(record)
         return {"SequenceNumber": str(len(self.records)), "ShardId": "shardId-0"}
 
+    def put_records(self, Records: list[dict], **stream) -> dict:
+        if self.fail:
+            raise RuntimeError("failed to put records to kinesis: mock failure")
+        for r in Records:
+            self.records.append({**r, **stream})
+        return {"FailedRecordCount": 0, "Records": [{"ShardId": "shardId-0"}] * len(Records)}
+
 
 class FileKinesisClient:
     """File-backed client for end-to-end local-mode tests: each put_record
@@ -83,26 +90,57 @@ def _rows_to_sized_payloads(rows: Iterator) -> Iterator[tuple[int, str]]:
         yield len(payload.encode("utf-8")), payload
 
 
+PUT_RECORDS_MAX = 500  # Kinesis PutRecords per-call record cap
+
+
 def write_partition(
     rows: Iterator,
     config: KinesisSinkConfig,
     client_factory: Callable[[KinesisSinkConfig], object],
+    use_put_records: bool = False,
 ) -> int:
-    """Ship one partition: greedy-chunk the serialized events, one PutRecord
-    per chunk. Runs on the executor; returns records written."""
+    """Ship one partition: greedy-chunk the serialized events, one record
+    per chunk. Runs on the executor; returns records written.
+
+    Default is the reference's PutRecord-per-chunk (main.go:266-289:
+    exactly one record per flush, never the batch API). With
+    ``use_put_records`` the scale path groups up to 500 chunks per
+    PutRecords call — same chunk payloads and partition-key semantics,
+    ~500x fewer network round-trips at full throughput.
+    """
     client = client_factory(config)
     n = 0
+    pending: list[dict] = []
+
+    def flush_pending() -> None:
+        if pending:
+            client.put_records(
+                Records=list(pending),
+                **(
+                    {"StreamARN": config.stream_arn}
+                    if config.stream_arn
+                    else {"StreamName": config.stream_name}
+                ),
+            )
+            pending.clear()
+
     for chunk in greedy_chunks(_rows_to_sized_payloads(rows), config.max_size_bytes):
         data = ("[" + ",".join(chunk) + "]").encode("utf-8")
-        record = {
-            "Data": data,
-            "StreamName": config.stream_name,
-            "PartitionKey": str(uuid.uuid4()),
-        }
-        if config.stream_arn != "":
-            record["StreamARN"] = config.stream_arn
-        client.put_record(**record)
+        if use_put_records:
+            pending.append({"Data": data, "PartitionKey": str(uuid.uuid4())})
+            if len(pending) >= PUT_RECORDS_MAX:
+                flush_pending()
+        else:
+            record = {
+                "Data": data,
+                "StreamName": config.stream_name,
+                "PartitionKey": str(uuid.uuid4()),
+            }
+            if config.stream_arn != "":
+                record["StreamARN"] = config.stream_arn
+            client.put_record(**record)
         n += 1
+    flush_pending()
     return n
 
 

@@ -155,3 +155,22 @@ class TestBatchingEventQueue:
         with pytest.raises(ValueError, match="event field is required"):
             q.enqueue({"not_event": 1})
         assert client.records == []
+
+
+class TestPutRecordsScalePath:
+    def test_put_records_groups_chunks(self):
+        from streamsurfer_spark.sink.config import KinesisSinkConfig
+        from streamsurfer_spark.sink.kinesis import MockKinesisClient, write_partition
+
+        config = KinesisSinkConfig(stream_name="s", max_size_bytes=64)
+        client = MockKinesisClient()
+        rows = [{"payload": '{"event":"e","n":%d}' % i} for i in range(40)]
+        n = write_partition(iter(rows), config, lambda c: client, use_put_records=True)
+        assert n > 1
+        # batch API receives the same chunk payloads as the PutRecord path
+        client2 = MockKinesisClient()
+        write_partition(iter(rows), config, lambda c: client2, use_put_records=False)
+        data_batch = [r["Data"] for r in client.records]
+        data_single = [r["Data"] for r in client2.records]
+        assert data_batch == data_single
+        assert all("StreamName" in r for r in client.records)
