@@ -1,0 +1,66 @@
+"""The full Python extensibility matrix: UDF / UDAF / grouped-map / UDTF.
+
+The reference has zero extensibility hooks (SURVEY §2.2: "UDF/UDAF/UDTF:
+none — it's a Go library, call it"); the engine exposes all four Spark
+surfaces, each Arrow-batched where the API supports it:
+
+- scalar pandas_udf          → similarity.l2_norm_udf (Q-L6)
+- grouped-agg pandas_udf     → geo_mean_udf (UDAF shape, partial-less:
+  runs once per group; at scale prefer expression log/exp which gets
+  map-side partials — documented tradeoff)
+- grouped-map applyInPandas  → zscore_by_group (whole-group vectorized
+  transform; group must fit in executor memory — the documented contract)
+- UDTF                       → TokenizeUDTF (1→N lateral expansion)
+
+Every one of these is the SLOW PATH relative to built-in expressions; they
+exist for semantics expressions can't reach. The oracle queries (ql18-20)
+deliberately pick computations SQL *can* express so the UDx results are
+hash-verifiable — the surface is what's being proven, not the math.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import DoubleType
+
+
+@pandas_udf(DoubleType())
+def geo_mean_udf(v: pd.Series) -> float:  # type: ignore[misc]
+    """Grouped-agg UDAF: geometric mean (exp of mean log)."""
+    return float(np.exp(np.log(v.astype("float64")).mean()))
+
+
+def zscore_by_group(df, group_col: str, value_col: str, out_schema: str):
+    """Grouped-map: z-score `value_col` within each group.
+
+    applyInPandas hands each whole group as one pandas DataFrame (Arrow);
+    ddof=1 matches SQL stddev_samp. Groups must fit in memory — for
+    unbounded groups use window expressions instead (same math, streaming
+    partials).
+    """
+
+    def zs(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].astype("float64")
+        sd = v.std(ddof=1)
+        pdf = pdf.copy()
+        pdf["zscore"] = ((v - v.mean()) / sd if sd > 0 else v * 0.0).round(4)
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(zs, schema=out_schema)
+
+
+@udtf(returnType="pos int, token string")
+class TokenizeUDTF:
+    """UDTF: expand one text into (pos, token) rows — 1→N lateral shape.
+
+    Equivalent to posexplode(split(...)) (which is what production uses);
+    exists to prove the table-function surface end-to-end.
+    """
+
+    def eval(self, text: str) -> Iterator[tuple[int, str]]:
+        for i, tok in enumerate((text or "").split(" ")):
+            yield i, tok

@@ -523,6 +523,75 @@ ORDER BY lang, doc_id
 """
 
 
+# --- Python extensibility matrix: UDAF / grouped-map / UDTF ------------------
+
+def ql18_udaf_geo_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF vs the expression-equivalent oracle."""
+    from streamsurfer_spark.operators.udx import geo_mean_udf
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.round(geo_mean_udf(F.col("n_chars").cast("double")), 2).alias("geo_mean_chars"))
+        .orderBy("lang")
+    )
+
+
+QL18_SQL = """
+SELECT lang, round(exp(avg(ln(n_chars::DOUBLE))), 2) AS geo_mean_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def ql19_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas z-score per source vs window-expression oracle."""
+    from streamsurfer_spark.operators.udx import zscore_by_group
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = zscore_by_group(
+        docs, "source", "n_chars", "doc_id long, source string, n_chars long, zscore double"
+    )
+    return out.select("doc_id", "source", "zscore").orderBy("doc_id")
+
+
+QL19_SQL = """
+SELECT doc_id, source,
+       round((n_chars - avg(n_chars) OVER w) / stddev_samp(n_chars) OVER w, 4) AS zscore
+FROM documents
+WINDOW w AS (PARTITION BY source)
+ORDER BY doc_id
+"""
+
+
+def ql20_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF lateral expansion vs posexplode-equivalent oracle."""
+    from streamsurfer_spark.operators.udx import TokenizeUDTF
+
+    spark.udtf.register("tokenize_udtf", TokenizeUDTF)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM documents_v d, LATERAL tokenize_udtf(d.text) t
+        WHERE d.doc_id % 50 = 0
+        ORDER BY d.doc_id, t.pos
+        """
+    )
+
+
+QL20_SQL = """
+SELECT doc_id, CAST(pos AS INTEGER) AS pos, token
+FROM (
+    SELECT doc_id,
+           unnest(range(len(string_split(text, ' ')))) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id % 50 = 0
+)
+ORDER BY doc_id, pos
+"""
+
+
 # --- IVF approximate top-k ---------------------------------------------------
 
 def ql14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,4 +674,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ql15_label_centroids": QuerySpec(ql15_label_centroids, QL15_SQL, "per-label embedding centroids"),
     "ql16_hash_sample": QuerySpec(ql16_hash_sample, QL16_SQL, "deterministic hash sampling"),
     "ql17_stratified_sample": QuerySpec(ql17_stratified_sample, QL17_SQL, "stratified hash sampling"),
+    "ql18_udaf_geo_mean": QuerySpec(ql18_udaf_geo_mean, QL18_SQL, "grouped-agg pandas UDAF"),
+    "ql19_grouped_map_zscore": QuerySpec(ql19_grouped_map_zscore, QL19_SQL, "applyInPandas grouped map"),
+    "ql20_udtf_tokenize": QuerySpec(ql20_udtf_tokenize, QL20_SQL, "Python UDTF lateral expansion"),
 }
