@@ -30,6 +30,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return table(spark, sf_dir, name)
 
 
+def _dec(col) -> "F.Column":
+    """Money/measure values enter big sums as decimal(28,6): decimal
+    addition is exact and associative, so aggregates are identical under
+    any partitioning and on the oracle engine (double sums drift in the
+    last ulp once groups reach ~1e5 rows — 0.01 flakes after round)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(28,6)")
+
+
 # --- Q-R1: parquet scan + full-table checksum ------------------------------
 
 def qr01_scan_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,7 +47,7 @@ def qr01_scan_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("l_orderkey").alias("sum_okey"),
         F.sum("l_linenumber").alias("sum_lineno"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(_dec("l_quantity")), 2).alias("sum_qty"),
     )
 
 
@@ -46,7 +55,7 @@ QR01_SQL = """
 SELECT count(*) AS n_rows,
        CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
        CAST(sum(l_linenumber) AS BIGINT) AS sum_lineno,
-       round(sum(l_quantity), 2) AS sum_qty
+       round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS sum_qty
 FROM lineitem
 """
 
@@ -66,14 +75,14 @@ def qr02_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.round(F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"))), 2).alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
 
 
 QR02_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))), 2) AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -96,7 +105,7 @@ def qr03_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.sum(_dec("o_totalprice")), 2).alias("sum_price"),
         )
         .orderBy("c_mktsegment")
     )
@@ -105,7 +114,7 @@ def qr03_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 QR03_SQL = """
 SELECT c_mktsegment,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_price
+       round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS sum_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -138,7 +147,14 @@ def qr04_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            # money sums go through decimal: double summation order differs
+            # across engines/partitionings once groups reach ~1e5 rows (the
+            # 0.01-at-sf0.1 class of flake); decimal addition is exact and
+            # associative, so the result is partitioning-independent
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")),
+                2,
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("n_name")
@@ -147,7 +163,7 @@ def qr04_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QR04_SQL = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS revenue,
        count(*) AS n_items
 FROM region
 JOIN nation ON r_regionkey = n_regionkey
@@ -222,7 +238,7 @@ def qr05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_cust"),
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
-        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.round(F.sum(_dec("c_acctbal")), 2).alias("sum_bal"),
     )
 
 
@@ -230,7 +246,7 @@ QR05_ANTI_SQL = """
 SELECT count(*) AS n_cust,
        CAST(min(c_custkey) AS BIGINT) AS min_key,
        CAST(max(c_custkey) AS BIGINT) AS max_key,
-       round(sum(c_acctbal), 2) AS sum_bal
+       round(sum(CAST(c_acctbal AS DECIMAL(28,6))), 2) AS sum_bal
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
@@ -244,15 +260,18 @@ def qr06_hash_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            # decimal sums: exact + associative → identical under any
+            # partitioning/engine; averages derive from the exact sums so
+            # they inherit determinism (single correctly-rounded division)
+            F.round(F.sum(_dec("l_quantity")), 2).alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).alias("sum_base_price"),
+            F.round(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2).alias("sum_disc_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))), 2
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 2).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 2).alias("avg_price"),
+            F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -261,13 +280,13 @@ def qr06_hash_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QR06_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 2) AS avg_qty,
-       round(avg(l_extendedprice), 2) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS sum_base_price,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS sum_disc_price,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))), 2) AS sum_charge,
+       round(sum(CAST(l_quantity AS DECIMAL(28,6)))::DOUBLE / count(*), 2) AS avg_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(28,6)))::DOUBLE / count(*), 2) AS avg_price,
+       round(sum(CAST(l_discount AS DECIMAL(28,6)))::DOUBLE / count(*), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -320,7 +339,7 @@ def qr09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("order_year", F.year("o_orderdate"))
         .rollup("order_year", "o_orderstatus")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(_dec("o_totalprice")), 2).alias("revenue"),
             F.count("*").alias("n_orders"),
         )
         .orderBy(F.col("order_year").asc_nulls_first(), F.col("o_orderstatus").asc_nulls_first())
@@ -330,7 +349,7 @@ def qr09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QR09_SQL = """
 SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
        o_orderstatus,
-       round(sum(o_totalprice), 2) AS revenue,
+       round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS revenue,
        count(*) AS n_orders
 FROM orders
 GROUP BY ROLLUP (order_year, o_orderstatus)
@@ -636,7 +655,7 @@ def qr19_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.select(bucket.alias("prio_bucket"), status_adj.alias("status_adj"), "o_totalprice")
         .groupBy("prio_bucket", "status_adj")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum(_dec("o_totalprice")), 2).alias("sum_price"))
         .orderBy("prio_bucket", "status_adj")
     )
 
@@ -647,7 +666,7 @@ SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
             ELSE 'low' END AS prio_bucket,
        coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_adj,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_price
+       round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS sum_price
 FROM orders
 GROUP BY 1, 2
 ORDER BY 1, 2
