@@ -30,13 +30,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return table(spark, sf_dir, name)
 
 
-def _dec(col) -> "F.Column":
-    """Money/measure values enter big sums as decimal(28,6): decimal
-    addition is exact and associative, so aggregates are identical under
-    any partitioning and on the oracle engine (double sums drift in the
-    last ulp once groups reach ~1e5 rows — 0.01 flakes after round)."""
+SCALE6 = 1_000_000
+
+
+def _i6(col) -> "F.Column":
+    """Money/measure values enter big sums as ×1e6 scaled int64.
+
+    Double summation order drifts in the last ulp once groups reach ~1e5
+    rows (0.01 flakes after round); integer addition is exact and
+    associative, so aggregates are identical under any partitioning and on
+    the oracle engine. Scaled-long sums run on the fast codegen path —
+    decimal(28,6) sums were 3x slower (BigDecimal buffers). Headroom:
+    values ≤1e6 × scale 1e6 × 1e6 rows/group ≈ 1e18 < int64 max; beyond
+    that split the sum or drop to decimal.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast("decimal(28,6)")
+    return F.round(c * SCALE6).cast("bigint")
+
+
+def _sum6(col, nd: int = 2) -> "F.Column":
+    """round(sum(scaled)/1e6, nd) — the exact-sum read-back."""
+    return F.round(F.sum(_i6(col)) / SCALE6, nd)
+
+
+def _duck_sum6(expr: str, nd: int = 2) -> str:
+    return f"round(sum(CAST(round(({expr}) * 1000000) AS BIGINT)) / 1000000.0, {nd})"
 
 
 # --- Q-R1: parquet scan + full-table checksum ------------------------------
@@ -47,7 +65,7 @@ def qr01_scan_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("l_orderkey").alias("sum_okey"),
         F.sum("l_linenumber").alias("sum_lineno"),
-        F.round(F.sum(_dec("l_quantity")), 2).alias("sum_qty"),
+        _sum6("l_quantity").alias("sum_qty"),
     )
 
 
@@ -55,7 +73,7 @@ QR01_SQL = """
 SELECT count(*) AS n_rows,
        CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
        CAST(sum(l_linenumber) AS BIGINT) AS sum_lineno,
-       round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS sum_qty
+       round(sum(CAST(round((l_quantity) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_qty
 FROM lineitem
 """
 
@@ -75,14 +93,14 @@ def qr02_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"))), 2).alias("revenue"),
+            _sum6(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
 
 
 QR02_SQL = """
-SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))), 2) AS revenue,
+SELECT round(sum(CAST(round((l_extendedprice * l_discount) * 1000000) AS BIGINT)) / 1000000.0, 2) AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -105,7 +123,7 @@ def qr03_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum(_dec("o_totalprice")), 2).alias("sum_price"),
+            _sum6("o_totalprice").alias("sum_price"),
         )
         .orderBy("c_mktsegment")
     )
@@ -114,7 +132,7 @@ def qr03_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 QR03_SQL = """
 SELECT c_mktsegment,
        count(*) AS n_orders,
-       round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS sum_price
+       round(sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -147,14 +165,7 @@ def qr04_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name")
         .agg(
-            # money sums go through decimal: double summation order differs
-            # across engines/partitionings once groups reach ~1e5 rows (the
-            # 0.01-at-sf0.1 class of flake); decimal addition is exact and
-            # associative, so the result is partitioning-independent
-            F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")),
-                2,
-            ).alias("revenue"),
+            _sum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("n_name")
@@ -163,7 +174,7 @@ def qr04_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QR04_SQL = """
 SELECT n_name,
-       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS revenue,
+       round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) / 1000000.0, 2) AS revenue,
        count(*) AS n_items
 FROM region
 JOIN nation ON r_regionkey = n_regionkey
@@ -238,7 +249,7 @@ def qr05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_cust"),
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
-        F.round(F.sum(_dec("c_acctbal")), 2).alias("sum_bal"),
+        _sum6("c_acctbal").alias("sum_bal"),
     )
 
 
@@ -246,7 +257,7 @@ QR05_ANTI_SQL = """
 SELECT count(*) AS n_cust,
        CAST(min(c_custkey) AS BIGINT) AS min_key,
        CAST(max(c_custkey) AS BIGINT) AS max_key,
-       round(sum(CAST(c_acctbal AS DECIMAL(28,6))), 2) AS sum_bal
+       round(sum(CAST(round((c_acctbal) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_bal
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
@@ -260,18 +271,15 @@ def qr06_hash_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # decimal sums: exact + associative → identical under any
-            # partitioning/engine; averages derive from the exact sums so
-            # they inherit determinism (single correctly-rounded division)
-            F.round(F.sum(_dec("l_quantity")), 2).alias("sum_qty"),
-            F.round(F.sum(_dec("l_extendedprice")), 2).alias("sum_base_price"),
-            F.round(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))), 2
-            ).alias("sum_charge"),
-            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 2).alias("avg_qty"),
-            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 2).alias("avg_price"),
-            F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 4).alias("avg_disc"),
+            # scaled-int sums (see _i6): exact + associative; averages
+            # derive from the exact sums (one correctly-rounded division)
+            _sum6("l_quantity").alias("sum_qty"),
+            _sum6("l_extendedprice").alias("sum_base_price"),
+            _sum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _sum6(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.round(F.sum(_i6("l_quantity")) / F.lit(SCALE6) / F.count("*"), 2).alias("avg_qty"),
+            F.round(F.sum(_i6("l_extendedprice")) / F.lit(SCALE6) / F.count("*"), 2).alias("avg_price"),
+            F.round(F.sum(_i6("l_discount")) / F.lit(SCALE6) / F.count("*"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -280,13 +288,13 @@ def qr06_hash_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QR06_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS sum_qty,
-       round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS sum_base_price,
-       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS sum_disc_price,
-       round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))), 2) AS sum_charge,
-       round(sum(CAST(l_quantity AS DECIMAL(28,6)))::DOUBLE / count(*), 2) AS avg_qty,
-       round(sum(CAST(l_extendedprice AS DECIMAL(28,6)))::DOUBLE / count(*), 2) AS avg_price,
-       round(sum(CAST(l_discount AS DECIMAL(28,6)))::DOUBLE / count(*), 4) AS avg_disc,
+       round(sum(CAST(round((l_quantity) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_qty,
+       round(sum(CAST(round((l_extendedprice) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_base_price,
+       round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_disc_price,
+       round(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_charge,
+       round(sum(CAST(round((l_quantity) * 1000000) AS BIGINT)) / 1000000.0 / count(*), 2) AS avg_qty,
+       round(sum(CAST(round((l_extendedprice) * 1000000) AS BIGINT)) / 1000000.0 / count(*), 2) AS avg_price,
+       round(sum(CAST(round((l_discount) * 1000000) AS BIGINT)) / 1000000.0 / count(*), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -339,7 +347,7 @@ def qr09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("order_year", F.year("o_orderdate"))
         .rollup("order_year", "o_orderstatus")
         .agg(
-            F.round(F.sum(_dec("o_totalprice")), 2).alias("revenue"),
+            _sum6("o_totalprice").alias("revenue"),
             F.count("*").alias("n_orders"),
         )
         .orderBy(F.col("order_year").asc_nulls_first(), F.col("o_orderstatus").asc_nulls_first())
@@ -349,7 +357,7 @@ def qr09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QR09_SQL = """
 SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
        o_orderstatus,
-       round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS revenue,
+       round(sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) / 1000000.0, 2) AS revenue,
        count(*) AS n_orders
 FROM orders
 GROUP BY ROLLUP (order_year, o_orderstatus)
@@ -655,7 +663,7 @@ def qr19_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.select(bucket.alias("prio_bucket"), status_adj.alias("status_adj"), "o_totalprice")
         .groupBy("prio_bucket", "status_adj")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum(_dec("o_totalprice")), 2).alias("sum_price"))
+        .agg(F.count("*").alias("n_orders"), _sum6("o_totalprice").alias("sum_price"))
         .orderBy("prio_bucket", "status_adj")
     )
 
@@ -666,7 +674,7 @@ SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
             ELSE 'low' END AS prio_bucket,
        coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_adj,
        count(*) AS n_orders,
-       round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS sum_price
+       round(sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_price
 FROM orders
 GROUP BY 1, 2
 ORDER BY 1, 2
