@@ -75,3 +75,22 @@ def test_salted_left_join(spark):
     plain = orders.join(customer, "o_custkey", "left").count()
     salted = salted_join(orders, customer, on="o_custkey", n_salt=4, how="left").count()
     assert salted == plain
+
+
+def test_read_table_rejects_unknown_format(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_table(spark, "/tmp/x", fmt="avro")
+
+
+def test_hash_sample_rejects_bad_rate(spark):
+    import pytest
+    from streamsurfer_spark.operators.sampling import hash_sample
+    from streamsurfer_spark.session import table
+
+    docs = table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="rate_pct"):
+        hash_sample(docs, "doc_id", 101)
+    assert hash_sample(docs, "doc_id", 0).count() == 0
+    assert hash_sample(docs, "doc_id", 100).count() == docs.count()
