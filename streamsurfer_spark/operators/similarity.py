@@ -100,6 +100,57 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs within blocks.
+
+    The exact sibling of ``lsh_near_pairs``: all pairs sharing ``block_col``
+    whose cosine similarity (rounded to 4 dp, so the cut is reproducible
+    across engines) reaches ``threshold``. Returns (id_a, id_b, sim) with
+    id_a < id_b.
+
+    Scale notes: the self-join is equi-keyed on the block column, so cost is
+    O(Σ block²), not O(n²) — the same blocking argument as LSH, but with a
+    semantic block (label/near-dup cluster/shard) instead of a hash bucket.
+    Norms are computed once per row BEFORE the pair stage (2/3 less
+    arithmetic in the quadratic part). At 100 TB, cap block sizes upstream
+    (or pre-bucket with ``lsh_buckets``) and let AQE split skewed blocks.
+    """
+    normed = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col),
+        F.expr(NORM_EXPR.format(a=vec_col)).alias("_nrm"),
+    )
+    a = normed.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_blk"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    b = normed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_blk").alias("_blk_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    dot = F.expr(DOT_EXPR.format(a="_va", b="_vb"))
+    return (
+        a.join(b, (F.col("_blk") == F.col("_blk_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (F.col("_na") * F.col("_nb")), 4).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
 @pandas_udf(DoubleType())
 def l2_norm_udf(emb: pd.Series) -> pd.Series:
     """Vectorized L2 norm — the Q-L6 pandas_udf surface.

@@ -15,7 +15,7 @@ signatures are bit-identical, not just statistically similar.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from streamsurfer_spark.functions.hashing import MOD_PRIME, P31, affine_params
 from streamsurfer_spark.operators import dedup, multimodal, similarity
@@ -655,6 +655,116 @@ ORDER BY probe_id, rk
 """
 
 
+# --- Q-L21: exact embedding-cosine near-dup pairs (blocked) -----------------
+
+NEAR_DUP_THRESHOLD = 0.3
+
+
+def ql21_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs within label blocks (operators/similarity.py).
+
+    The exact sibling of ql10's LSH-bucketed pairs: same pair semantics, but
+    a semantic block (label) instead of a hash bucket, and an exact rounded
+    cosine cut instead of a probabilistic candidate set.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, NEAR_DUP_THRESHOLD).orderBy(
+        "id_a", "id_b"
+    )
+
+
+QL21_SQL = f"""
+WITH e AS (
+    SELECT vec_id, label, unnest(range(len(embedding))) AS pos,
+           unnest(embedding)::DOUBLE AS v
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+dots AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+    FROM e a
+    JOIN e b ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+sims AS (
+    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS sim
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b
+)
+SELECT id_a, id_b, sim FROM sims
+WHERE sim >= {NEAR_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# --- Q-L22: TF-IDF top terms per document -----------------------------------
+
+TFIDF_DOC_MOD = 20  # report every 20th doc; idf statistics use ALL docs
+
+
+def ql22_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per (sampled) document.
+
+    Smoothed idf = ln((N+1)/(df+1)) + 1 over the FULL corpus; only the
+    reported documents are sampled. The tf and df aggregates are both
+    map-side-combinable groupBys on (doc, token) / token; the idf join is a
+    broadcast (vocabulary ≪ corpus), and the per-doc top-k is a window
+    keyed on doc_id. Ranking compares the ROUNDED score with a token
+    tiebreak so order is reproducible across engines.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_t = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("token"))
+    return (
+        scored.where(F.col("doc_id") % TFIDF_DOC_MOD == 0)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", "token", "tf", "df", "score")
+        .orderBy("doc_id", "rk")
+    )
+
+
+QL22_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+df_t AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, df_t.df,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (df_t.df + 1.0)) + 1), 4) AS score
+    FROM tf JOIN df_t USING (token) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, token, tf, df, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+    FROM scored
+    WHERE doc_id % {TFIDF_DOC_MOD} = 0
+)
+SELECT doc_id, rk, token, tf, df, score FROM ranked WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -677,4 +787,10 @@ QUERIES: dict[str, QuerySpec] = {
     "ql18_udaf_geo_mean": QuerySpec(ql18_udaf_geo_mean, QL18_SQL, "grouped-agg pandas UDAF"),
     "ql19_grouped_map_zscore": QuerySpec(ql19_grouped_map_zscore, QL19_SQL, "applyInPandas grouped map"),
     "ql20_udtf_tokenize": QuerySpec(ql20_udtf_tokenize, QL20_SQL, "Python UDTF lateral expansion"),
+    "ql21_cosine_near_dup": QuerySpec(
+        ql21_cosine_near_dup, QL21_SQL, "exact embedding-cosine near-dup pairs (blocked)"
+    ),
+    "ql22_tfidf_top_terms": QuerySpec(
+        ql22_tfidf_top_terms, QL22_SQL, "TF-IDF top terms per document"
+    ),
 }

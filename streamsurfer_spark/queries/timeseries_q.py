@@ -16,8 +16,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from streamsurfer_spark.operators import sessions
 from streamsurfer_spark.operators.asof import asof_join, range_join
 from streamsurfer_spark.queries import QuerySpec
+from streamsurfer_spark.queries.relational_q import _duck_sum6, _sum6
 from streamsurfer_spark.session import table
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -116,11 +118,117 @@ ORDER BY purchase_id, error_id
 """
 
 
+# --- Q-T3: batch sessionization (lag → gap flag → running sum) --------------
+
+SESSION_GAP_S = 1800
+
+
+def qt03_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap, rolled up.
+
+    operators/sessions.py assigns session ids with two windows sharing one
+    (user, ts) sort; the rollup groups on (user, session) — same keys, so
+    the aggregate reuses the window's partitioning where possible.
+    """
+    ev = table(spark, sf_dir, "events")
+    sess = sessions.sessionize(ev, key="user_id", gap_seconds=SESSION_GAP_S)
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), TS_FMT).alias("start_ts"),
+            F.date_format(F.max("ts"), TS_FMT).alias("end_ts"),
+            _sum6("value").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+QT03_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_S} * 1000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+       {_duck_sum6("value")} AS sum_value
+FROM sess
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# --- Q-T4: daily rollup with gap-fill (hypertable-style densify) ------------
+
+
+def qt04_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily counts/sums with missing days filled as zero."""
+    ev = table(spark, sf_dir, "events")
+    filled = sessions.gapfill_daily(
+        ev,
+        series_col="event_type",
+        date_col=F.to_date("ts"),
+        aggs=[
+            F.count("*").alias("n_events"),
+            _sum6("value").alias("sum_value"),
+        ],
+        fill={"sum_value": F.lit(0.0)},
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "sum_value",
+    ).orderBy("event_type", "day")
+
+
+QT04_SQL = f"""
+WITH rolled AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS n_events,
+           {_duck_sum6("value")} AS sum_value
+    FROM events GROUP BY 1, 2
+),
+span AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+days AS (
+    SELECT unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP, INTERVAL 1 DAY))::DATE AS day
+    FROM span
+),
+axis AS (SELECT t.event_type, d.day FROM days d CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+SELECT axis.event_type,
+       strftime(axis.day, '%Y-%m-%d') AS day,
+       coalesce(rolled.n_events, 0) AS n_events,
+       coalesce(rolled.sum_value, 0.0) AS sum_value
+FROM axis
+LEFT JOIN rolled ON rolled.event_type = axis.event_type AND rolled.day = axis.day
+ORDER BY axis.event_type, axis.day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qt01_asof_last_click": QuerySpec(
         qt01_asof_last_click, QT01_SQL, "as-of join (union-sort) vs native DuckDB ASOF"
     ),
     "qt02_range_join_errors": QuerySpec(
         qt02_range_join_errors, QT02_SQL, "bucketed range join vs inequality join"
+    ),
+    "qt03_sessionize": QuerySpec(
+        qt03_sessionize, QT03_SQL, "gap-based sessionization (lag + running sum)"
+    ),
+    "qt04_gapfill_daily": QuerySpec(
+        qt04_gapfill_daily, QT04_SQL, "daily rollup densified over the day axis"
     ),
 }
