@@ -873,6 +873,231 @@ ORDER BY p_brand
 """
 
 
+# --- Q-R25: full outer join --------------------------------------------------
+
+def qr25_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-balance customers FULL OUTER 1996 order activity.
+
+    Both inputs are aggregates/filters of bigger tables, so unmatched rows
+    exist on BOTH sides (rich customers who did not order in 1996; 1996
+    buyers below the balance cut). Keys coalesced, presence flagged.
+    """
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rich = customer.where(F.col("c_acctbal") > 8000).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    active = (
+        orders.where(F.year("o_orderdate") == 1996)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders_1996"), _sum6("o_totalprice").alias("rev_1996"))
+    )
+    joined = rich.join(active, rich["c_custkey"] == active["o_custkey"], "full")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("is_rich"),
+        F.col("o_custkey").isNotNull().alias("active_1996"),
+        "acctbal",
+        "n_orders_1996",
+        "rev_1996",
+    ).orderBy("custkey")
+
+
+QR25_SQL = f"""
+WITH rich AS (
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_acctbal > 8000
+),
+active AS (
+    SELECT o_custkey, count(*) AS n_orders_1996,
+           {_duck_sum6("o_totalprice")} AS rev_1996
+    FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+)
+SELECT coalesce(rich.c_custkey, active.o_custkey) AS custkey,
+       rich.c_custkey IS NOT NULL AS is_rich,
+       active.o_custkey IS NOT NULL AS active_1996,
+       rich.acctbal, active.n_orders_1996, active.rev_1996
+FROM rich FULL OUTER JOIN active ON rich.c_custkey = active.o_custkey
+ORDER BY custkey
+"""
+
+
+# --- Q-R26: statistical aggregate pack ---------------------------------------
+
+def qr26_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/correlation/covariance/regression aggregates.
+
+    Single-pass co-moment aggregates (Welford merges) on both engines;
+    normalized stats (corr, regr) rounded at 4 dp, scale-carrying ones
+    (stddev/var/covar) at 2 dp where double co-moment drift is far below
+    the rounding grain at fixture magnitudes.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.round(F.stddev_pop("l_extendedprice"), 2).alias("sdp_price"),
+            F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+            F.round(F.var_pop("l_quantity"), 2).alias("varp_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covp_qty_price"),
+            F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
+            F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias("intercept"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QR26_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(stddev_samp(l_extendedprice), 2) AS sd_price,
+       round(stddev_pop(l_extendedprice), 2) AS sdp_price,
+       round(var_samp(l_quantity), 2) AS var_qty,
+       round(var_pop(l_quantity), 2) AS varp_qty,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+       round(covar_pop(l_quantity, l_extendedprice), 2) AS covp_qty_price,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+FROM lineitem
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q-R27: ordered string aggregation ---------------------------------------
+
+def qr27_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted listagg per group: nations of each region as one CSV string.
+
+    Spark's collect_list is order-nondeterministic, so the canonical form
+    is sort-then-join (array_sort ∘ collect_list) — semantically identical
+    to DuckDB's ordered string_agg.
+    """
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
+        )
+        .orderBy("r_name")
+    )
+
+
+QR27_SQL = """
+SELECT r_name,
+       count(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q-R28: filtered / conditional aggregation -------------------------------
+
+def qr28_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year conditional aggregates: count_if / filtered sum / filtered avg.
+
+    Spark expresses FILTER clauses as count_if + sum(when) + avg(when)
+    (when without otherwise yields NULL, which avg ignores — exactly the
+    FILTER semantics). All partial-aggregable, map-side combinable.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.round(
+                F.sum(F.when(urgent, _i6("o_totalprice")).otherwise(F.lit(0).cast("bigint")))
+                / SCALE6,
+                2,
+            ).alias("urgent_rev"),
+            F.round(F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2).alias(
+                "avg_open_price"
+            ),
+            F.round(
+                F.count_if(F.col("o_orderstatus") == "F") / F.count("*"), 4
+            ).alias("finished_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+QR28_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       count(*) AS n_orders,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       round(coalesce(sum(CAST(round(o_totalprice * 1000000) AS BIGINT))
+                FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')), 0)
+             / 1000000.0, 2) AS urgent_rev,
+       round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS avg_open_price,
+       round((count(*) FILTER (WHERE o_orderstatus = 'F')) / (1.0 * count(*)), 4)
+           AS finished_share
+FROM orders
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q-R29: RANGE-frame window (trailing 30 days) ----------------------------
+
+QR29_CUST_MOD = 50
+
+
+def qr29_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day order totals per customer via a RANGE window frame.
+
+    The frame is keyed on an integer day number (days since epoch), so
+    RANGE 30 PRECEDING means calendar days, not row counts — same-day ties
+    all fall inside the frame, making the result order-independent. The
+    customer filter is applied BEFORE the window (partition-local frames
+    make that semantics-preserving) so only sampled partitions sort.
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_custkey") % QR29_CUST_MOD == 0
+    )
+    day_num = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_num)
+        .rangeBetween(-30, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.round(F.sum(_i6("o_totalprice")).over(w) / SCALE6, 2).alias("rev_30d"),
+            F.count("*").over(w).alias("n_orders_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+QR29_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       round(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) OVER w / 1000000.0, 2)
+           AS rev_30d,
+       count(*) OVER w AS n_orders_30d
+FROM orders
+WHERE o_custkey % {QR29_CUST_MOD} = 0
+WINDOW w AS (
+    PARTITION BY o_custkey
+    ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -909,5 +1134,20 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr24_bit_and_array_ops": QuerySpec(
         qr24_bit_and_array_ops, QR24_SQL, "Q-R24 bit aggregates + array normalize"
+    ),
+    "qr25_full_outer_join": QuerySpec(
+        qr25_full_outer_join, QR25_SQL, "Q-R25 full outer join with two-sided misses"
+    ),
+    "qr26_stats_pack": QuerySpec(
+        qr26_stats_pack, QR26_SQL, "Q-R26 stddev/var/corr/covar/regr aggregates"
+    ),
+    "qr27_string_agg": QuerySpec(
+        qr27_string_agg, QR27_SQL, "Q-R27 ordered string aggregation (listagg)"
+    ),
+    "qr28_filtered_agg": QuerySpec(
+        qr28_filtered_agg, QR28_SQL, "Q-R28 FILTER-clause conditional aggregates"
+    ),
+    "qr29_range_frame": QuerySpec(
+        qr29_range_frame, QR29_SQL, "Q-R29 RANGE frame trailing-30-day window"
     ),
 }
