@@ -30,8 +30,11 @@ BENCH_QUERIES = (
     "ql14_ivf_topk",
     # streaming twin (batch mode)
     "qs02_tumbling_window",
-    # time-series joins
+    # time-series joins + sessionization
     "qt01_asof_last_click",
+    "qt03_sessionize",
+    # text analysis
+    "ql22_tfidf_top_terms",
     # composed capstone
     "qp01_curation_report",
 )
