@@ -73,3 +73,37 @@ def test_dedup_single_shuffle(spark):
     output ordering — anything more is a regression."""
     df = REG["ql01_exact_dedup"].spark(spark, SF_DIR)
     assert exchange_count(df) <= 2
+
+
+def test_sessionize_rollup_shares_partitioning(spark):
+    """qt03: the two session windows share one (user) exchange + sort, and
+    the (user, session) rollup reuses that partitioning — budget: window
+    exchange + final output ordering only."""
+    df = REG["qt03_sessionize"].spark(spark, SF_DIR)
+    assert exchange_count(df) <= 2
+
+
+def test_range_frame_prunes_and_filters_before_window(spark):
+    """qr29: the customer sample filter runs BEFORE the window (only sampled
+    partitions sort), and the scan reads only the 4 needed columns."""
+    df = REG["qr29_range_frame"].spark(spark, SF_DIR)
+    (schema,) = scan_schemas(df)
+    assert sorted(schema) == ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "Filter" in plan
+
+
+def test_tfidf_broadcasts_vocabulary(spark):
+    """ql22: the idf (vocab) and corpus-size sides join as broadcasts; the
+    big (doc, token) tf side never shuffles for them."""
+    df = REG["ql22_tfidf_top_terms"].spark(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 2
+
+
+def test_cosine_near_dup_blocked_join(spark):
+    """ql21: the pair stage is an equi-join on the block key (plus the
+    rounded-sim filter) — no cartesian product anywhere in the plan."""
+    from streamsurfer_spark.plans.inspect import formatted_plan
+
+    df = REG["ql21_cosine_near_dup"].spark(spark, SF_DIR)
+    assert "Cartesian" not in formatted_plan(df)
