@@ -765,6 +765,64 @@ ORDER BY doc_id, rk
 """
 
 
+# --- Q-L23: dedup clusters = connected components of the near-dup graph -----
+
+
+def ql23_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup clusters via iterative min-label propagation.
+
+    Consumes ql21's exact cosine pair graph and labels every member with
+    min(component) — the canonical keep-one-per-cluster curation rule. The
+    oracle recomputes reachability with a recursive CTE, so the iterative
+    Spark fixpoint is checked against a closed-form transitive closure.
+    """
+    from streamsurfer_spark.operators.graph import connected_components
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_pairs(emb, NEAR_DUP_THRESHOLD)
+    return (
+        connected_components(pairs, src="id_a", dst="id_b")
+        .select(F.col("id").alias("vec_id"), "cluster_id")
+        .orderBy("vec_id")
+    )
+
+
+QL23_SQL = f"""
+WITH RECURSIVE e AS (
+    SELECT vec_id, label, unnest(range(len(embedding))) AS pos,
+           unnest(embedding)::DOUBLE AS v
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+dots AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+    FROM e a
+    JOIN e b ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT id_a, id_b
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b
+    WHERE round(dot / (na.nrm * nb.nrm), 4) >= {NEAR_DUP_THRESHOLD}
+),
+sym AS (
+    SELECT id_a AS a, id_b AS b FROM edges
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM edges
+),
+reach(id, r) AS (
+    SELECT DISTINCT a AS id, a AS r FROM sym
+    UNION
+    SELECT sym.a AS id, reach.r
+    FROM sym JOIN reach ON sym.b = reach.id
+)
+SELECT id AS vec_id, min(r) AS cluster_id
+FROM reach GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -792,5 +850,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ql22_tfidf_top_terms": QuerySpec(
         ql22_tfidf_top_terms, QL22_SQL, "TF-IDF top terms per document"
+    ),
+    "ql23_dedup_clusters": QuerySpec(
+        ql23_dedup_clusters, QL23_SQL, "connected-components dedup clusters"
     ),
 }

@@ -164,9 +164,46 @@ ORDER BY user_id, event_type
 """
 
 
+# --- Q-S6: stream-static dimension join (real streaming run) ----------------
+
+def qs06_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming purchases enriched with a static dimension, then aggregated.
+
+    The static side is a batch DataFrame joined into a streaming plan —
+    Structured Streaming re-plans it per micro-batch; broadcast keeps the
+    streaming side shuffle-free (the dim is customer-scale, always the
+    small side at any SF). Real streaming run: availableNow → memory sink.
+    """
+    stream = read_events_stream(spark, _events_path(sf_dir))
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    enriched = (
+        stream.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), stream["user_id"] == dim["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return run_to_memory(enriched, "complete").orderBy("c_mktsegment")
+
+
+QS06_SQL = """
+SELECT c_mktsegment, count(*) AS n_purchases, round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qs01_stream_ingest_counts": QuerySpec(
         qs01_stream_ingest_counts, QS01_SQL, "Q-S1 real streaming ingest (availableNow)"
+    ),
+    "qs06_stream_static_join": QuerySpec(
+        qs06_stream_static_join, QS06_SQL, "Q-S6 stream-static broadcast join (real run)"
     ),
     "qs02_tumbling_window": QuerySpec(qs02_tumbling_window, QS02_SQL, "Q-S2 tumbling window"),
     "qs02b_sliding_window": QuerySpec(qs02b_sliding_window, QS02B_SQL, "Q-S2 sliding window"),
