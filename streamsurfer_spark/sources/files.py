@@ -8,8 +8,9 @@ DataSource framework so pushdown/pruning/partition-discovery all apply.
 
 Scale notes:
 - parquet is the canonical format (columnar, predicate+projection
-  pushdown, splittable); CSV/JSON are ingest-edge formats — land them once,
-  convert to parquet, never re-scan raw text at 100 TB.
+  pushdown, splittable); ORC gets the same vectorized/pushdown treatment
+  for Hive-lineage lakes; CSV/JSON are ingest-edge formats — land them
+  once, convert to parquet, never re-scan raw text at 100 TB.
 - ``write_table(..., partition_by=...)`` produces hive-style partition
   dirs → partition pruning turns time/tenant filters into directory skips.
 - explicit schemas everywhere: schema inference reads data twice and can
@@ -21,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "orc", "csv", "json")
 
 
 def read_table(

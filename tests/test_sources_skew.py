@@ -50,6 +50,19 @@ def test_jsonl_roundtrip(spark, tmp_path):
     assert _sorted_rows(back.select("r_regionkey", "r_name")) == _sorted_rows(region)
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    nation = table(spark, SF_DIR, "nation")
+    out = str(tmp_path / "nation_orc")
+    write_table(nation, out, fmt="orc")
+    back = read_table(spark, out, fmt="orc")
+    assert sorted(back.columns) == sorted(nation.columns)
+    assert back.count() == nation.count()
+    # ORC scans take predicate pushdown like parquet
+    flt = back.where(F.col("n_nationkey") < 5)
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(n_nationkey), LessThan(n_nationkey,5)]" in plan
+
+
 def test_salted_join_matches_plain_join(spark):
     orders = table(spark, SF_DIR, "orders")
     customer = table(spark, SF_DIR, "customer").withColumnRenamed("c_custkey", "o_custkey")
