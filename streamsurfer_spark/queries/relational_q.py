@@ -1098,6 +1098,84 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+# --- Q-R30: arg-extrema aggregates (max_by / min_by) -------------------------
+
+def qr30_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment argmax/argmin rows without a window: max_by/min_by.
+
+    One hash aggregate instead of window + filter — at scale this is a
+    single shuffle with map-side partial extrema, no per-partition sort.
+    The ordering key is a (value, id) struct so ties resolve by id
+    lexicographically on both engines.
+    """
+    customer = _t(spark, sf_dir, "customer")
+    top = F.max(F.struct(F.round("c_acctbal", 2).alias("bal"), F.col("c_custkey").alias("k")))
+    bot = F.min(F.struct(F.round("c_acctbal", 2).alias("bal"), F.col("c_custkey").alias("k")))
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            top.getField("k").alias("richest_cust"),
+            top.getField("bal").alias("richest_bal"),
+            bot.getField("k").alias("poorest_cust"),
+            bot.getField("bal").alias("poorest_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QR30_SQL = """
+SELECT c_mktsegment,
+       max(struct_pack(bal := round(c_acctbal, 2), k := c_custkey))['k'] AS richest_cust,
+       max(struct_pack(bal := round(c_acctbal, 2), k := c_custkey))['bal'] AS richest_bal,
+       min(struct_pack(bal := round(c_acctbal, 2), k := c_custkey))['k'] AS poorest_cust,
+       min(struct_pack(bal := round(c_acctbal, 2), k := c_custkey))['bal'] AS poorest_bal
+FROM customer
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q-R31: NULL-semantics pack ----------------------------------------------
+
+def qr31_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / nvl2 / null-safe equality, aggregated.
+
+    NULLs are manufactured with nullif (fixtures ship none), then pushed
+    through the standard NULL-handling surface; count/avg NULL-skipping and
+    the <=> (IS NOT DISTINCT FROM) three-valued-logic escape are pinned.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    # NULL for ~1/3 of rows: priority '1-URGENT' → NULL
+    masked = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.count(masked).alias("n_nonnull"),  # count skips NULLs
+            F.count_if(masked.isNull()).alias("n_null"),
+            F.count_if(masked.eqNullSafe(F.lit(None).cast("string"))).alias("n_nullsafe_eq"),
+            F.count_if(F.coalesce(masked, F.lit("1-URGENT")) == "1-URGENT").alias("n_coalesced"),
+            F.count_if(F.nvl2(masked, F.lit("has"), F.lit("none")) == "none").alias("n_nvl2_none"),
+        )
+        .orderBy("o_year")
+    )
+
+
+QR31_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       count(nullif(o_orderpriority, '1-URGENT')) AS n_nonnull,
+       count(*) FILTER (WHERE nullif(o_orderpriority, '1-URGENT') IS NULL) AS n_null,
+       count(*) FILTER (WHERE nullif(o_orderpriority, '1-URGENT') IS NOT DISTINCT FROM NULL)
+           AS n_nullsafe_eq,
+       count(*) FILTER (WHERE coalesce(nullif(o_orderpriority, '1-URGENT'), '1-URGENT') = '1-URGENT')
+           AS n_coalesced,
+       count(*) FILTER (
+           WHERE (CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NOT NULL
+                       THEN 'has' ELSE 'none' END) = 'none'
+       ) AS n_nvl2_none
+FROM orders
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -1149,5 +1227,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr29_range_frame": QuerySpec(
         qr29_range_frame, QR29_SQL, "Q-R29 RANGE frame trailing-30-day window"
+    ),
+    "qr30_arg_extrema": QuerySpec(
+        qr30_arg_extrema, QR30_SQL, "Q-R30 argmax/argmin via struct extrema"
+    ),
+    "qr31_null_semantics": QuerySpec(
+        qr31_null_semantics, QR31_SQL, "Q-R31 coalesce/nullif/nvl2/null-safe equality"
     ),
 }
