@@ -125,3 +125,45 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
 
     videos = df.where(F.col("modality") == "video")
     return videos.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, width int, height int, n_bytes_in bigint, "
+    "n_bytes_out bigint, resized_md5 string"
+)
+
+
+def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize image rows to a fixed (width, height) — the N→N reshape shape.
+
+    A real deployment decodes with PIL and emits width*height*3 RGB bytes;
+    the deterministic stand-in tiles/truncates the payload to exactly that
+    many bytes, so the CONTRACT a trainer depends on — every output row has
+    the identical byte budget — is exercised and asserted for real. Only
+    image rows reach Python (metadata predicate pushed to the scan), and
+    the declared schema drops the payload unless requested downstream.
+    """
+    import hashlib
+
+    target = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "n_bytes_in": [], "n_bytes_out": [], "resized_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = decode_stub(bytes(payload), "image")
+                reps = -(-target // max(len(data), 1))  # ceil-div tile count
+                resized = (data * reps)[:target]
+                out["doc_id"].append(doc_id)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["n_bytes_in"].append(len(data))
+                out["n_bytes_out"].append(len(resized))
+                out["resized_md5"].append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(out)
+
+    images = df.where(F.col("modality") == "image")
+    return images.mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -97,6 +97,26 @@ def test_frame_sampling_expansion(spark):
     assert len(by_doc[5]) == 3
 
 
+def test_resize_fixed_byte_budget(spark):
+    from streamsurfer_spark.operators import multimodal
+
+    # image rows are doc_id % 3 == 0; one shorter and one longer than target
+    rows = [(0, "ab"), (3, "x" * 5000), (1, "audio row")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in multimodal.resize_images(
+        multimodal.as_media(df), width=4, height=4
+    ).collect()}
+    # only image rows reach Python
+    assert set(out) == {0, 3}
+    target = 4 * 4 * 3
+    # the training contract: EVERY output row has exactly the byte budget
+    assert all(r.n_bytes_out == target for r in out.values())
+    assert out[0].n_bytes_in == 2 and out[3].n_bytes_in == 5000
+    # tiling is deterministic: "ab" tiled to 48 bytes
+    import hashlib
+    assert out[0].resized_md5 == hashlib.md5((b"ab" * 24)[:target]).hexdigest()
+
+
 def test_hll_sketch_error_bound(spark):
     """approx_count_distinct (HLL++) must stay within its configured
     relative error on the fixture — the property the rows-only gate can't
