@@ -1176,6 +1176,116 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --- Q-R32: unpivot (inverse of Q-R20's pivot) -------------------------------
+
+UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def qr32_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide measures → long (measure, value) rows, then re-aggregated.
+
+    unpivot is a per-row expansion (no shuffle of its own); the only
+    exchange is the downstream aggregate. Constant-width expansion (4×)
+    keeps partition sizing predictable at any SF.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=UNPIVOT_MEASURES,
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(_sum6("val").alias("total"), F.count("*").alias("n_rows"))
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+QR32_SQL = f"""
+SELECT l_returnflag, measure,
+       {_duck_sum6("val")} AS total,
+       count(*) AS n_rows
+FROM (
+    SELECT l_returnflag, measure, val
+    FROM lineitem
+    UNPIVOT (val FOR measure IN ({", ".join(UNPIVOT_MEASURES)}))
+)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- Q-R33: positional explode (LATERAL VIEW posexplode) ---------------------
+
+QR33_PART_MOD = 100
+
+
+def qr33_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token + position per part name — ordinality-preserving expansion.
+
+    posexplode keeps the array index, which plain explode (and DuckDB's
+    bare unnest) loses; the oracle reconstructs it with a lateral
+    generate_series over the array length.
+    """
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") % QR33_PART_MOD == 0)
+    return (
+        part.select(
+            "p_partkey",
+            F.posexplode(F.split("p_name", " ")).alias("pos", "token"),
+        )
+        .orderBy("p_partkey", "pos")
+    )
+
+
+QR33_SQL = f"""
+WITH t AS (
+    SELECT p_partkey, string_split(p_name, ' ') AS toks
+    FROM part WHERE p_partkey % {QR33_PART_MOD} = 0
+)
+SELECT p_partkey, g.i AS pos, toks[g.i + 1] AS token
+FROM t, unnest(generate_series(0, len(toks) - 1)) AS g(i)
+ORDER BY p_partkey, pos
+"""
+
+
+# --- Q-R34: timezone conversion pack -----------------------------------------
+
+TZ_ZONES = ("America/Sao_Paulo", "Asia/Tokyo")
+
+
+def qr34_timezone_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTC event times rendered in IANA zones: local-hour histograms.
+
+    Both engines resolve zone rules from the IANA tzdb (Spark via the JVM,
+    DuckDB via ICU), so offsets — including any DST edge inside the fixture
+    range — must agree exactly.
+    """
+    ev = _t(spark, sf_dir, "events")
+    per_zone = [
+        ev.select(
+            F.lit(z).alias("tz"),
+            F.hour(F.from_utc_timestamp("ts", z)).alias("local_hour"),
+        )
+        for z in TZ_ZONES
+    ]
+    both = per_zone[0].unionAll(per_zone[1])
+    return (
+        both.groupBy("tz", "local_hour")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("tz", "local_hour")
+    )
+
+
+QR34_SQL = f"""
+WITH local AS (
+    SELECT tz, hour((ts AT TIME ZONE 'UTC') AT TIME ZONE tz) AS local_hour
+    FROM events, unnest(['{TZ_ZONES[0]}', '{TZ_ZONES[1]}']) AS z(tz)
+)
+SELECT tz, local_hour, count(*) AS n_events
+FROM local GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -1233,5 +1343,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr31_null_semantics": QuerySpec(
         qr31_null_semantics, QR31_SQL, "Q-R31 coalesce/nullif/nvl2/null-safe equality"
+    ),
+    "qr32_unpivot": QuerySpec(qr32_unpivot, QR32_SQL, "Q-R32 unpivot wide→long + re-agg"),
+    "qr33_posexplode": QuerySpec(
+        qr33_posexplode, QR33_SQL, "Q-R33 positional explode with ordinality"
+    ),
+    "qr34_timezone_pack": QuerySpec(
+        qr34_timezone_pack, QR34_SQL, "Q-R34 IANA timezone conversion local-hour histogram"
     ),
 }
