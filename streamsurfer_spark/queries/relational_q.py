@@ -1286,6 +1286,92 @@ FROM local GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --- Q-R35: higher-order lambda pack (filter/exists/forall/slice/zip_with) --
+
+def qr35_lambda_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row array lambdas beyond qr17's transform/aggregate.
+
+    All five run inside whole-stage codegen — no explode, no shuffle, no
+    Python. At 100 TB this is the difference between a map-only stage and
+    a posexplode that multiplies the row count by the vector width (64×).
+    zip_with pairs the vector with its reverse (a self-convolution probe);
+    the oracle reconstructs it with an index walk since DuckDB has no
+    zip_with.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    d = "transform(embedding, x -> cast(x as double))"
+    return emb.select(
+        "vec_id",
+        F.expr(f"size(filter({d}, x -> x > 0))").alias("n_pos"),
+        F.expr(f"exists({d}, x -> abs(x) > 2.0)").alias("has_big"),
+        F.expr(f"forall({d}, x -> abs(x) < 100.0)").alias("all_bounded"),
+        F.round(F.expr(f"aggregate(slice({d}, 1, 3), cast(0.0 as double), (a, x) -> a + x)"), 4).alias(
+            "head3_sum"
+        ),
+        F.round(
+            F.expr(
+                f"aggregate(zip_with({d}, reverse({d}), (x, y) -> x * y),"
+                " cast(0.0 as double), (a, x) -> a + x)"
+            ),
+            4,
+        ).alias("rev_dot"),
+    ).orderBy("vec_id")
+
+
+QR35_SQL = """
+WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT vec_id,
+       CAST(len(list_filter(e, x -> x > 0)) AS INTEGER) AS n_pos,
+       len(list_filter(e, x -> abs(x) > 2.0)) > 0 AS has_big,
+       len(list_filter(e, x -> abs(x) >= 100.0)) = 0 AS all_bounded,
+       round(list_sum(e[1:3]), 4) AS head3_sum,
+       round(list_sum(list_transform(generate_series(1, len(e)),
+                                     i -> e[i] * e[len(e) - i + 1])), 4) AS rev_dot
+FROM t
+ORDER BY vec_id
+"""
+
+
+# --- Q-R36: lateral join (correlated top-k per outer row) --------------------
+
+def qr36_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by balance per nation via LATERAL correlated subquery.
+
+    The lateral form expresses per-row dependent computation declaratively;
+    Catalyst decorrelates it into a ranked-window plan rather than N
+    re-executions, so it scales with the outer row count, not outer × inner.
+    """
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, t.c_name, round(t.c_acctbal, 2) AS bal
+        FROM nation,
+        LATERAL (
+            SELECT c_name, c_acctbal
+            FROM customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t
+        ORDER BY n_name, bal DESC, c_name
+        """
+    )
+
+
+QR36_SQL = """
+SELECT n_name, t.c_name, round(t.c_acctbal, 2) AS bal
+FROM nation,
+LATERAL (
+    SELECT c_name, c_acctbal
+    FROM customer
+    WHERE c_nationkey = n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 2
+) t
+ORDER BY n_name, bal DESC, c_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -1350,5 +1436,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr34_timezone_pack": QuerySpec(
         qr34_timezone_pack, QR34_SQL, "Q-R34 IANA timezone conversion local-hour histogram"
+    ),
+    "qr35_lambda_pack": QuerySpec(
+        qr35_lambda_pack, QR35_SQL, "Q-R35 higher-order lambdas: filter/exists/forall/slice/zip_with"
+    ),
+    "qr36_lateral_topk": QuerySpec(
+        qr36_lateral_topk, QR36_SQL, "Q-R36 LATERAL correlated top-k per outer row"
     ),
 }
