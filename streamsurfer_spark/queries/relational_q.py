@@ -1372,6 +1372,48 @@ ORDER BY n_name, bal DESC, c_name
 """
 
 
+# --- Q-R37: skew-salted join equivalence -------------------------------------
+
+QR37_N_SALT = 8
+
+
+def qr37_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted lineitem ⋈ supplier, aggregated — must equal the plain join.
+
+    Salting rewrites the physical key distribution (probe side scattered
+    across QR37_N_SALT sub-keys, build side replicated to match) without
+    touching join semantics; the oracle is simply the unsalted SQL join.
+    This is the manual defense for the skew case AQE can't fix: a mid-size
+    build side too large to broadcast, joined on keys where a handful of
+    values dominate. Deterministic: the salt is xxhash64-derived, and it
+    cancels out in the aggregate anyway.
+    """
+    from streamsurfer_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, supp, on="l_suppkey", n_salt=QR37_N_SALT)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            _sum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+QR37_SQL = f"""
+SELECT s_nationkey,
+       {_duck_sum6("l_extendedprice * (1 - l_discount)")} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -1442,5 +1484,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr36_lateral_topk": QuerySpec(
         qr36_lateral_topk, QR36_SQL, "Q-R36 LATERAL correlated top-k per outer row"
+    ),
+    "qr37_salted_join": QuerySpec(
+        qr37_salted_join, QR37_SQL, "Q-R37 skew-salted join ≡ plain join"
     ),
 }
