@@ -823,6 +823,170 @@ FROM reach GROUP BY 1 ORDER BY 1
 """
 
 
+# --- ql24: sliding-window document chunking ---------------------------------
+#
+# The canonical pre-training prep step: split each document into fixed-width
+# token windows with overlap (context windows for an LLM). Pure per-row
+# array math — sequence → slice → hash — so the stage is map-only: no
+# shuffle, no Python, row count multiplies by ~n_tokens/stride (bounded,
+# predictable partition growth at 100 TB).
+
+CHUNK_W = 32  # window width (tokens)
+CHUNK_S = 24  # stride (tokens) → 8-token overlap
+
+
+def ql24_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    starts = f"sequence(0, greatest(size({toks}) - 1, 0), {CHUNK_S})"
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.expr(starts)).alias("chunk_idx", "start_tok"),
+            F.expr(toks).alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start_tok",
+            F.expr(f"slice(__toks, start_tok + 1, {CHUNK_W})").alias("__chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start_tok",
+            F.size("__chunk").alias("n_tokens"),
+            F.md5(F.array_join("__chunk", " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+QL24_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+    SELECT doc_id, toks,
+           generate_subscripts(starts, 1) - 1 AS chunk_idx,
+           unnest(starts) AS start_tok
+    FROM (SELECT doc_id, toks,
+                 generate_series(0, greatest(len(toks) - 1, 0), {CHUNK_S}) AS starts
+          FROM t)
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(start_tok AS INTEGER) AS start_tok,
+       CAST(len(toks[start_tok + 1 : start_tok + {CHUNK_W}]) AS INTEGER) AS n_tokens,
+       md5(array_to_string(toks[start_tok + 1 : start_tok + {CHUNK_W}], ' ')) AS chunk_md5
+FROM s
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# --- ql25: PII redaction (regex scrub) ---------------------------------------
+#
+# Redaction is a map-only regexp_replace pass — the cheapest possible stage
+# shape. The fixture corpus is synthetic word salad with no PII, so the
+# query first stamps a *deterministic* PII footer (email + phone derived
+# from doc_id) onto each document, then proves the scrubber removes exactly
+# what it should: per-doc match counts plus an md5 of the redacted text,
+# hash-matched against DuckDB running the same two-regex pipeline.
+
+EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "\\d{3}-\\d{4}"
+
+
+def ql25_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    stamped = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+        ).alias("stamped"),
+    )
+    red = stamped.select(
+        "doc_id",
+        # Column API, not F.expr: the SQL parser would eat the regex
+        # backslashes ('\d' → 'd') unless escapedStringLiterals is set.
+        F.size(F.regexp_extract_all("stamped", F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("stamped", F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("stamped", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )
+    return red.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.md5("redacted").alias("redacted_md5"),
+        (~F.col("redacted").rlike(EMAIL_RE)).alias("clean"),
+    ).orderBy("doc_id")
+
+
+QL25_SQL = f"""
+WITH stamped AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id ||
+           '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS stamped
+    FROM documents
+),
+red AS (
+    SELECT doc_id,
+           len(regexp_extract_all(stamped, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(stamped, '{PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(stamped, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM stamped
+)
+SELECT doc_id, CAST(n_emails AS INTEGER) AS n_emails,
+       CAST(n_phones AS INTEGER) AS n_phones,
+       md5(redacted) AS redacted_md5,
+       NOT regexp_matches(redacted, '{EMAIL_RE}') AS clean
+FROM red ORDER BY doc_id
+"""
+
+
+# --- ql26: deterministic export-shard assignment ------------------------------
+#
+# Training export wants N equal-ish shards with a stable doc→shard mapping
+# (reshuffling between runs would silently change batch composition).
+# Shard = portable-md5(doc_id) mod N — reproducible on any engine, no RNG,
+# and uniform. The aggregate per shard is the manifest a writer would use.
+
+N_SHARDS = 16
+
+
+def ql26_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamsurfer_spark.functions.hashing import md5_long64
+
+    docs = table(spark, sf_dir, "documents")
+    shard = F.pmod(md5_long64(F.col("doc_id").cast("string")), F.lit(N_SHARDS))
+    return (
+        docs.select(shard.alias("shard_id"), "doc_id", "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+QL26_SQL = f"""
+SELECT ({DUCK_HASH.format(x="CAST(doc_id AS VARCHAR)")} % {N_SHARDS}) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -853,5 +1017,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ql23_dedup_clusters": QuerySpec(
         ql23_dedup_clusters, QL23_SQL, "connected-components dedup clusters"
+    ),
+    "ql24_chunk_windows": QuerySpec(
+        ql24_chunk_windows, QL24_SQL, "sliding-window document chunking (context windows)"
+    ),
+    "ql25_pii_redaction": QuerySpec(
+        ql25_pii_redaction, QL25_SQL, "PII regex redaction with match accounting"
+    ),
+    "ql26_export_shards": QuerySpec(
+        ql26_export_shards, QL26_SQL, "deterministic export-shard assignment manifest"
     ),
 }
