@@ -198,6 +198,57 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+# --- Q-S7: update-mode incremental aggregation (real multi-batch run) -------
+
+QS07_N_SLICES = 3
+
+
+def qs07_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-mode streaming aggregation across 3 real micro-batches.
+
+    The fixture is one parquet file (= one micro-batch), which would make
+    update mode indistinguishable from complete mode — so the query first
+    replays the events as 3 files sliced by event_id % 3 (pyarrow shim,
+    fixture-scale only; production streams arrive pre-sharded), and runs
+    with maxFilesPerTrigger=1 → 3 micro-batches. Update mode emits one row
+    per (key, batch-that-changed-it); the final state is reconstructed
+    order-independently: counts are monotone, so max(n) per key is the
+    total, and count(*) per key is the number of micro-batches containing
+    that key (proving real incremental emission — complete mode would emit
+    every key every batch).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+
+    tmpdir = tempfile.mkdtemp(prefix="qs07_slices_")
+    t = pq.read_table(_events_path(sf_dir))
+    rem = t.column("event_id").to_numpy() % QS07_N_SLICES
+    for i in range(QS07_N_SLICES):
+        pq.write_table(t.filter(pa.array(rem == i)), os.path.join(tmpdir, f"slice_{i}.parquet"))
+
+    stream = read_events_stream(spark, tmpdir, max_files_per_trigger=1)
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    updates = run_to_memory(agg, "update")
+    return (
+        updates.groupBy("event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.count("*").alias("n_updates"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QS07_SQL = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT event_id % {QS07_N_SLICES}) AS n_updates
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qs01_stream_ingest_counts": QuerySpec(
         qs01_stream_ingest_counts, QS01_SQL, "Q-S1 real streaming ingest (availableNow)"
@@ -212,4 +263,7 @@ QUERIES: dict[str, QuerySpec] = {
         qs04_watermarked_append, QS04_SQL, "Q-S4 watermark finalization (real streaming run)"
     ),
     "qs05_dedup_earliest": QuerySpec(qs05_dedup_earliest, QS05_SQL, "Q-S5 deterministic dedup"),
+    "qs07_update_mode": QuerySpec(
+        qs07_update_mode, QS07_SQL, "Q-S7 update-mode incremental agg (real 3-batch run)"
+    ),
 }
