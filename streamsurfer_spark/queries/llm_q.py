@@ -987,6 +987,93 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --- Q-L27: bigram collocations (count + lift) -------------------------------
+
+def ql27_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigrams per language with PMI-style lift vs unigram independence.
+
+    Adjacent-token pairs come from zip_with over two slices of the SAME
+    token array — per-row array work inside codegen, no positional
+    self-join (the naive posexplode + join-on-position approach shuffles
+    the whole corpus twice). Count tables are Zipf-small relative to the
+    corpus, so the unigram/total joins are broadcasts; the only real
+    shuffle is the bigram groupBy. lift = cnt·N / (c1·c2) is computed from
+    exact integer counts (single IEEE divide → identical across engines).
+    """
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("lang", text_ops.tokens("text").alias("toks"))
+    bg = toks.select(
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    uni = toks.select("lang", F.explode("toks").alias("w"))
+    uni_c = uni.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    n_tok = uni.groupBy("lang").agg(F.count("*").alias("n"))
+    bgc = (
+        bg.groupBy("lang", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("w1", F.split("bigram", " ")[0])
+        .withColumn("w2", F.split("bigram", " ")[1])
+    )
+    joined = (
+        bgc.join(
+            F.broadcast(uni_c.select("lang", F.col("w").alias("w1"), F.col("c").alias("c1"))),
+            ["lang", "w1"],
+        )
+        .join(
+            F.broadcast(uni_c.select("lang", F.col("w").alias("w2"), F.col("c").alias("c2"))),
+            ["lang", "w2"],
+        )
+        .join(F.broadcast(n_tok), "lang")
+        .withColumn("lift", F.round(F.col("cnt") * F.col("n") / (F.col("c1") * F.col("c2")), 4))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.col("bigram"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 8)
+        .select("lang", "bigram", "cnt", "lift", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+QL27_SQL = """
+WITH toks AS (
+  SELECT lang, string_split(text, ' ') AS l FROM documents
+), uni AS (
+  SELECT lang, unnest(l) AS w FROM toks
+), uni_c AS (
+  SELECT lang, w, count(*) AS c FROM uni GROUP BY 1, 2
+), n_tok AS (
+  SELECT lang, count(*) AS n FROM uni GROUP BY 1
+), bg AS (
+  SELECT lang,
+         unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i] || ' ' || l[i + 1])) AS bigram
+  FROM toks
+), bgc AS (
+  SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2
+), joined AS (
+  SELECT b.lang, b.bigram, b.cnt,
+         round(b.cnt * n.n / (u1.c * u2.c), 4) AS lift,
+         row_number() OVER (PARTITION BY b.lang ORDER BY b.cnt DESC, b.bigram) AS rk
+  FROM bgc b
+  JOIN uni_c u1 ON u1.lang = b.lang AND u1.w = string_split(b.bigram, ' ')[1]
+  JOIN uni_c u2 ON u2.lang = b.lang AND u2.w = string_split(b.bigram, ' ')[2]
+  JOIN n_tok n ON n.lang = b.lang
+)
+SELECT lang, bigram, cnt, lift, rk FROM joined WHERE rk <= 8
+ORDER BY lang, rk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -1026,5 +1113,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ql26_export_shards": QuerySpec(
         ql26_export_shards, QL26_SQL, "deterministic export-shard assignment manifest"
+    ),
+    "ql27_bigram_collocations": QuerySpec(
+        ql27_bigram_collocations, QL27_SQL, "bigram collocations: count + PMI-style lift"
     ),
 }

@@ -1414,6 +1414,234 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --- Q-R38: shipping priority (TPC-H Q3 shape) -----------------------------
+
+def qr38_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-revenue top-10: the classic TPC-H Q3 3-way join + top-k.
+
+    Scale: the segment filter lands on the customer dim BEFORE the join, so
+    only ~1/5 of customers is broadcast; orders/lineitem carry pushed-down
+    date predicates into the parquet scan. The top-10 is a TakeOrdered on
+    the aggregated (much smaller) result, never a full sort of lineitem.
+    """
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-07-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_sum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+QR38_SQL = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       {_duck_sum6("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND l_shipdate > TIMESTAMP '1997-07-01'
+GROUP BY 1, o_orderdate, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- Q-R39: large-volume customers (TPC-H Q18 shape) -------------------------
+
+QR39_MIN_QTY = 300
+
+
+def qr39_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total line quantity exceeds a threshold, with customer.
+
+    The HAVING-on-aggregate runs first as a groupBy on the fact table (maps
+    collapse partially map-side), producing a tiny set of qualifying order
+    keys; orders/customer then join against that — the big table is touched
+    exactly once. l_quantity is integral in the fixture, so the sum is an
+    exact long.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_i6("l_quantity")).alias("qty6"))
+        .where(F.col("qty6") > QR39_MIN_QTY * SCALE6)
+        .select("l_orderkey", F.round(F.col("qty6") / SCALE6, 2).alias("total_qty"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+QR39_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         round(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) / 1000000.0, 2) AS total_qty
+  FROM lineitem
+  GROUP BY 1
+  HAVING sum(CAST(round(l_quantity * 1000000) AS BIGINT)) > {QR39_MIN_QTY} * 1000000
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --- Q-R40: SCD2 effective-date intervals from an order-status feed ----------
+
+def qr40_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse each customer's
+    order-status history into versioned [valid_from, valid_to) intervals.
+
+    Two window passes over ONE exchange (both windows partition by
+    o_custkey, so Catalyst reuses the same hash partitioning + sort):
+    lag() marks status-change rows, lead() closes each interval with the
+    next change's start. The open interval gets a sentinel end. This is the
+    standard merge-free SCD2 pattern for a 100 TB change feed — no
+    driver-side state, one shuffle by the dimension key.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+        .withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .where(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        hist.withColumn("version", F.row_number().over(w2))
+        .withColumn("next_from", F.lead("o_orderdate").over(w2))
+        .select(
+            "o_custkey",
+            "version",
+            F.col("o_orderstatus").alias("status"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+            F.coalesce(
+                F.date_format("next_from", "yyyy-MM-dd"), F.lit("9999-12-31")
+            ).alias("valid_to"),
+        )
+        .orderBy("o_custkey", "version")
+    )
+
+
+QR40_SQL = """
+WITH hist AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+         lag(o_orderstatus) OVER w AS prev_status
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), changes AS (
+  SELECT * FROM hist
+  WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+)
+SELECT o_custkey,
+       row_number() OVER w2 AS version,
+       o_orderstatus AS status,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       coalesce(strftime(lead(o_orderdate) OVER w2, '%Y-%m-%d'), '9999-12-31') AS valid_to
+FROM changes
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, version
+"""
+
+
+# --- Q-R41: dormant high-balance customers (TPC-H Q22 shape) -----------------
+
+def qr41_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no recent orders, by nation.
+
+    Q22's shape: scalar aggregate subquery (the balance threshold) + a
+    correlated NOT EXISTS (time-scoped — no orders since 1999) + group.
+    The threshold comparison is done in exact scaled-int arithmetic
+    (balance*1e6*count > sum6), so the cut is partitioning-independent —
+    a raw double average would let boundary customers flip between engines.
+    The 1-row aggregate is cross-joined (broadcast) rather than collected.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    thresh = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(_i6("c_acctbal")).alias("bal6_sum"),
+        F.count("*").alias("bal_n"),
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .where(_i6("c_acctbal") * F.col("bal_n") > F.col("bal6_sum"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            _sum6("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+QR41_SQL = f"""
+WITH thresh AS (
+  SELECT sum(CAST(round(c_acctbal * 1000000) AS BIGINT)) AS bal6_sum,
+         count(*) AS bal_n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       count(*) AS n_custs,
+       {_duck_sum6("c_acctbal")} AS total_bal
+FROM customer, thresh
+WHERE CAST(round(c_acctbal * 1000000) AS BIGINT) * bal_n > bal6_sum
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -1487,5 +1715,17 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr37_salted_join": QuerySpec(
         qr37_salted_join, QR37_SQL, "Q-R37 skew-salted join ≡ plain join"
+    ),
+    "qr38_shipping_priority": QuerySpec(
+        qr38_shipping_priority, QR38_SQL, "Q-R38 TPC-H Q3 shape: 3-way join + top-10"
+    ),
+    "qr39_large_volume_customers": QuerySpec(
+        qr39_large_volume_customers, QR39_SQL, "Q-R39 TPC-H Q18 shape: HAVING-filtered join-back"
+    ),
+    "qr40_scd2_intervals": QuerySpec(
+        qr40_scd2_intervals, QR40_SQL, "Q-R40 SCD2 versioned intervals from a change feed"
+    ),
+    "qr41_dormant_customers": QuerySpec(
+        qr41_dormant_customers, QR41_SQL, "Q-R41 TPC-H Q22 shape: scalar subquery + NOT EXISTS"
     ),
 }

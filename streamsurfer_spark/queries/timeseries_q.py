@@ -218,6 +218,59 @@ ORDER BY axis.event_type, axis.day
 """
 
 
+def qt05_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type — the classic time-series downsample.
+
+    Open/close are selected with min_by/max_by over a (ts, event_id) struct
+    key, so the whole bar is ONE hash aggregate with map-side partial
+    aggregation: no window, no second shuffle, no per-group sort. At 100 TB
+    the group count (type × day) is tiny relative to input, so partial aggs
+    collapse nearly everything before the exchange. The oracle reaches the
+    same rows via row_number windows (DuckDB's arg_min can't take a
+    composite ordering key).
+    """
+    ev = table(spark, sf_dir, "events")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("bar_date")
+        )
+        .agg(
+            F.round(F.min_by("value", ord_key), 2).alias("open_v"),
+            F.round(F.max("value"), 2).alias("high_v"),
+            F.round(F.min("value"), 2).alias("low_v"),
+            F.round(F.max_by("value", ord_key), 2).alias("close_v"),
+            F.count("*").alias("volume"),
+            _sum6("value").alias("sum_value"),
+        )
+        .orderBy("event_type", "bar_date")
+    )
+
+
+QT05_SQL = f"""
+WITH ranked AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS bar_date,
+         value, ts, event_id,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bar_date,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open_v,
+       round(max(value), 2) AS high_v,
+       round(min(value), 2) AS low_v,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close_v,
+       count(*) AS volume,
+       {_duck_sum6("value")} AS sum_value
+FROM ranked
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qt01_asof_last_click": QuerySpec(
         qt01_asof_last_click, QT01_SQL, "as-of join (union-sort) vs native DuckDB ASOF"
@@ -230,5 +283,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qt04_gapfill_daily": QuerySpec(
         qt04_gapfill_daily, QT04_SQL, "daily rollup densified over the day axis"
+    ),
+    "qt05_ohlc_bars": QuerySpec(
+        qt05_ohlc_bars, QT05_SQL, "daily OHLC downsample via struct-keyed min_by/max_by"
     ),
 }
