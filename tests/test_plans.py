@@ -107,3 +107,38 @@ def test_cosine_near_dup_blocked_join(spark):
 
     df = REG["ql21_cosine_near_dup"].spark(spark, SF_DIR)
     assert "Cartesian" not in formatted_plan(df)
+
+
+def test_ohlc_single_aggregate_no_window(spark):
+    """qt05: the whole OHLC bar is one hash aggregate (struct-keyed
+    min_by/max_by) — no Window operator, and at most the agg exchange plus
+    the output sort."""
+    from streamsurfer_spark.plans.inspect import formatted_plan
+
+    df = REG["qt05_ohlc_bars"].spark(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert exchange_count(df) <= 2
+
+
+def test_q3_shape_broadcasts_filtered_dim(spark):
+    """qr38: the segment-filtered customer dim joins as a broadcast, and the
+    date predicates reach the orders/lineitem scans."""
+    df = REG["qr38_shipping_priority"].spark(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1
+    filters = " ".join(pushed_filters(df))
+    assert "o_orderdate" in filters and "l_shipdate" in filters
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """qr40: both window passes partition by o_custkey — Catalyst must plan
+    ONE shuffle for the dimension key (plus the final output sort)."""
+    df = REG["qr40_scd2_intervals"].spark(spark, SF_DIR)
+    assert exchange_count(df) <= 2
+
+
+def test_bigram_counts_broadcast_vocab_joins(spark):
+    """ql27: unigram/total-count joins are broadcasts; no sort-merge join of
+    the corpus against the vocabulary."""
+    df = REG["ql27_bigram_collocations"].spark(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 3
