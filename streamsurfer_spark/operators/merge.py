@@ -1,0 +1,127 @@
+"""Upsert / MERGE / CDC-apply operators.
+
+The reference has no mutation surface at all (/root/reference/main.go:1-312
+is append-only event shipping), but any engine feeding a warehouse needs the
+MERGE trio: full-row upsert, column-level merge, and change-data-capture
+apply with latest-wins ordering. Spark on plain parquet has no transactional
+MERGE INTO, so these are expressed as pure DataFrame→DataFrame transforms
+over an immutable snapshot — the caller writes the result wherever the next
+snapshot lives (that write is atomic-by-directory, the standard pattern for
+format-agnostic pipelines).
+
+Scale notes (100 TB):
+- ``upsert``: one left_anti join on the key + a union. When the change set
+  is small relative to the snapshot (the overwhelmingly common case) the
+  anti join broadcasts and the big side NEVER shuffles — strictly cheaper
+  than the full-outer-join formulation of MERGE.
+- ``merge_columns``: the general MERGE (partial-column updates) — a full
+  outer join shuffling both sides by key. Use only when updates genuinely
+  carry partial rows.
+- ``apply_cdc``: collapses the change log to latest-per-key with ONE hash
+  aggregate (struct-keyed max_by — no window, no second shuffle), then
+  upserts and drops deletes. Latest-wins needs a total order: pass a
+  deterministic (seq, tiebreak) ordering column list.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _key_list(keys: str | Sequence[str]) -> list[str]:
+    return [keys] if isinstance(keys, str) else list(keys)
+
+
+def upsert(target: DataFrame, source: DataFrame, keys: str | Sequence[str]) -> DataFrame:
+    """Full-row upsert: source rows replace matching target rows, new source
+    keys are inserted. Schemas must match by name (the source is the new
+    truth for every column)."""
+    keys = _key_list(keys)
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            f"upsert needs identical schemas; target-only="
+            f"{sorted(set(target.columns) - set(source.columns))} "
+            f"source-only={sorted(set(source.columns) - set(target.columns))}"
+        )
+    kept = target.join(source.select(*keys), keys, "left_anti")
+    return kept.unionByName(source)
+
+
+def merge_columns(
+    target: DataFrame,
+    source: DataFrame,
+    keys: str | Sequence[str],
+) -> DataFrame:
+    """General MERGE: full outer join on the key; for non-key columns the
+    source value wins where present (column-level coalesce), target rows
+    without a match survive, source rows without a match insert."""
+    keys = _key_list(keys)
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    joined = t.join(s, cond, "full_outer")
+    cols = [
+        F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k) for k in keys
+    ]
+    for c in target.columns:
+        if c in keys:
+            continue
+        if c in source.columns:
+            cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+        else:
+            cols.append(F.col(f"t.{c}").alias(c))
+    return joined.select(*cols)
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: str | Sequence[str],
+    order_by: str | Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC log (insert/update/delete rows) to a snapshot.
+
+    ``changes`` carries the target's columns plus ``op_col``; ``order_by``
+    columns define latest-wins per key (must be a total order per key —
+    include a tiebreak). Deletes remove the key; any other op upserts the
+    row."""
+    keys = _key_list(keys)
+    order_cols = _key_list(order_by)
+    payload = [c for c in changes.columns if c not in keys]
+    latest = (
+        changes.groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(*payload), F.struct(*[F.col(c) for c in order_cols])
+            ).alias("_latest")
+        )
+        .select(*keys, "_latest.*")
+    )
+    survivors = latest.where(F.col(op_col) != delete_op).drop(op_col, *[
+        c for c in order_cols if c not in target.columns and c not in keys
+    ])
+    deletes = latest.where(F.col(op_col) == delete_op).select(*keys)
+    kept = target.join(
+        latest.select(*keys), keys, "left_anti"
+    )
+    return kept.unionByName(survivors.select(*target.columns)), deletes
+
+
+def apply_cdc_snapshot(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: str | Sequence[str],
+    order_by: str | Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """``apply_cdc`` returning just the next snapshot (deletes dropped)."""
+    merged, _deletes = apply_cdc(
+        target, changes, keys, order_by, op_col=op_col, delete_op=delete_op
+    )
+    return merged

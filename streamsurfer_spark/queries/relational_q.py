@@ -1642,6 +1642,132 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --- Q-R42: full-row upsert (MERGE without transactions) ---------------------
+
+def qr42_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a corrections+inserts feed into the orders snapshot, then
+    re-aggregate the merged state.
+
+    The feed: every 'P' order gets its price bumped 10% and closed to 'F'
+    (updates); every 'O' order spawns a key-shifted copy (inserts). The
+    upsert is operators/merge.upsert — anti-join + union, so the snapshot
+    side never shuffles when the feed broadcasts. Oracle mirrors with
+    NOT EXISTS + UNION ALL.
+    """
+    from streamsurfer_spark.operators.merge import upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    updates = orders.where(F.col("o_orderstatus") == "P").withColumns(
+        {
+            "o_orderstatus": F.lit("F"),
+            "o_totalprice": F.col("o_totalprice") * 1.1,
+        }
+    )
+    inserts = orders.where(F.col("o_orderstatus") == "O").withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100_000_000
+    )
+    source = updates.unionByName(inserts)
+    merged = upsert(orders, source, keys="o_orderkey")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _sum6("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QR42_SQL = f"""
+WITH source AS (
+  SELECT o_orderkey, o_custkey, 'F' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderstatus = 'P'
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderstatus = 'O'
+), merged AS (
+  SELECT * FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT * FROM source
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       {_duck_sum6("o_totalprice")} AS total_price
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q-R43: CDC apply with latest-wins ---------------------------------------
+
+def qr43_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a two-batch change log to the orders snapshot: batch 1 retags
+    every open/pending order's priority (op=U), batch 2 deletes the pending
+    ones (op=D). Latest-wins per key must leave 'P' orders deleted and 'O'
+    orders retagged.
+
+    operators/merge.apply_cdc collapses the log with ONE struct-keyed
+    max_by aggregate (no window), then anti-join + union. Oracle mirrors
+    with a row_number window.
+    """
+    from streamsurfer_spark.operators.merge import apply_cdc_snapshot
+
+    orders = _t(spark, sf_dir, "orders")
+    batch1 = (
+        orders.where(F.col("o_orderstatus").isin("O", "P"))
+        .withColumn("o_orderpriority", F.lit("1-CDC"))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+    )
+    batch2 = (
+        orders.where(F.col("o_orderstatus") == "P")
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(2))
+    )
+    snapshot = apply_cdc_snapshot(
+        orders, batch1.unionByName(batch2), keys="o_orderkey", order_by="seq"
+    )
+    return (
+        snapshot.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _sum6("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+QR43_SQL = f"""
+WITH changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         '1-CDC' AS o_orderpriority, 'U' AS op, 1 AS seq
+  FROM orders WHERE o_orderstatus IN ('O', 'P')
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority, 'D' AS op, 2 AS seq
+  FROM orders WHERE o_orderstatus = 'P'
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+), merged AS (
+  SELECT o.* FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority
+  FROM latest WHERE op <> 'D'
+)
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       {_duck_sum6("o_totalprice")} AS total_price
+FROM merged GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -1727,5 +1853,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr41_dormant_customers": QuerySpec(
         qr41_dormant_customers, QR41_SQL, "Q-R41 TPC-H Q22 shape: scalar subquery + NOT EXISTS"
+    ),
+    "qr42_upsert_snapshot": QuerySpec(
+        qr42_upsert_snapshot, QR42_SQL, "Q-R42 full-row upsert (anti-join + union MERGE)"
+    ),
+    "qr43_cdc_apply": QuerySpec(
+        qr43_cdc_apply, QR43_SQL, "Q-R43 CDC apply: latest-wins collapse + upsert + delete"
     ),
 }
