@@ -249,6 +249,55 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+# --- Q-S8: stateful session windows under watermark (real streaming run) ----
+
+def qs08_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows in a REAL stream (availableNow → memory, append mode).
+
+    The stateful session operator merges events into per-user open sessions
+    in the state store; a session is emitted only once the watermark (max
+    event time − 1 day) passes its end (last event + 4 h gap). The oracle
+    rebuilds the same sessions batch-side (gaps-and-islands) and applies
+    the same finalization cutoff — sessions still open at the final
+    watermark must NOT appear.
+    """
+    stream = read_events_stream(spark, _events_path(sf_dir))
+    out = run_to_memory(transforms.watermarked_sessions(stream), "append")
+    return out.orderBy("user_id", "session_start")
+
+
+QS08_SQL = """
+WITH m AS (SELECT max(ts) - INTERVAL '1 day' AS wm FROM events),
+o AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     >= INTERVAL '4 hours'
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+),
+s AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+),
+sess AS (
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '4 hours' AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           min(event_id) AS first_event_id
+    FROM s GROUP BY user_id, sid
+)
+SELECT user_id,
+       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       n_events, sum_value, first_event_id
+FROM sess, m
+WHERE session_end <= wm
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qs01_stream_ingest_counts": QuerySpec(
         qs01_stream_ingest_counts, QS01_SQL, "Q-S1 real streaming ingest (availableNow)"
@@ -265,5 +314,8 @@ QUERIES: dict[str, QuerySpec] = {
     "qs05_dedup_earliest": QuerySpec(qs05_dedup_earliest, QS05_SQL, "Q-S5 deterministic dedup"),
     "qs07_update_mode": QuerySpec(
         qs07_update_mode, QS07_SQL, "Q-S7 update-mode incremental agg (real 3-batch run)"
+    ),
+    "qs08_stream_sessions": QuerySpec(
+        qs08_stream_sessions, QS08_SQL, "Q-S8 stateful session windows under watermark (real run)"
     ),
 }

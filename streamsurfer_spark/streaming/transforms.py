@@ -144,6 +144,32 @@ def interval_join(
     return l.join(r, cond)
 
 
+def watermarked_sessions(
+    df: DataFrame, gap: str = SESSION_GAP, watermark: str = WATERMARK
+) -> DataFrame:
+    """Session windows under a watermark: the stateful-streaming session
+    operator. A session stays open in state while events keep arriving
+    within `gap`; it finalizes (append mode) once the watermark passes its
+    end. State per key is one open session — the gap bounds its lifetime,
+    the watermark bounds total state."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT).alias("session_start"),
+            "n_events",
+            "sum_value",
+            "first_event_id",
+        )
+    )
+
+
 def watermarked_tumbling(
     df: DataFrame, window: str = TUMBLE, watermark: str = WATERMARK
 ) -> DataFrame:
