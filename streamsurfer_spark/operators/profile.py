@@ -1,0 +1,60 @@
+"""Data profiling: per-column stats in one distributed pass.
+
+The reference has no introspection surface (SURVEY §2.2); this is the
+data-quality primitive every ingestion pipeline bolts on first: per column,
+how many rows, how many NULLs, how many distinct values, and the min/max.
+
+Design: instead of N passes (one per column) or a single wide Expand, each
+row is exploded into (col_name, rendered_value) entries and aggregated by
+col_name. That is ONE scan of the table; partial aggregation collapses
+count/min/max map-side, and the distinct count spreads over (col_name,
+value) before the final per-column fold — so the per-column groups don't
+bottleneck a single reducer even though there are only N of them.
+
+Values are profiled through a caller-supplied *rendering* to a sortable
+string (numbers fixed-width zero-padded so lexicographic order == numeric
+order, timestamps in ISO form). Profiling the rendering — not the raw
+value — is what makes min/max/distinct deterministic and engine-portable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+PAD = 18
+
+
+def render_number(col: Column | str, nd: int = 2) -> Column:
+    """Non-negative numeric → fixed-width decimal string (lexicographic ==
+    numeric). nd decimal places survive the rounding."""
+    c = F.col(col) if isinstance(col, str) else col
+    scaled = F.round(c * (10**nd)).cast("bigint").cast("string")
+    return F.when(c.isNotNull(), F.lpad(scaled, PAD, "0"))
+
+
+def render_timestamp(col: Column | str, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, fmt)
+
+
+def profile(df: DataFrame, renders: dict[str, Column]) -> DataFrame:
+    """Profile the given (col_name → rendered string value) columns.
+
+    Returns one row per profiled column: col_name, n_rows, n_nulls,
+    n_distinct, min_val, max_val.
+    """
+    entries = F.array(
+        *[
+            F.struct(F.lit(name).alias("col_name"), render.cast("string").alias("val"))
+            for name, render in renders.items()
+        ]
+    )
+    long = df.select(F.explode(entries).alias("e")).select("e.col_name", "e.val")
+    return long.groupBy("col_name").agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("val")).alias("n_nulls"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )

@@ -1768,6 +1768,66 @@ FROM merged GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --- Q-R44: one-pass table profile -------------------------------------------
+
+def qr44_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of orders (rows, nulls, distincts, min/max) in a
+    single scan — operators/profile.py. Numerics go through the fixed-width
+    rendering so lexicographic min/max equals numeric min/max and the
+    result is engine-portable.
+    """
+    from streamsurfer_spark.operators.profile import (
+        profile,
+        render_number,
+        render_timestamp,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile(
+        orders,
+        {
+            "o_orderkey": render_number("o_orderkey", 0),
+            "o_custkey": render_number("o_custkey", 0),
+            "o_orderstatus": F.col("o_orderstatus"),
+            "o_totalprice": render_number("o_totalprice", 2),
+            "o_orderdate": render_timestamp("o_orderdate"),
+            "o_orderpriority": F.col("o_orderpriority"),
+        },
+    ).orderBy("col_name")
+
+
+def _duck_profile_leg(name: str, render: str) -> str:
+    return f"""
+SELECT '{name}' AS col_name, count(*) AS n_rows,
+       count(*) - count(val) AS n_nulls,
+       CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+       min(val) AS min_val, max(val) AS max_val
+FROM (SELECT {render} AS val FROM orders)
+"""
+
+
+def _duck_render_number(col: str, nd: int) -> str:
+    return (
+        f"CASE WHEN {col} IS NOT NULL THEN "
+        f"lpad(CAST(CAST(round({col} * {10**nd}) AS BIGINT) AS VARCHAR), 18, '0') END"
+    )
+
+
+QR44_SQL = (
+    " UNION ALL ".join(
+        [
+            _duck_profile_leg("o_orderkey", _duck_render_number("o_orderkey", 0)),
+            _duck_profile_leg("o_custkey", _duck_render_number("o_custkey", 0)),
+            _duck_profile_leg("o_orderstatus", "o_orderstatus"),
+            _duck_profile_leg("o_totalprice", _duck_render_number("o_totalprice", 2)),
+            _duck_profile_leg("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"),
+            _duck_profile_leg("o_orderpriority", "o_orderpriority"),
+        ]
+    )
+    + " ORDER BY col_name"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -1859,5 +1919,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr43_cdc_apply": QuerySpec(
         qr43_cdc_apply, QR43_SQL, "Q-R43 CDC apply: latest-wins collapse + upsert + delete"
+    ),
+    "qr44_profile_orders": QuerySpec(
+        qr44_profile_orders, QR44_SQL, "Q-R44 one-pass per-column table profile"
     ),
 }
