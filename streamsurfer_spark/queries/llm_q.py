@@ -1074,6 +1074,73 @@ ORDER BY lang, rk
 """
 
 
+# --- Q-L28: int8 embedding quantization error --------------------------------
+
+def ql28_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings + reconstruction error.
+
+    The 4× compression every vector store applies before ANN: per vector,
+    scale = 127/max|x|, q = round(x·scale) in int8, reconstruct q/scale.
+    All math is per-row array lambdas in codegen (zero shuffles until the
+    per-label rollup); per-element errors are rounded to nano units and
+    summed as exact ints, so the aggregate is partitioning-independent.
+    Output: per label, mean reconstruction error in nano units.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    a = F.col("embedding").cast("array<double>")
+    absmax = F.array_max(F.transform(a, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / absmax
+    q = F.transform(a, lambda x: F.round(x * scale).cast("int"))
+    recon = F.transform(q, lambda v: v.cast("double") / scale)
+    err9 = F.aggregate(
+        F.zip_with(a, recon, lambda x, y: F.round(F.abs(x - y) * 1e9).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    per_vec = emb.select(
+        "label",
+        (err9 / F.size(a)).alias("vec_err9"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.sum("vec_err9") / F.count("*")).cast("bigint").alias("avg_err_nano"),
+        )
+        .orderBy("label")
+    )
+
+
+QL28_SQL = """
+WITH v AS (
+  SELECT label,
+         list_transform(embedding, x -> x::DOUBLE) AS a
+  FROM embeddings
+), s AS (
+  SELECT label, a,
+         127.0 / list_max(list_transform(a, x -> abs(x))) AS scale
+  FROM v
+), r AS (
+  SELECT label, a, scale,
+         list_transform(a, x -> CAST(round(x * scale) AS INTEGER)) AS q
+  FROM s
+), e AS (
+  SELECT label,
+         list_sum(
+           list_transform(
+             list_zip(a, list_transform(q, x -> x::DOUBLE / scale)),
+             z -> CAST(round(abs(z[1] - z[2]) * 1e9) AS BIGINT)
+           )
+         ) * 1.0 / len(a) AS vec_err9
+  FROM r
+)
+SELECT label,
+       count(*) AS n_vecs,
+       CAST(round(sum(vec_err9) / count(*)) AS BIGINT) AS avg_err_nano
+FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -1116,5 +1183,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ql27_bigram_collocations": QuerySpec(
         ql27_bigram_collocations, QL27_SQL, "bigram collocations: count + PMI-style lift"
+    ),
+    "ql28_quantization_error": QuerySpec(
+        ql28_quantization_error, QL28_SQL, "int8 embedding quantization + reconstruction error"
     ),
 }

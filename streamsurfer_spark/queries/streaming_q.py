@@ -298,6 +298,64 @@ ORDER BY user_id, session_start
 """
 
 
+# --- Q-S9: chained stateful aggregations (real streaming run) ----------------
+
+def qs09_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful windowed aggregations chained in ONE streaming query:
+    6-hour (window, event_type) counts roll up into daily peak/total per
+    type. Needs Spark's multiple-stateful-operator support — window_time()
+    carries event time from the first aggregate into the second, and both
+    run under the same watermark. Finalization (append mode): a daily row
+    emits once the watermark (max ts − 1 day) passes the day's end; the
+    oracle applies the same cutoff.
+    """
+    stream = read_events_stream(spark, _events_path(sf_dir))
+    hourly = (
+        stream.withWatermark("ts", transforms.WATERMARK)
+        .groupBy(F.window("ts", "6 hours").alias("w6"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("w6"), "1 day").alias("wd"), "event_type")
+        .agg(
+            F.max("n_events").alias("peak_6h"),
+            F.sum("n_events").alias("n_events_day"),
+            F.count("*").alias("n_buckets"),
+        )
+        .select(
+            F.date_format("wd.start", transforms.TS_FMT).alias("day_start"),
+            "event_type",
+            "peak_6h",
+            "n_events_day",
+            "n_buckets",
+        )
+    )
+    out = run_to_memory(daily, "append")
+    return out.orderBy("day_start", "event_type")
+
+
+QS09_SQL = """
+WITH m AS (SELECT max(ts) - INTERVAL '1 day' AS wm FROM events),
+b AS (
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS w6, event_type,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+d AS (
+    SELECT time_bucket(INTERVAL '1 day', w6) AS wd, event_type,
+           max(n_events) AS peak_6h,
+           CAST(sum(n_events) AS BIGINT) AS n_events_day,
+           count(*) AS n_buckets
+    FROM b GROUP BY 1, 2
+)
+SELECT strftime(wd, '%Y-%m-%d %H:%M:%S') AS day_start, event_type,
+       peak_6h, n_events_day, n_buckets
+FROM d, m
+WHERE wd + INTERVAL '1 day' <= wm
+ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qs01_stream_ingest_counts": QuerySpec(
         qs01_stream_ingest_counts, QS01_SQL, "Q-S1 real streaming ingest (availableNow)"
@@ -317,5 +375,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qs08_stream_sessions": QuerySpec(
         qs08_stream_sessions, QS08_SQL, "Q-S8 stateful session windows under watermark (real run)"
+    ),
+    "qs09_chained_windows": QuerySpec(
+        qs09_chained_windows, QS09_SQL, "Q-S9 chained stateful window aggs (real run)"
     ),
 }

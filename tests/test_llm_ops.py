@@ -129,3 +129,27 @@ def test_hll_sketch_error_bound(spark):
     exact = orders.select(F.countDistinct("o_custkey")).first()[0]
     approx = orders.select(F.approx_count_distinct("o_custkey", rsd=0.05)).first()[0]
     assert abs(approx - exact) / exact < 0.10  # 2x headroom over rsd
+
+
+def test_approx_percentile_error_bound(spark):
+    """percentile_approx must land within the accuracy-implied rank error of
+    the exact percentile (the qr21 exact path is the oracle here)."""
+    import pyspark.sql.functions as F
+    from streamsurfer_spark.session import table
+    from tests.conftest import SF_DIR
+
+    orders = table(spark, SF_DIR, "orders")
+    n = orders.count()
+    acc = 100  # rank error ≤ n / acc
+    for p in (0.5, 0.9):
+        exact = orders.select(F.percentile("o_totalprice", F.lit(p))).first()[0]
+        approx = orders.select(
+            F.percentile_approx("o_totalprice", F.lit(p), F.lit(acc))
+        ).first()[0]
+        # translate the rank guarantee into a value window: the approx value
+        # must sit between the exact values at p ± n/acc ranks
+        lo_p = max(0.0, p - 1.0 / acc)
+        hi_p = min(1.0, p + 1.0 / acc)
+        lo = orders.select(F.percentile("o_totalprice", F.lit(lo_p))).first()[0]
+        hi = orders.select(F.percentile("o_totalprice", F.lit(hi_p))).first()[0]
+        assert lo <= approx <= hi, (p, lo, approx, hi, n)
