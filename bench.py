@@ -35,6 +35,11 @@ BENCH_QUERIES = (
     "qt03_sessionize",
     # text analysis
     "ql22_tfidf_top_terms",
+    # round-1 extensions: TPC-H Q3 shape, MERGE upsert, OHLC bars, bigrams
+    "qr38_shipping_priority",
+    "qr42_upsert_snapshot",
+    "qt05_ohlc_bars",
+    "ql27_bigram_collocations",
     # composed capstone
     "qp01_curation_report",
 )
