@@ -167,3 +167,52 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
 
     images = df.where(F.col("modality") == "image")
     return images.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+SEGMENT_SCHEMA = (
+    "doc_id bigint, seg_idx int, seg_start_ms bigint, seg_ms bigint, "
+    "seg_bytes bigint, seg_md5 string"
+)
+
+# the stand-in "codec": 16 bytes of payload per millisecond of audio
+BYTES_PER_MS = 16
+
+
+def chunk_audio(df: DataFrame, segment_ms: int = 2, min_ms: int = 1) -> DataFrame:
+    """Segment audio rows into fixed-duration windows — the audio twin of
+    sample_frames (1→N expansion), keyed by time rather than frame index.
+
+    A real deployment decodes with torchaudio/ffmpeg and slices PCM at
+    segment_ms boundaries; the deterministic stand-in maps payload bytes to
+    a fake timeline at BYTES_PER_MS. Exercised contracts: per-row expansion
+    driven by row SIZE (not a constant), trailing-segment drop below
+    min_ms, and a (doc_id, seg_idx, start_ms) addressing scheme stable
+    under any partitioning. Only audio rows cross into Python.
+    """
+    import hashlib
+
+    seg_bytes = segment_ms * BYTES_PER_MS
+    min_bytes = min_ms * BYTES_PER_MS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "seg_idx": [], "seg_start_ms": [],
+                "seg_ms": [], "seg_bytes": [], "seg_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = decode_stub(bytes(payload), "audio")
+                for i in range(0, -(-len(data) // seg_bytes)):
+                    chunk = data[i * seg_bytes : (i + 1) * seg_bytes]
+                    if len(chunk) < min_bytes:
+                        break
+                    out["doc_id"].append(doc_id)
+                    out["seg_idx"].append(i)
+                    out["seg_start_ms"].append(i * segment_ms)
+                    out["seg_ms"].append(len(chunk) // BYTES_PER_MS)
+                    out["seg_bytes"].append(len(chunk))
+                    out["seg_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    audio = df.where(F.col("modality") == "audio")
+    return audio.mapInPandas(run, schema=SEGMENT_SCHEMA)

@@ -153,3 +153,32 @@ def test_approx_percentile_error_bound(spark):
         lo = orders.select(F.percentile("o_totalprice", F.lit(lo_p))).first()[0]
         hi = orders.select(F.percentile("o_totalprice", F.lit(hi_p))).first()[0]
         assert lo <= approx <= hi, (p, lo, approx, hi, n)
+
+
+def test_audio_chunking_timeline(spark):
+    """chunk_audio: segments tile the fake timeline exactly, the trailing
+    sub-min segment drops, and only audio rows reach Python."""
+    import hashlib
+
+    from streamsurfer_spark.operators import multimodal
+
+    # doc_id % 3 == 1 → audio in the as_media envelope
+    df = spark.createDataFrame(
+        [(1, "x" * 80), (4, "y" * 33), (0, "img-not-audio")], "doc_id long, text string"
+    )
+    segs = multimodal.chunk_audio(
+        multimodal.as_media(df), segment_ms=2, min_ms=1
+    ).collect()
+    by_doc = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 4}  # image row never segmented
+    # doc 1: 80 bytes = 5ms → 2+2+1ms chunks at 2ms segments
+    d1 = sorted(by_doc[1], key=lambda r: r.seg_idx)
+    assert [(r.seg_start_ms, r.seg_ms, r.seg_bytes) for r in d1] == [
+        (0, 2, 32), (2, 2, 32), (4, 1, 16),
+    ]
+    assert d1[0].seg_md5 == hashlib.md5(b"x" * 32).hexdigest()
+    # doc 4: 33 bytes = 2ms + 1 trailing byte (<1ms = sub-min) → dropped
+    d4 = sorted(by_doc[4], key=lambda r: r.seg_idx)
+    assert [(r.seg_start_ms, r.seg_bytes) for r in d4] == [(0, 32)]
