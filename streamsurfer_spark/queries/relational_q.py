@@ -1828,6 +1828,57 @@ QR44_SQL = (
 )
 
 
+# --- Q-R45: window value functions (first/last/nth) with explicit frames -----
+
+def qr45_window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over per-customer order history.
+
+    The frame is the whole partition (UNBOUNDED..UNBOUNDED) — without it
+    last_value degenerates to the running current row, the classic window
+    trap; pinning it here is the regression test. One row per customer is
+    then kept via row_number = 1 (all four windows share ONE partitioning
+    and sort, so Catalyst plans a single exchange + sort).
+    """
+    w_frame = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_custkey",
+            F.round(F.first_value("o_totalprice").over(w_frame), 2).alias("first_price"),
+            F.round(F.last_value("o_totalprice").over(w_frame), 2).alias("last_price"),
+            F.round(F.nth_value("o_totalprice", 2).over(w_frame), 2).alias("second_price"),
+            F.count("*").over(w_frame).alias("n_orders"),
+            F.row_number().over(w_seq).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("o_custkey")
+    )
+
+
+QR45_SQL = """
+WITH w AS (
+  SELECT o_custkey,
+         round(first_value(o_totalprice) OVER f, 2) AS first_price,
+         round(last_value(o_totalprice) OVER f, 2) AS last_price,
+         round(nth_value(o_totalprice, 2) OVER f, 2) AS second_price,
+         count(*) OVER f AS n_orders,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+  WINDOW f AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT o_custkey, first_price, last_price, second_price, n_orders
+FROM w WHERE rn = 1 ORDER BY o_custkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -1922,5 +1973,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr44_profile_orders": QuerySpec(
         qr44_profile_orders, QR44_SQL, "Q-R44 one-pass per-column table profile"
+    ),
+    "qr45_window_value_fns": QuerySpec(
+        qr45_window_value_fns, QR45_SQL, "Q-R45 first/last/nth_value with pinned frames"
     ),
 }

@@ -19,6 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -127,3 +128,58 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+def compact(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_mb: float = 128,
+    fmt: str = "parquet",
+    cluster_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite ``src`` into ≈``target_mb``-sized files
+    at ``dest``, optionally range-clustered for data skipping.
+
+    The two chronic diseases of a 100 TB table are millions of tiny files
+    (listing + task-scheduling overhead) and files with no value locality
+    (every filter reads every file). One rewrite fixes both: size the file
+    count from the actual input bytes, and — with ``cluster_by`` —
+    repartitionByRange + sortWithinPartitions so each output file covers a
+    narrow range of the cluster key and parquet min/max stats prune reads.
+
+    File sizes come from a local directory walk (fixture scale); a real
+    deployment swaps in the store's listing API — the planning math is the
+    same. Returns {n_input_files, input_mb, n_output_files}.
+    """
+    import math
+    import os
+
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format: {fmt!r} (one of {FORMATS})")
+    sizes = [
+        os.path.getsize(os.path.join(d, f))
+        for d, _, fs in os.walk(src)
+        for f in fs
+        if not f.startswith(("_", "."))
+    ]
+    n_files = max(1, math.ceil(sum(sizes) / (target_mb * 1024 * 1024)))
+    df = read_table(spark, src, fmt)
+    if cluster_by:
+        cols = [F.col(c) for c in cluster_by]
+        out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    else:
+        out = df.repartition(n_files)
+    # one file per partition: the partition count IS the file plan
+    write_table(out, dest, fmt=fmt, mode="overwrite")
+    n_out = sum(
+        1
+        for d, _, fs in os.walk(dest)
+        for f in fs
+        if f.endswith(f".{fmt}") or (fmt == "json" and f.endswith(".json"))
+    )
+    return {
+        "n_input_files": len(sizes),
+        "input_mb": round(sum(sizes) / (1024 * 1024), 3),
+        "n_output_files": n_out,
+    }

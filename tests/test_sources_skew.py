@@ -107,3 +107,44 @@ def test_hash_sample_rejects_bad_rate(spark):
         hash_sample(docs, "doc_id", 101)
     assert hash_sample(docs, "doc_id", 0).count() == 0
     assert hash_sample(docs, "doc_id", 100).count() == docs.count()
+
+
+def test_compact_file_count_and_clustering(spark, tmp_path):
+    """compact(): output file count follows the byte-budget plan, and
+    cluster_by produces disjoint per-file key ranges (the parquet min/max
+    stats a reader prunes on)."""
+    import pyarrow.parquet as pq
+
+    from streamsurfer_spark.session import table
+    from streamsurfer_spark.sources.files import compact
+    from tests.conftest import SF_DIR
+
+    # fragment events into 40 tiny files
+    frag = str(tmp_path / "frag")
+    table(spark, SF_DIR, "events").repartition(40).write.parquet(frag)
+
+    dest = str(tmp_path / "compacted")
+    # target sized so the whole table fits in ONE file
+    stats = compact(spark, frag, dest, target_mb=64, cluster_by=["user_id"])
+    assert stats["n_input_files"] == 40
+    assert stats["n_output_files"] == 1
+
+    # re-fragment target: force multiple output files via a tiny budget
+    dest2 = str(tmp_path / "clustered")
+    stats2 = compact(spark, frag, dest2, target_mb=0.05, cluster_by=["user_id"])
+    assert stats2["n_output_files"] >= 2
+    # per-file user_id ranges must be disjoint (range clustering worked)
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(dest2 + "/*.parquet")):
+        t = pq.read_table(f, columns=["user_id"])
+        vals = t.column("user_id").to_pylist()
+        if vals:
+            ranges.append((min(vals), max(vals)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # row-count parity: compaction moves, never drops
+    n_src = spark.read.parquet(frag).count()
+    assert spark.read.parquet(dest2).count() == n_src
