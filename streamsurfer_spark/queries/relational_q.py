@@ -1879,6 +1879,165 @@ FROM w WHERE rn = 1 ORDER BY o_custkey
 """
 
 
+# --- Q-R46: OR-of-ANDs predicate join (TPC-H Q19 shape) ----------------------
+
+def qr46_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under a 3-arm OR-of-ANDs predicate spanning both
+    join sides (TPC-H Q19's planner stress test).
+
+    Per-side conjuncts (p_brand/p_size on part, l_quantity on lineitem)
+    must still push into the scans even though the cross-side OR can only
+    be applied post-join — Catalyst derives the per-side disjunctions
+    (brand IN (...), quantity ranges) automatically. part broadcasts.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        joined.where(arm1 | arm2 | arm3)
+        .groupBy("p_brand")
+        .agg(
+            _sum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+QR46_SQL = f"""
+SELECT p_brand,
+       {_duck_sum6("l_extendedprice * (1 - l_discount)")} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q-R47: conditional revenue share (TPC-H Q14 shape) ----------------------
+
+def qr47_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo parts' share of 1997 revenue: conditional numerator over an
+    unconditional denominator in ONE aggregate pass (no self-join). Both
+    sums are exact scaled ints; only the final share divides as double.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev6 = _i6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev6).otherwise(F.lit(0))).alias("promo6"),
+            F.sum(rev6).alias("total6"),
+        )
+        .select(
+            F.round(F.lit(100.0) * F.col("promo6") / F.col("total6"), 2).alias("promo_share_pct"),
+            F.round(F.col("promo6") / SCALE6, 2).alias("promo_revenue"),
+            F.round(F.col("total6") / SCALE6, 2).alias("total_revenue"),
+        )
+    )
+
+
+QR47_SQL = """
+WITH s AS (
+  SELECT sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)
+                  ELSE 0 END) AS promo6,
+         sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) AS total6
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT round(100.0 * promo6 / total6, 2) AS promo_share_pct,
+       round(promo6 / 1000000.0, 2) AS promo_revenue,
+       round(total6 / 1000000.0, 2) AS total_revenue
+FROM s
+"""
+
+
+# --- Q-R48: bi-nation shipping volume (TPC-H Q7 shape) -----------------------
+
+QR48_N1, QR48_N2 = "NATION_1", "NATION_2"
+
+
+def qr48_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade volume between two nations by year — the 6-table Q7 join.
+
+    Join topology for 100 TB: lineitem⋈orders is the only big-big join
+    (shuffle on orderkey); supplier, customer, and both nation legs are
+    broadcasts, and the nation filters shrink supplier/customer BEFORE the
+    fact tables are touched, so most lineitem rows die at the (broadcast)
+    semi-ish supplier probe.
+    """
+    n1 = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(QR48_N1, QR48_N2))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n1.select(F.col("n_nationkey").alias("s_nationkey"),
+                                  F.col("n_name").alias("supp_nation"))),
+            "s_nationkey",
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n1.select(F.col("n_nationkey").alias("c_nationkey"),
+                                  F.col("n_name").alias("cust_nation"))),
+            "c_nationkey",
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_sum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+QR48_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {_duck_sum6("l_extendedprice * (1 - l_discount)")} AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('{QR48_N1}', '{QR48_N2}')
+  AND n2.n_name IN ('{QR48_N1}', '{QR48_N2}')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -1976,5 +2135,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr45_window_value_fns": QuerySpec(
         qr45_window_value_fns, QR45_SQL, "Q-R45 first/last/nth_value with pinned frames"
+    ),
+    "qr46_disjunctive_join": QuerySpec(
+        qr46_disjunctive_join, QR46_SQL, "Q-R46 TPC-H Q19 shape: OR-of-ANDs predicate join"
+    ),
+    "qr47_promo_share": QuerySpec(
+        qr47_promo_share, QR47_SQL, "Q-R47 TPC-H Q14 shape: conditional revenue share"
+    ),
+    "qr48_nation_volume": QuerySpec(
+        qr48_nation_volume, QR48_SQL, "Q-R48 TPC-H Q7 shape: 6-table bi-nation volume"
     ),
 }

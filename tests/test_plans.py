@@ -142,3 +142,22 @@ def test_bigram_counts_broadcast_vocab_joins(spark):
     the corpus against the vocabulary."""
     df = REG["ql27_bigram_collocations"].spark(spark, SF_DIR)
     assert broadcast_join_count(df) >= 3
+
+
+def test_q19_shape_pushes_per_side_disjunctions(spark):
+    """qr46: the cross-side OR-of-ANDs must still yield pushed per-side
+    disjunctions — l_quantity ranges into the lineitem scan, brand/size
+    arms into the part scan — and part joins as a broadcast."""
+    df = REG["qr46_disjunctive_join"].spark(spark, SF_DIR)
+    filters = " ".join(pushed_filters(df))
+    assert "l_quantity" in filters and "p_brand" in filters and "p_size" in filters
+    assert broadcast_join_count(df) >= 1
+
+
+def test_q7_shape_single_big_join(spark):
+    """qr48: in the 6-table join only lineitem⋈orders may shuffle; every
+    dim leg broadcasts (≥3 broadcast joins), keeping exchanges ≤3 (big
+    join + agg + output sort)."""
+    df = REG["qr48_nation_volume"].spark(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 3
+    assert exchange_count(df) <= 4
