@@ -271,6 +271,109 @@ ORDER BY 1, 2
 """
 
 
+def qt06_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR INTERPOLATION across empty buckets —
+    qt04's gapfill fills zeros; this reconstructs the signal.
+
+    Dense (type, hour) axis (sequence + explode over the global span), left
+    join of the hourly sums, then two frame windows per type — last-known
+    before / first-known after, both on the SAME partitioning and sort, so
+    one exchange serves all four ignoreNulls lookups. The interpolation is
+    exact-int until the final division (value sums are ×1e6 bigints, hour
+    offsets are ints) and the OUTPUT stays in integer micro units — a
+    round-to-cents here would land on exact .xx5 quotients where Spark's
+    BigDecimal(string) HALF_UP and the oracle's binary-double round split.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("val6"))
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    axis = (
+        span.select(
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hr")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    dense = axis.join(hourly, ["event_type", "hr"], "left").withColumn(
+        "h", (F.unix_timestamp("hr") / 3600).cast("int")
+    )
+    wp = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    known_h = F.when(F.col("val6").isNotNull(), F.col("h"))
+    prev_v = F.last("val6", ignorenulls=True).over(wp)
+    prev_h = F.last(known_h, ignorenulls=True).over(wp)
+    next_v = F.first("val6", ignorenulls=True).over(wn)
+    next_h = F.first(known_h, ignorenulls=True).over(wn)
+    interp6 = (
+        F.when(F.col("val6").isNotNull(), F.col("val6").cast("double"))
+        .when(prev_v.isNull(), next_v.cast("double"))
+        .when(next_v.isNull(), prev_v.cast("double"))
+        .otherwise(
+            prev_v + ((next_v - prev_v) * (F.col("h") - prev_h)) / (next_h - prev_h)
+        )
+    )
+    return dense.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hr"),
+        F.round(interp6).cast("bigint").alias("value_interp_micro"),
+        F.col("val6").isNull().alias("is_filled"),
+    ).orderBy("event_type", "hr")
+
+
+QT06_SQL = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hr,
+           sum(CAST(round(value * 1000000) AS BIGINT)) AS val6
+    FROM events GROUP BY 1, 2
+),
+span AS (
+    SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+    FROM events
+),
+axis AS (
+    SELECT t.event_type, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hr
+    FROM span CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+),
+dense AS (
+    SELECT axis.event_type, axis.hr, hourly.val6,
+           CAST(epoch(axis.hr) / 3600 AS INT) AS h
+    FROM axis LEFT JOIN hourly
+      ON hourly.event_type = axis.event_type AND hourly.hr = axis.hr
+),
+looked AS (
+    SELECT *,
+           last_value(val6 IGNORE NULLS) OVER wp AS prev_v,
+           last_value(CASE WHEN val6 IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS prev_h,
+           first_value(val6 IGNORE NULLS) OVER wn AS next_v,
+           first_value(CASE WHEN val6 IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS next_h
+    FROM dense
+    WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr,
+       CAST(round(
+         CASE WHEN val6 IS NOT NULL THEN val6::DOUBLE
+              WHEN prev_v IS NULL THEN next_v::DOUBLE
+              WHEN next_v IS NULL THEN prev_v::DOUBLE
+              ELSE prev_v + ((next_v - prev_v) * (h - prev_h))::DOUBLE / (next_h - prev_h)
+         END) AS BIGINT) AS value_interp_micro,
+       val6 IS NULL AS is_filled
+FROM looked
+ORDER BY event_type, hr
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qt01_asof_last_click": QuerySpec(
         qt01_asof_last_click, QT01_SQL, "as-of join (union-sort) vs native DuckDB ASOF"
@@ -286,5 +389,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qt05_ohlc_bars": QuerySpec(
         qt05_ohlc_bars, QT05_SQL, "daily OHLC downsample via struct-keyed min_by/max_by"
+    ),
+    "qt06_resample_interpolate": QuerySpec(
+        qt06_resample_interpolate, QT06_SQL, "hourly resample with linear interpolation"
     ),
 }
