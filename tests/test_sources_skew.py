@@ -148,3 +148,24 @@ def test_compact_file_count_and_clustering(spark, tmp_path):
     # row-count parity: compaction moves, never drops
     n_src = spark.read.parquet(frag).count()
     assert spark.read.parquet(dest2).count() == n_src
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Parquet schema evolution: a directory whose newer files carry an
+    added column reads coherently with mergeSchema — old rows surface NULL,
+    and predicate pushdown on the shared columns still reaches the scan."""
+    from streamsurfer_spark.plans.inspect import pushed_filters
+    from streamsurfer_spark.sources.files import read_table
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string").write.parquet(
+        d + "/gen=1"
+    )
+    spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, name string, score double"
+    ).write.parquet(d + "/gen=2")
+
+    df = read_table(spark, d, mergeSchema="true").where("id >= 2")
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {2: ("b", None), 3: ("c", 0.5)}
+    assert any("id" in f for f in pushed_filters(df))
