@@ -2038,6 +2038,64 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+# --- Q-R49: multiset set ops (EXCEPT ALL / INTERSECT ALL) --------------------
+
+def _nation_bags(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Two BAGS (with duplicates) of customer nation keys: one element per
+    1997 / 1998 order — multiplicity is the whole point here."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    def bag(year: int) -> DataFrame:
+        return (
+            orders.where(F.year("o_orderdate") == year)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("c_nationkey")
+        )
+
+    return bag(1997), bag(1998)
+
+
+def _bag_agg(df: DataFrame) -> DataFrame:
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("c_nationkey").alias("n_distinct"),
+        F.sum("c_nationkey").alias("sum_keys"),
+    )
+
+
+def qr49_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: surviving multiplicity = max(0, count97 − count98) per
+    key — qr13's distinct EXCEPT collapses that to membership. Spark plans
+    exceptAll as a counted anti-semantics aggregate, not a join explosion."""
+    b97, b98 = _nation_bags(spark, sf_dir)
+    return _bag_agg(b97.exceptAll(b98))
+
+
+def qr49_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: multiplicity = min(count97, count98) per key."""
+    b97, b98 = _nation_bags(spark, sf_dir)
+    return _bag_agg(b97.intersectAll(b98))
+
+
+_QR49_TMPL = """
+WITH b97 AS (
+  SELECT c_nationkey FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE year(o_orderdate) = 1997
+), b98 AS (
+  SELECT c_nationkey FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE year(o_orderdate) = 1998
+)
+SELECT count(*) AS n_rows,
+       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_distinct,
+       CAST(sum(c_nationkey) AS BIGINT) AS sum_keys
+FROM (SELECT c_nationkey FROM b97 {op} SELECT c_nationkey FROM b98)
+"""
+
+QR49_EXCEPT_ALL_SQL = _QR49_TMPL.format(op="EXCEPT ALL")
+QR49_INTERSECT_ALL_SQL = _QR49_TMPL.format(op="INTERSECT ALL")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -2144,5 +2202,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr48_nation_volume": QuerySpec(
         qr48_nation_volume, QR48_SQL, "Q-R48 TPC-H Q7 shape: 6-table bi-nation volume"
+    ),
+    "qr49_except_all": QuerySpec(
+        qr49_except_all, QR49_EXCEPT_ALL_SQL, "Q-R49 multiset EXCEPT ALL"
+    ),
+    "qr49_intersect_all": QuerySpec(
+        qr49_intersect_all, QR49_INTERSECT_ALL_SQL, "Q-R49 multiset INTERSECT ALL"
     ),
 }
