@@ -49,3 +49,24 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str, n_per_stratum
         .where(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+def assign_split(
+    df: DataFrame, id_col: str, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash.
+
+    The export-time contract every training pipeline needs: membership is a
+    pure function of the row key, so re-runs, backfills, and other engines
+    place every document in the SAME split — no leakage when the corpus is
+    re-sharded or incrementally extended. Per-row expression, no shuffle.
+    """
+    if not 0 < train_pct + val_pct <= 100:
+        raise ValueError("train_pct + val_pct must be in (0, 100]")
+    bucket = _key_hash(id_col) % 100
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )

@@ -1141,6 +1141,45 @@ FROM e GROUP BY 1 ORDER BY 1
 """
 
 
+# --- Q-L29: train/val/test split manifest ------------------------------------
+
+def ql29_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the corpus, reported
+    per (split, lang): doc count, token volume, and an identity checksum.
+    Assignment is a pure hash of doc_id (operators/sampling.assign_split) —
+    stable under resharding/backfill, replayed exactly by the oracle.
+    """
+    from streamsurfer_spark.operators.sampling import assign_split
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+QL29_SQL = f"""
+WITH assigned AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens,
+         CASE WHEN {DUCK_HASH.format(x="doc_id::VARCHAR")} % 100 < 80 THEN 'train'
+              WHEN {DUCK_HASH.format(x="doc_id::VARCHAR")} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -1186,5 +1225,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ql28_quantization_error": QuerySpec(
         ql28_quantization_error, QL28_SQL, "int8 embedding quantization + reconstruction error"
+    ),
+    "ql29_split_manifest": QuerySpec(
+        ql29_split_manifest, QL29_SQL, "deterministic train/val/test split manifest"
     ),
 }

@@ -2096,6 +2096,83 @@ QR49_EXCEPT_ALL_SQL = _QR49_TMPL.format(op="EXCEPT ALL")
 QR49_INTERSECT_ALL_SQL = _QR49_TMPL.format(op="INTERSECT ALL")
 
 
+# --- Q-R50: declarative data-quality expectations ----------------------------
+
+def qr50_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality report over orders: row predicates (one conditional-count
+    aggregate over ONE scan), a uniqueness check (exact group-by), and a
+    referential check against customer (broadcast anti-join) —
+    operators/expectations.py. Mixes passing constraints with genuinely
+    violated ones so the report carries real counts.
+    """
+    from streamsurfer_spark.operators.expectations import (
+        ForeignKeyCheck,
+        RowCheck,
+        UniqueCheck,
+        check,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    return check(
+        orders,
+        [
+            RowCheck("rc_orderkey_not_null", F.col("o_orderkey").isNotNull()),
+            RowCheck("rc_price_positive", F.col("o_totalprice") > 0),
+            RowCheck(
+                "rc_status_domain", F.col("o_orderstatus").isin("O", "F", "P")
+            ),
+            RowCheck(
+                "rc_shipped_before_1999",
+                F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"),
+            ),
+            RowCheck("rc_price_above_1000", F.col("o_totalprice") > 1000),
+            UniqueCheck("uq_orderkey", ["o_orderkey"]),
+            ForeignKeyCheck("fk_custkey", "o_custkey", cust, "c_custkey"),
+        ],
+    )
+
+
+QR50_SQL = """
+WITH rc AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN NOT (o_orderkey IS NOT NULL) THEN 1 ELSE 0 END) AS v_nn,
+         sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS v_pos,
+         sum(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P')) THEN 1 ELSE 0 END) AS v_dom,
+         sum(CASE WHEN NOT (o_orderdate < TIMESTAMP '1999-01-01') THEN 1 ELSE 0 END) AS v_date,
+         sum(CASE WHEN NOT (o_totalprice > 1000) THEN 1 ELSE 0 END) AS v_1000
+  FROM orders
+),
+uq AS (
+  SELECT coalesce(sum(cnt - 1), 0) AS v FROM (
+    SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+  )
+),
+fk AS (
+  SELECT count(*) AS v FROM orders
+  WHERE o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+)
+SELECT * FROM (
+  SELECT 'fk_custkey' AS check_name, CAST(v AS BIGINT) AS n_violations,
+         CAST(NULL AS BIGINT) AS n_checked FROM fk
+  UNION ALL
+  SELECT 'rc_orderkey_not_null', CAST(v_nn AS BIGINT), CAST(n AS BIGINT) FROM rc
+  UNION ALL
+  SELECT 'rc_price_above_1000', CAST(v_1000 AS BIGINT), CAST(n AS BIGINT) FROM rc
+  UNION ALL
+  SELECT 'rc_price_positive', CAST(v_pos AS BIGINT), CAST(n AS BIGINT) FROM rc
+  UNION ALL
+  SELECT 'rc_shipped_before_1999', CAST(v_date AS BIGINT), CAST(n AS BIGINT) FROM rc
+  UNION ALL
+  SELECT 'rc_status_domain', CAST(v_dom AS BIGINT), CAST(n AS BIGINT) FROM rc
+  UNION ALL
+  SELECT 'uq_orderkey', CAST(v AS BIGINT), CAST(NULL AS BIGINT) FROM uq
+)
+ORDER BY check_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -2208,5 +2285,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr49_intersect_all": QuerySpec(
         qr49_intersect_all, QR49_INTERSECT_ALL_SQL, "Q-R49 multiset INTERSECT ALL"
+    ),
+    "qr50_expectations_orders": QuerySpec(
+        qr50_expectations_orders, QR50_SQL, "Q-R50 declarative data-quality expectations"
     ),
 }

@@ -182,3 +182,54 @@ def test_audio_chunking_timeline(spark):
     # doc 4: 33 bytes = 2ms + 1 trailing byte (<1ms = sub-min) → dropped
     d4 = sorted(by_doc[4], key=lambda r: r.seg_idx)
     assert [(r.seg_start_ms, r.seg_bytes) for r in d4] == [(0, 32)]
+
+
+def test_ivf_recall_vs_exact(spark):
+    """ANN quality gate: ql14's IVF top-3 must recover a healthy fraction of
+    the exact cosine top-3 (ql03 is exact over the same probes' space).
+    IVF with nprobe=2 trades recall for a ~k_clusters/nprobe-fold candidate
+    cut; on the fixture it must stay above 0.5 — a collapse below that
+    means the routing (quantize → assign → probe) broke, not the tuning."""
+    import pyspark.sql.functions as F
+    from streamsurfer_spark.operators import similarity
+    from streamsurfer_spark.session import table
+    from tests.conftest import SF_DIR
+
+    emb = table(spark, SF_DIR, "embeddings")
+    approx = similarity.ivf_topk(emb, k=3, probe_mod=25)
+    probes = [r.probe_id for r in approx.select("probe_id").distinct().collect()]
+
+    # exact top-3 per probe by brute-force cosine over the full corpus
+    a = emb.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").cast("array<double>").alias("pa"),
+    ).where(F.col("probe_id").isin(probes))
+    b = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ca")
+    )
+    dot = F.expr("aggregate(zip_with(pa, ca, (x, y) -> x * y), 0d, (acc, v) -> acc + v)")
+    nrm = "sqrt(aggregate(transform({c}, x -> x * x), 0d, (acc, v) -> acc + v))"
+    from pyspark.sql import Window
+
+    sim = dot / (F.expr(nrm.format(c="pa")) * F.expr(nrm.format(c="ca")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
+    exact = (
+        a.crossJoin(b)
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("probe_id", "vec_id")
+    )
+    exact_sets: dict[int, set] = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.probe_id, set()).add(r.vec_id)
+    approx_sets: dict[int, set] = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r.probe_id, set()).add(r.vec_id)
+
+    hits = sum(len(approx_sets.get(p, set()) & s) for p, s in exact_sets.items())
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total
+    assert total > 0
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.3f} ({hits}/{total})"
