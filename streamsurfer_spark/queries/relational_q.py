@@ -2173,6 +2173,80 @@ ORDER BY check_name
 """
 
 
+# --- Q-R51: explicit GROUPING SETS -------------------------------------------
+
+def qr51_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed GROUPING SETS — (status, priority), (status), (priority), () —
+    in one aggregate; rollup/cube (qr09/qr09b) are the regular lattices,
+    this is the irregular one. Catalyst plans a single Expand + hash
+    aggregate: one scan regardless of set count.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("qr51_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n_orders,
+               round(sum(CAST(round(o_totalprice * 1000000) AS BIGINT))
+                     / CAST(1000000 AS DOUBLE), 2) AS total_price
+        FROM qr51_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+QR51_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       round(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) / 1000000.0, 2)
+         AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority), ())
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+# --- Q-R52: VariantType semi-structured access (Spark 4) ---------------------
+
+def qr52_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props parsed ONCE into Spark 4's VariantType, then path
+    extraction + typed cast + aggregation — the open-schema path that
+    replaces per-access get_json_object re-parsing (qv06). The variant
+    binary encoding is the engine-side representation; results must still
+    equal the oracle's plain-JSON extraction.
+    """
+    ev = _t(spark, sf_dir, "events")
+    v = ev.withColumn("pv", F.parse_json("props"))
+    k = F.variant_get(F.col("pv"), "$.k", "int")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.when(k.isNull(), 1)).alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QR52_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+       count(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END) AS n_missing
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -2288,5 +2362,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr50_expectations_orders": QuerySpec(
         qr50_expectations_orders, QR50_SQL, "Q-R50 declarative data-quality expectations"
+    ),
+    "qr51_grouping_sets": QuerySpec(
+        qr51_grouping_sets, QR51_SQL, "Q-R51 irregular GROUPING SETS lattice"
+    ),
+    "qr52_variant_props": QuerySpec(
+        qr52_variant_props, QR52_SQL, "Q-R52 VariantType parse-once semi-structured access"
     ),
 }
