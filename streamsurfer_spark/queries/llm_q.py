@@ -1180,6 +1180,75 @@ FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --- Q-L30: benchmark decontamination ----------------------------------------
+
+QL30_BENCH_SOURCES = ("src0", "src1")
+QL30_THRESHOLD = 0.25
+
+
+def ql30_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose 3-gram shingles
+    overlap a held-out benchmark set beyond a threshold.
+
+    Dedup's symmetric pair-join won't do here — the check is ASYMMETRIC
+    (corpus vs a fixed reference set). The benchmark's distinct shingle set
+    is small at any corpus scale (eval suites don't grow with training
+    data), so it broadcasts and the corpus side is a map-only probe +
+    per-doc aggregate: no shuffle proportional to corpus².
+    """
+    from streamsurfer_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    sh = dedup.with_shingles(docs).select(
+        "doc_id", "source", F.explode(F.array_distinct("shingles")).alias("shingle")
+    )
+    is_bench = F.col("source").isin(*QL30_BENCH_SOURCES)
+    bench = sh.where(is_bench).select("shingle").distinct()
+    cand = sh.where(~is_bench)
+    per_doc = (
+        cand.join(F.broadcast(bench.withColumn("_hit", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .withColumn(
+            "ratio", F.round(F.col("n_contaminated") / F.col("n_shingles"), 4)
+        )
+    )
+    return (
+        per_doc.where(F.col("ratio") >= QL30_THRESHOLD)
+        .orderBy("doc_id")
+    )
+
+
+QL30_SQL = f"""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, source, shingle
+    FROM (SELECT doc_id, source, unnest({DUCK_SHINGLES}) AS shingle FROM d)
+),
+bench AS (
+    SELECT DISTINCT shingle FROM sh
+    WHERE source IN {QL30_BENCH_SOURCES!r}
+),
+cand AS (SELECT * FROM sh WHERE source NOT IN {QL30_BENCH_SOURCES!r}),
+per_doc AS (
+    SELECT c.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated
+    FROM cand c LEFT JOIN bench b ON b.shingle = c.shingle
+    GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_contaminated,
+       round(n_contaminated * 1.0 / n_shingles, 4) AS ratio
+FROM per_doc
+WHERE round(n_contaminated * 1.0 / n_shingles, 4) >= {QL30_THRESHOLD}
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -1228,5 +1297,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ql29_split_manifest": QuerySpec(
         ql29_split_manifest, QL29_SQL, "deterministic train/val/test split manifest"
+    ),
+    "ql30_decontamination": QuerySpec(
+        ql30_decontamination, QL30_SQL, "benchmark decontamination via broadcast shingle probe"
     ),
 }
