@@ -40,6 +40,9 @@ BENCH_QUERIES = (
     "qr42_upsert_snapshot",
     "qt05_ohlc_bars",
     "ql27_bigram_collocations",
+    # late round-1 extensions: big-big join (Q7), one-scan quality gate
+    "qr48_nation_volume",
+    "qr50_expectations_orders",
     # composed capstone
     "qp01_curation_report",
 )
