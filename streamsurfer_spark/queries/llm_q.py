@@ -1249,6 +1249,82 @@ ORDER BY doc_id
 """
 
 
+# --- Q-L31: intra-document repetition metrics --------------------------------
+
+QL31_DUP_TOKEN_MAX = 0.55
+QL31_TOP_SHINGLE_MAX = 0.10
+
+
+def ql31_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-rule style): duplicate-token
+    ratio and the most-frequent-3-gram share, plus the filter flag.
+
+    Cross-doc dedup (ql01/ql02) can't see a document that repeats ITSELF;
+    these are the signals that catch boilerplate loops and degenerate
+    generations. Token stats are per-row lambdas (codegen, no shuffle);
+    the top-shingle share needs one (doc_id, shingle) aggregate — keyed by
+    doc, so it scales linearly and skew-free.
+    """
+    from streamsurfer_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    base = dedup.with_shingles(docs)
+    tok = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(1 - F.size(F.array_distinct("toks")) / F.size("toks"), 4).alias(
+            "dup_token_ratio"
+        ),
+        "shingles",
+    )
+    top = (
+        tok.select("doc_id", F.explode("shingles").alias("shingle"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"), F.sum("c").alias("n_sh"))
+    )
+    return (
+        tok.drop("shingles")
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_ratio",
+            F.round(F.col("max_c") / F.col("n_sh"), 4).alias("top_shingle_ratio"),
+        )
+        .withColumn(
+            "flag_repetitive",
+            (F.col("dup_token_ratio") > QL31_DUP_TOKEN_MAX)
+            | (F.col("top_shingle_ratio") > QL31_TOP_SHINGLE_MAX),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QL31_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(1 - len(list_distinct(toks)) * 1.0 / len(toks), 4) AS dup_token_ratio,
+           {DUCK_SHINGLES} AS shingles
+    FROM d
+),
+sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM tok),
+per AS (SELECT doc_id, shingle, count(*) AS c FROM sh GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS max_c, sum(c) AS n_sh FROM per GROUP BY 1)
+SELECT tok.doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       dup_token_ratio,
+       round(max_c * 1.0 / n_sh, 4) AS top_shingle_ratio,
+       (dup_token_ratio > {QL31_DUP_TOKEN_MAX}
+        OR round(max_c * 1.0 / n_sh, 4) > {QL31_TOP_SHINGLE_MAX}) AS flag_repetitive
+FROM tok JOIN top ON top.doc_id = tok.doc_id
+ORDER BY tok.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -1300,5 +1376,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ql30_decontamination": QuerySpec(
         ql30_decontamination, QL30_SQL, "benchmark decontamination via broadcast shingle probe"
+    ),
+    "ql31_repetition_metrics": QuerySpec(
+        ql31_repetition_metrics, QL31_SQL, "intra-document repetition metrics + filter flag"
     ),
 }
