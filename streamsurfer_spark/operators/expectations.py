@@ -60,14 +60,20 @@ def check(
                 F.sum(F.when(~c.predicate, 1).otherwise(0)).alias(f"_v_{c.name}")
             )
         wide = df.agg(*aggs)
-        for c in row_checks:
-            reports.append(
-                wide.select(
+        # one row per constraint via explode of the single 1-row aggregate —
+        # a UNION of per-constraint selects would make Catalyst re-plan (and
+        # re-scan) the aggregate once per leg
+        entries = F.array(
+            *[
+                F.struct(
                     F.lit(c.name).alias("check_name"),
                     F.col(f"_v_{c.name}").cast("bigint").alias("n_violations"),
                     F.col("_n").cast("bigint").alias("n_checked"),
                 )
-            )
+                for c in row_checks
+            ]
+        )
+        reports.append(wide.select(F.explode(entries).alias("e")).select("e.*"))
 
     for c in checks:
         if isinstance(c, UniqueCheck):

@@ -161,3 +161,15 @@ def test_q7_shape_single_big_join(spark):
     df = REG["qr48_nation_volume"].spark(spark, SF_DIR)
     assert broadcast_join_count(df) >= 3
     assert exchange_count(df) <= 4
+
+
+def test_expectations_one_scan_per_check_type(spark):
+    """qr50: N row-level constraints compile to ONE aggregate (explode, not
+    a union re-planning the scan per leg) — the whole report costs 4 scans
+    (row checks, uniqueness, FK probe + FK dim) regardless of how many
+    constraints are declared."""
+    from streamsurfer_spark.plans.inspect import scan_schemas
+
+    df = REG["qr50_expectations_orders"].spark(spark, SF_DIR)
+    assert len(scan_schemas(df)) <= 4
+    assert exchange_count(df) <= 4
