@@ -2247,6 +2247,109 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+# --- Q-R53: small-quantity threshold (TPC-H Q17 shape) -----------------------
+
+QR53_BRANDS = ("Brand#1", "Brand#2")
+
+
+def qr53_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from orders below 20% of their part's average quantity.
+
+    TPC-H Q17's correlated scalar subquery, decorrelated Spark-first: the
+    per-part average is ONE aggregate over lineitem joined back by part key
+    — never a per-row subquery execution. The 20%-of-average cut runs in
+    cross-multiplied integer form (qty·5·cnt < Σqty), so no float average
+    can flip a boundary row between engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand").isin(*QR53_BRANDS)).select(
+        "p_partkey", "p_brand"
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum(_i6("l_quantity")).alias("q6_sum"), F.count("*").alias("q_cnt")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part.pp_key)
+        .where(_i6("l_quantity") * 5 * F.col("q_cnt") < F.col("q6_sum"))
+        .groupBy("p_brand")
+        .agg(
+            _sum6("l_extendedprice").alias("total_price"),
+            F.count("*").alias("n_items"),
+            F.round(F.sum(_i6("l_extendedprice")) / (7.0 * SCALE6), 2).alias("avg_yearly"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+QR53_SQL = f"""
+WITH pp AS (
+  SELECT l_partkey AS pp_key,
+         sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS q6_sum,
+         count(*) AS q_cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT p_brand,
+       {_duck_sum6("l_extendedprice")} AS total_price,
+       count(*) AS n_items,
+       round(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / (7.0 * 1000000), 2)
+         AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pp ON l_partkey = pp_key
+WHERE p_brand IN {QR53_BRANDS!r}
+  AND CAST(round(l_quantity * 1000000) AS BIGINT) * 5 * q_cnt < q6_sum
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q-R54: top supplier by quarterly revenue (TPC-H Q15 shape) --------------
+
+def qr54_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) achieving the maximum 1997Q1 revenue — Q15's
+    view + scalar-subquery-equality, with the equality on EXACT scaled-int
+    revenue (a double-equality against max() is engine-dependent at the
+    ulp; integer equality is not). The 1-row max broadcasts; no second
+    scan of lineitem.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_i6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev6")
+    )
+    top = rev.crossJoin(F.broadcast(rev.agg(F.max("rev6").alias("max6")))).where(
+        F.col("rev6") == F.col("max6")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev6") / SCALE6, 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+QR54_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) AS rev6
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name,
+       round(rev6 / 1000000.0, 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev6 = (SELECT max(rev6) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -2368,5 +2471,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr52_variant_props": QuerySpec(
         qr52_variant_props, QR52_SQL, "Q-R52 VariantType parse-once semi-structured access"
+    ),
+    "qr53_small_quantity_revenue": QuerySpec(
+        qr53_small_quantity_revenue, QR53_SQL, "Q-R53 TPC-H Q17 shape: decorrelated threshold"
+    ),
+    "qr54_top_supplier": QuerySpec(
+        qr54_top_supplier, QR54_SQL, "Q-R54 TPC-H Q15 shape: exact-int argmax equality"
     ),
 }
