@@ -2350,6 +2350,33 @@ ORDER BY s_suppkey
 """
 
 
+# --- Q-R55: empty-result parity ----------------------------------------------
+
+def qr55_empty_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A query whose predicate eliminates every row (orders before 1990 —
+    the fixture starts in 1995). Empty results are a classic differential-
+    testing blind spot: schema, types, and zero-row hashing must still
+    agree, and the impossible predicate must push into the scan rather
+    than surface an error.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), _sum6("o_totalprice").alias("total_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
+QR55_SQL = f"""
+SELECT o_orderstatus, count(*) AS n_orders,
+       {_duck_sum6("o_totalprice")} AS total_price
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1990-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -2477,5 +2504,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr54_top_supplier": QuerySpec(
         qr54_top_supplier, QR54_SQL, "Q-R54 TPC-H Q15 shape: exact-int argmax equality"
+    ),
+    "qr55_empty_result": QuerySpec(
+        qr55_empty_result, QR55_SQL, "Q-R55 empty-result schema/hash parity"
     ),
 }
