@@ -374,6 +374,72 @@ ORDER BY event_type, hr
 """
 
 
+def qt07_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 0.5, pandas-style
+    adjust=True) over the daily value series per event type.
+
+    Scale honesty: the raw 100 TB stream collapses to (type × day) rows in
+    the FIRST aggregate — the smoothing then runs on a tiny series, so the
+    weighted inequality self-join costs nothing. α = 0.5 keeps every
+    weight an exact binary power (pow(0.5, k) is exact in IEEE754), so the
+    weighted sums are bit-identical on the oracle; no recursive state, no
+    libm-dependent exponentials of arbitrary bases.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("x6"))
+        .withColumn(
+            "idx",
+            F.datediff(
+                "day", F.min("day").over(Window.partitionBy("event_type"))
+            ),
+        )
+    )
+    a = daily.select(
+        F.col("event_type").alias("t"), F.col("idx").alias("i"), F.col("x6").alias("xi")
+    )
+    b = daily.select("event_type", "day", "idx")
+    w = F.pow(F.lit(0.5), b.idx - a.i)
+    return (
+        b.join(a, (b.event_type == a.t) & (a.i <= b.idx))
+        .groupBy("event_type", "day", "idx")
+        .agg(
+            F.round(
+                F.sum(a.xi * w) / F.sum(w) / 1_000_000, 2
+            ).alias("ewma_value")
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "ewma_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+QT07_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(round(value * 1000000) AS BIGINT)) AS x6
+  FROM events GROUP BY 1, 2
+),
+idxd AS (
+  SELECT event_type, day, x6,
+         datediff('day', min(day) OVER (PARTITION BY event_type), day) AS idx
+  FROM daily
+)
+SELECT b.event_type,
+       strftime(b.day, '%Y-%m-%d') AS day,
+       round(sum(a.x6 * pow(0.5, b.idx - a.idx))
+             / sum(pow(0.5, b.idx - a.idx)) / 1000000, 2) AS ewma_value
+FROM idxd b
+JOIN idxd a ON a.event_type = b.event_type AND a.idx <= b.idx
+GROUP BY b.event_type, b.day
+ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qt01_asof_last_click": QuerySpec(
         qt01_asof_last_click, QT01_SQL, "as-of join (union-sort) vs native DuckDB ASOF"
@@ -392,5 +458,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qt06_resample_interpolate": QuerySpec(
         qt06_resample_interpolate, QT06_SQL, "hourly resample with linear interpolation"
+    ),
+    "qt07_ewma_smoothing": QuerySpec(
+        qt07_ewma_smoothing, QT07_SQL, "EWMA smoothing over pre-aggregated daily series"
     ),
 }
