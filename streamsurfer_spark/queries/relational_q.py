@@ -2377,6 +2377,87 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --- Q-R56: recursive CTE inventory drawdown (Spark 4 WITH RECURSIVE) --------
+
+def qr56_inventory_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped inventory drawdown per supplier over monthly 1997 demand —
+    a GENUINE recurrence (bal_t = max(0, bal_{t-1} − demand_t)): the clamp
+    makes it inexpressible as a window running sum, so this exercises
+    Spark 4's WITH RECURSIVE for real, not as syntax sugar.
+
+    Scale notes: the recursion runs over the AGGREGATED (supplier, month)
+    series — 12 iterations of a tiny self-join, after one real aggregate
+    over lineitem. Opening stock is half the supplier's own annual demand
+    (scale-invariant: stockouts happen at every SF). All integer math.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).groupBy("l_suppkey", F.month("l_shipdate").alias("m")).agg(
+        F.sum(_i6("l_quantity")).alias("qty6")
+    ).createOrReplaceTempView("qr56_demand")
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        tot AS (
+          SELECT l_suppkey, CAST(sum(qty6) AS BIGINT) AS q_tot
+          FROM qr56_demand GROUP BY 1
+        ),
+        spine AS (
+          SELECT l_suppkey, explode(sequence(1, 12)) AS m FROM tot
+        ),
+        dense AS (
+          SELECT s.l_suppkey, s.m, COALESCE(d.qty6, CAST(0 AS BIGINT)) AS qty6
+          FROM spine s LEFT JOIN qr56_demand d
+            ON d.l_suppkey = s.l_suppkey AND d.m = s.m
+        ),
+        bal(l_suppkey, m, remaining_micro) AS (
+          SELECT l_suppkey, 0, q_tot DIV 2 FROM tot
+          UNION ALL
+          SELECT d.l_suppkey, d.m, GREATEST(CAST(0 AS BIGINT), b.remaining_micro - d.qty6)
+          FROM bal b JOIN dense d ON d.l_suppkey = b.l_suppkey AND d.m = b.m + 1
+        )
+        SELECT l_suppkey, m, remaining_micro,
+               remaining_micro = 0 AS stockout
+        FROM bal WHERE m > 0
+        ORDER BY l_suppkey, m
+        """
+    )
+
+
+QR56_SQL = """
+WITH RECURSIVE demand AS (
+  SELECT l_suppkey, CAST(month(l_shipdate) AS INT) AS m,
+         sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS qty6
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_suppkey, CAST(sum(qty6) AS BIGINT) AS q_tot FROM demand GROUP BY 1
+),
+spine AS (
+  SELECT l_suppkey, CAST(unnest(range(1, 13)) AS INT) AS m FROM tot
+),
+dense AS (
+  SELECT s.l_suppkey, s.m, COALESCE(d.qty6, 0) AS qty6
+  FROM spine s LEFT JOIN demand d
+    ON d.l_suppkey = s.l_suppkey AND d.m = s.m
+),
+bal(l_suppkey, m, remaining_micro) AS (
+  SELECT l_suppkey, 0, q_tot // 2 FROM tot
+  UNION ALL
+  SELECT d.l_suppkey, d.m, GREATEST(0, b.remaining_micro - d.qty6)
+  FROM bal b JOIN dense d ON d.l_suppkey = b.l_suppkey AND d.m = b.m + 1
+)
+SELECT l_suppkey, CAST(m AS INT) AS m, CAST(remaining_micro AS BIGINT) AS remaining_micro,
+       remaining_micro = 0 AS stockout
+FROM bal WHERE m > 0
+ORDER BY l_suppkey, m
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -2507,5 +2588,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr55_empty_result": QuerySpec(
         qr55_empty_result, QR55_SQL, "Q-R55 empty-result schema/hash parity"
+    ),
+    "qr56_inventory_drawdown": QuerySpec(
+        qr56_inventory_drawdown, QR56_SQL, "Q-R56 recursive CTE clamped inventory drawdown"
     ),
 }
