@@ -169,3 +169,63 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     rows = {r.id: (r.name, r.score) for r in df.collect()}
     assert rows == {2: ("b", None), 3: ("c", 0.5)}
     assert any("id" in f for f in pushed_filters(df))
+
+
+def test_python_datasource_batch_partition_invariance(spark):
+    """Custom Python DataSource (Spark 4 API): content is a pure function of
+    event_id — any partition count yields the identical dataset — and the
+    partition count requested is the partition count planned."""
+    from streamsurfer_spark.sources.synthetic import register, synth_row
+
+    register(spark)
+    a = spark.read.format("synthetic_events").option("n", "50").option(
+        "partitions", "2"
+    ).load()
+    b = spark.read.format("synthetic_events").option("n", "50").option(
+        "partitions", "7"
+    ).load()
+    rows_a = sorted(tuple(r) for r in a.collect())
+    rows_b = sorted(tuple(r) for r in b.collect())
+    assert rows_a == rows_b and len(rows_a) == 50
+    assert a.rdd.getNumPartitions() == 2
+    assert b.rdd.getNumPartitions() == 7
+    # spot-check against the pure generator
+    assert rows_a[0] == synth_row(0, 100)
+
+
+def test_python_datasource_stream_offsets(spark):
+    """The stream reader walks the id space in batch_size offsets and the
+    union of micro-batches equals the batch read of the same range."""
+    import uuid
+
+    from streamsurfer_spark.sources.synthetic import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n", "120")
+        .option("batch_size", "50")
+        .load()
+    )
+    name = f"synth_{uuid.uuid4().hex[:8]}"
+    # a simple stream reader surfaces one read() per trigger — run a
+    # fast processing-time trigger and stop once the id space is drained
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while spark.table(name).count() < 120 and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    got = spark.table(name)
+    batch = spark.read.format("synthetic_events").option("n", "120").load()
+    assert got.count() == 120
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in batch.collect()
+    )
