@@ -2458,6 +2458,56 @@ ORDER BY l_suppkey, m
 """
 
 
+# --- Q-R57: error-safe arithmetic (try_*) in SQL pipe syntax -----------------
+
+def qr57_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic: try_divide / try_cast / try_add return
+    NULL where strict evaluation would raise (÷0, bad cast, int64
+    overflow) — written in Spark 4's SQL pipe syntax. The oracle emulates
+    each try_* with its CASE-guarded equivalent.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("qr57_orders")
+    return spark.sql(
+        """
+        FROM qr57_orders
+        |> SELECT o_orderstatus,
+             try_divide(o_totalprice, o_custkey % 3) AS d,
+             try_cast(o_orderpriority AS INT) AS bad_cast,
+             try_add(9223372036854775807, o_orderkey) AS overflowed
+        |> AGGREGATE
+             count(*) AS n,
+             count(d) AS n_div_ok,
+             round(sum(CAST(round(d * 1000000) AS BIGINT)) / CAST(1000000 AS DOUBLE), 2)
+               AS sum_div,
+             count(bad_cast) AS n_cast_ok,
+             count(overflowed) AS n_add_ok
+           GROUP BY o_orderstatus
+        |> ORDER BY o_orderstatus
+        """
+    )
+
+
+QR57_SQL = """
+WITH t AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_custkey % 3 = 0 THEN NULL
+              ELSE o_totalprice / (o_custkey % 3) END AS d,
+         TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+         CASE WHEN o_orderkey = 0 THEN CAST(9223372036854775807 AS BIGINT)
+              ELSE CAST(NULL AS BIGINT) END AS overflowed
+  FROM orders
+)
+SELECT o_orderstatus,
+       count(*) AS n,
+       count(d) AS n_div_ok,
+       round(sum(CAST(round(d * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_div,
+       count(bad_cast) AS n_cast_ok,
+       count(overflowed) AS n_add_ok
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -2591,5 +2641,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr56_inventory_drawdown": QuerySpec(
         qr56_inventory_drawdown, QR56_SQL, "Q-R56 recursive CTE clamped inventory drawdown"
+    ),
+    "qr57_try_arithmetic": QuerySpec(
+        qr57_try_arithmetic, QR57_SQL, "Q-R57 try_* error-safe arithmetic via SQL pipe syntax"
     ),
 }
