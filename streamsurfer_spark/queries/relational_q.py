@@ -2508,6 +2508,45 @@ FROM t GROUP BY 1 ORDER BY 1
 """
 
 
+# --- Q-R58: collation-aware grouping (Spark 4 collations) --------------------
+
+def qr58_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via a UTF8_LCASE collated key (Spark 4
+    collations) — the engine-native alternative to lower()-normalizing
+    every reference to a column. The input is the part-name corpus plus
+    two synthesized case variants per row; a collated groupBy must merge
+    all three spellings. The collated key itself is representative-
+    nondeterministic, so the output reports min(name) as the canonical
+    spelling instead; the oracle normalizes with lower().
+    """
+    base = _t(spark, sf_dir, "part").select("p_name")
+    first_up = F.concat(
+        F.upper(F.substring("p_name", 1, 1)), F.expr("substring(p_name, 2)")
+    ).alias("p_name")
+    variants = (
+        base.unionAll(base.select(F.upper("p_name").alias("p_name")))
+        .unionAll(base.select(first_up))
+    )
+    return (
+        variants.groupBy(F.collate("p_name", "UTF8_LCASE").alias("k"))
+        .agg(F.min("p_name").alias("canon"), F.count("*").alias("n_variants"))
+        .select("canon", "n_variants")
+        .orderBy("canon")
+    )
+
+
+QR58_SQL = """
+WITH v AS (
+  SELECT p_name FROM part
+  UNION ALL SELECT upper(p_name) FROM part
+  UNION ALL SELECT upper(substr(p_name, 1, 1)) || substr(p_name, 2) FROM part
+)
+SELECT min(p_name) AS canon, count(*) AS n_variants
+FROM v GROUP BY lower(p_name)
+ORDER BY canon
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -2644,5 +2683,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr57_try_arithmetic": QuerySpec(
         qr57_try_arithmetic, QR57_SQL, "Q-R57 try_* error-safe arithmetic via SQL pipe syntax"
+    ),
+    "qr58_collated_grouping": QuerySpec(
+        qr58_collated_grouping, QR58_SQL, "Q-R58 UTF8_LCASE collated grouping"
     ),
 }

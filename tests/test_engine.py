@@ -22,3 +22,31 @@ def test_engine_query_dispatch(spark):
     assert "qp01_curation_report" in eng.query_names()
     df = eng.query("qr01_scan_checksum")
     assert df.first().n_rows == 6000
+
+
+def test_observation_metrics_free_of_extra_pass(spark):
+    """df.observe(Observation, ...) collects pipeline health metrics during
+    the SAME action — the mechanism for row-count/null-rate accounting at
+    100 TB without a second scan. Metrics must match an independent
+    aggregate of the same frame."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from streamsurfer_spark.session import table
+    from tests.conftest import SF_DIR
+
+    obs = Observation("orders_health")
+    orders = table(spark, SF_DIR, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("n_null_price"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    # run any action through the observed frame
+    n_status = orders.select("o_orderstatus").distinct().count()
+    assert n_status == 3
+    got = obs.get
+    base = table(spark, SF_DIR, "orders")
+    assert got["n_rows"] == base.count()
+    assert got["n_null_price"] == 0
+    assert got["max_key"] == base.agg(F.max("o_orderkey")).first()[0]
