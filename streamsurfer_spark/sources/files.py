@@ -23,7 +23,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-FORMATS = ("parquet", "orc", "csv", "json")
+FORMATS = ("parquet", "orc", "csv", "json", "xml")
+XML_ROW_TAG = "row"  # default rowTag for the XML reader/writer
 
 
 def read_table(
@@ -39,6 +40,8 @@ def read_table(
     reader = spark.read.format(fmt)
     if fmt == "csv":
         reader = reader.option("header", "true")
+    if fmt == "xml":
+        reader = reader.option("rowTag", options.pop("rowTag", XML_ROW_TAG))
     if schema is not None:
         reader = reader.schema(schema)
     elif fmt == "csv":
@@ -83,6 +86,8 @@ def write_table(
     writer = df.write.format(fmt).mode(mode)
     if fmt == "csv":
         writer = writer.option("header", "true")
+    if fmt == "xml":
+        writer = writer.option("rowTag", options.pop("rowTag", XML_ROW_TAG))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     for k, v in options.items():

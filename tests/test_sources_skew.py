@@ -229,3 +229,40 @@ def test_python_datasource_stream_offsets(spark):
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in batch.collect()
     )
+
+
+def test_xml_round_trip_parity(spark, tmp_path):
+    """Built-in XML (Spark 4): events written as XML read back value-equal
+    to the parquet source (timestamps rendered to strings first — XML has
+    no native timestamp type)."""
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.session import table
+    from streamsurfer_spark.sources.files import read_table, write_table
+    from tests.conftest import SF_DIR
+
+    src = (
+        table(spark, SF_DIR, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .limit(200)
+    )
+    d = str(tmp_path / "events_xml")
+    write_table(src, d, fmt="xml")
+    back = read_table(
+        spark,
+        d,
+        fmt="xml",
+        schema="event_id bigint, ts string, user_id bigint, event_type string, value double",
+    )
+    assert sorted(back.columns) == sorted(src.columns)
+    a = sorted(tuple(r) for r in src.collect())
+    b = sorted(
+        tuple(r[c] for c in src.columns) for r in back.collect()
+    )
+    assert a == b
