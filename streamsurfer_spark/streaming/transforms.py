@@ -123,8 +123,13 @@ def interval_join(
     lower_seconds: int,
     upper_seconds: int,
     watermark: str = WATERMARK,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join within a bounded event-time interval.
+    """Stream-stream join within a bounded event-time interval.
+
+    how="leftOuter" emits unmatched left rows (right side NULL) once the
+    watermark guarantees no match can still arrive — the state-safe outer
+    join only the interval bound + watermark combination makes possible.
 
     Both sides carry watermarks and the join condition bounds right_time
     relative to left_time — the two requirements that let Spark evict join
@@ -141,7 +146,7 @@ def interval_join(
         & (rt >= lt + F.expr(f"INTERVAL {lower_seconds} SECONDS"))
         & (rt <= lt + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
     )
-    return l.join(r, cond)
+    return l.join(r, cond, how)
 
 
 def watermarked_sessions(

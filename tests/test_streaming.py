@@ -297,3 +297,50 @@ def test_transform_with_state_map_counts(spark, tmp_path):
     # update mode emits only changed keys: batch 2 has no new "view" for 7,
     # so (7, view) appears exactly once
     assert sum(1 for r in rows if r.user_id == 7 and r.event_type == "view") == 1
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """leftOuter interval join: the matched purchase pairs normally; the
+    unmatched one emits with a NULL right side once the watermark (driven
+    by a later batch) proves no error can still arrive."""
+    dp = tmp_path / "outer_purchases"
+    de = tmp_path / "outer_errors"
+    dp.mkdir()
+    de.mkdir()
+    # user 1: purchase at 10h with an error at 11h (match, ±6h window)
+    # user 2: purchase at 10h, no error ever (outer row)
+    _write_events(
+        dp / "f1.parquet",
+        [(1, _ts(10), 1, "purchase", 5.0), (3, _ts(10), 2, "purchase", 7.0)],
+    )
+    _write_events(de / "f1.parquet", [(2, _ts(11), 1, "error", 0.0)])
+    time.sleep(1.05)
+    # far-future rows on BOTH sides: watermarks (1 day) pass 10h + 6h
+    _write_events(dp / "f2.parquet", [(8, _ts(90), 9, "purchase", 0.0)])
+    _write_events(de / "f2.parquet", [(9, _ts(90), 8, "error", 0.0)])
+    time.sleep(1.05)
+    # one more batch: outer-row eviction runs under the batch-2 watermark
+    _write_events(dp / "f3.parquet", [(10, _ts(91), 9, "purchase", 0.0)])
+    _write_events(de / "f3.parquet", [(11, _ts(91), 8, "error", 0.0)])
+
+    purchases = read_events_stream(spark, str(dp), max_files_per_trigger=1).select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    errors = read_events_stream(spark, str(de), max_files_per_trigger=1).select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    joined = transforms.interval_join(
+        purchases,
+        errors.withColumnRenamed("e_user", "user_id"),
+        key="user_id",
+        left_time="ts",
+        right_time="error_ts",
+        lower_seconds=-6 * 3600,
+        upper_seconds=6 * 3600,
+        how="leftOuter",
+    ).select("purchase_id", "error_id")
+    out = run_to_memory(joined, "append")
+    got = {(r.purchase_id, r.error_id) for r in out.collect()}
+    assert got == {(1, 2), (3, None)}
