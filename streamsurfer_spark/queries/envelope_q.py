@@ -175,6 +175,65 @@ ORDER BY event_type
 """
 
 
+# --- Q-V8: batch wire format (JSON array per group) --------------------------
+
+def qv08_batch_wire_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's wire unit — ONE JSON array of event envelopes per
+    send (main.go:267 marshals the whole batch as a single array) —
+    rendered deterministically per user: envelopes ordered by event_id,
+    keys sorted, no whitespace. The sink chunker slices these
+    by byte budget (property-tested); here the ARRAY RENDERING itself is
+    oracle-checked, so the exact bytes Kinesis would receive are pinned.
+    """
+    ev = table(spark, sf_dir, "events")
+    env = F.to_json(F.struct("event_id", "event_type", "user_id"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                # sort by the zero-padded sortable prefix, then strip it
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat(
+                                F.lpad(F.col("event_id").cast("string"), 12, "0"),
+                                F.lit("|"),
+                                env,
+                            )
+                        )
+                    ),
+                    lambda s: F.substring(s, 14, 1_000_000),
+                ),
+                ",",
+            ).alias("body")
+        )
+        .select(
+            "user_id",
+            F.concat(F.lit("["), F.col("body"), F.lit("]")).alias("batch_json"),
+            F.length(F.concat(F.lit("["), F.col("body"), F.lit("]"))).alias("n_bytes"),
+        )
+    )
+    return per_user.orderBy("user_id")
+
+
+QV08_SQL = """
+WITH env AS (
+  SELECT user_id, event_id,
+         '{"event_id":' || event_id || ',"event_type":"' || event_type ||
+         '","user_id":' || user_id || '}' AS e
+  FROM events
+),
+arr AS (
+  SELECT user_id,
+         '[' || string_agg(e, ',' ORDER BY event_id) || ']' AS batch_json
+  FROM env GROUP BY 1
+)
+SELECT user_id, batch_json,
+       CAST(length(batch_json) AS INT) AS n_bytes
+FROM arr ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qv01_validate_required": QuerySpec(qv01_validate_required, QV01_SQL, "Q-V1 required-field check"),
     "qv02_payload_parse": QuerySpec(qv02_payload_parse, QV02_SQL, "Q-V2 payload parse validation"),
@@ -183,4 +242,7 @@ QUERIES: dict[str, QuerySpec] = {
     "qv05_envelope_json": QuerySpec(qv05_envelope_json, QV05_SQL, "Q-V5 JSON envelope serialize"),
     "qv06_json_extract": QuerySpec(qv06_json_extract, QV06_SQL, "Q-V6 JSON payload extract"),
     "qv07_json_typed_parse": QuerySpec(qv07_json_typed_parse, QV07_SQL, "Q-V6 typed from_json parse"),
+    "qv08_batch_wire_format": QuerySpec(
+        qv08_batch_wire_format, QV08_SQL, "Q-V8 batch JSON-array wire format per group"
+    ),
 }
