@@ -266,3 +266,46 @@ def test_xml_round_trip_parity(spark, tmp_path):
         tuple(r[c] for c in src.columns) for r in back.collect()
     )
     assert a == b
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling: a 95%-hot key must be flagged skew=true and
+    split across tasks in the executed plan — the runtime defense the
+    engine leans on before manual salting (operators/skew.py) is needed.
+    Thresholds are lowered so fixture-scale data trips the same code path
+    production trips at 100 TB."""
+    saved = {}
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+    }
+    for k, v in tuned.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        # md5 payload: incompressible, so the hot partition's SHUFFLE bytes
+        # (what skew detection measures) reflect its row count
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") < 285_000, 0).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("dim")
+        )
+        joined = left.join(right, "k").groupBy().count()
+        # collect() (not first(), which plans a separate LIMIT query) so THIS
+        # DataFrame's AQE plan executes and finalizes
+        [row] = joined.collect()
+        assert row[0] == 285_000  # every hot-key row matches right's k=0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not flag the skewed partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
