@@ -173,3 +173,25 @@ def test_expectations_one_scan_per_check_type(spark):
     df = REG["qr50_expectations_orders"].spark(spark, SF_DIR)
     assert len(scan_schemas(df)) <= 4
     assert exchange_count(df) <= 4
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Join-strategy control: hints must switch the physical join — the
+    manual override lane when AQE's choice is wrong for a known workload."""
+    from streamsurfer_spark.plans.inspect import formatted_plan
+
+    orders = REG["qr03_join_orders_customer"]  # noqa: F841 — registry warm
+    from streamsurfer_spark.session import table
+    from tests.conftest import SF_DIR
+
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, SF_DIR, "orders").select("o_orderkey")
+
+    merged = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in formatted_plan(merged)
+
+    hashed = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in formatted_plan(hashed)
+
+    bcast = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+    assert "BroadcastHashJoin" in formatted_plan(bcast)
