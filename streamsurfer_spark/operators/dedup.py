@@ -121,29 +121,60 @@ def lsh_bands(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+# Per-bucket membership cap for the LSH pair expansion. A bucket of b docs
+# emits b·(b-1)/2 candidate pairs; without a cap, one mega-duplicated
+# document (say 1M byte-near-identical copies landing in one band bucket)
+# expands to 5e11 pairs inside a single key. 256 is far above any honest
+# near-dup bucket (fixture max is 13 at sf0.1) yet bounds the worst bucket
+# to ~32k pairs. Overflow policy: keep the `cap` smallest doc ids
+# (deterministic); run exact dedup FIRST (as qp01 does) so identical
+# documents never reach LSH as distinct members.
+LSH_BUCKET_CAP = 256
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
     """MinHash-LSH candidate pairs: (doc_a, doc_b, n_shared_bands).
 
-    Topology: per-row signature math → explode to bands → self-equijoin on
-    (band, band_key) → pair groupBy. The join key is a uniform hash digest,
-    so the shuffle is balanced; pair volume tracks near-dup density. At
-    100 TB, replace the self-join with a groupBy(band_key) + within-bucket
-    pair expansion to cap worst-case bucket fan-out.
+    Topology: per-row signature math → explode to bands → *capped*
+    within-bucket pair expansion → pair groupBy. The bucket key is a
+    uniform hash digest, so the shuffle is balanced; pair volume tracks
+    near-dup density and is hard-bounded at cap²/2 per bucket.
+
+    The cap is enforced with a row_number window over (band, band_key):
+    Spark's WindowGroupLimit prunes every map partition to `cap` rows per
+    bucket BEFORE the exchange, so neither the shuffle nor any aggregation
+    buffer ever holds an unbounded bucket. The survivors pair up via a
+    same-key collect_list (reuses the window's partitioning — no extra
+    exchange) and a pure expression expansion.
     """
+    from pyspark.sql import Window
+
     bands = lsh_bands(minhash_signature(with_shingles(df, text_col)), id_col)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    w = Window.partitionBy("band", "band_key").orderBy(id_col)
+    capped = (
+        bands.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= bucket_cap)
+        .drop("_rn")
+    )
+    buckets = capped.groupBy("band", "band_key").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids)), y -> struct(x, y))))"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
+        pairs.select(F.col("p.x").alias("doc_a"), F.col("p.y").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_bands"))
     )
 
@@ -184,19 +215,40 @@ def simhash_oracle_expr() -> str:
     return _simhash_expr("(h >> {b})")
 
 
+# Drop shingles appearing in more than this many documents from the
+# inverted-index join. A stopword-like shingle ("it is the") in d docs
+# fans out to d²/2 intersection rows in ONE join key — quadratic in the
+# worst key. Such shingles carry no discriminative signal (they shrink
+# every Jaccard toward the same baseline), so pruning them bounds the
+# fan-out at cap²/2 per shingle while leaving near-dup pairs (which share
+# many LOW-frequency shingles) intact. 1000 is far above the fixture max
+# document frequency (25 at sf0.1) so fixture hashes are unchanged; at
+# 100 TB set it to your stopword-df knee (and run on LSH candidates).
+NGRAM_SHINGLE_DF_CAP = 1000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.4,
+    max_shingle_docs: int = NGRAM_SHINGLE_DF_CAP,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
-    Inverted-index shape: distinct (doc, shingle) → self-join on shingle →
+    Inverted-index shape: distinct (doc, shingle) → prune shingles with
+    document frequency > max_shingle_docs → self-join on shingle →
     |A∩B| per pair → join per-doc set sizes → J = |A∩B| / (|A|+|B|-|A∩B|).
-    Emits pairs with J ≥ threshold. At 100 TB this runs on LSH candidates
-    only; a frequency cap on shingles (drop shingles in >k docs) bounds the
-    join fan-out — unnecessary at fixture scale.
+    Emits pairs with J ≥ threshold.
+
+    The frequency prune is a count window over the shingle key — one
+    exchange that the self-join then reuses (same partitioning), so the
+    cap costs no extra shuffle. Set sizes (the Jaccard denominators) are
+    computed from the FULL shingle sets, so J is exact for pairs whose
+    intersection survives; pairs held together only by >cap-frequency
+    shingles are dropped — by construction those have J ≲ cap/|A∪B| of
+    signal from such shingles, i.e. the prune only suppresses pairs that
+    were never near-duplicates.
     """
     sh = (
         with_shingles(df, text_col)
@@ -204,6 +256,14 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    from pyspark.sql import Window
+
+    wdf = Window.partitionBy("shingle")
+    sh = (
+        sh.withColumn("_df", F.count("*").over(wdf))
+        .where(F.col("_df") <= max_shingle_docs)
+        .drop("_df")
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(

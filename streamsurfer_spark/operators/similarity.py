@@ -59,6 +59,44 @@ def plane_weights(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[int]]:
     ]
 
 
+N_TOPK_SALTS = 16
+
+
+def topk_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list,
+    k: int,
+    salt_src: str,
+    rank_col: str = "rk",
+    n_salts: int = N_TOPK_SALTS,
+) -> DataFrame:
+    """Two-stage (salted) top-k per key — no single task ever holds a key's
+    full candidate set.
+
+    Stage 1 ranks within (key, salt) where salt = hash(salt_src) % n_salts,
+    so a key with n candidates sorts as n_salts tasks of ~n/n_salts rows;
+    Spark's WindowGroupLimit prunes each partition to k rows *before* the
+    shuffle. Stage 2 re-ranks the surviving ≤ k·n_salts rows per key — a
+    bounded-size window regardless of corpus scale. The result is exactly
+    the global top-k (any row in the global top-k is within its salt's
+    top-k), so oracles computing the direct window hash-match.
+
+    order_cols must be a deterministic total order (e.g. desc(sim) then id)
+    — required anyway for cross-engine reproducibility.
+    """
+    w1 = Window.partitionBy(key_col, "_salt").orderBy(*order_cols)
+    w2 = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)))
+        .withColumn("_rk1", F.row_number().over(w1))
+        .where(F.col("_rk1") <= k)
+        .withColumn(rank_col, F.row_number().over(w2))
+        .where(F.col(rank_col) <= k)
+        .drop("_salt", "_rk1")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -69,9 +107,11 @@ def cosine_topk(
     """Exact top-k cosine neighbors per probe: (probe_id, vec_id, sim, rk).
 
     probes is broadcast (it is small by contract) → the corpus-side scan is
-    shuffle-free; the only shuffle is the per-probe top-k window, keyed on
-    probe_id. Ties broken by neighbor id on the ROUNDED similarity so
-    ranking is reproducible across engines.
+    shuffle-free. The per-probe top-k is the two-stage salted window
+    (``topk_per_key``): stage 1 keys on (probe_id, hash(vec_id) % 16) so no
+    single task sorts a probe's full candidate list at 100× corpus scale;
+    stage 2 ranks the ≤ k·16 survivors. Ties broken by neighbor id on the
+    ROUNDED similarity so ranking is reproducible across engines.
     """
     # norms factored out pre-join: computed once per row instead of once
     # per (probe, corpus) pair — 2/3 less arithmetic in the O(p·n) stage
@@ -92,12 +132,9 @@ def cosine_topk(
         F.col(id_col),
         F.round(dot / (F.col("probe_nrm") * F.col("corpus_nrm")), 4).alias("sim"),
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.col(id_col))
-    return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("probe_id", id_col, "sim", "rk")
-    )
+    return topk_per_key(
+        sims, "probe_id", [F.desc("sim"), F.col(id_col)], k, salt_src=id_col
+    ).select("probe_id", id_col, "sim", "rk")
 
 
 def cosine_near_dup_pairs(
@@ -187,6 +224,12 @@ def lsh_buckets(
 QUANT_SCALE = 1000
 IVF_CENTROID_MOD = 250  # every 250th vector serves as a coarse centroid
 IVF_NPROBE = 2
+# Hard ceiling on the centroid count, independent of corpus size: the
+# centroid table must stay broadcastable (65536 × 64 dims × 8 B ≈ 34 MB)
+# and the assign fan-out must stay n×k with constant k. Above
+# IVF_MAX_CENTROIDS × IVF_CENTROID_MOD vectors, the sampling modulus
+# grows instead of the centroid count.
+IVF_MAX_CENTROIDS = 65536
 
 
 def quantize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -207,13 +250,35 @@ def quantize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def centroid_modulus(n_vectors: int) -> int:
+    """Sampling modulus for "every mod-th vector is a centroid".
+
+    Stays IVF_CENTROID_MOD while the resulting centroid count fits the
+    IVF_MAX_CENTROIDS budget; beyond that the modulus grows so the count
+    is capped at a CONSTANT — the broadcast size and the per-row assign
+    cost are then independent of corpus scale (at 1e9 vectors: mod=15259,
+    k=65536, not k=4e6).
+    """
+    mod = IVF_CENTROID_MOD
+    if n_vectors > IVF_MAX_CENTROIDS * IVF_CENTROID_MOD:
+        mod = -(-n_vectors // IVF_MAX_CENTROIDS)  # ceil division
+    return mod
+
+
 def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Assign each vector to its nearest centroid by integer L2².
 
-    centroids is tiny (n/IVF_CENTROID_MOD rows) → broadcast; the argmin is
-    a per-row window over centroid candidates, keyed by vector id. At
-    100 TB the centroid set still fits in a broadcast (k ≤ ~1e5) and the
-    assignment remains a map-only pass over the corpus.
+    centroids is bounded (≤ IVF_MAX_CENTROIDS by construction — see
+    ``centroid_modulus``) → broadcast; the argmin is a partial-aggregating
+    ``groupBy(id).agg(min_by(...))`` over the broadcast-nested-loop
+    expansion, so the n×k candidate rows collapse to n rows MAP-SIDE
+    before the only shuffle. No window, no n×k exchange. All non-id
+    columns of ``df`` ride along inside the min_by payload struct.
+
+    The struct-typed buffer makes Spark pick SortAggregate: each task
+    sorts its local n_part×k candidates once — the same local sort the
+    old window did AFTER shuffling n×k rows, now done before any wire
+    transfer. Network cost drops from O(n×k) to O(n).
     """
     cents = centroids.select(
         F.col(id_col).alias("cent_id"), F.col("qv").alias("cent_qv")
@@ -222,12 +287,19 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> D
         "aggregate(zip_with(qv, cent_qv, (x, y) -> (x - y) * (x - y)),"
         " cast(0 as bigint), (acc, v) -> acc + v)"
     )
+    carry = [c for c in df.columns if c != id_col]
     scored = df.join(F.broadcast(cents)).withColumn("dist", dist)
-    w = Window.partitionBy(id_col).orderBy("dist", "cent_id")
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "dist", "cent_qv")
+    # ordering key (dist, cent_id) is unique per candidate → deterministic
+    best = scored.groupBy(id_col).agg(
+        F.min_by(
+            F.struct(*[F.col(c) for c in carry], F.col("cent_id")),
+            F.struct(F.col("dist"), F.col("cent_id")),
+        ).alias("_best")
+    )
+    return best.select(
+        F.col(id_col),
+        *[F.col(f"_best.{c}").alias(c) for c in carry],
+        F.col("_best.cent_id").alias("cent_id"),
     )
 
 
@@ -239,19 +311,29 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize → cluster-route → re-rank.
 
-    1. quantize embeddings to integers; every IVF_CENTROID_MOD-th vector is
-       a centroid ("training-free" IVF — deterministic, no k-means state);
-    2. assign corpus vectors to nearest centroid (broadcast, map-only);
+    1. quantize embeddings to integers; every mod-th vector is a centroid
+       ("training-free" IVF — deterministic, no k-means state), with mod
+       chosen by ``centroid_modulus`` so the centroid count never exceeds
+       the constant IVF_MAX_CENTROIDS budget (the one count() here is the
+       index-build sampling pass — O(n) once, like any IVF training);
+    2. assign corpus vectors to nearest centroid (broadcast + map-side
+       partial-agg argmin — see ``ivf_assign``);
     3. each probe searches only its IVF_NPROBE nearest clusters — the
-       recall/cost knob: candidates shrink from n to ~n·nprobe/k_clusters;
-    4. exact integer-dot cosine re-rank within candidates, top-k per probe.
+       recall/cost knob: candidates shrink from n to ~n·nprobe/k_clusters.
+       Cluster routing is a groupBy(probe_id) sorted-slice aggregate: the
+       per-probe state is ≤ k centroid distances (bounded by the budget),
+       never a window over an unbounded expansion;
+    4. exact integer-dot cosine re-rank within candidates, two-stage
+       salted top-k per probe (``topk_per_key``) so no task holds a
+       probe's full candidate set.
 
     Integer quantization makes every score bit-identical on the DuckDB
     oracle (integer sums are exact; sqrt/division on identical doubles are
     correctly rounded), so even the approximate candidate set hash-matches.
     """
     q = quantize(corpus).select(id_col, "qv")
-    cents = q.where(F.col(id_col) % IVF_CENTROID_MOD == 0)
+    mod = centroid_modulus(q.count())
+    cents = q.where(F.col(id_col) % mod == 0)
     assigned = ivf_assign(q, cents, id_col)
 
     probes = q.where(F.col(id_col) % probe_mod == 0).select(
@@ -262,16 +344,25 @@ def ivf_topk(
         "aggregate(zip_with(probe_qv, cent_qv, (x, y) -> (x - y) * (x - y)),"
         " cast(0 as bigint), (acc, v) -> acc + v)"
     )
-    pw = Window.partitionBy("probe_id").orderBy("dist", "cent_id")
+    # struct sort order (dist, cent_id) reproduces the old window ordering
     probe_clusters = (
         probes.join(F.broadcast(cents_p))
         .withColumn("dist", pdist)
-        .withColumn("_rn", F.row_number().over(pw))
-        .where(F.col("_rn") <= IVF_NPROBE)
-        .select("probe_id", "probe_qv", "cent_id")
+        .groupBy("probe_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dist", "cent_id"))),
+                1,
+                IVF_NPROBE,
+            ).alias("_top"),
+            F.min("probe_qv").alias("probe_qv"),
+        )
+        .select("probe_id", "probe_qv", F.explode("_top.cent_id").alias("cent_id"))
     )
 
-    cand = probe_clusters.join(assigned, "cent_id").where(
+    # probe_clusters is tiny (probes × nprobe rows) → broadcast so the
+    # assigned corpus never shuffles for this join
+    cand = F.broadcast(probe_clusters).join(assigned, "cent_id").where(
         F.col(id_col) != F.col("probe_id")
     )
     dot = F.expr(
@@ -285,13 +376,13 @@ def ivf_topk(
     sim = F.round(
         dot.cast("double") / (F.expr(nrm.format(a="probe_qv")) * F.expr(nrm.format(a="qv"))), 4
     )
-    kw = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.col(id_col))
-    return (
-        cand.withColumn("sim", sim)
-        .withColumn("rk", F.row_number().over(kw))
-        .where(F.col("rk") <= k)
-        .select("probe_id", id_col, "sim", "rk")
-    )
+    return topk_per_key(
+        cand.withColumn("sim", sim),
+        "probe_id",
+        [F.desc("sim"), F.col(id_col)],
+        k,
+        salt_src=id_col,
+    ).select("probe_id", id_col, "sim", "rk")
 
 
 def lsh_near_pairs(

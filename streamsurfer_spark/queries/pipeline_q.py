@@ -81,8 +81,8 @@ QP01_SQL = _qp01_sql()
 def qp02_vector_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-side capstone: the vector-index BUILD as one composed plan.
 
-    quantize → training-free centroid selection → IVF assignment (broadcast
-    argmin, map-only over the corpus) → per-cluster occupancy report:
+    quantize → training-free budgeted centroid selection → IVF assignment
+    (broadcast + map-side partial-agg argmin) → per-cluster occupancy report:
     vector count, label diversity, mean/max L2² distance to the centroid
     (exact integer distances — the same math ql14's search path runs). This
     is the operational health check a 100 TB vector index ships with:
@@ -94,9 +94,10 @@ def qp02_vector_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     q = similarity.quantize(emb).select("vec_id", "label", "qv")
-    cents = q.where(F.col("vec_id") % similarity.IVF_CENTROID_MOD == 0).select(
-        "vec_id", "qv"
-    )
+    # budgeted centroid sampling: mod == IVF_CENTROID_MOD until the count
+    # would exceed IVF_MAX_CENTROIDS (the count() is the index-build pass)
+    mod = similarity.centroid_modulus(q.count())
+    cents = q.where(F.col("vec_id") % mod == 0).select("vec_id", "qv")
     assigned = similarity.ivf_assign(q, cents)
     cent_vecs = cents.select(
         F.col("vec_id").alias("cent_id"), F.col("qv").alias("cent_qv")

@@ -100,16 +100,17 @@ def test_frame_sampling_expansion(spark):
 def test_resize_fixed_byte_budget(spark):
     from streamsurfer_spark.operators import multimodal
 
-    # image rows are doc_id % 3 == 0; one shorter and one longer than target
-    rows = [(0, "ab"), (3, "x" * 5000), (1, "audio row")]
+    # image rows are doc_id % 3 == 0; shorter/longer than target + empty
+    rows = [(0, "ab"), (3, "x" * 5000), (1, "audio row"), (6, "")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in multimodal.resize_images(
         multimodal.as_media(df), width=4, height=4
     ).collect()}
     # only image rows reach Python
-    assert set(out) == {0, 3}
+    assert set(out) == {0, 3, 6}
     target = 4 * 4 * 3
     # the training contract: EVERY output row has exactly the byte budget
+    # (a zero-length payload tiles a zero byte rather than breaking it)
     assert all(r.n_bytes_out == target for r in out.values())
     assert out[0].n_bytes_in == 2 and out[3].n_bytes_in == 5000
     # tiling is deterministic: "ab" tiled to 48 bytes
@@ -233,3 +234,81 @@ def test_ivf_recall_vs_exact(spark):
     recall = hits / total
     assert total > 0
     assert recall >= 0.5, f"IVF recall collapsed: {recall:.3f} ({hits}/{total})"
+
+
+def test_centroid_budget_constant():
+    """The IVF centroid count must be bounded by a CONSTANT regardless of
+    corpus size: below the budget threshold the modulus is the fixture
+    default (so oracle hashes never move); above it the modulus grows so
+    the count stays ≤ IVF_MAX_CENTROIDS (broadcastability at 100 TB)."""
+    from streamsurfer_spark.operators.similarity import (
+        IVF_CENTROID_MOD,
+        IVF_MAX_CENTROIDS,
+        centroid_modulus,
+    )
+
+    # fixture regime: modulus pinned → deterministic oracle-stable sampling
+    assert centroid_modulus(10_000) == IVF_CENTROID_MOD
+    assert centroid_modulus(IVF_MAX_CENTROIDS * IVF_CENTROID_MOD) == IVF_CENTROID_MOD
+    # scale regime: count capped at the constant budget
+    for n in (10**8, 10**9, 10**12):
+        mod = centroid_modulus(n)
+        assert n // mod <= IVF_MAX_CENTROIDS
+        assert mod >= IVF_CENTROID_MOD
+
+
+def test_lsh_bucket_cap_bounds_pair_blowup(spark):
+    """A mega-duplicated document (every copy landing in the same band
+    buckets) must NOT explode quadratically: with bucket_cap=c the pair
+    count is bounded by c·(c-1)/2 per band, and the survivors are the c
+    smallest doc ids (deterministic overflow policy)."""
+    from streamsurfer_spark.operators import dedup
+
+    n_copies = 40
+    rows = [(i, "the same exact text repeated for every single copy here") for i in range(n_copies)]
+    rows += [(1000 + i, f"unique filler document number {i} with its own words entirely") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cap = 8
+    pairs = dedup.lsh_candidate_pairs(df, bucket_cap=cap).collect()
+    # pairs inside the duplicated group come only from the capped
+    # membership — the cap smallest ids (0..cap-1), ≤ cap·(cap-1)/2 pairs
+    # (filler docs may chance-collide in a band; they're not under test)
+    dup_pairs = [p for p in pairs if p.doc_a < 1000 and p.doc_b < 1000]
+    max_pairs = cap * (cap - 1) // 2
+    assert 0 < len(dup_pairs) <= max_pairs
+    assert all(p.doc_a < cap and p.doc_b < cap for p in dup_pairs)
+
+    # uncapped (cap above group size) finds the full quadratic set
+    full = (
+        dedup.lsh_candidate_pairs(df, bucket_cap=256)
+        .where("doc_a < 1000 and doc_b < 1000")
+        .count()
+    )
+    assert full == n_copies * (n_copies - 1) // 2
+
+
+def test_ngram_jaccard_shingle_df_cap(spark):
+    """A stopword shingle shared by EVERY document must not create the
+    all-pairs join: with the cap below its document frequency, pairs held
+    together only by that shingle disappear, while true near-dup pairs
+    (sharing many rare shingles) keep their exact Jaccard."""
+    from streamsurfer_spark.operators import dedup
+
+    stop = "it is the"  # one shared 3-shingle across all docs
+    rows = [(i, f"{stop} document number {i} talks about topic {i} only") for i in range(10)]
+    # a true near-dup pair: long shared tail, distinct heads
+    tail = "shared body of text that continues identically for many tokens in a row"
+    rows += [(100, f"alpha {tail}"), (101, f"beta {tail}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.3, max_shingle_docs=5)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in capped.collect()}
+    assert (100, 101) in got  # near-dup pair survives the prune
+    # no pair among the stopword-only documents
+    assert all(a >= 100 for a, _ in got)
+
+    # and the capped Jaccard for the surviving pair is the exact value
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.3, max_shingle_docs=10_000)
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in uncapped.collect()}
+    assert got[(100, 101)] == exact[(100, 101)]

@@ -68,6 +68,35 @@ def test_topk_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in formatted_plan(df)
 
 
+def test_topk_two_stage_no_single_key_sort(spark):
+    """Q-L3 scale shape: the top-k is two windows — stage 1 keyed on
+    (probe_id, salt) so no task ever sorts a probe's whole candidate list,
+    stage 2 over the ≤ k·n_salts survivors. Both must appear, each with
+    its WindowGroupLimit prune; budget = 2 window exchanges + output sort."""
+    from streamsurfer_spark.plans.inspect import formatted_plan
+
+    df = REG["ql03_cosine_topk"].spark(spark, SF_DIR)
+    plan = formatted_plan(df)
+    # tree + details sections each list the nodes once → counts are doubled
+    assert plan.count("WindowGroupLimit") >= 4  # 2 windows × partial/final
+    assert exchange_count(df) <= 3
+
+
+def test_ivf_assign_no_nxk_shuffle(spark):
+    """ql14: the centroid argmin must be a partial aggregate (the n×k
+    candidate expansion collapses map-side to n rows before the wire), the
+    probe-routing a bounded groupBy — no window over the raw expansion and
+    no sort-merge join anywhere (the routed probe side broadcasts)."""
+    from streamsurfer_spark.plans.inspect import formatted_plan
+
+    df = REG["ql14_ivf_topk"].spark(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    # shuffles: routing agg + assign agg + 2 top-k windows + output sort
+    assert exchange_count(df) <= 5
+    assert broadcast_join_count(df) >= 3
+
+
 def test_dedup_single_shuffle(spark):
     """Q-L1 exact dedup: one shuffle for the hash groupBy, one for the
     output ordering — anything more is a regression."""
