@@ -111,6 +111,8 @@ def check(
                 )
             )
 
+    if not reports:
+        raise ValueError("check() requires at least one check")
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)

@@ -18,10 +18,13 @@ Scale notes (100 TB): near-dup graphs are overwhelmingly tiny components
 (pairs/triples), so diameter — and the iteration count — stays single-digit
 even at trillions of edges. Each iteration persists its labels and
 localCheckpoints every few rounds to truncate lineage (else the plan grows
-per iteration). For adversarial long-chain graphs, swap the per-iteration
-step for the large-star/small-star contraction (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14) — same join primitives,
-O(log n) rounds.
+per iteration). For adversarial long-chain graphs, pass
+``algorithm="star"`` to use the large-star/small-star contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) — the same join/groupBy primitives, but each round HALVES long
+paths (large-star hangs every node off its neighborhood minimum,
+small-star flattens the resulting trees), so convergence is O(log n)
+rounds where min-label propagation needs O(diameter).
 """
 
 from __future__ import annotations
@@ -37,13 +40,24 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Label every node of the undirected pair graph with min(component).
 
-    Returns (id, cluster_id). Raises if the graph has not converged after
-    ``max_iter`` rounds (diameter larger than max_iter — see module doc for
-    the log-rounds alternative).
+    Returns (id, cluster_id), still persisted (callers looping over it may
+    unpersist when done). Raises if the graph has not converged after
+    ``max_iter`` rounds.
+
+    algorithm="label": min-label propagation — one join + groupBy per
+    round, rounds = diameter. The right default for near-dup graphs
+    (tiny components, single-digit diameters).
+    algorithm="star": large-star/small-star contraction — O(log n)
+    rounds on adversarial long-chain graphs.
     """
+    if algorithm == "star":
+        return _connected_components_star(edges, src, dst, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm: {algorithm!r} (label|star)")
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -64,7 +78,11 @@ def connected_components(
             .agg(F.min("lbl").alias("lbl"))
         ).persist()
         if (it + 1) % CHECKPOINT_EVERY == 0:
-            new_labels = new_labels.localCheckpoint()
+            # localCheckpoint materializes eagerly; drop the pre-checkpoint
+            # cache so blocks don't accumulate across iterations
+            checkpointed = new_labels.localCheckpoint()
+            new_labels.unpersist()
+            new_labels = checkpointed
         cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
@@ -74,4 +92,98 @@ def connected_components(
 
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
+def _connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al., SoCC'14 §3).
+
+    Each round runs both operations on the edge set:
+
+    - large-star: group the symmetrized edges by node u; every neighbor
+      v > u re-attaches to m = min(Γ(u) ∪ {u}). Long paths fold onto
+      their local minima.
+    - small-star: orient edges (hi → lo), group by the high node; the
+      node and all its smaller neighbors attach to the minimum. Trees
+      of depth 2 flatten to stars.
+
+    Both are one groupBy + one join on the node id (same primitives and
+    partitioning as label propagation), plus a distinct() to keep the
+    edge set canonical. Edge count never grows (each operation emits at
+    most one edge per input edge), and the component minimum is preserved
+    — at the fixpoint the edge set IS the star (node → component-min).
+
+    Convergence is detected by a set checksum (row count + sum of
+    xxhash64(a, b)): an unchanged checksum means an unchanged edge set
+    (hash-sum collisions on a changed set are ~2^-64). One 1-row
+    aggregate per round — no extra join.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+
+    def checksum(d: DataFrame) -> tuple:
+        row = d.agg(
+            F.count("*").alias("n"),
+            # decimal sum: int64 hash values overflow long addition under ANSI
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    prev = checksum(e)
+    for it in range(max_iter):
+        # ---- large-star: neighbors above u hang off min(Γ(u) ∪ {u})
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # ---- small-star: orient hi→lo, attach u and its low neighbors
+        # to the minimum of the low neighborhood
+        smins = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(smins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(smins.select(F.col("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        ).persist()
+        # unlike label propagation (plan grows by ONE join per round), each
+        # star round references the edge set ~8x (sym twice, large three
+        # times) — the logical plan grows 8^rounds without truncation, so
+        # checkpoint EVERY round; rounds are O(log n), so this is cheap
+        checkpointed = small.localCheckpoint()
+        small.unpersist()
+        small = checkpointed
+        cur = checksum(small)
+        e.unpersist()
+        e = small
+        if cur == prev:
+            roots = e.select("b").distinct().select(
+                F.col("b").alias("id"), F.col("b").alias("cluster_id")
+            )
+            return e.select(
+                F.col("a").alias("id"), F.col("b").alias("cluster_id")
+            ).union(roots)
+        prev = cur
+
+    raise RuntimeError(
+        f"star contraction did not converge in {max_iter} iterations"
     )

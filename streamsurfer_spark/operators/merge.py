@@ -83,13 +83,17 @@ def apply_cdc(
     order_by: str | Sequence[str],
     op_col: str = "op",
     delete_op: str = "D",
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Apply a CDC log (insert/update/delete rows) to a snapshot.
 
     ``changes`` carries the target's columns plus ``op_col``; ``order_by``
     columns define latest-wins per key (must be a total order per key —
     include a tiebreak). Deletes remove the key; any other op upserts the
-    row."""
+    row.
+
+    Returns two DataFrames: the merged snapshot, and the applied delete
+    keys (for downstream tombstone propagation) — see apply_cdc_snapshot
+    for the snapshot-only convenience wrapper."""
     keys = _key_list(keys)
     order_cols = _key_list(order_by)
     payload = [c for c in changes.columns if c not in keys]

@@ -155,7 +155,11 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = decode_stub(bytes(payload), "image")
-                reps = -(-target // max(len(data), 1))  # ceil-div tile count
+                # zero-length payloads tile a single zero byte so the
+                # fixed byte-budget contract holds for every output row
+                if not data:
+                    data = b"\x00"
+                reps = -(-target // len(data))  # ceil-div tile count
                 resized = (data * reps)[:target]
                 out["doc_id"].append(doc_id)
                 out["width"].append(width)

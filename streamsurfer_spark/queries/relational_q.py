@@ -324,19 +324,41 @@ FROM orders
 """
 
 
-# --- Q-R8: approximate count-distinct (property-tested, rows-only gate) ------
+# --- Q-R8: approximate count-distinct (exact-twin tolerance gate) ------------
 
 def qr08_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch — the scale path for distinct counting.
 
-    Nondeterministic w.r.t. an exact oracle, so no oracle_sql entry; the
-    pytest property asserts relative error < 5% vs the exact count.
+    The sketch estimate itself is engine-specific (DuckDB cannot reproduce
+    Spark's HLL++ register values), so the driver-hashable contract is the
+    exact-twin form: compute the exact distinct count alongside the sketch
+    in one aggregate and emit (exact count, rows, within-tolerance flag).
+    All three columns are deterministic — rsd=0.02 puts the estimate well
+    inside the 5% gate (>2 sigma margin) — so the oracle pins them, and a
+    sketch regression flips ``within_tol`` to false and fails the hash.
     """
     orders = _t(spark, sf_dir, "orders")
-    return orders.agg(
+    agg = orders.agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_cust"),
+        F.countDistinct("o_custkey").alias("exact_cust"),
         F.count("*").alias("n_orders"),
     )
+    return agg.select(
+        "exact_cust",
+        "n_orders",
+        (
+            F.abs(F.col("approx_cust") - F.col("exact_cust"))
+            <= F.col("exact_cust") * F.lit(0.05)
+        ).alias("within_tol"),
+    )
+
+
+QR08_SQL = """
+SELECT count(DISTINCT o_custkey) AS exact_cust,
+       count(*) AS n_orders,
+       TRUE AS within_tol
+FROM orders
+"""
 
 
 # --- Q-R9: rollup / grouping sets --------------------------------------------
@@ -2557,7 +2579,7 @@ QUERIES: dict[str, QuerySpec] = {
     "qr05_anti_join": QuerySpec(qr05_anti_join, QR05_ANTI_SQL, "Q-R5 left-anti join"),
     "qr06_hash_agg_q1": QuerySpec(qr06_hash_agg_q1, QR06_SQL, "Q-R6 hash aggregate (Q1 shape)"),
     "qr07_count_distinct": QuerySpec(qr07_count_distinct, QR07_SQL, "Q-R7 count distinct"),
-    "qr08_approx_count_distinct": QuerySpec(qr08_approx_count_distinct, None, "Q-R8 HLL++ approx distinct"),
+    "qr08_approx_count_distinct": QuerySpec(qr08_approx_count_distinct, QR08_SQL, "Q-R8 HLL++ approx distinct, exact-twin tolerance gate"),
     "qr09_rollup": QuerySpec(qr09_rollup, QR09_SQL, "Q-R9 rollup"),
     "qr10_window_rank": QuerySpec(qr10_window_rank, QR10_SQL, "Q-R10 window ranking"),
     "qr11_window_running": QuerySpec(qr11_window_running, QR11_SQL, "Q-R11 window frame analytics"),

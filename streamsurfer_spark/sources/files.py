@@ -177,11 +177,14 @@ def compact(
         out = df.repartition(n_files)
     # one file per partition: the partition count IS the file plan
     write_table(out, dest, fmt=fmt, mode="overwrite")
+    # count non-hidden part files rather than matching the format suffix:
+    # compressed csv/json part files carry codec extensions (.csv.gz etc.)
+    # and would undercount under a suffix test
     n_out = sum(
         1
         for d, _, fs in os.walk(dest)
         for f in fs
-        if f.endswith(f".{fmt}") or (fmt == "json" and f.endswith(".json"))
+        if not f.startswith(("_", "."))
     )
     return {
         "n_input_files": len(sizes),

@@ -50,3 +50,14 @@ def test_observation_metrics_free_of_extra_pass(spark):
     assert got["n_rows"] == base.count()
     assert got["n_null_price"] == 0
     assert got["max_key"] == base.agg(F.max("o_orderkey")).first()[0]
+
+
+def test_expectations_empty_checks_rejected(spark):
+    """check() with no checks is a caller bug — clear error, not IndexError."""
+    import pytest
+
+    from streamsurfer_spark.operators.expectations import check
+    from streamsurfer_spark.session import table
+
+    with pytest.raises(ValueError, match="at least one check"):
+        check(table(spark, SF_DIR, "region"), [])

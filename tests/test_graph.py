@@ -42,3 +42,31 @@ def test_max_iter_exceeded_raises(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=2)
+
+
+def test_star_matches_label_on_mixed_graph(spark):
+    # pairs, a triangle, a path, and an isolated edge — both algorithms
+    # must produce identical clusterings
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (20, 21), (21, 22), (22, 23), (40, 41)]
+    assert _cc(spark, edges, algorithm="star") == _cc(spark, edges, algorithm="label")
+
+
+def test_star_adversarial_long_chain_converges_in_log_rounds(spark):
+    # a 64-node path has diameter 63: min-label propagation needs ~63
+    # rounds, the star contraction halves path length every round, so
+    # 10 rounds (~log2(64) + slack) must suffice
+    edges = [(i, i + 1) for i in range(1, 64)]
+    got = _cc(spark, edges, algorithm="star", max_iter=10)
+    assert got == {i: 1 for i in range(1, 65)}
+
+
+def test_star_direction_and_duplicates(spark):
+    # reversed + duplicate edges collapse to the same canonical set
+    got = _cc(spark, [(5, 1), (1, 5), (5, 9), (9, 5), (9, 5)], algorithm="star")
+    assert got == {1: 1, 5: 1, 9: 1}
+
+
+def test_unknown_algorithm_rejected(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(df, algorithm="bogus")
