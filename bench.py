@@ -45,6 +45,12 @@ BENCH_QUERIES = (
     "qr50_expectations_orders",
     # composed capstone
     "qp01_curation_report",
+    # round-2 extensions: the three execution modes not timed above —
+    # iterative fixpoint (ql23), a REAL stateful stream run (qs08), and
+    # Arrow-batched mapInPandas (ql07b)
+    "ql23_dedup_clusters",
+    "qs08_stream_sessions",
+    "ql07b_multimodal_features",
 )
 
 
@@ -62,8 +68,12 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        df = reg[name].spark(spark, sf_dir)
+        # construction is inside the clock: iterative queries (ql23) and
+        # real stream runs (qs08) execute jobs while BUILDING the frame,
+        # not just when it is written; for ordinary queries this adds only
+        # plan-analysis milliseconds
         t0 = time.perf_counter()
+        df = reg[name].spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
 

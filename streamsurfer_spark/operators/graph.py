@@ -16,8 +16,9 @@ convergence is detected by comparing sum(label) between iterations — a
 
 Scale notes (100 TB): near-dup graphs are overwhelmingly tiny components
 (pairs/triples), so diameter — and the iteration count — stays single-digit
-even at trillions of edges. Each iteration persists its labels and
-localCheckpoints every few rounds to truncate lineage (else the plan grows
+even at trillions of edges. Each iteration lazily localCheckpoints its
+labels — the convergence probe materializes the checkpoint in the same
+job, and lineage stays one round deep (else plan-analysis cost compounds
 per iteration). For adversarial long-chain graphs, pass
 ``algorithm="star"`` to use the large-star/small-star contraction
 (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -31,9 +32,6 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-
-CHECKPOINT_EVERY = 5
-
 
 def connected_components(
     edges: DataFrame,
@@ -58,9 +56,12 @@ def connected_components(
         return _connected_components_star(edges, src, dst, max_iter)
     if algorithm != "label":
         raise ValueError(f"unknown algorithm: {algorithm!r} (label|star)")
+    # persist the symmetrized edges: they are re-joined EVERY round, and the
+    # upstream pair pipeline (LSH / cosine near-dup) is far more expensive
+    # than the edge list it emits — without this, each round recomputes it
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
+    ).persist()
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
     ).persist()
@@ -71,25 +72,25 @@ def connected_components(
         nbr = sym.join(labels, sym["b"] == labels["id"]).select(
             F.col("a").alias("id"), F.col("lbl")
         )
+        # lazy localCheckpoint EVERY round: the convergence collect right
+        # below materializes it (no extra job), lineage stays one round
+        # deep (plan analysis cost would otherwise compound per round),
+        # and the checkpoint's own cache replaces an explicit persist
         new_labels = (
             labels.select("id", "lbl")
             .union(nbr)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
-        ).persist()
-        if (it + 1) % CHECKPOINT_EVERY == 0:
-            # localCheckpoint materializes eagerly; drop the pre-checkpoint
-            # cache so blocks don't accumulate across iterations
-            checkpointed = new_labels.localCheckpoint()
-            new_labels.unpersist()
-            new_labels = checkpointed
+        ).localCheckpoint(eager=False)
         cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:  # labels are monotone non-increasing
+            sym.unpersist()
             return labels.select("id", F.col("lbl").alias("cluster_id"))
         prev_sum = cur_sum
 
+    sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )
@@ -164,14 +165,11 @@ def _connected_components_star(
             .union(smins.select(F.col("a"), F.col("m").alias("b")))
             .where(F.col("a") != F.col("b"))
             .distinct()
-        ).persist()
-        # unlike label propagation (plan grows by ONE join per round), each
-        # star round references the edge set ~8x (sym twice, large three
-        # times) — the logical plan grows 8^rounds without truncation, so
-        # checkpoint EVERY round; rounds are O(log n), so this is cheap
-        checkpointed = small.localCheckpoint()
-        small.unpersist()
-        small = checkpointed
+        ).localCheckpoint(eager=False)
+        # lazy checkpoint EVERY round, materialized by the checksum action
+        # (one job per round, not two): each star round references the edge
+        # set ~8x (sym twice, large three times), so without per-round
+        # truncation the logical plan grows 8^rounds
         cur = checksum(small)
         e.unpersist()
         e = small

@@ -769,19 +769,22 @@ ORDER BY doc_id, rk
 
 
 def ql23_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → dedup clusters via iterative min-label propagation.
+    """Near-dup pairs → dedup clusters via star-contraction components.
 
     Consumes ql21's exact cosine pair graph and labels every member with
-    min(component) — the canonical keep-one-per-cluster curation rule. The
-    oracle recomputes reachability with a recursive CTE, so the iterative
-    Spark fixpoint is checked against a closed-form transitive closure.
+    min(component) — the canonical keep-one-per-cluster curation rule.
+    Embedding near-dup graphs chain (a~b~c without a~c), so the
+    O(log n)-round large-star/small-star contraction beats min-label
+    propagation (O(diameter) rounds) here. The oracle recomputes
+    reachability with a recursive CTE, so the iterative Spark fixpoint is
+    checked against a closed-form transitive closure.
     """
     from streamsurfer_spark.operators.graph import connected_components
 
     emb = table(spark, sf_dir, "embeddings")
     pairs = similarity.cosine_near_dup_pairs(emb, NEAR_DUP_THRESHOLD)
     return (
-        connected_components(pairs, src="id_a", dst="id_b")
+        connected_components(pairs, src="id_a", dst="id_b", algorithm="star")
         .select(F.col("id").alias("vec_id"), "cluster_id")
         .orderBy("vec_id")
     )
