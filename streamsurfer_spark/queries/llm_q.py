@@ -18,7 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from streamsurfer_spark.functions.hashing import MOD_PRIME, P31, affine_params
-from streamsurfer_spark.operators import dedup, multimodal, similarity
+from streamsurfer_spark.operators import dedup, multimodal, packing, retrieval, similarity
 from streamsurfer_spark.operators import text as text_ops
 from streamsurfer_spark.queries import QuerySpec
 from streamsurfer_spark.session import table
@@ -1328,6 +1328,100 @@ ORDER BY tok.doc_id
 """
 
 
+# --- Q-L32: BM25 lexical retrieval -------------------------------------------
+
+BM25_TERMS = ("join", "window", "hash")
+
+
+def ql32_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed query term set (operators/retrieval.py).
+
+    Pure codegen: per-term tf via size(filter(tokens)), one 1-row
+    corpus-stats aggregate broadcast back over the scan, distributed
+    top-k (TakeOrderedAndProject) — no explode, no per-term shuffle.
+    The oracle mirrors the arithmetic ORDER of the Spark expression so
+    double rounding agrees bit-for-bit.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(docs, BM25_TERMS, k=10)
+
+
+def _bm25_oracle() -> str:
+    tf_defs = ",\n         ".join(
+        "CAST(len(list_filter(string_split(text, ' '), t -> t = "
+        f"'{t}')) AS BIGINT) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_defs = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    term_scores = "\n           + ".join(
+        f"(ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5)) * tf_{t} * 2.2)"
+        f" / (tf_{t} + 1.2 * (0.25 + (0.75 * n_tokens) / avgdl))"
+        for t in BM25_TERMS
+    )
+    tf_outs = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {tf_defs}
+  FROM documents
+),
+s AS (
+  SELECT count(*) AS n_docs, avg(n_tokens) AS avgdl, {df_defs} FROM d
+),
+scored AS (
+  SELECT doc_id, n_tokens, {tf_outs},
+         round(0.0
+           + {term_scores}, 4) AS score
+  FROM d, s
+)
+SELECT * FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+QL32_SQL = _bm25_oracle()
+
+
+# --- Q-L33: greedy sequence packing ------------------------------------------
+
+def ql33_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (operators/packing.py): greedy sequential
+    fill inside bounded (lang, shard) domains via applyInPandas; the
+    oracle replays the same recurrence with a recursive CTE."""
+    docs = table(spark, sf_dir, "documents")
+    return packing.pack_sequences(docs, capacity=256, n_shards=8).orderBy("doc_id")
+
+
+QL33_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, doc_id % 8 AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY lang, doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+),
+p AS (
+  SELECT doc_id, lang, shard, n_tokens, rn,
+         CAST(1 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS bin_offset
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.doc_id, d.lang, d.shard, d.n_tokens, d.rn,
+         CASE WHEN p.bin_offset + p.n_tokens > 0
+                   AND p.bin_offset + p.n_tokens + d.n_tokens > 256
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.bin_offset + p.n_tokens > 0
+                   AND p.bin_offset + p.n_tokens + d.n_tokens > 256
+              THEN CAST(0 AS BIGINT) ELSE p.bin_offset + p.n_tokens END
+  FROM p JOIN d ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT doc_id, lang, shard, n_tokens, bin_id, bin_offset
+FROM p ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -1382,5 +1476,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ql31_repetition_metrics": QuerySpec(
         ql31_repetition_metrics, QL31_SQL, "intra-document repetition metrics + filter flag"
+    ),
+    "ql32_bm25_topk": QuerySpec(
+        ql32_bm25_topk, QL32_SQL, "Okapi BM25 lexical retrieval top-k"
+    ),
+    "ql33_sequence_packing": QuerySpec(
+        ql33_sequence_packing, QL33_SQL, "greedy context-window sequence packing"
     ),
 }

@@ -312,3 +312,54 @@ def test_ngram_jaccard_shingle_df_cap(spark):
     uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.3, max_shingle_docs=10_000)
     exact = {(r.doc_a, r.doc_b): r.jaccard for r in uncapped.collect()}
     assert got[(100, 101)] == exact[(100, 101)]
+
+
+def test_bm25_requires_terms(spark):
+    import pytest
+
+    from streamsurfer_spark.operators import retrieval
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(df, [])
+
+
+def test_bm25_ranks_exact_match_first(spark):
+    """A document saturated with the query terms outranks partial matches;
+    zero-match documents are absent from the result."""
+    from streamsurfer_spark.operators import retrieval
+
+    rows = [
+        (1, "join window hash join window hash"),
+        (2, "join filler filler filler filler filler"),
+        (3, "nothing relevant here at all ever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = retrieval.bm25_topk(df, ("join", "window", "hash"), k=10).collect()
+    assert [r.doc_id for r in got] == [1, 2]
+    assert got[0].score > got[1].score > 0
+
+
+def test_pack_sequences_greedy_recurrence(spark):
+    """Greedy fill: bins break exactly when offset + n would overflow, an
+    oversized document gets a bin of its own, and domains are independent."""
+    from streamsurfer_spark.operators import packing
+
+    # single domain (one lang, n_shards=1): token counts 100,100,100 with
+    # capacity 250 -> bins 1,1,2; a 300-token doc (oversized) -> own bin 3
+    rows = [
+        (0, "en", "w " * 100),
+        (1, "en", "w " * 100),
+        (2, "en", "w " * 100),
+        (3, "en", "w " * 300),
+        (4, "en", "w " * 10),
+    ]
+    df = spark.createDataFrame(
+        [(i, lang, t.strip()) for i, lang, t in rows],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.doc_id: (r.bin_id, r.bin_offset)
+        for r in packing.pack_sequences(df, capacity=250, n_shards=1).collect()
+    }
+    assert got == {0: (1, 0), 1: (1, 100), 2: (2, 0), 3: (3, 0), 4: (4, 0)}
