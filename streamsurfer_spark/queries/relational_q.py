@@ -2569,6 +2569,636 @@ ORDER BY canon
 """
 
 
+# --- Q-R59..Q-R69: TPC-H completion pack -------------------------------------
+#
+# The remaining 11 TPC-H query shapes (Q2, Q4, Q8, Q9, Q10, Q11, Q12, Q13,
+# Q16, Q20, Q21), adapted to this star schema (no partsupp table; no
+# commit/receipt dates — lateness is expressed vs o_orderdate). Each keeps
+# the original query's OPERATOR shape — correlated min, EXISTS semi-join,
+# share-of-total division, scalar-subquery HAVING, CASE-pivot, outer-join
+# histogram, NOT-IN distinct count, nested-aggregate IN, double-correlated
+# EXISTS/NOT EXISTS — because those shapes, not the literal predicates, are
+# what the optimizer and the 100 TB design have to survive.
+
+
+def qr59_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier within a region.
+
+    No partsupp table, so supply cost is the observed average unit price
+    per (part, supplier) from lineitem — exact scaled-int sums divided
+    once at the end, so the cost value is partitioning-independent.
+
+    Scale: the correlated `cost = (SELECT min(cost) ...)` of Q2 is a
+    per-part argmin — here a row_number window over (p_partkey), a
+    high-cardinality key that spreads across the cluster (no single hot
+    partition). supplier/nation/region and the size-filtered part side
+    are broadcast; the only big shuffle is the (part, supplier) partial
+    aggregate, which map-side-combines on a uniform composite key.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_i6("l_extendedprice")).alias("price6"),
+        F.sum(_i6("l_quantity")).alias("qty6"),
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size") == 15)
+        .select("p_partkey", "p_name")
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_cost", "s_suppkey")
+    return (
+        cost.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("unit_cost", F.round(F.col("price6") / F.col("qty6"), 4))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+        .orderBy("p_partkey")
+    )
+
+
+QR59_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS price6,
+         sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS qty6
+  FROM lineitem GROUP BY 1, 2
+),
+supp AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT p_partkey, p_name, s_name, n_name,
+       round(CAST(price6 AS BIGINT) / CAST(qty6 AS BIGINT), 4) AS unit_cost
+FROM cost
+JOIN supp ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_size = 15
+QUALIFY row_number() OVER (
+  PARTITION BY p_partkey
+  ORDER BY round(CAST(price6 AS BIGINT) / CAST(qty6 AS BIGINT), 4), s_suppkey
+) = 1
+ORDER BY p_partkey
+"""
+
+
+def qr60_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority count gated by a correlated EXISTS.
+
+    An order counts when at least one of its lineitems shipped more than
+    30 days after the order date (the schema has no commit/receipt dates).
+
+    Scale: left-semi join — Spark never materializes the multi-match
+    blowup, and the date predicate on orders is pushed to the scan. The
+    semi join shuffles on l_orderkey (uniform); the final aggregate is 5
+    groups, collapsed map-side.
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+QR60_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def qr61_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's part-type revenue
+    by year.
+
+    Share of PROMO-part revenue delivered by NATION_3 suppliers to
+    AMERICA-region customers, per order year. Numerator and denominator
+    are exact scaled-int sums; ONE double division at the end.
+
+    Scale: all five dimension sides (customer→nation→region, supplier→
+    nation, part) broadcast; the fact table shuffles once for the
+    2-group-per-year aggregate, which collapses map-side. The share is
+    a conditional sum, not a second pass.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    nation = _t(spark, sf_dir, "nation")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .where(F.col("r_name") == "AMERICA")
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("s_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nation")
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    rev6 = _i6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("s_nation") == "NATION_3", rev6).otherwise(F.lit(0))).alias(
+                "nation6"
+            ),
+            F.sum(rev6).alias("total6"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("nation6") / F.col("total6"), 4).alias("mkt_share"),
+            F.round(F.col("total6") / SCALE6, 2).alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+QR61_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                 THEN CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)
+                 ELSE 0 END) AS BIGINT)
+             / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT),
+             4) AS mkt_share,
+       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+             / 1000000.0, 2) AS total_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def qr62_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year.
+
+    No partsupp.ps_supplycost, so cost is modeled as 60% of the part's
+    retail price per unit: profit = extprice*(1-disc) - 0.6*retail*qty.
+    All money terms go through the ×1e6 scaled-int path so the sum is
+    exact under any partitioning.
+
+    Scale: part (name-filtered) and supplier→nation broadcast; one fact
+    shuffle into a (nation, year) aggregate that collapses map-side.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    profit6 = _i6(F.col("l_extendedprice") * (1 - F.col("l_discount"))) - _i6(
+        F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit6) / SCALE6, 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+QR62_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(CAST(sum(
+         CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)
+         - CAST(round(0.6 * p_retailprice * l_quantity * 1000000) AS BIGINT)
+       ) AS BIGINT) / 1000000.0, 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def qr63_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+
+    Scale: the quarter filter prunes orders at the scan; customer and
+    nation broadcast against the filtered fact; the top-20 is
+    TakeOrderedAndProject over the (already small) per-customer
+    aggregate — never a global sort.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(_t(spark, sf_dir, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_sum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+QR63_SQL = f"""
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+       {_duck_sum6("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-10-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, c_acctbal, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def qr64_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds a threshold
+    derived from a scalar aggregate over the whole table.
+
+    Threshold is RELATIVE (1.6x the average per-part value), so the
+    query is meaningful at every scale factor; the comparison
+    `v6 * n * 10 > 16 * t6` is pure int64 — no float boundary flips.
+
+    Scale: two aggregates over the same shuffled per-part frame (Spark
+    reuses the exchange); the 1-row total broadcasts back. HAVING on a
+    scalar subquery never materializes a join.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    value = li.groupBy("l_partkey").agg(
+        F.sum(_i6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("v6")
+    )
+    total = value.agg(F.sum("v6").alias("t6"), F.count("*").alias("n_parts"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .where(F.col("v6") * F.col("n_parts") * 10 > 16 * F.col("t6"))
+        .select("l_partkey", F.round(F.col("v6") / SCALE6, 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+QR64_SQL = """
+WITH v AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS v6
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT CAST(sum(v6) AS BIGINT) AS t6, count(*) AS n_parts FROM v)
+SELECT l_partkey, round(CAST(v6 AS BIGINT) / 1000000.0, 2) AS part_value
+FROM v, t
+WHERE CAST(v6 AS BIGINT) * n_parts * 10 > 16 * t6
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def qr65_shipping_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority-class counts pivoted over a lateness
+    bucket (no shipmode column; the bucket is days from order to ship).
+
+    Scale: single fact-fact join shuffles on orderkey; the CASE pivot
+    collapses to 3 groups map-side. Date filter pushed to the lineitem
+    scan.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    speed = (
+        F.when(lag > 90, "3-LATE").when(lag > 30, "2-SLOW").otherwise("1-FAST")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(speed.alias("ship_speed"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("ship_speed")
+    )
+
+
+QR65_SQL = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90 THEN '3-LATE'
+            WHEN datediff('day', o_orderdate, l_shipdate) > 30 THEN '2-SLOW'
+            ELSE '1-FAST' END AS ship_speed,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def qr66_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of per-customer order counts, keeping
+    zero-order customers via a filtered LEFT join.
+
+    The join-level filter (priority != '5-LOW') must live in the JOIN
+    condition, not a WHERE — moving it to WHERE would silently drop the
+    zero-order customers (the classic outer-join-filter bug this query
+    exists to catch).
+
+    Scale: two-level aggregate; the first groups on c_custkey (high
+    cardinality, uniform), the second on the tiny count domain — both
+    collapse map-side. Orders side prunes to 2 columns at the scan.
+    """
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+QR66_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY 1
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def qr67_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    combo, with an excluded brand and a NOT-IN supplier blacklist.
+
+    Supplier-part relationships come from observed lineitem pairs (no
+    partsupp); the blacklist is suppliers with negative account balance
+    (Q16's complaint filter).
+
+    Scale: distinct (part, supplier) collapses the fact table first
+    (map-side partial distinct); the blacklist is a broadcast anti-join;
+    count(DISTINCT) runs as a two-phase expand aggregate on uniform keys.
+    """
+    pairs = (
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#11")
+        & F.col("p_size").isin(5, 15, 25, 35, 45)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), pairs.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+QR67_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#11'
+  AND p_size IN (5, 15, 25, 35, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def qr68_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers selected by membership in a nested
+    aggregate subquery (shipped PROMO volume above 1.2x the per-supplier
+    average in 1998).
+
+    The relative threshold keeps the query meaningful at every SF, and
+    the comparison `q6 * n * 10 > 12 * t6` stays in exact int64.
+
+    Scale: the inner aggregate shuffles the (part-filtered, date-pruned)
+    fact once on l_suppkey; its 1-row total broadcasts back; the outer
+    membership is a broadcast semi-join into the tiny supplier dim.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    promo = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    shipped = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(_i6("l_quantity")).alias("q6"))
+    )
+    total = shipped.agg(F.sum("q6").alias("t6"), F.count("*").alias("n_supp"))
+    heavy = (
+        shipped.crossJoin(F.broadcast(total))
+        .where(F.col("q6") * F.col("n_supp") * 10 > 12 * F.col("t6"))
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+QR68_SQL = """
+WITH shipped AS (
+  SELECT l_suppkey, sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS q6
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY 1
+),
+t AS (SELECT CAST(sum(q6) AS BIGINT) AS t6, count(*) AS n_supp FROM shipped)
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM shipped, t
+  WHERE CAST(q6 AS BIGINT) * n_supp * 10 > 12 * t6
+)
+ORDER BY s_suppkey
+"""
+
+
+def qr69_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier finalized order (correlated EXISTS + NOT EXISTS on
+    the same fact table).
+
+    Late = shipped >60 days after the order date (no receipt/commit
+    dates in this schema).
+
+    Scale: the EXISTS is a left-semi and the NOT EXISTS a left-anti
+    join, both on l_orderkey — uniform key, map-side-prunable; the
+    distinct (orderkey, suppkey) frames collapse before joining. No
+    window, no blowup; the count per supplier is a tiny final aggregate.
+    """
+    orders_f = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l2 = pairs.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    sole_late = (
+        late.join(
+            l2,
+            (late.l_orderkey == l2.o2) & (late.l_suppkey != l2.s2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (late.l_orderkey == l3.o3) & (late.l_suppkey != l3.s3),
+            "left_anti",
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(supp), sole_late.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(10)
+    )
+
+
+QR69_SQL = """
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+),
+pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM pairs l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -2708,5 +3338,38 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr58_collated_grouping": QuerySpec(
         qr58_collated_grouping, QR58_SQL, "Q-R58 UTF8_LCASE collated grouping"
+    ),
+    "qr59_min_cost_supplier": QuerySpec(
+        qr59_min_cost_supplier, QR59_SQL, "Q-R59 TPC-H Q2 shape: per-part argmin supplier in region"
+    ),
+    "qr60_priority_lateness": QuerySpec(
+        qr60_priority_lateness, QR60_SQL, "Q-R60 TPC-H Q4 shape: correlated EXISTS priority count"
+    ),
+    "qr61_market_share": QuerySpec(
+        qr61_market_share, QR61_SQL, "Q-R61 TPC-H Q8 shape: national market share by year"
+    ),
+    "qr62_product_profit": QuerySpec(
+        qr62_product_profit, QR62_SQL, "Q-R62 TPC-H Q9 shape: profit by nation and year"
+    ),
+    "qr63_returned_items": QuerySpec(
+        qr63_returned_items, QR63_SQL, "Q-R63 TPC-H Q10 shape: top-20 returned-item customers"
+    ),
+    "qr64_important_parts": QuerySpec(
+        qr64_important_parts, QR64_SQL, "Q-R64 TPC-H Q11 shape: scalar-subquery HAVING threshold"
+    ),
+    "qr65_shipping_speed": QuerySpec(
+        qr65_shipping_speed, QR65_SQL, "Q-R65 TPC-H Q12 shape: lateness-bucket CASE pivot"
+    ),
+    "qr66_customer_distribution": QuerySpec(
+        qr66_customer_distribution, QR66_SQL, "Q-R66 TPC-H Q13 shape: outer-join order-count histogram"
+    ),
+    "qr67_supplier_part_counts": QuerySpec(
+        qr67_supplier_part_counts, QR67_SQL, "Q-R67 TPC-H Q16 shape: NOT-IN distinct supplier counts"
+    ),
+    "qr68_promotable_suppliers": QuerySpec(
+        qr68_promotable_suppliers, QR68_SQL, "Q-R68 TPC-H Q20 shape: nested-aggregate IN membership"
+    ),
+    "qr69_waiting_suppliers": QuerySpec(
+        qr69_waiting_suppliers, QR69_SQL, "Q-R69 TPC-H Q21 shape: sole-late EXISTS/NOT-EXISTS"
     ),
 }

@@ -224,3 +224,48 @@ def test_join_strategy_hints_are_honored(spark):
 
     bcast = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
     assert "BroadcastHashJoin" in formatted_plan(bcast)
+
+
+def test_q2_shape_argmin_no_smj(spark):
+    """qr59: supplier/nation/region and the size-filtered part side all
+    broadcast — the only exchanges are the (part,supplier) partial agg,
+    the per-part argmin window, and the output sort. No sort-merge join:
+    the fact table never co-shuffles with a dimension."""
+    from streamsurfer_spark.plans.inspect import has_sort_merge_join
+
+    df = REG["qr59_min_cost_supplier"].spark(spark, SF_DIR)
+    assert not has_sort_merge_join(df)
+    assert broadcast_join_count(df) >= 2
+    assert exchange_count(df) <= 4
+
+
+def test_q10_shape_takeordered_topk(spark):
+    """qr63: the top-20 runs as TakeOrderedAndProject over the aggregated
+    frame (per-partition heaps), never a global sort; one shuffle total."""
+    from streamsurfer_spark.plans.inspect import formatted_plan
+
+    df = REG["qr63_returned_items"].spark(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+    assert exchange_count(df) <= 2
+    assert broadcast_join_count(df) >= 2
+
+
+def test_q8_shape_all_dims_broadcast(spark):
+    """qr61: five dimension sides broadcast; the fact shuffles only for
+    the per-year aggregate (+ output sort)."""
+    df = REG["qr61_market_share"].spark(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 5
+    assert exchange_count(df) <= 2
+
+
+def test_q21_shape_semi_anti_topk(spark):
+    """qr69: the EXISTS/NOT EXISTS run as semi/anti joins (never a
+    multi-match blowup), the supplier dim broadcasts, and the top-10 is
+    TakeOrderedAndProject."""
+    from streamsurfer_spark.plans.inspect import formatted_plan
+
+    df = REG["qr69_waiting_suppliers"].spark(spark, SF_DIR)
+    p = formatted_plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert broadcast_join_count(df) >= 1
