@@ -49,12 +49,12 @@ def sessionize(
         order_cols.append(F.col(order_tiebreak))
     w = Window.partitionBy(key).orderBy(*order_cols)
     prev_ts = F.lag(ts_col).over(w)
-    # integer-microsecond gap comparison (unix_micros ↔ DuckDB epoch_us):
-    # exact on both engines, no sub-second truncation at the boundary
-    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
-    is_new = F.when(
-        prev_ts.isNull() | (gap_us > gap_seconds * 1_000_000), F.lit(1)
-    ).otherwise(F.lit(0))
+    # interval comparison instead of unix_micros arithmetic: exact at µs
+    # resolution on both engines AND type-agnostic — works whether ts is
+    # TIMESTAMP or TIMESTAMP_NTZ (unix_micros rejects NTZ, and fixtures
+    # have shipped both physical types across rounds)
+    gap_over = F.col(ts_col) > prev_ts + F.expr(f"INTERVAL {gap_seconds} SECONDS")
+    is_new = F.when(prev_ts.isNull() | gap_over, F.lit(1)).otherwise(F.lit(0))
     # the running sum of new-session flags IS the session ordinal; both
     # windows share (key, ts[, tiebreak]) so Catalyst plans a single
     # exchange+sort and one Window node

@@ -28,16 +28,75 @@ class QuerySpec:
     doc: str = ""
 
 
+# Ordering is load-bearing: the driver's correctness gate evaluates a
+# prefix of this dict (~50 entries). Front of the line, in order:
+# (1) queries fixed this round (need a fresh green row to prove the fix),
+# (2) queries with no driver verification in ANY previous round
+#     (rounds 1-2 covered qr01..qr50-era relational + qv/qs/qt/qp/ql01-23),
+# (3) high-churn event-time queries worth re-verifying, then everything else.
+_VERIFY_FIRST = (
+    # fixed in round 3 (ts-type adaptivity + oracle HUGEINT cast)
+    "qs04_watermarked_append",
+    "qs08_stream_sessions",
+    "qs09_chained_windows",
+    "qt03_sessionize",
+    "ql13_fingerprint",
+    # never driver-verified before round 3
+    "ql24_chunk_windows",
+    "ql25_pii_redaction",
+    "ql26_export_shards",
+    "ql27_bigram_collocations",
+    "ql28_quantization_error",
+    "ql29_split_manifest",
+    "ql30_decontamination",
+    "ql31_repetition_metrics",
+    "ql32_bm25_topk",
+    "ql33_sequence_packing",
+    "qr45_window_value_fns",
+    "qr46_disjunctive_join",
+    "qr47_promo_share",
+    "qr48_nation_volume",
+    "qr49_except_all",
+    "qr49_intersect_all",
+    "qr50_expectations_orders",
+    "qr51_grouping_sets",
+    "qr52_variant_props",
+    "qr53_small_quantity_revenue",
+    "qr54_top_supplier",
+    "qr55_empty_result",
+    "qr56_inventory_drawdown",
+    "qr57_try_arithmetic",
+    "qr58_collated_grouping",
+    "qr59_min_cost_supplier",
+    "qr60_priority_lateness",
+    "qr61_market_share",
+    "qr62_product_profit",
+    "qr63_returned_items",
+    "qr64_important_parts",
+    "qr65_shipping_speed",
+    "qr66_customer_distribution",
+    "qr67_supplier_part_counts",
+    "qr68_promotable_suppliers",
+    "qr69_waiting_suppliers",
+    # event-time queries re-verified against the regenerated fixtures
+    "qs01_stream_ingest_counts",
+    "qs02_tumbling_window",
+    "qs03_session_window",
+    "qs05_dedup_earliest",
+    "qs06_stream_static_join",
+    "qs07_update_mode",
+    "qt01_asof_last_click",
+    "qt02_range_join_errors",
+)
+
+
 def registry() -> dict[str, QuerySpec]:
     """Aggregate all query modules into one name → spec mapping.
 
-    Ordering is load-bearing: the driver's correctness gate evaluates a
-    prefix of this dict, so the families with the least external
-    verification go first — envelope, streaming, timeseries, pipeline,
-    then the LLM-pipeline operators — and the relational family (fully
-    driver-verified in round 1) last. Within each module, oracle-bearing
-    specs precede rows-only specs so every slot in the verification
-    window buys a full rows+schema+hash check where one exists.
+    See _VERIFY_FIRST for the prefix ordering contract; after the explicit
+    prefix, families follow in least-externally-verified-first order, with
+    oracle-bearing specs before rows-only specs so every slot in the
+    verification window buys a full rows+schema+hash check where one exists.
     """
     from streamsurfer_spark.queries import (
         envelope_q,
@@ -48,11 +107,17 @@ def registry() -> dict[str, QuerySpec]:
         timeseries_q,
     )
 
-    out: dict[str, QuerySpec] = {}
+    merged: dict[str, QuerySpec] = {}
     for mod in (envelope_q, streaming_q, timeseries_q, pipeline_q, llm_q, relational_q):
-        overlap = out.keys() & mod.QUERIES.keys()
+        overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
-        out.update({k: v for k, v in mod.QUERIES.items() if v.oracle is not None})
-        out.update({k: v for k, v in mod.QUERIES.items() if v.oracle is None})
+        merged.update({k: v for k, v in mod.QUERIES.items() if v.oracle is not None})
+        merged.update({k: v for k, v in mod.QUERIES.items() if v.oracle is None})
+
+    out: dict[str, QuerySpec] = {}
+    for name in _VERIFY_FIRST:
+        if name in merged:
+            out[name] = merged[name]
+    out.update({k: v for k, v in merged.items() if k not in out})
     return out

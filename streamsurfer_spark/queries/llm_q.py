@@ -430,8 +430,8 @@ WITH t AS (
     FROM documents
 )
 SELECT doc_id,
-       sum((({DUCK_HASH.format(x="token")} % {MOD_PRIME}) * (pos + 1)) % {MOD_PRIME})
-           % {MOD_PRIME} AS fingerprint
+       CAST(sum((({DUCK_HASH.format(x="token")} % {MOD_PRIME}) * (pos + 1)) % {MOD_PRIME})
+           % {MOD_PRIME} AS BIGINT) AS fingerprint
 FROM t GROUP BY doc_id ORDER BY doc_id
 """
 

@@ -160,7 +160,7 @@ sess AS (
     ) AS session_id
     FROM flagged
 )
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,

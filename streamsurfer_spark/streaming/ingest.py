@@ -18,27 +18,7 @@ import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# events.parquet stores ts as TIMESTAMP(NANOS); with nanosAsLong the scan
-# surfaces LongType nanoseconds (see session.table) — the stream schema
-# must match the physical read, then we convert ns → µs.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from pyspark.sql.types import LongType, TimestampNTZType
 
 
 def read_events_stream(
@@ -48,6 +28,13 @@ def read_events_stream(
 
     max_files_per_trigger=1 forces one micro-batch per file — the replay
     knob the watermark/late-data tests use to control arrival order.
+
+    The stream schema is derived from the files themselves (one batch
+    footer read) so the reader adapts to however the fixture stores ts:
+    TIMESTAMP(MICROS) [→ TIMESTAMP_NTZ], TIMESTAMP(NANOS) [→ LongType
+    nanos under nanosAsLong, converted to µs here], or a plain timestamp.
+    Assuming one physical layout silently corrupts event time when the
+    producer changes — a 1000× ts error makes every watermark vacuous.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -59,11 +46,25 @@ def read_events_stream(
         d = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(path, os.path.join(d, os.path.basename(path)))
         path = d
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, LongType):
+        # legacy nanos-as-long read: integer div keeps full precision
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, TimestampNTZType):
+        # withWatermark requires TIMESTAMP. NTZ → TIMESTAMP interprets the
+        # wall clock in the session timezone; pin UTC so window boundaries
+        # and rendered output agree with the wall-clock semantics a batch
+        # NTZ read (and the DuckDB oracle) produce, whatever session built us.
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:

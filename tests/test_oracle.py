@@ -29,3 +29,22 @@ def test_rows_only_runs(spark, name):
     df = spec.spark(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+# Types pandas converts lossily (HUGEINT → float64, DECIMAL → object):
+# a driver-side comparer that goes through pandas will hash `123` as
+# `123.0` and flag a value mismatch even when the numbers agree — every
+# integer aggregate in oracle SQL must be CAST to BIGINT (DuckDB's
+# sum(BIGINT) returns HUGEINT), doubles must stay DOUBLE.
+_PANDAS_LOSSY = ("HUGEINT", "DECIMAL")
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_dtypes_pandas_safe(duck, name):
+    rel = duck.sql(REG[name].oracle)
+    lossy = {
+        c: str(t)
+        for c, t in zip(rel.columns, rel.types)
+        if any(s in str(t) for s in _PANDAS_LOSSY)
+    }
+    assert not lossy, f"{name}: oracle emits pandas-lossy types {lossy}"

@@ -55,14 +55,9 @@ def test_stream_batch_parity_tumbling(spark, tmp_path):
     stream_out = run_to_memory(
         transforms.tumbling_counts(read_events_stream(spark, src)), "complete"
     )
-    batch_in = (
-        spark.read.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
-        )
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    batch_out = transforms.tumbling_counts(batch_in)
+    from streamsurfer_spark.session import table
+
+    batch_out = transforms.tumbling_counts(table(spark, "/root/testdata/sf0.001", "events"))
     assert sorted(map(tuple, stream_out.collect())) == sorted(
         map(tuple, batch_out.collect())
     )
