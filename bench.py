@@ -51,6 +51,10 @@ BENCH_QUERIES = (
     "ql23_dedup_clusters",
     "qs08_stream_sessions",
     "ql07b_multimodal_features",
+    # round-3 extensions: curation survivor pick (CC + max_by) and the
+    # map-only temperature mixture sample
+    "ql34_cluster_representatives",
+    "ql35_domain_mixture",
 )
 
 

@@ -185,3 +185,41 @@ def _connected_components_star(
     raise RuntimeError(
         f"star contraction did not converge in {max_iter} iterations"
     )
+
+
+def cluster_representatives(
+    pairs: DataFrame,
+    scores: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+    algorithm: str = "star",
+) -> DataFrame:
+    """Pick the best-quality member of every near-dup cluster — the
+    curation rule that decides WHICH copy survives deduplication.
+
+    ``pairs`` is a near-dup pair graph (LSH / cosine / Jaccard);
+    ``scores`` maps ``id_col`` → ``score_col``. Components become
+    clusters; each cluster's representative is its max-score member
+    (ties broken toward the smallest id, so the choice is deterministic).
+
+    Returns (cluster_id, n_members, rep_id, rep_score) — one row per
+    multi-member cluster.
+
+    Scale shape: connected_components does the heavy lifting (see module
+    doc); the representative pick is a single partial-aggregating groupBy
+    on cluster_id — ``max_by`` over a (score, -id) struct collapses
+    map-side, no window over skewed cluster partitions.
+    """
+    cc = connected_components(pairs, src=src, dst=dst, algorithm=algorithm)
+    members = cc.join(scores, cc["id"] == scores[id_col]).select(
+        F.col("cluster_id"), F.col(id_col), F.col(score_col)
+    )
+    return members.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max_by(
+            F.col(id_col), F.struct(F.col(score_col), (-F.col(id_col)).alias("nid"))
+        ).alias("rep_id"),
+        F.max(score_col).alias("rep_score"),
+    )

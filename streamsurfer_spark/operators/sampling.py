@@ -51,6 +51,53 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str, n_per_stratum
     )
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    factor: int = 4,
+    modulus: int = 10_000,
+) -> DataFrame:
+    """Temperature-flattened domain mixture: keep ~min(n_s, floor(sqrt(n_s)
+    · `factor`)) rows per stratum (source/domain/language), selected by key
+    hash.
+
+    The α=0.5 mixture rule training pipelines use to keep big domains from
+    drowning out small ones: per-stratum sample size grows with the SQUARE
+    ROOT of the stratum size, so a 100× larger domain contributes only 10×
+    more rows. Membership is a pure function of (row key, stratum size):
+    a per-row hash-threshold predicate, NOT a per-stratum top-n — so the
+    heavy path is map-only (no window over skewed stratum partitions; the
+    only shuffle is the tiny per-stratum count, broadcast back). Selected
+    counts are therefore approximate (binomial around the target), which
+    is the right trade at 100 TB; the DuckDB oracle replays the identical
+    predicate, so the approximation is still exactly reproducible.
+
+    Returns the selected rows plus ``n_stratum`` / ``target_n`` audit
+    columns. Integer products stay exact and the only double ops (sqrt,
+    one division, floor) are single IEEE operations — identical across
+    engines, no cross-engine reduction-order drift.
+    """
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count("*").alias("n_stratum"))
+        .withColumn(
+            "target_n",
+            F.least(
+                F.col("n_stratum"),
+                F.floor(F.sqrt(F.col("n_stratum")) * factor).cast("long"),
+            ),
+        )
+    )
+    thresh = F.floor(
+        (F.lit(modulus) * F.col("target_n")).cast("double") / F.col("n_stratum")
+    ).cast("long")
+    return (
+        df.join(F.broadcast(counts), stratum_col)
+        .where(_key_hash(id_col) % modulus < thresh)
+    )
+
+
 def assign_split(
     df: DataFrame, id_col: str, train_pct: int = 80, val_pct: int = 10
 ) -> DataFrame:

@@ -78,15 +78,16 @@ _VERIFY_FIRST = (
     "qr67_supplier_part_counts",
     "qr68_promotable_suppliers",
     "qr69_waiting_suppliers",
+    # new in round 3
+    "ql34_cluster_representatives",
+    "ql35_domain_mixture",
     # event-time queries re-verified against the regenerated fixtures
     "qs01_stream_ingest_counts",
     "qs02_tumbling_window",
     "qs03_session_window",
     "qs05_dedup_earliest",
-    "qs06_stream_static_join",
     "qs07_update_mode",
     "qt01_asof_last_click",
-    "qt02_range_join_errors",
 )
 
 

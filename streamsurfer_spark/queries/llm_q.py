@@ -18,7 +18,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from streamsurfer_spark.functions.hashing import MOD_PRIME, P31, affine_params
-from streamsurfer_spark.operators import dedup, multimodal, packing, retrieval, similarity
+from streamsurfer_spark.operators import (
+    dedup,
+    multimodal,
+    packing,
+    retrieval,
+    sampling,
+    similarity,
+)
 from streamsurfer_spark.operators import text as text_ops
 from streamsurfer_spark.queries import QuerySpec
 from streamsurfer_spark.session import table
@@ -1422,6 +1429,106 @@ FROM p ORDER BY doc_id
 """
 
 
+# --- ql34: near-dup cluster representative selection -------------------------
+
+
+def ql34_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which copy survives dedup: MinHash-LSH pairs → connected components
+    → keep each cluster's best-quality member (operators/graph.py
+    cluster_representatives). Completes the dedup story: ql02 finds the
+    pairs, ql23 clusters them, this picks the survivor. The oracle rebuilds
+    the clusters with a recursive CTE and the quality score with ql11's SQL
+    twin, then picks the same (max score, min id) representative."""
+    from streamsurfer_spark.operators.graph import cluster_representatives
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    quality = text_ops.quality_features(docs).select("doc_id", "quality_score")
+    return cluster_representatives(pairs, quality).orderBy("cluster_id")
+
+
+QL34_SQL = f"""
+WITH RECURSIVE {duck_minhash_bands("documents")},
+pr AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sym AS (
+    SELECT id_a AS a, id_b AS b FROM pr
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM pr
+),
+reach(id, r) AS (
+    SELECT DISTINCT a AS id, a AS r FROM sym
+    UNION
+    SELECT sym.a AS id, reach.r FROM sym JOIN reach ON sym.b = reach.id
+),
+clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+q AS (
+    SELECT doc_id,
+           round(least(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+               + least(1.0, {_STOP_EN}::DOUBLE / len(string_split(text, ' ')) * 5.0) * 0.5,
+                 4) AS quality_score
+    FROM documents
+),
+m AS (
+    SELECT c.cluster_id, c.id AS doc_id, q.quality_score
+    FROM clusters c JOIN q ON q.doc_id = c.id
+),
+rep AS (
+    SELECT cluster_id, doc_id, quality_score,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY quality_score DESC, doc_id) AS rk
+    FROM m
+),
+sz AS (SELECT cluster_id, count(*) AS n_members FROM m GROUP BY 1)
+SELECT sz.cluster_id, sz.n_members,
+       rep.doc_id AS rep_id, rep.quality_score AS rep_score
+FROM sz JOIN rep ON rep.cluster_id = sz.cluster_id AND rep.rk = 1
+ORDER BY sz.cluster_id
+"""
+
+
+# --- ql35: temperature-weighted domain mixture sample ------------------------
+
+MIX_FACTOR = 4
+MIX_MODULUS = 10_000
+
+
+def ql35_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature mixture over `source` (operators/sampling.py
+    temperature_mixture_sample): per-domain sample size ∝ sqrt(domain
+    size), membership by key-hash threshold — map-only on the corpus,
+    one tiny broadcast agg. The oracle replays the identical predicate."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        sampling.temperature_mixture_sample(
+            docs, "source", "doc_id", factor=MIX_FACTOR, modulus=MIX_MODULUS
+        )
+        .select("doc_id", "source", "n_stratum", "target_n")
+        .orderBy("doc_id")
+    )
+
+
+QL35_SQL = f"""
+WITH c AS (SELECT source, count(*) AS n_stratum FROM documents GROUP BY 1),
+t AS (
+    SELECT source, n_stratum,
+           least(n_stratum,
+                 CAST(floor(sqrt(n_stratum) * {MIX_FACTOR}) AS BIGINT)) AS target_n
+    FROM c
+)
+SELECT d.doc_id, d.source, t.n_stratum, t.target_n
+FROM documents d JOIN t ON d.source = t.source
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % {MIX_MODULUS}
+      < CAST(floor(({MIX_MODULUS} * target_n)::DOUBLE / n_stratum) AS BIGINT)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -1482,5 +1589,13 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ql33_sequence_packing": QuerySpec(
         ql33_sequence_packing, QL33_SQL, "greedy context-window sequence packing"
+    ),
+    "ql34_cluster_representatives": QuerySpec(
+        ql34_cluster_representatives,
+        QL34_SQL,
+        "best-quality survivor per near-dup cluster",
+    ),
+    "ql35_domain_mixture": QuerySpec(
+        ql35_domain_mixture, QL35_SQL, "temperature-weighted domain mixture sample"
     ),
 }
