@@ -194,7 +194,7 @@ def cluster_representatives(
     dst: str = "doc_b",
     id_col: str = "doc_id",
     score_col: str = "quality_score",
-    algorithm: str = "star",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Pick the best-quality member of every near-dup cluster — the
     curation rule that decides WHICH copy survives deduplication.
@@ -203,6 +203,12 @@ def cluster_representatives(
     ``scores`` maps ``id_col`` → ``score_col``. Components become
     clusters; each cluster's representative is its max-score member
     (ties broken toward the smallest id, so the choice is deterministic).
+
+    Default algorithm is min-label propagation: LSH near-dup clusters are
+    near-CLIQUES (every member shares a band with most others), so the
+    diameter — and the round count — is 2-3 regardless of corpus size.
+    Pass ``algorithm="star"`` for chain-shaped pair graphs (see ql23,
+    embedding near-dups, where a~b~c without a~c is common).
 
     Returns (cluster_id, n_members, rep_id, rep_score) — one row per
     multi-member cluster.

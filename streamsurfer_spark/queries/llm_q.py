@@ -1434,6 +1434,7 @@ FROM p ORDER BY doc_id
 
 def ql34_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which copy survives dedup: MinHash-LSH pairs → connected components
+    (min-label propagation — LSH clusters are near-cliques, diameter ≤ 3)
     → keep each cluster's best-quality member (operators/graph.py
     cluster_representatives). Completes the dedup story: ql02 finds the
     pairs, ql23 clusters them, this picks the survivor. The oracle rebuilds

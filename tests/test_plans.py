@@ -269,3 +269,15 @@ def test_q21_shape_semi_anti_topk(spark):
     assert "TakeOrderedAndProject" in p
     assert "LeftSemi" in p and "LeftAnti" in p
     assert broadcast_join_count(df) >= 1
+
+
+def test_mixture_sample_map_only_corpus_path(spark):
+    """ql35: the corpus side joins the per-stratum counts by BROADCAST (no
+    corpus shuffle before selection) and the scans read only the columns
+    the query needs; the only exchanges are the tiny count aggregate and
+    the deterministic output sort."""
+    df = REG["ql35_domain_mixture"].spark(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1
+    assert exchange_count(df) <= 2
+    for schema in scan_schemas(df):
+        assert "text" not in schema  # mixture never reads document bodies
