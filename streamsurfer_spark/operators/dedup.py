@@ -224,6 +224,69 @@ def simhash_oracle_expr() -> str:
 # many LOW-frequency shingles) intact. 1000 is far above the fixture max
 # document frequency (25 at sf0.1) so fixture hashes are unchanged; at
 # 100 TB set it to your stopword-df knee (and run on LSH candidates).
+def duplicate_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Per-document fraction of token positions covered by an n-gram span
+    that also occurs in ANOTHER document — the signal behind
+    substring-level dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): exact/near dedup misses documents that
+    merely *embed* boilerplate, this measures it.
+
+    Shape: (doc, pos, shingle) occurrences → shingle document-frequency
+    (partial-aggregating groupBy on the shingle key) → semi-join
+    occurrences against shingles with df ≥ 2 → explode each surviving
+    occurrence into its ≤ n covered positions → distinct (doc, pos) →
+    count per doc. Every stage keys on either the uniform shingle hash or
+    (doc, pos) — no single-key concentration; the ×n position fan-out is
+    a constant factor collapsed by the distinct's partial aggregation.
+    Output: one row per document with ≥ 1 covered token.
+    """
+    sh = (
+        with_shingles(df, text_col, n)
+        .select(
+            F.col(id_col),
+            F.size("toks").alias("n_tokens"),
+            F.posexplode("shingles").alias("pos", "shingle"),
+        )
+    )
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") >= 2)
+        .select("shingle")
+    )
+    covered = (
+        sh.join(dup, "shingle")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.explode(
+                F.sequence(
+                    F.col("pos"),
+                    F.least(F.col("pos") + (n - 1), F.col("n_tokens") - 1),
+                )
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    return (
+        covered.groupBy(id_col, "n_tokens")
+        .agg(F.count("*").alias("covered_tokens"))
+        .select(
+            id_col,
+            "n_tokens",
+            "covered_tokens",
+            F.round(F.col("covered_tokens") / F.col("n_tokens"), 4).alias(
+                "dup_coverage"
+            ),
+        )
+    )
+
+
 NGRAM_SHINGLE_DF_CAP = 1000
 
 

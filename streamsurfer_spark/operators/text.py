@@ -90,6 +90,51 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unigram-LM quality score: per-document mean token surprisal
+    (-ln p(token)) under the corpus's own unigram distribution — the
+    classic cheap perplexity proxy for training-data quality filtering
+    (low = boilerplate/repetitive, high = rare-token noise).
+
+    Float discipline: ln() is evaluated ONCE PER DISTINCT TOKEN on the
+    vocabulary table and immediately rounded to integer micro-nats
+    (×1e6 BIGINT) — all per-document aggregation is then exact integer
+    summation, so results are independent of row order and partitioning.
+    (Summing raw doubles per doc would be order-dependent; summing
+    pre-rounded BIGINTs is not.)
+
+    Distributed shape (100 TB): tf = groupBy(doc, token) with map-side
+    combine collapses repeated tokens before anything is joined; the
+    vocabulary (distinct tokens ≪ corpus) gets its costs in one pass and
+    joins back ON TOKEN — a shuffle join whose key skew ("the") is
+    bounded because the fat side is already (doc, token)-distinct, with
+    AQE skew-split as backstop. Final groupBy(doc) is partial-aggregating
+    on a unique key.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    costed = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(F.log(F.col("total") / F.col("cnt")) * 1_000_000)
+        .cast("bigint")
+        .alias("cost_micro"),
+    )
+    return (
+        tf.join(costed, "token")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("cost_micro")).alias("surprisal_micro"),
+        )
+        .withColumn(
+            "avg_surprisal_nats",
+            F.round(F.col("surprisal_micro") / F.col("n_tokens") / 1e6, 4),
+        )
+    )
+
+
 def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Position-weighted polynomial fingerprint mod 1e9+7.
 

@@ -81,13 +81,14 @@ _VERIFY_FIRST = (
     # new in round 3
     "ql34_cluster_representatives",
     "ql35_domain_mixture",
-    # event-time queries re-verified against the regenerated fixtures
-    "qs01_stream_ingest_counts",
-    "qs02_tumbling_window",
-    "qs03_session_window",
-    "qs05_dedup_earliest",
-    "qs07_update_mode",
-    "qt01_asof_last_click",
+    # the one registry entry no round's window has reached (rows-only spec)
+    "ql07b_multimodal_features",
+    # new in round 3, second wave
+    "qt08_rolling_anomaly",
+    "qt09_time_weighted_avg",
+    "ql36_unigram_surprisal",
+    "ql37_duplicate_spans",
+    "ql38_kmeans_clusters",
 )
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from streamsurfer_spark.functions.hashing import MOD_PRIME, P31, affine_params
 from streamsurfer_spark.operators import (
+    clustering,
     dedup,
     multimodal,
     packing,
@@ -1530,6 +1531,137 @@ ORDER BY d.doc_id
 """
 
 
+# --- ql36: unigram-LM surprisal quality score -------------------------------
+
+
+def ql36_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean token surprisal per document under the corpus unigram LM
+    (operators/text.py unigram_surprisal — see its float-discipline and
+    100 TB notes: ln() once per distinct token rounded to integer
+    micro-nats, all per-doc aggregation exact BIGINT)."""
+    docs = table(spark, sf_dir, "documents")
+    return text_ops.unigram_surprisal(docs).orderBy("doc_id")
+
+
+QL36_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+costed AS (
+    SELECT token,
+           CAST(round(ln(total::DOUBLE / cnt) * 1000000) AS BIGINT) AS cost_micro
+    FROM vocab CROSS JOIN total
+)
+SELECT tf.doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(sum(tf * cost_micro) AS BIGINT) AS surprisal_micro,
+       round(CAST(sum(tf * cost_micro) AS BIGINT)
+             / CAST(sum(tf) AS BIGINT) / 1000000.0, 4) AS avg_surprisal_nats
+FROM tf JOIN costed USING (token)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --- ql37: duplicated n-gram span coverage (substring-level dedup signal) ----
+
+
+def ql37_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's tokens covered by a 3-gram shared with
+    another document (operators/dedup.py duplicate_span_coverage — the
+    Lee-et-al substring-dedup signal; shuffle keys are the uniform
+    shingle hash and (doc, pos), never a single hot key)."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.duplicate_span_coverage(docs).orderBy("doc_id")
+
+
+QL37_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+    SELECT doc_id, len(toks) AS n_tokens,
+           unnest(range(greatest(len(toks) - 2, 1))) AS pos,
+           unnest({DUCK_SHINGLES}) AS shingle
+    FROM d
+),
+dup AS (
+    SELECT shingle FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+cov0 AS (
+    SELECT s.doc_id, s.n_tokens,
+           unnest(range(s.pos, least(s.pos + 3, s.n_tokens))) AS p
+    FROM sh s JOIN dup USING (shingle)
+),
+cov AS (SELECT DISTINCT doc_id, n_tokens, p FROM cov0)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       count(*) AS covered_tokens,
+       round(count(*)::DOUBLE / n_tokens, 4) AS dup_coverage
+FROM cov
+GROUP BY doc_id, n_tokens
+ORDER BY 1
+"""
+
+
+# --- ql38: k-means codebook training (2 Lloyd iterations, exact-int) --------
+
+
+def ql38_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster size + exact-integer SSE after 2 Lloyd iterations on
+    ×1000-quantized embeddings (operators/clustering.py — constant-k
+    broadcast assign via ivf_assign's map-side min_by, k×d-keyed update)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return clustering.kmeans_report(emb)
+
+
+_KM_DIST = "list_sum(list_transform(list_zip({a}, {b}), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+
+QL38_SQL = f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+    FROM embeddings
+),
+c0 AS (SELECT vec_id AS cent_id, qv AS cqv FROM q WHERE vec_id < {clustering.KMEANS_K}),
+a1 AS (
+    SELECT vec_id, qv, cent_id FROM (
+        SELECT v.vec_id, v.qv, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_KM_DIST.format(a='v.qv', b='c.cqv')}, c.cent_id
+               ) AS rn
+        FROM q v CROSS JOIN c0 c
+    ) WHERE rn = 1
+),
+u1 AS (
+    SELECT cent_id, dim, CAST(floor(sum(x)::DOUBLE / count(*)) AS BIGINT) AS cx
+    FROM (
+        SELECT cent_id, unnest(qv) AS x, unnest(range(len(qv))) AS dim FROM a1
+    )
+    GROUP BY 1, 2
+),
+c1 AS (SELECT cent_id, list(cx ORDER BY dim) AS cqv FROM u1 GROUP BY 1),
+a2 AS (
+    SELECT vec_id, cent_id, dist FROM (
+        SELECT v.vec_id, c.cent_id,
+               {_KM_DIST.format(a='v.qv', b='c.cqv')} AS dist,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_KM_DIST.format(a='v.qv', b='c.cqv')}, c.cent_id
+               ) AS rn
+        FROM q v CROSS JOIN c1 c
+    ) WHERE rn = 1
+)
+SELECT cent_id, count(*) AS n_vecs,
+       CAST(sum(dist) AS BIGINT) AS sse,
+       min(vec_id) AS exemplar_id
+FROM a2
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -1598,5 +1730,20 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ql35_domain_mixture": QuerySpec(
         ql35_domain_mixture, QL35_SQL, "temperature-weighted domain mixture sample"
+    ),
+    "ql36_unigram_surprisal": QuerySpec(
+        ql36_unigram_surprisal,
+        QL36_SQL,
+        "unigram-LM mean token surprisal (perplexity-proxy quality score)",
+    ),
+    "ql37_duplicate_spans": QuerySpec(
+        ql37_duplicate_spans,
+        QL37_SQL,
+        "duplicated n-gram span coverage (substring-dedup signal)",
+    ),
+    "ql38_kmeans_clusters": QuerySpec(
+        ql38_kmeans_clusters,
+        QL38_SQL,
+        "exact-int Lloyd k-means codebook report (2 iterations)",
     ),
 }

@@ -440,6 +440,152 @@ ORDER BY 1, 2
 """
 
 
+def qt08_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3σ anomaly detection: flag events whose value deviates more
+    than three standard deviations from the user's trailing 20 events.
+
+    The entire test is EXACT integer arithmetic on cent-scaled values: with
+    n, s = Σx, ss = Σx² over the trailing frame, the 3σ condition
+    (x - s/n)² > 9·(ss/n - s²/n²) is multiplied through by n² to
+    (n·x - s)² > 9·(n·ss - s²) — BIGINT-exact on both engines, so the
+    boolean is reproducible regardless of summation order (no float
+    variance, no Welford state). Max magnitudes: n ≤ 20, x ≤ 49 002 cents
+    → 9·n·ss ≤ 8.7e12, far inside int64.
+
+    Scale (100 TB): one exchange on user_id; both aggregates share a single
+    (user_id, ts, event_id) sort — Catalyst plans ONE Window node for
+    count/sum/sumsq. User cardinality is high and per-user history is
+    bounded by the 20-row frame, so no task ever holds more than one
+    user's events; anomalies are a tiny filtered output.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    n = F.count("*").over(w)
+    s = F.sum(cents).over(w)
+    ss = F.sum(cents * cents).over(w)
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("ts"),
+        cents.alias("value_cents"),
+        n.alias("n_prev"),
+        s.alias("sum_prev"),
+        ss.alias("sumsq_prev"),
+    )
+    dev = F.col("n_prev") * F.col("value_cents") - F.col("sum_prev")
+    var_n2 = F.col("n_prev") * F.col("sumsq_prev") - F.col("sum_prev") * F.col("sum_prev")
+    return (
+        scored.where((F.col("n_prev") >= 10) & (dev * dev > 9 * var_n2))
+        .orderBy("event_id")
+    )
+
+
+QT08_SQL = """
+WITH scored AS (
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(round(value * 100) AS BIGINT) AS value_cents,
+           count(*) OVER w AS n_prev,
+           sum(CAST(round(value * 100) AS BIGINT)) OVER w AS sum_prev,
+           sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) OVER w AS sumsq_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts, value_cents, n_prev,
+       CAST(sum_prev AS BIGINT) AS sum_prev,
+       CAST(sumsq_prev AS BIGINT) AS sumsq_prev
+FROM scored
+WHERE n_prev >= 10
+  AND (n_prev * value_cents - sum_prev) * (n_prev * value_cents - sum_prev)
+      > 9 * (n_prev * sumsq_prev - sum_prev * sum_prev)
+ORDER BY event_id
+"""
+
+
+# --- Q-T9: time-weighted average (TimescaleDB time_weight parity) -----------
+
+TWA_CAP_US = 3600 * 1_000_000  # staleness cap: a gap longer than 1h holds
+# the last observation for exactly 1h, then contributes nothing (PromQL-style)
+
+
+def qt09_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user, day) time-weighted average of `value`: each observation
+    is held until the user's next event (LOCF), capped at 1 hour of
+    staleness; the segment is attributed to the day of its starting event.
+
+    Numerics are exact end-to-end: cent-scaled BIGINT values × BIGINT
+    microsecond durations (≤ 49 002 × 3.6e9 ≈ 1.8e14 per segment) are
+    summed exactly; the ONLY float op is one final division of two exact
+    integers — IEEE-correctly-rounded identically on both engines — then
+    ROUND. No order-dependent float summation anywhere.
+
+    Scale (100 TB): lead() needs one exchange on user_id; the rollup
+    groups on (user_id, day) — a prefix-compatible key, so the partial
+    aggregate collapses within the window's partitions before any second
+    exchange. Per-user state is one row of lookahead; no frame holds a
+    user's history.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    seg = (
+        ev.select("user_id", "ts", "event_id", cents.alias("value_cents"))
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .where(F.col("next_ts").isNotNull())
+        .withColumn(
+            "dur_us",
+            F.least(
+                F.expr("timestampdiff(MICROSECOND, ts, next_ts)"),
+                F.lit(TWA_CAP_US),
+            ).cast("bigint"),
+        )
+    )
+    return (
+        seg.groupBy("user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("dur_us").alias("total_dur_us"),
+            F.sum(F.col("value_cents") * F.col("dur_us")).alias("weighted_sum"),
+        )
+        .withColumn(
+            "twa_value",
+            F.round(F.col("weighted_sum") / F.col("total_dur_us") / 100.0, 4),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+QT09_SQL = f"""
+WITH seg AS (
+    SELECT user_id, ts, event_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+    FROM events
+),
+capped AS (
+    SELECT user_id, ts, value_cents,
+           least(date_diff('microseconds', ts, next_ts), {TWA_CAP_US}) AS dur_us
+    FROM seg WHERE next_ts IS NOT NULL
+)
+SELECT user_id,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       count(*) AS n_segments,
+       CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+       CAST(sum(value_cents * dur_us) AS BIGINT) AS weighted_sum,
+       round(CAST(sum(value_cents * dur_us) AS BIGINT)
+             / CAST(sum(dur_us) AS BIGINT) / 100.0, 4) AS twa_value
+FROM capped
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qt01_asof_last_click": QuerySpec(
         qt01_asof_last_click, QT01_SQL, "as-of join (union-sort) vs native DuckDB ASOF"
@@ -461,5 +607,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qt07_ewma_smoothing": QuerySpec(
         qt07_ewma_smoothing, QT07_SQL, "EWMA smoothing over pre-aggregated daily series"
+    ),
+    "qt08_rolling_anomaly": QuerySpec(
+        qt08_rolling_anomaly,
+        QT08_SQL,
+        "rolling 3-sigma anomaly flags via exact-int trailing-frame moments",
+    ),
+    "qt09_time_weighted_avg": QuerySpec(
+        qt09_time_weighted_avg,
+        QT09_SQL,
+        "LOCF time-weighted average per user-day (TimescaleDB time_weight parity)",
     ),
 }

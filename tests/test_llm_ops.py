@@ -363,3 +363,70 @@ def test_pack_sequences_greedy_recurrence(spark):
         for r in packing.pack_sequences(df, capacity=250, n_shards=1).collect()
     }
     assert got == {0: (1, 0), 1: (1, 100), 2: (2, 0), 3: (3, 0), 4: (4, 0)}
+
+
+def test_duplicate_span_coverage_hand_example(spark):
+    """Doc 1 and 2 share exactly one 3-gram ('c d e' at different offsets);
+    each doc's covered positions are that shingle's 3-token span."""
+    rows = [
+        (1, "a b c d e f"),   # 'c d e' at pos 2 -> covers {2,3,4}
+        (2, "c d e x y z"),   # 'c d e' at pos 0 -> covers {0,1,2}
+        (3, "p q r s t u"),   # shares nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"], r["dup_coverage"])
+        for r in dedup.duplicate_span_coverage(df).collect()
+    }
+    assert got == {1: (6, 3, 0.5), 2: (6, 3, 0.5)}
+
+
+def test_duplicate_span_coverage_overlapping_spans(spark):
+    """Overlapping duplicated shingles cover the union, not the sum."""
+    rows = [
+        (1, "a b c d x x"),   # 'a b c' pos0 + 'b c d' pos1 -> union {0,1,2,3}
+        (2, "a b c d y y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["covered_tokens"] for r in dedup.duplicate_span_coverage(df).collect()}
+    assert got == {1: 4, 2: 4}
+
+
+def test_unigram_surprisal_ranks_rare_tokens(spark):
+    """A doc of corpus-rare tokens scores above a doc of corpus-common ones,
+    and every per-doc sum is the exact integer sum of vocab-level costs."""
+    import math as m
+
+    from streamsurfer_spark.operators import text as text_ops
+
+    rows = [
+        (1, "the the the the"),
+        (2, "the the the the"),
+        (3, "rare words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text_ops.unigram_surprisal(df).collect()}
+    assert got[3]["avg_surprisal_nats"] > got[1]["avg_surprisal_nats"]
+    # exact contract: cost('the') = round(ln(12/8)*1e6), 4 occurrences
+    assert got[1]["surprisal_micro"] == 4 * round(m.log(12 / 8) * 1_000_000)
+    assert got[1]["n_tokens"] == 4
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    """Two tight blobs -> 2 non-empty clusters, SSE is the exact integer sum
+    of within-cluster squared distances."""
+    from streamsurfer_spark.operators import clustering
+
+    # ids 0,1 seed the two blobs; 64-dim vectors, blob A ~ 0.0, blob B ~ 1.0
+    rows = [(i, [0.0 + 0.001 * i] * 64) for i in range(4)] + [
+        (i, [1.0 + 0.001 * i] * 64) for i in range(4, 8)
+    ]
+    # only ids 0 and 1 are < k seeds unless k=2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rep = clustering.kmeans_report(df, k=2, iters=2).collect()
+    sizes = sorted(r["n_vecs"] for r in rep)
+    assert sizes == [4, 4]
+    assert all(r["sse"] >= 0 for r in rep)
+    # determinism: second run is bit-identical
+    rep2 = clustering.kmeans_report(df, k=2, iters=2).collect()
+    assert sorted(map(tuple, rep)) == sorted(map(tuple, rep2))

@@ -84,3 +84,76 @@ def test_gapfill_fills_missing_days_with_zeros(spark):
     assert rows[("b", "2024-01-01")] == (0, 0.0)
     assert rows[("b", "2024-01-02")] == (1, 5.0)
     assert rows[("a", "2024-01-03")] == (1, 2.0)
+
+
+def test_rolling_anomaly_flags_spike(spark):
+    """A flat series with one spike: only the spike trips the exact-int 3σ
+    test (variance 0 history -> any deviation flags)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.queries.timeseries_q import qt08_rolling_anomaly
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "click", 10.0 if i != 15 else 500.0, "{}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = qt08_rolling_anomaly(spark, d).collect()
+    assert [r["event_id"] for r in got] == [15]
+
+
+def test_time_weighted_avg_hand_example(spark):
+    """Two segments: value 100 held 10s, value 200 held 30s -> TWA = 175."""
+    import datetime as dt
+    import os, tempfile
+
+    from streamsurfer_spark.queries.timeseries_q import qt09_time_weighted_avg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "click", 100.0, "{}"),
+        (2, base + dt.timedelta(seconds=10), 1, "click", 200.0, "{}"),
+        (3, base + dt.timedelta(seconds=40), 1, "click", 999.0, "{}"),  # no next -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = qt09_time_weighted_avg(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_segments"] == 2
+    assert r["total_dur_us"] == 40_000_000
+    assert r["twa_value"] == 175.0
+
+
+def test_time_weighted_avg_staleness_cap(spark):
+    """A gap longer than 1h contributes exactly 1h of the stale value."""
+    import datetime as dt
+    import os, tempfile
+
+    from streamsurfer_spark.queries.timeseries_q import TWA_CAP_US, qt09_time_weighted_avg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "click", 100.0, "{}"),
+        (2, base + dt.timedelta(hours=5), 1, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = qt09_time_weighted_avg(spark, d).collect()
+    assert got[0]["total_dur_us"] == TWA_CAP_US
+    assert got[0]["twa_value"] == 100.0
