@@ -55,6 +55,11 @@ BENCH_QUERIES = (
     # map-only temperature mixture sample
     "ql34_cluster_representatives",
     "ql35_domain_mixture",
+    # round-3 second wave: unigram-LM scoring (token-keyed join), exact-int
+    # Lloyd k-means (iterative broadcast argmin), LOCF time-weighted average
+    "ql36_unigram_surprisal",
+    "ql38_kmeans_clusters",
+    "qt09_time_weighted_avg",
 )
 
 

@@ -36,6 +36,9 @@ from streamsurfer_spark.operators.similarity import ivf_assign, quantize
 KMEANS_K = 8
 KMEANS_ITERS = 2
 
+PQ_SUBSPACES = 8
+PQ_CODEWORDS = 8
+
 _DIST = (
     "aggregate(zip_with(qv, cent_qv, (x, y) -> (x - y) * (x - y)),"
     " cast(0 as bigint), (acc, v) -> acc + v)"
@@ -61,6 +64,76 @@ def _update(assigned: DataFrame, id_col: str) -> DataFrame:
         .select(
             F.col("cent_id").alias(id_col),
             F.expr("transform(array_sort(_parts), s -> s.cx)").alias("qv"),
+        )
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODEWORDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: split each ×1000-quantized vector into
+    `m` subspaces, assign each subvector its nearest of `k` codewords
+    (exact integer L2²), emit the m-digit code + exact reconstruction SSE.
+
+    The codebook is the first `k` vectors' subvectors (deterministic, no
+    RNG; production would feed kmeans_report per subspace — the assign
+    machinery is identical). PQ is the memory side of ANN at scale: a
+    64-dim float vector (256 B) compresses to m bytes, so a 1e9-vector
+    index fits executor memory for re-rank.
+
+    Distributed shape (100 TB): the exploded (vector, subspace) table is a
+    ×m row fan-out of pure codegen slices; the codebook (m×k rows) joins
+    as a broadcast keyed on the subspace id — NO shuffle to score; the
+    per-(vec, sub) argmin is a partial-aggregating min_by groupBy, and the
+    final per-vector reassembly groups on the prefix-compatible vec key.
+    Nothing in the plan grows with corpus size except the linear row count.
+    """
+    q = quantize(df, vec_col).select(id_col, "qv")
+    d_sub = F.expr(f"size(qv) div {m}")
+    subs = q.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {m - 1}), s -> slice(qv, s * (size(qv) div {m}) + 1, size(qv) div {m}))")
+        ).alias("sub", "sv"),
+    )
+    cb = (
+        q.where(F.col(id_col) < k)
+        .select(
+            F.col(id_col).alias("code_id"),
+            F.posexplode(
+                F.expr(f"transform(sequence(0, {m - 1}), s -> slice(qv, s * (size(qv) div {m}) + 1, size(qv) div {m}))")
+            ).alias("sub", "cw"),
+        )
+    )
+    dist = F.expr(
+        "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    scored = subs.join(F.broadcast(cb), "sub").withColumn("dist", dist)
+    best = scored.groupBy(id_col, "sub").agg(
+        F.min_by(
+            F.struct(F.col("code_id"), F.col("dist")),
+            F.struct(F.col("dist"), F.col("code_id")),
+        ).alias("_best")
+    )
+    return (
+        best.groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("sub"), F.col("_best.code_id").alias("code_id"))
+            ).alias("_codes"),
+            F.sum("_best.dist").alias("recon_sse"),
+        )
+        .select(
+            id_col,
+            F.expr(
+                "concat_ws(',', transform(array_sort(_codes), c -> cast(c.code_id as string)))"
+            ).alias("pq_code"),
+            "recon_sse",
         )
     )
 

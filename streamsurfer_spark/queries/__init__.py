@@ -81,14 +81,18 @@ _VERIFY_FIRST = (
     # new in round 3
     "ql34_cluster_representatives",
     "ql35_domain_mixture",
-    # the one registry entry no round's window has reached (rows-only spec)
-    "ql07b_multimodal_features",
-    # new in round 3, second wave
+    # new in round 3, second wave (oracle-bearing first)
     "qt08_rolling_anomaly",
     "qt09_time_weighted_avg",
     "ql36_unigram_surprisal",
     "ql37_duplicate_spans",
     "ql38_kmeans_clusters",
+    "qs10_interval_join",
+    "ql39_pq_encode",
+    # the one registry entry no round's window has reached (rows-only spec,
+    # so it only earns a weaker rows-only row; position 51 risks missing a
+    # strictly-50 window — acceptable, it is pytest-covered either way)
+    "ql07b_multimodal_features",
 )
 
 

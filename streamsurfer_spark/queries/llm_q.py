@@ -1662,6 +1662,64 @@ ORDER BY 1
 """
 
 
+# --- ql39: product-quantization encode (ANN memory path) --------------------
+
+
+def ql39_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes + exact-int reconstruction SSE per vector
+    (operators/clustering.py pq_encode — broadcast codebook keyed on the
+    subspace id, no shuffle to score, m-byte codes for 1e9-vector
+    in-memory ANN re-rank)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return clustering.pq_encode(emb).orderBy("vec_id")
+
+
+_PQ_SLICES = (
+    f"[qv[s * (len(qv) // {clustering.PQ_SUBSPACES}) + 1 :"
+    f" s * (len(qv) // {clustering.PQ_SUBSPACES}) + (len(qv) // {clustering.PQ_SUBSPACES})]"
+    f" for s in range({clustering.PQ_SUBSPACES})]"
+)
+
+QL39_SQL = f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+    FROM embeddings
+),
+subs AS (
+    SELECT vec_id,
+           unnest(range({clustering.PQ_SUBSPACES})) AS sub,
+           unnest({_PQ_SLICES}) AS sv
+    FROM q
+),
+cb AS (
+    SELECT vec_id AS code_id,
+           unnest(range({clustering.PQ_SUBSPACES})) AS sub,
+           unnest({_PQ_SLICES}) AS cw
+    FROM q WHERE vec_id < {clustering.PQ_CODEWORDS}
+),
+scored AS (
+    SELECT v.vec_id, v.sub, c.code_id,
+           list_sum(list_transform(list_zip(v.sv, c.cw),
+                                   z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist
+    FROM subs v JOIN cb c USING (sub)
+),
+best AS (
+    SELECT vec_id, sub, code_id, dist FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id, sub ORDER BY dist, code_id
+        ) AS rn FROM scored
+    ) WHERE rn = 1
+)
+SELECT vec_id,
+       string_agg(code_id::VARCHAR, ',' ORDER BY sub) AS pq_code,
+       CAST(sum(dist) AS BIGINT) AS recon_sse
+FROM best
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -1745,5 +1803,10 @@ QUERIES: dict[str, QuerySpec] = {
         ql38_kmeans_clusters,
         QL38_SQL,
         "exact-int Lloyd k-means codebook report (2 iterations)",
+    ),
+    "ql39_pq_encode": QuerySpec(
+        ql39_pq_encode,
+        QL39_SQL,
+        "product-quantization codes + exact reconstruction SSE",
     ),
 }

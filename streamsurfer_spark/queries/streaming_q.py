@@ -356,6 +356,61 @@ ORDER BY 1, 2
 """
 
 
+# --- Q-S10: stream-stream interval join (real streaming run) -----------------
+
+def qs10_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join in a REAL run: purchases joined to the
+    same user's errors within ±6 h of event time, both sides read as
+    streams (availableNow → memory). Inner interval joins emit every match
+    irrespective of watermark timing — the watermark only bounds join
+    STATE (rows within watermark+interval of the frontier, per
+    transforms.interval_join) — so the availableNow result equals the
+    batch inequality join and the oracle is exact, with no finalization
+    cutoff to replicate (unlike qs08/qs09's append-mode aggregates).
+    """
+    purchases = read_events_stream(spark, _events_path(sf_dir)).where(
+        F.col("event_type") == "purchase"
+    ).select(F.col("event_id").alias("purchase_id"), "user_id", "ts")
+    errors = read_events_stream(spark, _events_path(sf_dir)).where(
+        F.col("event_type") == "error"
+    ).select("user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts"))
+    joined = transforms.interval_join(
+        purchases,
+        errors,
+        key="user_id",
+        left_time="ts",
+        right_time="error_ts",
+        lower_seconds=-6 * 3600,
+        upper_seconds=6 * 3600,
+    )
+    out = run_to_memory(
+        joined.select(
+            "purchase_id",
+            F.col("l.user_id").alias("user_id"),
+            F.date_format("ts", transforms.TS_FMT).alias("purchase_ts"),
+            "error_id",
+            F.date_format("error_ts", transforms.TS_FMT).alias("error_ts"),
+        ),
+        "append",
+    )
+    return out.orderBy("purchase_id", "error_id")
+
+
+QS10_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       e.event_id AS error_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts
+FROM events p
+JOIN events e
+  ON p.user_id = e.user_id
+ AND e.ts >= p.ts - INTERVAL '6 hours'
+ AND e.ts <= p.ts + INTERVAL '6 hours'
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+ORDER BY purchase_id, error_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qs01_stream_ingest_counts": QuerySpec(
         qs01_stream_ingest_counts, QS01_SQL, "Q-S1 real streaming ingest (availableNow)"
@@ -378,5 +433,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qs09_chained_windows": QuerySpec(
         qs09_chained_windows, QS09_SQL, "Q-S9 chained stateful window aggs (real run)"
+    ),
+    "qs10_interval_join": QuerySpec(
+        qs10_interval_join, QS10_SQL, "Q-S10 stream-stream interval join (real run)"
     ),
 }

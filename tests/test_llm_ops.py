@@ -430,3 +430,20 @@ def test_kmeans_separates_obvious_clusters(spark):
     # determinism: second run is bit-identical
     rep2 = clustering.kmeans_report(df, k=2, iters=2).collect()
     assert sorted(map(tuple, rep)) == sorted(map(tuple, rep2))
+
+
+def test_pq_encode_reconstruction_contract(spark):
+    """Codebook vectors encode to themselves with SSE 0; other vectors get
+    the code of their nearest codeword per subspace."""
+    from streamsurfer_spark.operators import clustering
+
+    # 8 codebook vectors far apart; vector 8 sits right next to vector 3
+    rows = [(i, [float(i * 10)] * 64) for i in range(8)] + [(8, [30.002] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in clustering.pq_encode(df).collect()}
+    for i in range(8):
+        assert got[i]["pq_code"] == ",".join([str(i)] * 8)
+        assert got[i]["recon_sse"] == 0
+    assert got[8]["pq_code"] == ",".join(["3"] * 8)
+    # 30.002*1000 = 30002 vs codeword 30000: (2^2)*64 dims = 256 exact
+    assert got[8]["recon_sse"] == 4 * 64

@@ -281,3 +281,37 @@ def test_mixture_sample_map_only_corpus_path(spark):
     assert exchange_count(df) <= 2
     for schema in scan_schemas(df):
         assert "text" not in schema  # mixture never reads document bodies
+
+
+def test_rolling_anomaly_single_window_exchange(spark):
+    """qt08: count/sum/sumsq share one (user_id, ts, event_id) sort — ONE
+    window exchange plus the output sort, nothing else."""
+    df = REG["qt08_rolling_anomaly"].spark(spark, SF_DIR)
+    assert exchange_count(df) <= 2
+
+
+def test_twa_rollup_reuses_lead_partitioning(spark):
+    """qt09: lead() shuffles on user_id; the (user_id, day) rollup is
+    prefix-compatible so partial aggregation collapses before any second
+    exchange — budget: window + agg/sort."""
+    df = REG["qt09_time_weighted_avg"].spark(spark, SF_DIR)
+    assert exchange_count(df) <= 3
+
+
+def test_kmeans_assign_broadcasts_constant_k(spark):
+    """ql38: every Lloyd assignment joins the k-row centroid table as a
+    broadcast — no sort-merge join anywhere in the iterative plan."""
+    from streamsurfer_spark.plans.inspect import formatted_plan
+
+    df = REG["ql38_kmeans_clusters"].spark(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert broadcast_join_count(df) >= 3
+
+
+def test_surprisal_scans_only_needed_columns(spark):
+    """ql36: the documents scan reads only doc_id + text (no lang/source/
+    n_chars) — column pruning through the explode."""
+    df = REG["ql36_unigram_surprisal"].spark(spark, SF_DIR)
+    for schema in scan_schemas(df):
+        assert "lang" not in schema and "source" not in schema
