@@ -60,6 +60,8 @@ BENCH_QUERIES = (
     "ql36_unigram_surprisal",
     "ql38_kmeans_clusters",
     "qt09_time_weighted_avg",
+    # IVF-PQ build capstone (k-means coarse + residual PQ, one composed plan)
+    "qp03_ivfpq_build_report",
 )
 
 

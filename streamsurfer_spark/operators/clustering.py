@@ -68,32 +68,15 @@ def _update(assigned: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def pq_encode(
-    df: DataFrame,
+def pq_encode_quantized(
+    q: DataFrame,
     m: int = PQ_SUBSPACES,
     k: int = PQ_CODEWORDS,
     id_col: str = "vec_id",
-    vec_col: str = "embedding",
 ) -> DataFrame:
-    """Product-quantization encode: split each ×1000-quantized vector into
-    `m` subspaces, assign each subvector its nearest of `k` codewords
-    (exact integer L2²), emit the m-digit code + exact reconstruction SSE.
-
-    The codebook is the first `k` vectors' subvectors (deterministic, no
-    RNG; production would feed kmeans_report per subspace — the assign
-    machinery is identical). PQ is the memory side of ANN at scale: a
-    64-dim float vector (256 B) compresses to m bytes, so a 1e9-vector
-    index fits executor memory for re-rank.
-
-    Distributed shape (100 TB): the exploded (vector, subspace) table is a
-    ×m row fan-out of pure codegen slices; the codebook (m×k rows) joins
-    as a broadcast keyed on the subspace id — NO shuffle to score; the
-    per-(vec, sub) argmin is a partial-aggregating min_by groupBy, and the
-    final per-vector reassembly groups on the prefix-compatible vec key.
-    Nothing in the plan grows with corpus size except the linear row count.
-    """
-    q = quantize(df, vec_col).select(id_col, "qv")
-    d_sub = F.expr(f"size(qv) div {m}")
+    """pq_encode over an already-quantized (id, qv) frame — the reusable
+    core, so IVF-PQ can feed it RESIDUAL vectors (see queries/pipeline_q
+    qp03). Same contract and scale shape as pq_encode."""
     subs = q.select(
         F.col(id_col),
         F.posexplode(
@@ -138,6 +121,56 @@ def pq_encode(
     )
 
 
+def pq_encode(
+    df: DataFrame,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODEWORDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: split each ×1000-quantized vector into
+    `m` subspaces, assign each subvector its nearest of `k` codewords
+    (exact integer L2²), emit the m-digit code + exact reconstruction SSE.
+
+    The codebook is the first `k` vectors' subvectors (deterministic, no
+    RNG; production would feed kmeans_report per subspace — the assign
+    machinery is identical). PQ is the memory side of ANN at scale: a
+    64-dim float vector (256 B) compresses to m bytes, so a 1e9-vector
+    index fits executor memory for re-rank.
+
+    Distributed shape (100 TB): the exploded (vector, subspace) table is a
+    ×m row fan-out of pure codegen slices; the codebook (m×k rows) joins
+    as a broadcast keyed on the subspace id — NO shuffle to score; the
+    per-(vec, sub) argmin is a partial-aggregating min_by groupBy, and the
+    final per-vector reassembly groups on the prefix-compatible vec key.
+    Nothing in the plan grows with corpus size except the linear row count.
+    """
+    q = quantize(df, vec_col).select(id_col, "qv")
+    return pq_encode_quantized(q, m, k, id_col)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Run `iters` Lloyd iterations; return (assignments, centroids).
+
+    assignments: the quantized input plus its final `cent_id`;
+    centroids: the final (id, qv) centroid table (≤ k rows, broadcastable).
+    """
+    q = quantize(df, vec_col).select(id_col, "qv")
+    cents = q.where(F.col(id_col) < k)
+    assigned = None
+    for _ in range(iters):
+        if assigned is not None:
+            cents = _update(assigned, id_col)
+        assigned = ivf_assign(q, cents, id_col=id_col)
+    return assigned, cents
+
+
 def kmeans_report(
     df: DataFrame,
     k: int = KMEANS_K,
@@ -150,13 +183,7 @@ def kmeans_report(
     Clusters that lose all members simply drop out of the report (standard
     Lloyd behavior without re-seeding — deterministic on both engines).
     """
-    q = quantize(df, vec_col).select(id_col, "qv")
-    cents = q.where(F.col(id_col) < k)
-    assigned = None
-    for _ in range(iters):
-        if assigned is not None:
-            cents = _update(assigned, id_col)
-        assigned = ivf_assign(q, cents, id_col=id_col)
+    assigned, cents = kmeans_fit(df, k, iters, id_col, vec_col)
     final_cents = cents.select(
         F.col(id_col).alias("cent_id"), F.col("qv").alias("cent_qv")
     )

@@ -150,11 +150,154 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def qp03_ivfpq_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index build as one composed plan (capstone 3): k-means coarse
+    quantizer (2 Lloyd iterations, exact-int) → per-vector RESIDUAL against
+    its centroid (exact integer subtraction) → product-quantization of the
+    residuals (broadcast codebook argmin) → per-cluster compression report:
+    occupancy, distinct PQ codes, total exact-int PQ reconstruction SSE.
+
+    This is the actual production ANN index recipe (IVF-PQ à la Faiss):
+    coarse cells bound the search, PQ codes bound the memory. Residual
+    encoding is what makes PQ codebooks tight — residuals live near the
+    origin regardless of which cell a vector is in. Everything downstream
+    of quantize() is integer math, so the composed 3-stage pipeline
+    hash-matches the oracle exactly — proving the composition, not just
+    the parts.
+
+    Scale: kmeans_fit's assign is a broadcast + map-side argmin (O(n)
+    wire); the residual join is a broadcast of ≤ k centroid rows; PQ
+    scores against an m×k broadcast codebook with no shuffle; the report
+    groups on the tiny cent_id key space.
+    """
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.operators import clustering
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, cents = clustering.kmeans_fit(emb)
+    cent_vecs = cents.select(
+        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cent_qv")
+    )
+    resid = (
+        assigned.join(F.broadcast(cent_vecs), "cent_id")
+        .select(
+            "vec_id",
+            "cent_id",
+            F.expr("zip_with(qv, cent_qv, (x, y) -> x - y)").alias("qv"),
+        )
+    )
+    codes = clustering.pq_encode_quantized(resid.select("vec_id", "qv"))
+    return (
+        codes.join(resid.select("vec_id", "cent_id"), "vec_id")
+        .groupBy("cent_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.countDistinct("pq_code").alias("n_codes"),
+            F.sum("recon_sse").alias("pq_sse"),
+        )
+        .orderBy("cent_id")
+    )
+
+
+def _qp03_sql() -> str:
+    from streamsurfer_spark.operators import clustering
+    from streamsurfer_spark.queries.llm_q import _KM_DIST
+
+    m, ck = clustering.PQ_SUBSPACES, clustering.PQ_CODEWORDS
+    slices = (
+        f"[qv[s * (len(qv) // {m}) + 1 : s * (len(qv) // {m}) + (len(qv) // {m})]"
+        f" for s in range({m})]"
+    )
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+    FROM embeddings
+),
+c0 AS (SELECT vec_id AS cent_id, qv AS cqv FROM q WHERE vec_id < {clustering.KMEANS_K}),
+a1 AS (
+    SELECT vec_id, qv, cent_id FROM (
+        SELECT v.vec_id, v.qv, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_KM_DIST.format(a='v.qv', b='c.cqv')}, c.cent_id
+               ) AS rn
+        FROM q v CROSS JOIN c0 c
+    ) WHERE rn = 1
+),
+u1 AS (
+    SELECT cent_id, dim, CAST(floor(sum(x)::DOUBLE / count(*)) AS BIGINT) AS cx
+    FROM (
+        SELECT cent_id, unnest(qv) AS x, unnest(range(len(qv))) AS dim FROM a1
+    )
+    GROUP BY 1, 2
+),
+c1 AS (SELECT cent_id, list(cx ORDER BY dim) AS cqv FROM u1 GROUP BY 1),
+a2 AS (
+    SELECT vec_id, qv, cent_id FROM (
+        SELECT v.vec_id, v.qv, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_KM_DIST.format(a='v.qv', b='c.cqv')}, c.cent_id
+               ) AS rn
+        FROM q v CROSS JOIN c1 c
+    ) WHERE rn = 1
+),
+resid AS (
+    SELECT a.vec_id, a.cent_id,
+           list_transform(list_zip(a.qv, c.cqv), z -> z[1] - z[2]) AS qv
+    FROM a2 a JOIN c1 c USING (cent_id)
+),
+subs AS (
+    SELECT vec_id, unnest(range({m})) AS sub, unnest({slices}) AS sv FROM resid
+),
+cb AS (
+    SELECT vec_id AS code_id, unnest(range({m})) AS sub, unnest({slices}) AS cw
+    FROM resid WHERE vec_id < {ck}
+),
+scored AS (
+    SELECT v.vec_id, v.sub, c.code_id,
+           list_sum(list_transform(list_zip(v.sv, c.cw),
+                                   z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist
+    FROM subs v JOIN cb c USING (sub)
+),
+best AS (
+    SELECT vec_id, sub, code_id, dist FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id, sub ORDER BY dist, code_id
+        ) AS rn FROM scored
+    ) WHERE rn = 1
+),
+codes AS (
+    SELECT vec_id,
+           string_agg(code_id::VARCHAR, ',' ORDER BY sub) AS pq_code,
+           CAST(sum(dist) AS BIGINT) AS recon_sse
+    FROM best GROUP BY 1
+)
+SELECT r.cent_id,
+       count(*) AS n_vectors,
+       CAST(count(DISTINCT c.pq_code) AS BIGINT) AS n_codes,
+       CAST(sum(c.recon_sse) AS BIGINT) AS pq_sse
+FROM codes c JOIN resid r USING (vec_id)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QP03_SQL = _qp03_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qp01_curation_report": QuerySpec(
         qp01_curation_report, QP01_SQL, "composed curation pipeline (capstone)"
     ),
     "qp02_vector_index_report": QuerySpec(
         qp02_vector_index_report, QP02_SQL, "composed vector-index build report (capstone 2)"
+    ),
+    "qp03_ivfpq_build_report": QuerySpec(
+        qp03_ivfpq_build_report,
+        QP03_SQL,
+        "composed IVF-PQ build: k-means coarse + residual PQ (capstone 3)",
     ),
 }
