@@ -117,3 +117,101 @@ def assign_split(
         .when(bucket < train_pct + val_pct, "val")
         .otherwise("test"),
     )
+
+
+EPOCH_BUDGET_NUM = 3  # token budget = total_tokens * NUM / DEN
+EPOCH_BUDGET_DEN = 2  # 1.5 epochs of the corpus, redistributed by sqrt-share
+EPOCH_MODULUS = 10_000
+
+
+def epoch_plan(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    text_col: str = "text",
+    budget_num: int = EPOCH_BUDGET_NUM,
+    budget_den: int = EPOCH_BUDGET_DEN,
+    modulus: int = EPOCH_MODULUS,
+) -> DataFrame:
+    """Per-domain epoch/replication plan: distribute a global token budget
+    across domains by sqrt-share (α=0.5 temperature), then express each
+    domain's target as FULL EPOCHS of the domain plus a hash-selected
+    fractional tail — the upsampling counterpart of
+    temperature_mixture_sample (which only samples down).
+
+    This is the plan a training run materializes: small domains get >1
+    epoch (replication), large domains get <1 (subsampling), and the tail
+    is chosen by content hash so re-runs and other engines pick the SAME
+    extra documents.
+
+    Numerics: token counts are exact BIGINTs; sqrt-shares are rounded to
+    integer micro-units per domain BEFORE the cross-domain sum, so the
+    share denominator is an exact integer (no cross-engine float
+    reduction-order drift); each remaining float op (one sqrt, one
+    division, one floor) is a single correctly-rounded IEEE op.
+
+    Scale (100 TB): one partial-aggregating groupBy(domain) over per-row
+    codegen token counts; the per-domain plan is a tiny broadcast joined
+    back for the hash-threshold tail selection — the corpus-sized path is
+    map-only. Output is one row per domain.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
+    )
+    dom = toks.groupBy("stratum").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    dom = dom.withColumn(
+        "s6", F.round(F.sqrt(F.col("n_tokens")) * 1_000_000).cast("bigint")
+    )
+    tot = dom.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.sum("s6").alias("sum_s6")
+    )
+    # integer `div` end-to-end: budget*s6 ≈ 1e17 exceeds double's 2^53 exact
+    # range, so float division would drift between engines
+    plan = (
+        dom.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_tokens",
+            F.expr(
+                f"((total_tokens * {budget_num}) div {budget_den}) * s6 div sum_s6"
+            ),
+        )
+        .withColumn("full_epochs", F.expr("target_tokens div n_tokens"))
+        .withColumn(
+            "rem_tokens",
+            F.col("target_tokens") - F.col("full_epochs") * F.col("n_tokens"),
+        )
+        .withColumn(
+            "tail_thresh", F.expr(f"({modulus} * rem_tokens) div n_tokens")
+        )
+    )
+    tail = (
+        toks.join(
+            F.broadcast(plan.select("stratum", "tail_thresh")), "stratum"
+        )
+        .where(_key_hash(id_col) % modulus < F.col("tail_thresh"))
+        .groupBy("stratum")
+        .agg(
+            F.count("*").alias("tail_docs"),
+            F.sum("n_tok").alias("tail_tokens"),
+        )
+    )
+    return (
+        plan.join(tail, "stratum", "left")
+        .select(
+            F.col("stratum").alias(stratum_col),
+            "n_docs",
+            "n_tokens",
+            "target_tokens",
+            "full_epochs",
+            F.coalesce(F.col("tail_docs"), F.lit(0)).alias("tail_docs"),
+            F.coalesce(F.col("tail_tokens"), F.lit(0)).alias("tail_tokens"),
+            (
+                F.col("full_epochs") * F.col("n_tokens")
+                + F.coalesce(F.col("tail_tokens"), F.lit(0))
+            ).alias("planned_tokens"),
+        )
+    )

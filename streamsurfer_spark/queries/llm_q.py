@@ -1720,6 +1720,73 @@ ORDER BY 1
 """
 
 
+# --- ql40: per-domain epoch/replication plan --------------------------------
+
+
+def ql40_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch plan per source domain (operators/sampling.py
+    epoch_plan): sqrt-share targets, full epochs + hash-selected
+    fractional tail, exact integer `div` arithmetic throughout (budget ×
+    micro-sqrt products exceed double's 2^53 exact range)."""
+    docs = table(spark, sf_dir, "documents")
+    return sampling.epoch_plan(docs, "source", "doc_id").orderBy("source")
+
+
+QL40_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source AS stratum,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+),
+dom AS (
+    SELECT stratum, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM toks GROUP BY 1
+),
+dom2 AS (
+    SELECT *, CAST(round(sqrt(n_tokens) * 1000000) AS BIGINT) AS s6 FROM dom
+),
+tot AS (
+    SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(s6) AS BIGINT) AS sum_s6
+    FROM dom2
+),
+plan AS (
+    SELECT stratum, n_docs, n_tokens,
+           CAST(((total_tokens * {sampling.EPOCH_BUDGET_NUM})
+                 // {sampling.EPOCH_BUDGET_DEN}) * s6 // sum_s6 AS BIGINT)
+               AS target_tokens
+    FROM dom2 CROSS JOIN tot
+),
+plan2 AS (
+    SELECT *, CAST(target_tokens // n_tokens AS BIGINT) AS full_epochs,
+           CAST(target_tokens - (target_tokens // n_tokens) * n_tokens AS BIGINT)
+               AS rem_tokens
+    FROM plan
+),
+plan3 AS (
+    SELECT *, CAST(({sampling.EPOCH_MODULUS} * rem_tokens) // n_tokens AS BIGINT)
+               AS tail_thresh
+    FROM plan2
+),
+tail AS (
+    SELECT t.stratum, count(*) AS tail_docs,
+           CAST(sum(t.n_tok) AS BIGINT) AS tail_tokens
+    FROM toks t JOIN plan3 p USING (stratum)
+    WHERE ('0x' || substr(md5(t.doc_id::VARCHAR), 1, 15))::BIGINT
+          % {sampling.EPOCH_MODULUS} < p.tail_thresh
+    GROUP BY 1
+)
+SELECT p.stratum AS source, p.n_docs, p.n_tokens, p.target_tokens,
+       p.full_epochs,
+       coalesce(tail_docs, 0) AS tail_docs,
+       coalesce(tail_tokens, 0) AS tail_tokens,
+       CAST(p.full_epochs * p.n_tokens + coalesce(tail_tokens, 0) AS BIGINT)
+           AS planned_tokens
+FROM plan3 p LEFT JOIN tail USING (stratum)
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -1808,5 +1875,10 @@ QUERIES: dict[str, QuerySpec] = {
         ql39_pq_encode,
         QL39_SQL,
         "product-quantization codes + exact reconstruction SSE",
+    ),
+    "ql40_epoch_plan": QuerySpec(
+        ql40_epoch_plan,
+        QL40_SQL,
+        "per-domain token-budget epoch/replication plan",
     ),
 }

@@ -447,3 +447,21 @@ def test_pq_encode_reconstruction_contract(spark):
     assert got[8]["pq_code"] == ",".join(["3"] * 8)
     # 30.002*1000 = 30002 vs codeword 30000: (2^2)*64 dims = 256 exact
     assert got[8]["recon_sse"] == 4 * 64
+
+
+def test_epoch_plan_upsamples_small_domains(spark):
+    """sqrt-share budgeting: a tiny domain earns >1 full epoch while the
+    dominating domain gets <1; planned tokens never exceed target + one
+    document (the hash tail is sub-document granular)."""
+    from streamsurfer_spark.operators import sampling
+
+    rows = [(i, "w " * 99 + "w", "big") for i in range(100)] + [
+        (1000 + i, "w " * 99 + "w", "small") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in sampling.epoch_plan(df, "source", "doc_id").collect()}
+    assert got["small"]["full_epochs"] >= 1
+    assert got["big"]["full_epochs"] <= 1
+    for r in got.values():
+        assert r["planned_tokens"] == r["full_epochs"] * r["n_tokens"] + r["tail_tokens"]
+        assert r["target_tokens"] <= (100 + 4) * 100 * 3 // 2
