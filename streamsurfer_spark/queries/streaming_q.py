@@ -411,6 +411,61 @@ ORDER BY purchase_id, error_id
 """
 
 
+# --- Q-S11: custom stateful operator (applyInPandasWithState, real run) ------
+
+def qs11_stateful_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM arbitrary-state path (applyInPandasWithState) in a REAL
+    availableNow run, made oracle-checkable: the per-user tracker's state
+    is batching-invariant by construction (exact cent sums + (ts, id)
+    argmax carried in state — streaming/stateful.py _track), and its
+    running totals are monotone, so the per-user emission with the highest
+    n_events IS the final state and must equal the batch aggregate. This
+    puts the last execution mode the gate hadn't seen — Arrow-batched
+    per-key Python state machines — under the driver's hash compare.
+    """
+    from streamsurfer_spark.streaming.stateful import user_activity_tracker
+
+    stream = read_events_stream(spark, _events_path(sf_dir))
+    out = run_to_memory(user_activity_tracker(stream), "update")
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by(
+                F.struct("sum_value", "last_event_id"), F.col("n_events")
+            ).alias("_f"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.col("_f.sum_value").alias("sum_value"),
+            F.col("_f.last_event_id").alias("last_event_id"),
+        )
+    )
+    return final.orderBy("user_id")
+
+
+QS11_SQL = """
+WITH last AS (
+    SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+),
+agg AS (
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS sum_value
+    FROM events GROUP BY 1
+)
+SELECT a.user_id, a.n_events, a.sum_value, l.event_id AS last_event_id
+FROM agg a JOIN last l USING (user_id)
+ORDER BY a.user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qs01_stream_ingest_counts": QuerySpec(
         qs01_stream_ingest_counts, QS01_SQL, "Q-S1 real streaming ingest (availableNow)"
@@ -436,5 +491,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qs10_interval_join": QuerySpec(
         qs10_interval_join, QS10_SQL, "Q-S10 stream-stream interval join (real run)"
+    ),
+    "qs11_stateful_tracker": QuerySpec(
+        qs11_stateful_tracker,
+        QS11_SQL,
+        "Q-S11 custom applyInPandasWithState tracker (real run, exact oracle)",
     ),
 }

@@ -26,26 +26,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 TRACKER_OUTPUT = "user_id bigint, n_events bigint, sum_value double, last_event_id bigint"
-TRACKER_STATE = "n bigint, total double, last_id bigint"
+TRACKER_STATE = "n bigint, total_cents bigint, last_us bigint, last_id bigint"
 
 
 def _track(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Per-user running accumulator: count, value sum, latest event_id."""
+    """Per-user running accumulator: count, value sum, latest event_id.
+
+    Batching-invariant by construction — the state carries everything the
+    final answer needs, independent of how events split across batches:
+    - the value sum accumulates in exact integer CENTS (a float running
+      total would depend on accumulation order);
+    - the "latest" pick keeps (event-time µs, event_id) in state and
+      compares candidates against it, so an earlier batch's later-ts event
+      correctly survives a later batch (within-batch idxmax alone would
+      let the most recent batch overwrite it), with event_id as the
+      deterministic tiebreak for colliding timestamps.
+    """
     (user_id,) = key
-    n, total, last_id = state.get if state.exists else (0, 0.0, -1)
+    n, total_cents, last_us, last_id = (
+        state.get if state.exists else (0, 0, -1, -1)
+    )
     for pdf in pdfs:
+        if not len(pdf):
+            continue
         n += len(pdf)
-        total += float(pdf["value"].sum())
-        if len(pdf):
-            last_id = int(pdf.loc[pdf["ts"].idxmax(), "event_id"])
-    state.update((n, total, last_id))
+        total_cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        m = int(us.max())
+        cand = int(pdf.loc[us == m, "event_id"].max())
+        if m > last_us or (m == last_us and cand > last_id):
+            last_us, last_id = m, cand
+    state.update((n, total_cents, last_us, last_id))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "sum_value": [round(total, 2)],
+            "sum_value": [total_cents / 100.0],
             "last_event_id": [last_id],
         }
     )
