@@ -1,0 +1,101 @@
+"""10× scale probe: replicate the sf0.1 fixtures with shifted keys and
+measure how the headline plans scale (BASELINE.md §"Round-3 scale probe").
+
+Usage:  python tools/scale_probe.py [replicas]  (default 10)
+
+Replication keeps every join/window key consistent (order/customer/user
+ids shifted per replica) and suffixes document tokens per replica so the
+dedup corpus isn't 10 identical copies. Output goes to /tmp/sfprobe —
+outside the repo, regenerated on every run.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROBES = (
+    "qr06_hash_agg_q1",
+    "qr04_multiway_join",
+    "qt03_sessionize",
+    "ql01_exact_dedup",
+    "ql02_minhash_lsh_pairs",
+    "ql36_unigram_surprisal",
+    "qt09_time_weighted_avg",
+    "ql40_epoch_plan",
+)
+
+
+def generate(src: str, dst: str, replicas: int) -> None:
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}/{t}.parquet')")
+    ok = con.sql("SELECT max(l_orderkey)+1 FROM lineitem").fetchone()[0]
+    ck = con.sql("SELECT max(c_custkey)+1 FROM customer").fetchone()[0]
+    uk = con.sql("SELECT max(user_id)+1 FROM events").fetchone()[0]
+    dk = con.sql("SELECT max(doc_id)+1 FROM documents").fetchone()[0]
+    ek = con.sql("SELECT max(event_id)+1 FROM events").fetchone()[0]
+    rng = f"(SELECT unnest(range({replicas})) AS i)"
+    con.execute(
+        f"""COPY (SELECT l_orderkey + i*{ok} AS l_orderkey, l_partkey, l_suppkey,
+        l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+        l_returnflag, l_linestatus, l_shipdate
+        FROM lineitem CROSS JOIN {rng}) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT o_orderkey + i*{ok} AS o_orderkey, o_custkey + i*{ck} AS o_custkey,
+        o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM orders CROSS JOIN {rng}) TO '{dst}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT c_custkey + i*{ck} AS c_custkey, * EXCLUDE (c_custkey)
+        FROM customer CROSS JOIN {rng}) TO '{dst}/customer.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT event_id + i*{ek} AS event_id, ts, user_id + i*{uk} AS user_id,
+        event_type, value, props
+        FROM events CROSS JOIN {rng}) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT doc_id + i*{dk} AS doc_id,
+        array_to_string(list_transform(string_split(text, ' '),
+                                       t -> t || 'x' || i::VARCHAR), ' ') AS text,
+        lang, source, n_chars
+        FROM documents CROSS JOIN {rng}) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    for t in ("region", "nation", "supplier", "part", "embeddings"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet'))"
+            f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src, dst = "/root/testdata/sf0.1", "/tmp/sfprobe"
+    t0 = time.time()
+    generate(src, dst, replicas)
+    print(f"generated {replicas}x probe in {time.time() - t0:.1f}s")
+
+    from streamsurfer_spark.queries import registry
+    from streamsurfer_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    reg = registry()
+    reg["qr02_filter_agg"].spark(spark, src).write.format("noop").mode("overwrite").save()
+    for sf_dir, label in [(src, "sf0.1"), (dst, f"{replicas}x")]:
+        for name in PROBES:
+            t0 = time.perf_counter()
+            reg[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            print(f"{label} {name}: {time.perf_counter() - t0:.2f}s", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
