@@ -92,6 +92,7 @@ _VERIFY_FIRST = (
     "qp03_ivfpq_build_report",
     "ql40_epoch_plan",
     "qs11_stateful_tracker",
+    "qp04_quality_dashboard",
     # the one registry entry no round's window has reached (rows-only spec,
     # so it only earns a weaker rows-only row; position 51 risks missing a
     # strictly-50 window — acceptable, it is pytest-covered either way)

@@ -288,6 +288,128 @@ ORDER BY 1
 QP03_SQL = _qp03_sql()
 
 
+def qp04_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus quality dashboard (capstone 4): three independent
+    quality lenses — unigram-LM surprisal, duplicated-span coverage, and
+    the composite quality score — joined per document and rolled up per
+    source domain. This is the per-slice triage view a curation run ships:
+    which domains are boilerplate-heavy (low surprisal, high dup share),
+    which are noise (high surprisal, low quality).
+
+    Float discipline at the rollup: per-document doubles are never summed.
+    Surprisal and span coverage aggregate their underlying exact BIGINTs
+    (micro-nats, covered-token counts); the composite quality score —
+    already ROUND(x, 4) per doc — is rescaled to an exact integer
+    (×10 000) per doc BEFORE the domain sum, so every domain mean is one
+    division of exact integers.
+
+    Scale: three corpus-sized passes (each individually scale-audited in
+    its own operator), joined on the unique doc key, rolled up to the tiny
+    domain key — partial aggregation collapses everything map-side.
+    """
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.operators import dedup as dedup_ops
+    from streamsurfer_spark.operators import text as t_ops
+
+    docs = table(spark, sf_dir, "documents")
+    surp = t_ops.unigram_surprisal(docs).select(
+        "doc_id", "n_tokens", "surprisal_micro"
+    )
+    spans = dedup_ops.duplicate_span_coverage(docs).select(
+        "doc_id", F.col("covered_tokens")
+    )
+    qual = text_ops.quality_features(docs).select(
+        "doc_id",
+        F.round(F.col("quality_score") * 10_000).cast("bigint").alias("q4"),
+    )
+    per_doc = (
+        docs.select("doc_id", "source")
+        .join(surp, "doc_id")
+        .join(qual, "doc_id")
+        .join(spans, "doc_id", "left")
+        .withColumn("covered_tokens", F.coalesce("covered_tokens", F.lit(0)))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum("surprisal_micro") / F.sum("n_tokens") / 1e6, 4
+            ).alias("avg_surprisal_nats"),
+            F.round(F.sum("q4") / F.count("*") / 10_000.0, 4).alias(
+                "avg_quality"
+            ),
+            F.round(
+                F.sum("covered_tokens") / F.sum("n_tokens"), 4
+            ).alias("dup_token_share"),
+        )
+        .orderBy("source")
+    )
+
+
+from streamsurfer_spark.queries.llm_q import DUCK_SHINGLES as _DUCK_SHINGLES
+from streamsurfer_spark.queries.llm_q import _duck_stop_hits as _stop_hits
+
+QP04_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+costed AS (
+    SELECT token,
+           CAST(round(ln(total::DOUBLE / cnt) * 1000000) AS BIGINT) AS cost_micro
+    FROM vocab CROSS JOIN total
+),
+surp AS (
+    SELECT tf.doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf * cost_micro) AS BIGINT) AS surprisal_micro
+    FROM tf JOIN costed USING (token) GROUP BY 1
+),
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+    SELECT doc_id, len(toks) AS n_toks,
+           unnest(range(greatest(len(toks) - 2, 1))) AS pos,
+           unnest({_DUCK_SHINGLES}) AS shingle
+    FROM d
+),
+dup AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+cov0 AS (
+    SELECT s.doc_id, unnest(range(s.pos, least(s.pos + 3, s.n_toks))) AS p
+    FROM sh s JOIN dup USING (shingle)
+),
+cov AS (
+    SELECT doc_id, count(*) AS covered_tokens
+    FROM (SELECT DISTINCT doc_id, p FROM cov0) GROUP BY 1
+),
+qual AS (
+    SELECT doc_id,
+           CAST(round(round(least(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+               + least(1.0, {_stop_hits("en")}::DOUBLE / len(string_split(text, ' ')) * 5.0) * 0.5,
+               4) * 10000) AS BIGINT) AS q4
+    FROM documents
+)
+SELECT dd.source,
+       count(*) AS n_docs,
+       CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(sum(s.surprisal_micro) AS BIGINT)
+             / CAST(sum(s.n_tokens) AS BIGINT) / 1000000.0, 4) AS avg_surprisal_nats,
+       round(CAST(sum(q.q4) AS BIGINT) / count(*) / 10000.0, 4) AS avg_quality,
+       round(CAST(sum(coalesce(c.covered_tokens, 0)) AS BIGINT)
+             / CAST(sum(s.n_tokens) AS BIGINT), 4) AS dup_token_share
+FROM documents dd
+JOIN surp s USING (doc_id)
+JOIN qual q USING (doc_id)
+LEFT JOIN cov c USING (doc_id)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qp01_curation_report": QuerySpec(
         qp01_curation_report, QP01_SQL, "composed curation pipeline (capstone)"
@@ -299,5 +421,10 @@ QUERIES: dict[str, QuerySpec] = {
         qp03_ivfpq_build_report,
         QP03_SQL,
         "composed IVF-PQ build: k-means coarse + residual PQ (capstone 3)",
+    ),
+    "qp04_quality_dashboard": QuerySpec(
+        qp04_quality_dashboard,
+        QP04_SQL,
+        "per-domain quality dashboard: surprisal + dup-span + quality (capstone 4)",
     ),
 }
