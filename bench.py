@@ -62,6 +62,8 @@ BENCH_QUERIES = (
     "qt09_time_weighted_avg",
     # IVF-PQ build capstone (k-means coarse + residual PQ, one composed plan)
     "qp03_ivfpq_build_report",
+    # per-domain quality dashboard (3 corpus passes joined per doc)
+    "qp04_quality_dashboard",
 )
 
 

@@ -220,3 +220,50 @@ def chunk_audio(df: DataFrame, segment_ms: int = 2, min_ms: int = 1) -> DataFram
 
     audio = df.where(F.col("modality") == "audio")
     return audio.mapInPandas(run, schema=SEGMENT_SCHEMA)
+
+
+# Fake media container header: 4-byte BE width, 4-byte BE height, then the
+# payload body. Stands in for the fixed-offset metadata every real container
+# format fronts its bytes with (PNG IHDR, WAV fmt, ISO-BMFF boxes).
+HEADER_BYTES = 8
+
+
+def with_binary_header(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Prepend a deterministic 8-byte big-endian (width, height) header to
+    each media payload — builder side of the binary-container round trip.
+
+    Pure codegen: int → zero-padded hex → unhex → byte concat. No Python.
+    """
+    w = (F.lit(64) + F.col(id_col) % 1856).cast("bigint")
+    h = (F.lit(64) + (F.col(id_col) * 7) % 1016).cast("bigint")
+    header = F.unhex(
+        F.concat(F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0"))
+    )
+    return df.withColumn("width", w).withColumn("height", h).withColumn(
+        "payload", F.concat(header, F.col("payload"))
+    )
+
+
+def parse_binary_header(df: DataFrame) -> DataFrame:
+    """Parse (width, height) back out of the payload's fixed-offset header
+    — decoder side, also pure codegen (hex slice → base-16 conv).
+
+    This is the scale-relevant point of binary columns in Spark: typed
+    metadata extraction from billions of blobs happens entirely inside
+    whole-stage codegen (zero Python, zero copies beyond the hex slice);
+    only genuine media DECODING (pixels, samples) needs the Arrow/pandas
+    path (extract_features et al.). The md5 is over the hex of the body
+    slice so the check column is engine-portable (DuckDB's md5 is
+    VARCHAR-only).
+    """
+    hx = F.hex(F.col("payload"))
+    return df.select(
+        F.col("doc_id"),
+        F.col("modality"),
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint").alias("parsed_w"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint").alias("parsed_h"),
+        F.md5(F.expr(f"substring(hex(payload), {HEADER_BYTES * 2 + 1})")).alias(
+            "body_md5"
+        ),
+        (F.octet_length("payload") - HEADER_BYTES).cast("long").alias("body_bytes"),
+    )

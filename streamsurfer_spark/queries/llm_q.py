@@ -1531,6 +1531,64 @@ ORDER BY d.doc_id
 """
 
 
+# --- ql41: binary container header round-trip (codegen-side decode) ---------
+
+
+def ql41_binary_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build media payloads with an 8-byte BE (width, height) container
+    header, then parse the header back — both directions pure whole-stage
+    codegen (operators/multimodal.py with_binary_header /
+    parse_binary_header). Verifies that typed metadata extraction from
+    binary columns needs zero Python; the oracle rebuilds the identical
+    bytes in DuckDB blob algebra."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.with_binary_header(multimodal.as_media(docs))
+    parsed = multimodal.parse_binary_header(media)
+    joined = parsed.join(
+        media.select("doc_id", "width", "height"), "doc_id"
+    )
+    return (
+        joined.select(
+            "doc_id",
+            "modality",
+            "parsed_w",
+            "parsed_h",
+            (
+                (F.col("parsed_w") == F.col("width"))
+                & (F.col("parsed_h") == F.col("height"))
+            ).alias("header_ok"),
+            "body_md5",
+            "body_bytes",
+        )
+        .orderBy("doc_id")
+    )
+
+
+QL41_SQL = """
+WITH m AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           64 + doc_id % 1856 AS width,
+           64 + (doc_id * 7) % 1016 AS height,
+           from_hex(lpad(to_hex(64 + doc_id % 1856), 8, '0'))
+             || from_hex(lpad(to_hex(64 + (doc_id * 7) % 1016), 8, '0'))
+             || encode(text) AS payload
+    FROM documents
+)
+SELECT doc_id, modality,
+       ('0x' || substr(hex(payload), 1, 8))::BIGINT AS parsed_w,
+       ('0x' || substr(hex(payload), 9, 8))::BIGINT AS parsed_h,
+       ('0x' || substr(hex(payload), 1, 8))::BIGINT = width
+         AND ('0x' || substr(hex(payload), 9, 8))::BIGINT = height AS header_ok,
+       md5(substr(hex(payload), 17)) AS body_md5,
+       CAST(octet_length(payload) - 8 AS BIGINT) AS body_bytes
+FROM m
+ORDER BY doc_id
+"""
+
+
 # --- ql36: unigram-LM surprisal quality score -------------------------------
 
 
@@ -1880,5 +1938,10 @@ QUERIES: dict[str, QuerySpec] = {
         ql40_epoch_plan,
         QL40_SQL,
         "per-domain token-budget epoch/replication plan",
+    ),
+    "ql41_binary_header": QuerySpec(
+        ql41_binary_header,
+        QL41_SQL,
+        "binary container header round-trip (codegen-side decode)",
     ),
 }
