@@ -94,6 +94,7 @@ _VERIFY_FIRST = (
     "qs11_stateful_tracker",
     "qp04_quality_dashboard",
     "ql41_binary_header",
+    "ql42_hybrid_rrf",
     # the one registry entry no round's window has reached (rows-only spec,
     # so it only earns a weaker rows-only row; position 51 risks missing a
     # strictly-50 window — acceptable, it is pytest-covered either way)

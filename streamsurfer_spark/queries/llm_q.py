@@ -18,6 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from streamsurfer_spark.functions.hashing import MOD_PRIME, P31, affine_params
+from streamsurfer_spark.operators.similarity import DOT_EXPR, NORM_EXPR
 from streamsurfer_spark.operators import (
     clustering,
     dedup,
@@ -1531,6 +1532,154 @@ ORDER BY d.doc_id
 """
 
 
+# --- ql42: hybrid retrieval — BM25 + vector fused by RRF --------------------
+
+RRF_K = 60
+RRF_CANDIDATES = 100
+RRF_QUERY_VEC_ID = 0
+
+
+def ql42_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hybrid search request at corpus scale: top-100 lexical
+    candidates (Okapi BM25, fixed term set) and top-100 vector candidates
+    (exact cosine against the query embedding, items paired doc_id ↔
+    vec_id) fused by reciprocal-rank fusion, final top-10.
+
+    RRF contributions 1/(K + rank) are rounded to exact micro-units per
+    retriever BEFORE the sum, so the fused score is an exact integer —
+    no float-accumulation drift; ranks come from each retriever's ROUNDED
+    score with the item id as deterministic tiebreak.
+
+    Scale shape: each retriever is its own scale-audited path (BM25: one
+    scan + 1-row stats broadcast + TakeOrdered heap; cosine: per-row dot
+    against ONE broadcast query vector + TakeOrdered heap). Only the two
+    100-row candidate lists meet — windowing over a bounded frame and a
+    tiny outer join. Nothing global is ever sorted.
+    """
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+
+    lex = retrieval.bm25_topk(docs, BM25_TERMS, k=RRF_CANDIDATES).select(
+        F.col("doc_id").alias("item_id"), F.round("score", 4).alias("_ls")
+    )
+    w_lex = Window.orderBy(F.desc("_ls"), F.col("item_id"))
+    lex = lex.withColumn("r_lex", F.row_number().over(w_lex))
+
+    qvec = emb.where(F.col("vec_id") == RRF_QUERY_VEC_ID).select(
+        F.col("embedding").alias("_qv"),
+        F.expr(NORM_EXPR.format(a="embedding")).alias("_qn"),
+    )
+    dot = F.expr(DOT_EXPR.format(a="embedding", b="_qv"))
+    vec = (
+        emb.where(F.col("vec_id") != RRF_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("item_id"),
+            F.round(
+                dot / (F.expr(NORM_EXPR.format(a="embedding")) * F.col("_qn")), 4
+            ).alias("_vs"),
+        )
+        .orderBy(F.desc("_vs"), F.col("item_id"))
+        .limit(RRF_CANDIDATES)
+    )
+    w_vec = Window.orderBy(F.desc("_vs"), F.col("item_id"))
+    vec = vec.withColumn("r_vec", F.row_number().over(w_vec))
+
+    fused = (
+        lex.select("item_id", "r_lex")
+        .join(vec.select("item_id", "r_vec"), "item_id", "full_outer")
+        .withColumn(
+            "rrf_micro",
+            F.coalesce(
+                F.round(F.lit(1_000_000) / (F.lit(RRF_K) + F.col("r_lex"))).cast("bigint"),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.round(F.lit(1_000_000) / (F.lit(RRF_K) + F.col("r_vec"))).cast("bigint"),
+                F.lit(0),
+            ),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf_micro"), F.col("item_id"))
+        .limit(10)
+        .select("item_id", "r_lex", "r_vec", "rrf_micro")
+    )
+
+
+def _ql42_sql() -> str:
+    from streamsurfer_spark.operators.retrieval import BM25_B, BM25_K1
+
+    tf_defs = ",\n           ".join(
+        "CAST(len(list_filter(string_split(text, ' '), t -> t = "
+        f"'{t}')) AS BIGINT) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_defs = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    k1b = BM25_K1 * (1 - BM25_B)
+    term_scores = "\n           + ".join(
+        f"(ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5)) * tf_{t} * {BM25_K1 + 1})"
+        f" / (tf_{t} + {BM25_K1} * ({k1b / BM25_K1} + ({BM25_B} * n_tokens) / avgdl))"
+        for t in BM25_TERMS
+    )
+    return f"""
+WITH tf AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           {tf_defs}
+    FROM documents
+),
+stats AS (
+    SELECT count(*) AS n_docs, avg(n_tokens) AS avgdl, {df_defs} FROM tf
+),
+lex0 AS (
+    SELECT doc_id AS item_id,
+           round({term_scores}, 4) AS ls
+    FROM tf CROSS JOIN stats
+    WHERE ls > 0
+    ORDER BY ls DESC, item_id LIMIT {RRF_CANDIDATES}
+),
+lex AS (
+    SELECT item_id, row_number() OVER (ORDER BY ls DESC, item_id) AS r_lex
+    FROM lex0
+),
+q AS (
+    SELECT list_transform(embedding, x -> x::DOUBLE) AS qv,
+           sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS qn
+    FROM embeddings WHERE vec_id = {RRF_QUERY_VEC_ID}
+),
+vec0 AS (
+    SELECT vec_id AS item_id,
+           round(list_sum(list_transform(list_zip(embedding, qv),
+                      z -> z[1]::DOUBLE * z[2]::DOUBLE))
+                 / (sqrt(list_sum(list_transform(embedding,
+                      x -> x::DOUBLE * x::DOUBLE))) * qn), 4) AS vs
+    FROM embeddings CROSS JOIN q
+    WHERE vec_id != {RRF_QUERY_VEC_ID}
+    ORDER BY vs DESC, item_id LIMIT {RRF_CANDIDATES}
+),
+vec AS (
+    SELECT item_id, row_number() OVER (ORDER BY vs DESC, item_id) AS r_vec
+    FROM vec0
+),
+fused AS (
+    SELECT coalesce(l.item_id, v.item_id) AS item_id, l.r_lex, v.r_vec,
+           coalesce(CAST(round(1000000.0 / ({RRF_K} + l.r_lex)) AS BIGINT), 0)
+         + coalesce(CAST(round(1000000.0 / ({RRF_K} + v.r_vec)) AS BIGINT), 0)
+               AS rrf_micro
+    FROM lex l FULL OUTER JOIN vec v ON l.item_id = v.item_id
+)
+SELECT item_id, r_lex, r_vec, rrf_micro
+FROM fused
+ORDER BY rrf_micro DESC, item_id LIMIT 10
+"""
+
+
+QL42_SQL = _ql42_sql()
+
+
 # --- ql41: binary container header round-trip (codegen-side decode) ---------
 
 
@@ -1943,5 +2092,10 @@ QUERIES: dict[str, QuerySpec] = {
         ql41_binary_header,
         QL41_SQL,
         "binary container header round-trip (codegen-side decode)",
+    ),
+    "ql42_hybrid_rrf": QuerySpec(
+        ql42_hybrid_rrf,
+        QL42_SQL,
+        "hybrid retrieval: BM25 + vector candidates fused by RRF",
     ),
 }
