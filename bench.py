@@ -80,14 +80,20 @@ def main() -> None:
     reg["qr02_filter_agg"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         # construction is inside the clock: iterative queries (ql23) and
         # real stream runs (qs08) execute jobs while BUILDING the frame,
         # not just when it is written; for ordinary queries this adds only
         # plan-analysis milliseconds
         t0 = time.perf_counter()
-        df = reg[name].spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = reg[name].spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as ex:  # noqa: BLE001 — one broken query (e.g. a
+            # fixture-layout change) must not void the whole bench record
+            errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+            continue
         times[name] = round(time.perf_counter() - t0, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -102,8 +108,12 @@ def main() -> None:
         "queries": times,
         "sf": sf_val,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
