@@ -11,8 +11,12 @@ integer arithmetic on ×1000-quantized vectors (similarity.quantize); the
 only float op per update is one floor(sum/count) per (cluster, dim) whose
 operands are exact BIGINTs — IEEE division of exact ints is correctly
 rounded, so new centroids are bit-identical across engines and partition
-layouts. Init is the k smallest vec_ids (fixture ids are dense from 0), so
-runs are reproducible with no RNG state.
+layouts. Init is hash-scattered but RNG-free: the k rows with the smallest
+(id × 2654435761) mod 2^32 multiplicative scatter (id tiebreak), so seeds
+are spread across the id space even when ingest is sorted/homogeneous at
+the head, and the same k rows are chosen by any engine from pure integer
+arithmetic (exact for id < 2^63 / 2654435761 ≈ 3.4e9; shard the id space
+before seeding above that).
 
 Scale (100 TB, n vectors × d dims, k clusters):
 - assign: reuses similarity.ivf_assign — k is a CONSTANT budget, the
@@ -43,6 +47,40 @@ _DIST = (
     "aggregate(zip_with(qv, cent_qv, (x, y) -> (x - y) * (x - y)),"
     " cast(0 as bigint), (acc, v) -> acc + v)"
 )
+
+# Knuth's 2^32 golden-ratio multiplier: (id * SEED_SCATTER) % 2^32 is a
+# bijective scatter of any 32-bit id range, so "k smallest scatter values"
+# picks k pseudo-uniform rows deterministically — no RNG state, and the
+# DuckDB oracle reproduces the exact same k rows with the same two integer
+# ops. BIGINT product stays exact for id < 2^63 / SEED_SCATTER ≈ 3.4e9.
+SEED_SCATTER = 2654435761
+
+
+def seed_rows(q: DataFrame, k: int, id_col: str = "vec_id") -> DataFrame:
+    """The k seed rows for codebook init: smallest scatter-hash, id tiebreak.
+
+    orderBy().limit(k) compiles to TakeOrderedAndProject — a per-partition
+    k-row heap merged at the driver, NOT a global sort — so seeding a
+    1e9-row corpus moves k rows over the wire, no full-table exchange.
+    """
+    return (
+        q.withColumn("_sc", F.expr(f"({id_col} * {SEED_SCATTER}) % 4294967296"))
+        .orderBy("_sc", id_col)
+        .limit(k)
+        .drop("_sc")
+    )
+
+
+def _sub_slices(m: int) -> str:
+    """SQL expr: split qv into m subvectors of floor(d/m) dims; the LAST
+    subspace absorbs the d % m remainder so no trailing dimension is
+    silently dropped from codes or recon_sse when d is not divisible by m
+    (identical to the plain slicing whenever d % m == 0)."""
+    w = f"(size(qv) div {m})"
+    return (
+        f"transform(sequence(0, {m - 1}), s -> slice(qv, s * {w} + 1,"
+        f" if(s = {m - 1}, size(qv) - {m - 1} * {w}, {w})))"
+    )
 
 
 def _update(assigned: DataFrame, id_col: str) -> DataFrame:
@@ -79,18 +117,11 @@ def pq_encode_quantized(
     qp03). Same contract and scale shape as pq_encode."""
     subs = q.select(
         F.col(id_col),
-        F.posexplode(
-            F.expr(f"transform(sequence(0, {m - 1}), s -> slice(qv, s * (size(qv) div {m}) + 1, size(qv) div {m}))")
-        ).alias("sub", "sv"),
+        F.posexplode(F.expr(_sub_slices(m))).alias("sub", "sv"),
     )
-    cb = (
-        q.where(F.col(id_col) < k)
-        .select(
-            F.col(id_col).alias("code_id"),
-            F.posexplode(
-                F.expr(f"transform(sequence(0, {m - 1}), s -> slice(qv, s * (size(qv) div {m}) + 1, size(qv) div {m}))")
-            ).alias("sub", "cw"),
-        )
+    cb = seed_rows(q, k, id_col).select(
+        F.col(id_col).alias("code_id"),
+        F.posexplode(F.expr(_sub_slices(m))).alias("sub", "cw"),
     )
     dist = F.expr(
         "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)),"
@@ -132,8 +163,9 @@ def pq_encode(
     `m` subspaces, assign each subvector its nearest of `k` codewords
     (exact integer L2²), emit the m-digit code + exact reconstruction SSE.
 
-    The codebook is the first `k` vectors' subvectors (deterministic, no
-    RNG; production would feed kmeans_report per subspace — the assign
+    The codebook is the scatter-hash-seeded `k` vectors' subvectors
+    (seed_rows — deterministic, no RNG, robust to a homogeneous id-space
+    head; production would feed kmeans_report per subspace — the assign
     machinery is identical). PQ is the memory side of ANN at scale: a
     64-dim float vector (256 B) compresses to m bytes, so a 1e9-vector
     index fits executor memory for re-rank.
@@ -162,7 +194,7 @@ def kmeans_fit(
     centroids: the final (id, qv) centroid table (≤ k rows, broadcastable).
     """
     q = quantize(df, vec_col).select(id_col, "qv")
-    cents = q.where(F.col(id_col) < k)
+    cents = seed_rows(q, k, id_col)
     assigned = None
     for _ in range(iters):
         if assigned is not None:

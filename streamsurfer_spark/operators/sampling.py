@@ -170,13 +170,19 @@ def epoch_plan(
         F.sum("n_tokens").alias("total_tokens"), F.sum("s6").alias("sum_s6")
     )
     # integer `div` end-to-end: budget*s6 ≈ 1e17 exceeds double's 2^53 exact
-    # range, so float division would drift between engines
+    # range, so float division would drift between engines. The budget×s6
+    # product itself overflows int64 around a ~1e9-token corpus (s6 grows as
+    # 1e6·sqrt(domain_tokens)), so the multiply runs in DECIMAL(38,0) —
+    # exact to 38 digits, good past a yottatoken corpus — and `div` brings
+    # the per-domain target back to BIGINT (target ≤ budget, always fits).
+    # The DuckDB twin uses HUGEINT (int128) for the same product.
     plan = (
         dom.crossJoin(F.broadcast(tot))
         .withColumn(
             "target_tokens",
             F.expr(
-                f"((total_tokens * {budget_num}) div {budget_den}) * s6 div sum_s6"
+                f"cast((cast((total_tokens * {budget_num}) div {budget_den}"
+                " as decimal(38,0)) * s6) div sum_s6 as bigint)"
             ),
         )
         .withColumn("full_epochs", F.expr("target_tokens div n_tokens"))

@@ -137,12 +137,29 @@ def cosine_topk(
     ).select("probe_id", id_col, "sim", "rk")
 
 
+# Per-block membership cap for the exact cosine pair expansion — the same
+# guard lsh_candidate_pairs applies to hash buckets (LSH_BUCKET_CAP) and the
+# Jaccard path applies to shingle df: a block of b rows emits b·(b-1)/2
+# pairs, so one dominant block key (a hot label, one giant shard) makes a
+# single join key quadratic at 100 TB. 1000 is far above any fixture block
+# (max 218 at sf0.1, so sf≤0.1 hashes are unchanged) yet hard-bounds the
+# worst block to ~500k pairs. Overflow policy: keep the `cap` smallest ids
+# per block (deterministic), enforced by a row_number window whose
+# WindowGroupLimit prunes every map partition BEFORE the exchange. The cap
+# must stay ≤ spark.sql.optimizer.windowGroupLimitThreshold (default 1000):
+# above it Spark does NOT insert the WindowGroupLimit and the hot block
+# would materialize on one reducer before the filter (pinned by
+# tests/test_properties_r4.py::test_cosine_block_cap_plan_prunes_before_exchange).
+COSINE_BLOCK_CAP = 1000
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float,
     block_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    block_cap: int = COSINE_BLOCK_CAP,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs within blocks.
 
@@ -152,17 +169,26 @@ def cosine_near_dup_pairs(
     id_a < id_b.
 
     Scale notes: the self-join is equi-keyed on the block column, so cost is
-    O(Σ block²), not O(n²) — the same blocking argument as LSH, but with a
-    semantic block (label/near-dup cluster/shard) instead of a hash bucket.
-    Norms are computed once per row BEFORE the pair stage (2/3 less
-    arithmetic in the quadratic part). At 100 TB, cap block sizes upstream
-    (or pre-bucket with ``lsh_buckets``) and let AQE split skewed blocks.
+    O(Σ min(block, cap)²), not O(n²) — the same blocking argument as LSH,
+    but with a semantic block (label/near-dup cluster/shard) instead of a
+    hash bucket, and the same hard cap on pathological keys
+    (``block_cap``; see COSINE_BLOCK_CAP). Norms are computed once per row
+    BEFORE the pair stage (2/3 less arithmetic in the quadratic part); AQE
+    splits residual skew below the cap.
     """
-    normed = df.select(
-        F.col(id_col),
-        F.col(block_col).alias("_blk"),
-        F.col(vec_col),
-        F.expr(NORM_EXPR.format(a=vec_col)).alias("_nrm"),
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_blk").orderBy(id_col)
+    normed = (
+        df.select(
+            F.col(id_col),
+            F.col(block_col).alias("_blk"),
+            F.col(vec_col),
+            F.expr(NORM_EXPR.format(a=vec_col)).alias("_nrm"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= block_cap)
+        .drop("_rn")
     )
     a = normed.select(
         F.col(id_col).alias("id_a"),

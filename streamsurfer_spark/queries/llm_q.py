@@ -263,6 +263,74 @@ def ql07b_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.as_media(docs)).orderBy("doc_id")
 
 
+def ql07c_features_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-twin check for the mapInPandas extractor (closes the last
+    rows-only gap): every ql07b output field is a deterministic function of
+    the payload bytes, so this query recomputes feat_dim / feat_checksum in
+    PURE whole-stage codegen (the ql41 hex-slice technique: byte i of the
+    payload is conv(substr(hex, 2i+1, 2), 16, 10)) and joins it against the
+    Arrow/Python path, emitting the Python-path values plus a py_cg_match
+    flag. The oracle recomputes the same features in DuckDB blob algebra —
+    a hash mismatch now catches either path drifting.
+
+    Scale note: the O(bytes) sequence+conv per row is parity-audit
+    machinery, not the production feature path (that is the mapInPandas
+    extractor); run it on samples, not the full corpus, at 100 TB.
+    """
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.as_media(docs)
+    py = multimodal.extract_features(media)
+    hx = "hex(payload)"
+    byte_sum = (
+        f"aggregate(transform(sequence(0, octet_length(payload) - 1),"
+        f" i -> cast(conv(substr({hx}, 2 * i + 1, 2), 16, 10) as bigint)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    cg = media.select(
+        "doc_id",
+        F.col("n_bytes").alias("cg_n_bytes"),
+        (F.col("n_bytes") % 512).cast("int").alias("cg_dim"),
+        F.expr(byte_sum).alias("cg_checksum"),
+    )
+    return (
+        py.join(cg, "doc_id")
+        .select(
+            "doc_id",
+            "modality",
+            "n_bytes",
+            "feat_dim",
+            "feat_checksum",
+            (
+                (F.col("n_bytes") == F.col("cg_n_bytes"))
+                & (F.col("feat_dim") == F.col("cg_dim"))
+                & (F.col("feat_checksum") == F.col("cg_checksum"))
+            ).alias("py_cg_match"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QL07C_SQL = """
+WITH m AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           encode(text) AS payload
+    FROM documents
+)
+SELECT doc_id, modality,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       CAST(octet_length(payload) % 512 AS INT) AS feat_dim,
+       CAST(list_sum(list_transform(range(octet_length(payload)),
+                i -> ('0x' || substr(hex(payload), 2 * i + 1, 2))::BIGINT))
+            AS BIGINT) AS feat_checksum,
+       TRUE AS py_cg_match
+FROM m
+ORDER BY doc_id
+"""
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def ql08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1830,7 +1898,9 @@ WITH q AS (
            list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
     FROM embeddings
 ),
-c0 AS (SELECT vec_id AS cent_id, qv AS cqv FROM q WHERE vec_id < {clustering.KMEANS_K}),
+c0 AS (SELECT vec_id AS cent_id, qv AS cqv FROM q
+       ORDER BY (vec_id * {clustering.SEED_SCATTER}) % 4294967296, vec_id
+       LIMIT {clustering.KMEANS_K}),
 a1 AS (
     SELECT vec_id, qv, cent_id FROM (
         SELECT v.vec_id, v.qv, c.cent_id,
@@ -1881,9 +1951,12 @@ def ql39_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.pq_encode(emb).orderBy("vec_id")
 
 
+# m subspaces of floor(d/m) dims; the LAST slice runs to len(qv) so the
+# d % m remainder dims are kept (mirrors clustering._sub_slices)
 _PQ_SLICES = (
     f"[qv[s * (len(qv) // {clustering.PQ_SUBSPACES}) + 1 :"
-    f" s * (len(qv) // {clustering.PQ_SUBSPACES}) + (len(qv) // {clustering.PQ_SUBSPACES})]"
+    f" CASE WHEN s = {clustering.PQ_SUBSPACES - 1} THEN len(qv)"
+    f" ELSE (s + 1) * (len(qv) // {clustering.PQ_SUBSPACES}) END]"
     f" for s in range({clustering.PQ_SUBSPACES})]"
 )
 
@@ -1903,7 +1976,9 @@ cb AS (
     SELECT vec_id AS code_id,
            unnest(range({clustering.PQ_SUBSPACES})) AS sub,
            unnest({_PQ_SLICES}) AS cw
-    FROM q WHERE vec_id < {clustering.PQ_CODEWORDS}
+    FROM (SELECT * FROM q
+          ORDER BY (vec_id * {clustering.SEED_SCATTER}) % 4294967296, vec_id
+          LIMIT {clustering.PQ_CODEWORDS})
 ),
 scored AS (
     SELECT v.vec_id, v.sub, c.code_id,
@@ -1959,9 +2034,9 @@ tot AS (
 ),
 plan AS (
     SELECT stratum, n_docs, n_tokens,
-           CAST(((total_tokens * {sampling.EPOCH_BUDGET_NUM})
-                 // {sampling.EPOCH_BUDGET_DEN}) * s6 // sum_s6 AS BIGINT)
-               AS target_tokens
+           CAST((((total_tokens * {sampling.EPOCH_BUDGET_NUM})
+                 // {sampling.EPOCH_BUDGET_DEN})::HUGEINT * s6) // sum_s6
+                AS BIGINT) AS target_tokens
     FROM dom2 CROSS JOIN tot
 ),
 plan2 AS (
@@ -2003,6 +2078,11 @@ QUERIES: dict[str, QuerySpec] = {
     "ql06_udf_norm_parity": QuerySpec(ql06_udf_norm_parity, QL06_SQL, "Q-L6 pandas_udf parity"),
     "ql07_multimodal_envelope": QuerySpec(ql07_multimodal_envelope, QL07_SQL, "Q-L7 multimodal envelope"),
     "ql07b_multimodal_features": QuerySpec(ql07b_multimodal_features, None, "Q-L7 mapInPandas features (rows-only)"),
+    "ql07c_features_parity": QuerySpec(
+        ql07c_features_parity,
+        QL07C_SQL,
+        "Q-L7 extractor exact twin: Python path vs codegen byte-sum, hash-checked",
+    ),
     "ql08_simhash": QuerySpec(ql08_simhash, QL08_SQL, "SimHash signatures"),
     "ql09_ngram_jaccard": QuerySpec(ql09_ngram_jaccard, QL09_SQL, "n-gram Jaccard pairs"),
     "ql10_lsh_ann_pairs": QuerySpec(ql10_lsh_ann_pairs, QL10_SQL, "LSH-bucketed ANN pairs"),

@@ -205,17 +205,22 @@ def _qp03_sql() -> str:
     from streamsurfer_spark.queries.llm_q import _KM_DIST
 
     m, ck = clustering.PQ_SUBSPACES, clustering.PQ_CODEWORDS
+    # last slice runs to len(qv): remainder dims kept (clustering._sub_slices)
     slices = (
-        f"[qv[s * (len(qv) // {m}) + 1 : s * (len(qv) // {m}) + (len(qv) // {m})]"
+        f"[qv[s * (len(qv) // {m}) + 1 :"
+        f" CASE WHEN s = {m - 1} THEN len(qv)"
+        f" ELSE (s + 1) * (len(qv) // {m}) END]"
         f" for s in range({m})]"
     )
+    seed = f"ORDER BY (vec_id * {clustering.SEED_SCATTER}) % 4294967296, vec_id"
     return f"""
 WITH q AS (
     SELECT vec_id,
            list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
     FROM embeddings
 ),
-c0 AS (SELECT vec_id AS cent_id, qv AS cqv FROM q WHERE vec_id < {clustering.KMEANS_K}),
+c0 AS (SELECT vec_id AS cent_id, qv AS cqv FROM q
+       {seed} LIMIT {clustering.KMEANS_K}),
 a1 AS (
     SELECT vec_id, qv, cent_id FROM (
         SELECT v.vec_id, v.qv, c.cent_id,
@@ -254,7 +259,7 @@ subs AS (
 ),
 cb AS (
     SELECT vec_id AS code_id, unnest(range({m})) AS sub, unnest({slices}) AS cw
-    FROM resid WHERE vec_id < {ck}
+    FROM (SELECT * FROM resid {seed} LIMIT {ck})
 ),
 scored AS (
     SELECT v.vec_id, v.sub, c.code_id,

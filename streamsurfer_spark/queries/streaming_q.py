@@ -361,12 +361,15 @@ ORDER BY 1, 2
 def qs10_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STREAM interval join in a REAL run: purchases joined to the
     same user's errors within ±6 h of event time, both sides read as
-    streams (availableNow → memory). Inner interval joins emit every match
-    irrespective of watermark timing — the watermark only bounds join
-    STATE (rows within watermark+interval of the frontier, per
-    transforms.interval_join) — so the availableNow result equals the
-    batch inequality join and the oracle is exact, with no finalization
-    cutoff to replicate (unlike qs08/qs09's append-mode aggregates).
+    streams (availableNow → memory). Exactness here depends on the
+    SINGLE-BATCH availableNow run: with the whole file in micro-batch 1
+    the watermark is still 0 while every row is joined, so no input can be
+    older than watermark−interval and the result equals the batch
+    inequality join (no finalization cutoff to replicate, unlike
+    qs08/qs09's append-mode aggregates). A multi-batch variant (e.g.
+    max_files_per_trigger as qs07 uses) would let the advancing watermark
+    drop late-arriving LEFT/RIGHT input rows and break the batch-equality
+    oracle — do not inherit the exact-oracle claim without re-deriving it.
     """
     purchases = read_events_stream(spark, _events_path(sf_dir)).where(
         F.col("event_type") == "purchase"

@@ -21,12 +21,22 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 TRACKER_OUTPUT = "user_id bigint, n_events bigint, sum_value double, last_event_id bigint"
 TRACKER_STATE = "n bigint, total_cents bigint, last_us bigint, last_id bigint"
+
+
+def _cents_half_up(values: pd.Series) -> int:
+    """Exact cent total with half-AWAY-FROM-ZERO rounding — the same
+    convention as F.round / DuckDB round(), so the state path can never
+    diverge from the QS11 oracle on a value*100 that lands exactly on .5
+    (pandas .round() is half-to-even and rounds 2.5 → 2)."""
+    v = values.to_numpy(dtype="float64") * 100
+    return int((np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum())
 
 
 def _track(
@@ -52,7 +62,7 @@ def _track(
         if not len(pdf):
             continue
         n += len(pdf)
-        total_cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        total_cents += _cents_half_up(pdf["value"])
         us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
         m = int(us.max())
         cand = int(pdf.loc[us == m, "event_id"].max())

@@ -1,0 +1,165 @@
+"""Round-4 hardening tests: hot-block cap for exact cosine pairs,
+hash-scattered codebook init, PQ remainder-dim fold, epoch-plan overflow
+safety, and half-up cent rounding in the stateful tracker."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+
+def _vec(seed: int, dim: int = 8) -> list[float]:
+    """Deterministic unit-ish vector without RNG state."""
+    return [math.sin(seed * 1.7 + d) for d in range(dim)]
+
+
+def test_cosine_block_cap_bounds_pair_blowup(spark):
+    """One dominant block key must NOT go quadratic: with block_cap=c the
+    pair count is bounded by c·(c-1)/2 and the survivors are the c smallest
+    ids (deterministic overflow policy, same as the LSH bucket cap)."""
+    from streamsurfer_spark.operators import similarity
+
+    n = 40
+    # one mega-block of byte-identical vectors plus a small clean block
+    rows = [(i, "hot", _vec(7)) for i in range(n)]
+    rows += [(1000 + i, "cold", _vec(100 + i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+
+    cap = 8
+    pairs = similarity.cosine_near_dup_pairs(df, 0.99, block_cap=cap).collect()
+    hot = [p for p in pairs if p.id_a < 1000 and p.id_b < 1000]
+    assert 0 < len(hot) <= cap * (cap - 1) // 2
+    assert all(p.id_a < cap and p.id_b < cap for p in hot)
+
+    # a cap above the block size finds the full quadratic set, values intact
+    full = similarity.cosine_near_dup_pairs(df, 0.99, block_cap=256)
+    assert full.where("id_a < 1000 and id_b < 1000").count() == n * (n - 1) // 2
+
+
+def test_cosine_block_cap_plan_prunes_before_exchange(spark):
+    """The cap must be a WindowGroupLimit that runs BEFORE the shuffle —
+    otherwise a hot block still materializes on one reducer."""
+    from streamsurfer_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, "a", _vec(i)) for i in range(10)],
+        "vec_id long, label string, embedding array<double>",
+    )
+    plan = similarity.cosine_near_dup_pairs(df, 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_seed_rows_scatter_beats_homogeneous_head(spark):
+    """seed_rows must pick ids spread across the id space, not the head:
+    on an id-sorted corpus whose first k rows are identical (sorted ingest,
+    one domain first) the old first-k init yields k identical centroids —
+    the scatter init must not."""
+    from streamsurfer_spark.operators import clustering
+
+    k = clustering.KMEANS_K
+    dim = 8
+    # head: k identical vectors; tail: genuinely varied
+    rows = [(i, [1.0] * dim) for i in range(k)]
+    rows += [(k + i, _vec(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    q = clustering.quantize(df, "embedding").select("vec_id", "qv")
+    seeds = clustering.seed_rows(q, k).collect()
+    seed_ids = sorted(r.vec_id for r in seeds)
+    assert seed_ids != list(range(k)), "seeds degenerate to the head ids"
+    distinct_seed_vecs = {tuple(r.qv) for r in seeds}
+    assert len(distinct_seed_vecs) > 1, "all seed centroids identical"
+
+    # end-to-end: Lloyd on the homogeneous-head corpus yields >1 cluster
+    report = clustering.kmeans_report(df).collect()
+    assert len(report) > 1
+
+
+def test_seed_rows_matches_duckdb_twin(spark, duck):
+    """The Spark seed selection and the oracle's ORDER BY/LIMIT twin must
+    choose the SAME rows — the whole point of the RNG-free scatter."""
+    from streamsurfer_spark.operators import clustering
+
+    rows = [(i * 13 + 5, _vec(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        r.vec_id
+        for r in clustering.seed_rows(df.select("vec_id", F.col("embedding").alias("qv")), 8).collect()
+    )
+    ids = [r[0] for r in rows]
+    want = sorted(
+        duck.execute(
+            f"SELECT id FROM (SELECT unnest({ids}) AS id) "
+            f"ORDER BY (id * {clustering.SEED_SCATTER}) % 4294967296, id LIMIT 8"
+        ).df()["id"]
+    )
+    assert got == [int(x) for x in want]
+
+
+def test_pq_remainder_dims_kept(spark):
+    """A dimension not divisible by m must fold the remainder dims into the
+    LAST subspace — not silently drop them from codes and recon_sse."""
+    from streamsurfer_spark.operators import clustering
+
+    m, k = 4, 2
+    dim = 10  # 4 subspaces of 2 dims + remainder 2 → last subspace gets 4
+    base = [0.0] * dim
+    # codebook = the 2 smallest-scatter ids among {0, 13, 10, 11} = {0, 13}
+    # (scatter order 0 < 13 < 10/11); the probe vectors 10/11 differ from
+    # BOTH codebook entries ONLY in the final (remainder) dimensions, so
+    # plain floor-slicing would report sse == 0
+    rows = [(0, base), (13, [x + 100.0 for x in base])]
+    rows += [(10, base[: dim - 2] + [5.0, 5.0]), (11, base[: dim - 2] + [7.0, 7.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = clustering.quantize(df, "embedding").select("vec_id", "qv")
+    out = {r.vec_id: r for r in clustering.pq_encode_quantized(q, m=m, k=k).collect()}
+
+    # every code has m digits and the remainder-dim difference is scored
+    assert all(len(r.pq_code.split(",")) == m for r in out.values())
+    assert out[10].recon_sse > 0 and out[11].recon_sse > 0
+
+
+def test_epoch_plan_exact_beyond_int64(spark):
+    """budget × s6 beyond int64 must stay exact (DECIMAL path), not wrap:
+    with a huge budget multiplier the per-domain targets must still sum to
+    ≤ budget and match an exact-integer Python recomputation."""
+    from streamsurfer_spark.operators import sampling
+
+    rows = [(i, "web" if i % 3 else "code", "tok " * (5 + i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    num = 10**12  # budget ≈ 1e14 tokens → budget*s6 ≈ 1e22 >> 2^63
+    plan = {
+        r.source: r
+        for r in sampling.epoch_plan(
+            df, "source", "doc_id", budget_num=num, budget_den=2
+        ).collect()
+    }
+
+    # exact recomputation in unbounded Python ints
+    toks = {}
+    for i, src, text in rows:
+        toks.setdefault(src, []).append(len(text.split(" ")))
+    n_tokens = {s: sum(v) for s, v in toks.items()}
+    total = sum(n_tokens.values())
+    s6 = {s: round(math.sqrt(n) * 1_000_000) for s, n in n_tokens.items()}
+    sum_s6 = sum(s6.values())
+    budget = (total * num) // 2
+    for s, r in plan.items():
+        want = (budget * s6[s]) // sum_s6
+        assert r.target_tokens == want, (s, r.target_tokens, want)
+        assert r.target_tokens > 0  # int64 wraparound would go negative
+
+
+def test_tracker_cents_half_away_from_zero():
+    """0.025·100 == 2.5 exactly in IEEE; pandas .round() gives 2 (half to
+    even) but F.round / DuckDB give 3 — the tracker must match the latter,
+    with the sign mirrored for negatives."""
+    from streamsurfer_spark.streaming.stateful import _cents_half_up
+
+    assert _cents_half_up(pd.Series([0.025])) == 3
+    assert _cents_half_up(pd.Series([-0.025])) == -3
+    assert _cents_half_up(pd.Series([0.015])) == 2  # 1.5 → 2 either way
+    assert _cents_half_up(pd.Series([1.23, 0.025, -0.025])) == 123
