@@ -64,6 +64,13 @@ BENCH_QUERIES = (
     "qp03_ivfpq_build_report",
     # per-domain quality dashboard (3 corpus passes joined per doc)
     "qp04_quality_dashboard",
+    # round-4 extensions: retrieval family regression tracking (BM25 heap
+    # top-k; hybrid RRF fusion), the bidirectional nearest-event join, and
+    # the ANN recall evaluation (exact + IVF paths in one plan)
+    "ql32_bm25_topk",
+    "ql42_hybrid_rrf",
+    "qt10_nearest_error",
+    "ql43_ann_recall",
 )
 
 

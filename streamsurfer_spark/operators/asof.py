@@ -108,3 +108,106 @@ def range_join(
     l_cols = [F.col(f"l.{c}") for c in left.columns]
     r_cols = [F.col(f"r.{c}") for c in right.columns if c != key]
     return joined.select(*l_cols, *r_cols)
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    tolerance_seconds: int,
+) -> DataFrame:
+    """Nearest-event join: for each left row, the right row of the same key
+    whose time is CLOSEST to the left time, within ±tolerance (kdb `aj`'s
+    bidirectional cousin; pandas merge_asof(direction="nearest")).
+
+    Returns all left columns plus `payload`, `direction` ('prev'/'next',
+    null when nothing lies within tolerance) and `diff_us` (microseconds,
+    always ≥ 0). A tie between an earlier and a later right row at equal
+    distance resolves to the earlier one; a right row exactly at the left
+    time is a 'prev' match at distance 0.
+
+    Contract: `right` must be unique per (key, right_time) — pre-dedup
+    (e.g. min event id per timestamp, as qt10 does) so "nearest" is
+    well-defined identically on every engine.
+
+    Distributed shape: the same union-sort topology as ``asof_join`` — ONE
+    shuffle on the key, then two frame variants (backward last_value /
+    forward first_value) of the SAME window sort, which Spark executes in
+    a single Window operator because partitioning and ordering coincide.
+    No inequality join, no per-key candidate explosion: the tolerance test
+    runs on exactly two carried candidates per left row. timestampdiff is
+    used for the distance so TIMESTAMP and TIMESTAMP_NTZ event times both
+    work (fixture parquet has shipped both physical types across rounds).
+    """
+    r_struct = F.struct(
+        F.col(right_time).alias("_rt"), *[F.col(c) for c in payload]
+    )
+    r_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(r_type).alias("_r"),
+    )
+    l_type = l_tag.schema["_l"].dataType
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_type).alias("_l"),
+        r_struct.alias("_r"),
+    )
+    # right rows sort before left rows at equal (_k, _t): an exact-time
+    # match is carried by the BACKWARD pass at distance 0 (and therefore
+    # wins outright, so its exclusion from the forward frame is harmless)
+    wprev = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "_side",
+        "_l",
+        "_t",
+        F.last("_r", ignorenulls=True).over(wprev).alias("_prev"),
+        F.first("_r", ignorenulls=True).over(wnext).alias("_next"),
+    )
+    tol_us = tolerance_seconds * 1_000_000
+    prev_d = F.expr("timestampdiff(MICROSECOND, _prev._rt, _t)")
+    next_d = F.expr("timestampdiff(MICROSECOND, _t, _next._rt)")
+    cand = carried.where(F.col("_side") == 1).select(
+        "_l",
+        F.when(
+            F.col("_prev").isNotNull() & (prev_d <= tol_us),
+            F.struct(
+                prev_d.alias("d"), F.lit("prev").alias("dir"), F.col("_prev").alias("r")
+            ),
+        ).alias("_p"),
+        F.when(
+            F.col("_next").isNotNull() & (next_d <= tol_us),
+            F.struct(
+                next_d.alias("d"), F.lit("next").alias("dir"), F.col("_next").alias("r")
+            ),
+        ).alias("_n"),
+    )
+    best = (
+        F.when(F.col("_p").isNull(), F.col("_n"))
+        .when(F.col("_n").isNull(), F.col("_p"))
+        .when(F.col("_n.d") < F.col("_p.d"), F.col("_n"))
+        .otherwise(F.col("_p"))  # equal distance → the earlier ('prev') row
+    )
+    return cand.withColumn("_best", best).select(
+        "_l.*",
+        *[F.col(f"_best.r.{c}").alias(c) for c in payload],
+        F.col("_best.dir").alias("direction"),
+        F.col("_best.d").alias("diff_us"),
+    )

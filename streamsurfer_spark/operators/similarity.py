@@ -291,6 +291,30 @@ def centroid_modulus(n_vectors: int) -> int:
     return mod
 
 
+# Hard ceiling on the PROBE count for the sampled-probe search/eval queries
+# (ql14, ql43). A probe set that is a constant FRACTION of the corpus makes
+# total search work quadratic: probes × per-probe candidates both grow
+# linearly (the round-4 10× probe measured exactly that on the uncapped
+# recall eval: 21× wall-clock at 10× data). A constant probe budget makes
+# the exact ground-truth pass O(budget × corpus) = linear, which is what a
+# production recall eval is: a FIXED eval slice, not a census. 64 keeps the
+# fixture regimes (sf ≤ 0.1 and the 10× probe, ≤ ~21 probes) untouched so
+# oracle hashes never move.
+PROBE_BUDGET = 64
+
+
+def probe_modulus(n_vectors: int, base_mod: int) -> int:
+    """Probe-sampling modulus: ``base_mod`` while the probe count fits
+    PROBE_BUDGET, then doubled until it does (doubling keeps the capped
+    probe set a SUBSET of the base probe ids — eval results at different
+    scales stay comparable). Deterministic, RNG-free, idempotent
+    (probe_modulus(n, probe_modulus(n, m)) == probe_modulus(n, m))."""
+    mod = base_mod
+    while n_vectors // mod > PROBE_BUDGET:
+        mod *= 2
+    return mod
+
+
 def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Assign each vector to its nearest centroid by integer L2².
 
@@ -358,10 +382,15 @@ def ivf_topk(
     correctly rounded), so even the approximate candidate set hash-matches.
     """
     q = quantize(corpus).select(id_col, "qv")
-    mod = centroid_modulus(q.count())
+    n = q.count()
+    mod = centroid_modulus(n)
     cents = q.where(F.col(id_col) % mod == 0)
     assigned = ivf_assign(q, cents, id_col)
 
+    # constant probe budget: per-probe candidate lists grow ~linearly once
+    # the centroid budget caps, so an uncapped (fraction-of-corpus) probe
+    # set would make total search work quadratic — see probe_modulus
+    probe_mod = probe_modulus(n, probe_mod)
     probes = q.where(F.col(id_col) % probe_mod == 0).select(
         F.col(id_col).alias("probe_id"), F.col("qv").alias("probe_qv")
     )

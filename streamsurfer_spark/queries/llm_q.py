@@ -2002,6 +2002,155 @@ ORDER BY 1
 """
 
 
+# --- ql43: ANN recall evaluation (IVF vs exact ground truth) ----------------
+
+
+def ql43_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF approximate top-k against the exact cosine
+    ground truth, per probe — the evaluation harness every ANN deployment
+    ships with (the nprobe/centroid-budget tuning loop reads exactly this
+    table). Both paths are the engine's own operators (similarity.cosine_topk
+    exact float path; similarity.ivf_topk quantized route-and-rerank), so
+    the driver hash-checks the composed evaluation, not a re-derivation.
+
+    recall4 = n_hits / 3 is one IEEE division of two small exact ints →
+    bit-identical across engines. Ranking on both sides is the ROUNDED
+    similarity with a vec_id tiebreak, so the top-3 cut — and therefore
+    the overlap count — is deterministic on both engines.
+
+    Scale: exact ground truth is O(probes × corpus), so the probe set must
+    be a CONSTANT budget, not a constant fraction — similarity.probe_modulus
+    caps it at PROBE_BUDGET (the round-4 10× probe measured 21× wall-clock
+    for the uncapped fraction-of-corpus version; capped, the exact pass is
+    linear in the corpus). At fixture scales the modulus stays PROBE_MOD,
+    so the oracle's literal % {PROBE_MOD} never diverges.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    mod = similarity.probe_modulus(emb.count(), PROBE_MOD)
+    probes = emb.where(F.col("vec_id") % mod == 0)
+    exact = similarity.cosine_topk(emb, probes, k=3).select("probe_id", "vec_id")
+    approx = similarity.ivf_topk(emb, k=3, probe_mod=mod).select(
+        "probe_id", "vec_id"
+    )
+    hits = (
+        exact.join(approx, ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.groupBy("probe_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall4"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _ql43_sql() -> str:
+    """Exact (float) and IVF (quantized) top-3 pipelines composed in one
+    oracle query; CTE names prefixed to avoid collisions."""
+    return f"""
+WITH fe AS (
+    SELECT vec_id, unnest(range(len(embedding))) AS pos,
+           unnest(embedding)::DOUBLE AS v
+    FROM embeddings
+),
+fnorms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM fe GROUP BY 1),
+fp AS (SELECT vec_id AS probe_id, pos, v FROM fe WHERE vec_id % {PROBE_MOD} = 0),
+fdots AS (
+    SELECT fp.probe_id, fe.vec_id, sum(fp.v * fe.v) AS dot
+    FROM fp JOIN fe ON fp.pos = fe.pos AND fe.vec_id <> fp.probe_id
+    GROUP BY 1, 2
+),
+fsims AS (
+    SELECT probe_id, d.vec_id, round(dot / (na.nrm * nb.nrm), 4) AS sim
+    FROM fdots d
+    JOIN fnorms na ON na.vec_id = d.probe_id
+    JOIN fnorms nb ON nb.vec_id = d.vec_id
+),
+exact AS (
+    SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rk
+        FROM fsims
+    ) WHERE rk <= 3
+),
+q AS (
+    SELECT vec_id,
+           [cast(round(x::DOUBLE * {similarity.QUANT_SCALE}) AS BIGINT) for x in embedding] AS qv
+    FROM embeddings
+),
+qe AS (SELECT vec_id, unnest(range(len(qv))) AS pos, unnest(qv) AS v FROM q),
+cents AS (SELECT vec_id AS cent_id, pos, v FROM qe
+          WHERE vec_id % {similarity.IVF_CENTROID_MOD} = 0),
+ad AS (
+    SELECT qe.vec_id, c.cent_id, sum((qe.v - c.v) * (qe.v - c.v)) AS dist
+    FROM qe JOIN cents c ON c.pos = qe.pos GROUP BY 1, 2
+),
+assign AS (
+    SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+        FROM ad
+    ) WHERE rn = 1
+),
+pc AS (
+    SELECT probe_id, cent_id FROM (
+        SELECT vec_id AS probe_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+        FROM ad WHERE vec_id % {PROBE_MOD} = 0
+    ) WHERE rn <= {similarity.IVF_NPROBE}
+),
+cand AS (
+    SELECT pc.probe_id, a.vec_id
+    FROM pc JOIN assign a ON a.cent_id = pc.cent_id
+    WHERE a.vec_id <> pc.probe_id
+),
+qdots AS (
+    SELECT cand.probe_id, cand.vec_id, sum(pa.v * ca.v) AS dot
+    FROM cand
+    JOIN qe pa ON pa.vec_id = cand.probe_id
+    JOIN qe ca ON ca.vec_id = cand.vec_id AND ca.pos = pa.pos
+    GROUP BY 1, 2
+),
+qnorms AS (SELECT vec_id, sqrt(sum(v * v)::DOUBLE) AS nrm FROM qe GROUP BY 1),
+qsims AS (
+    SELECT d.probe_id, d.vec_id, round(d.dot::DOUBLE / (np.nrm * nc.nrm), 4) AS sim
+    FROM qdots d
+    JOIN qnorms np ON np.vec_id = d.probe_id
+    JOIN qnorms nc ON nc.vec_id = d.vec_id
+),
+approx AS (
+    SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rk
+        FROM qsims
+    ) WHERE rk <= 3
+),
+hits AS (
+    SELECT e.probe_id, count(*) AS n_hits
+    FROM exact e JOIN approx a ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+    GROUP BY 1
+)
+SELECT e.probe_id, count(*) AS n_exact,
+       coalesce(any_value(h.n_hits), 0) AS n_hits,
+       round(coalesce(any_value(h.n_hits), 0)::DOUBLE / count(*), 4) AS recall4
+FROM exact e LEFT JOIN hits h ON h.probe_id = e.probe_id
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QL43_SQL = _ql43_sql()
+
+
 # --- ql40: per-domain epoch/replication plan --------------------------------
 
 
@@ -2162,6 +2311,11 @@ QUERIES: dict[str, QuerySpec] = {
         ql39_pq_encode,
         QL39_SQL,
         "product-quantization codes + exact reconstruction SSE",
+    ),
+    "ql43_ann_recall": QuerySpec(
+        ql43_ann_recall,
+        QL43_SQL,
+        "recall@3 of IVF vs exact cosine ground truth, per probe",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,

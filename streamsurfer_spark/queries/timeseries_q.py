@@ -17,7 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from streamsurfer_spark.operators import sessions
-from streamsurfer_spark.operators.asof import asof_join, range_join
+from streamsurfer_spark.operators.asof import asof_join, asof_nearest, range_join
 from streamsurfer_spark.queries import QuerySpec
 from streamsurfer_spark.queries.relational_q import _duck_sum6, _sum6
 from streamsurfer_spark.session import table
@@ -586,6 +586,75 @@ ORDER BY 1, 2
 """
 
 
+def qt10_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase: the SAME user's nearest error event within ±1 h —
+    either direction, tie to the earlier one (operators/asof.py
+    asof_nearest: union-sort, one shuffle, two window frames over one sort;
+    no inequality join). The DuckDB oracle is the brute-force inequality
+    join + argmin — intentionally the opposite topology, so a hash match
+    proves the scalable path reproduces the obvious semantics."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # one error per (user, ts): smallest event_id (the nearest-tiebreak rule)
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("error_id"))
+    )
+    joined = asof_nearest(
+        purchases,
+        errors,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload=["error_id"],
+        tolerance_seconds=3600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("purchase_ts"),
+        "error_id",
+        "direction",
+        "diff_us",
+    ).orderBy("event_id")
+
+
+QT10_SQL = """
+WITH p AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+e AS (
+    SELECT user_id, ts, min(event_id) AS error_id
+    FROM events WHERE event_type = 'error' GROUP BY 1, 2
+),
+cand AS (
+    SELECT p.event_id, e.error_id, e.ts AS ets,
+           abs(date_diff('microsecond', e.ts, p.ts)) AS adiff,
+           CASE WHEN e.ts <= p.ts THEN 0 ELSE 1 END AS dir_rank
+    FROM p JOIN e USING (user_id)
+    WHERE abs(date_diff('microsecond', e.ts, p.ts)) <= 3600000000
+),
+best AS (
+    SELECT event_id, error_id, adiff, dir_rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_id ORDER BY adiff, dir_rank, ets, error_id
+        ) AS rn FROM cand
+    ) WHERE rn = 1
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       b.error_id,
+       CASE WHEN b.dir_rank = 0 THEN 'prev'
+            WHEN b.dir_rank = 1 THEN 'next' END AS direction,
+       b.adiff AS diff_us
+FROM p LEFT JOIN best b USING (event_id)
+ORDER BY p.event_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qt01_asof_last_click": QuerySpec(
         qt01_asof_last_click, QT01_SQL, "as-of join (union-sort) vs native DuckDB ASOF"
@@ -617,5 +686,10 @@ QUERIES: dict[str, QuerySpec] = {
         qt09_time_weighted_avg,
         QT09_SQL,
         "LOCF time-weighted average per user-day (TimescaleDB time_weight parity)",
+    ),
+    "qt10_nearest_error": QuerySpec(
+        qt10_nearest_error,
+        QT10_SQL,
+        "bidirectional nearest-event as-of join with tolerance (union-sort)",
     ),
 }

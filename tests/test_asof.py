@@ -75,3 +75,62 @@ def test_range_join_no_duplicate_pairs_across_buckets(spark):
         1 for i in range(30) for j in range(30) if abs(i - j) <= 10
     )
     assert len(pairs) == expected
+
+
+def test_asof_nearest_direction_and_ties(spark):
+    from streamsurfer_spark.operators.asof import asof_nearest
+
+    left = spark.createDataFrame(
+        [(1, 10, _t(12)), (2, 10, _t(14)), (3, 10, _t(20)), (4, 99, _t(12))],
+        "lid long, k long, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        # around lid=1: 11:00 and 13:00 — equal 1h distance → prev (100)
+        # around lid=2 (14:00): 13:00 (prev, 1h) vs 14:30 (next, 30m) → next
+        # around lid=3: nothing within 1h → null
+        [(10, _t(11), 100), (10, _t(13), 200), (10, _t(14, 30), 300)],
+        "k long, rt timestamp, rid long",
+    )
+    out = {
+        r.lid: r
+        for r in asof_nearest(
+            left, right, "k", "lt", "rt", ["rid"], tolerance_seconds=3600
+        ).collect()
+    }
+    assert (out[1].rid, out[1].direction, out[1].diff_us) == (100, "prev", 3600_000_000)
+    assert (out[2].rid, out[2].direction, out[2].diff_us) == (300, "next", 1800_000_000)
+    assert out[3].rid is None and out[3].direction is None and out[3].diff_us is None
+    assert out[4].rid is None  # no right rows for key 99
+
+
+def test_asof_nearest_exact_time_is_prev_at_zero(spark):
+    from streamsurfer_spark.operators.asof import asof_nearest
+
+    left = spark.createDataFrame([(1, 10, _t(12))], "lid long, k long, lt timestamp")
+    right = spark.createDataFrame(
+        [(10, _t(12), 500)], "k long, rt timestamp, rid long"
+    )
+    (row,) = asof_nearest(
+        left, right, "k", "lt", "rt", ["rid"], tolerance_seconds=60
+    ).collect()
+    assert (row.rid, row.direction, row.diff_us) == (500, "prev", 0)
+
+
+def test_asof_nearest_single_shuffle_single_window(spark):
+    """Both direction passes must share one sort: exactly one Exchange and
+    one Window operator in the plan (the forward/backward frames are frame
+    variants of the same partitioning+ordering)."""
+    from streamsurfer_spark.operators.asof import asof_nearest
+
+    left = spark.createDataFrame([(1, 10, _t(12))], "lid long, k long, lt timestamp")
+    right = spark.createDataFrame(
+        [(10, _t(11), 100)], "k long, rt timestamp, rid long"
+    )
+    plan = (
+        asof_nearest(left, right, "k", "lt", "rt", ["rid"], 3600)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1

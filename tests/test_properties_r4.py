@@ -163,3 +163,23 @@ def test_tracker_cents_half_away_from_zero():
     assert _cents_half_up(pd.Series([-0.025])) == -3
     assert _cents_half_up(pd.Series([0.015])) == 2  # 1.5 → 2 either way
     assert _cents_half_up(pd.Series([1.23, 0.025, -0.025])) == 123
+
+
+def test_probe_budget_constant():
+    """The probe count for sampled-probe search/eval (ql14, ql43) must be
+    bounded by a CONSTANT regardless of corpus size — an uncapped
+    fraction-of-corpus probe set makes exact-ground-truth work quadratic.
+    Below the budget the modulus is the fixture base (oracle hashes never
+    move); above it, doubling keeps probes ≤ PROBE_BUDGET and the capped
+    probe ids a subset of the base probe ids."""
+    from streamsurfer_spark.operators.similarity import PROBE_BUDGET, probe_modulus
+
+    base = 97
+    # fixture regimes: sf0.01 (500 vecs) and sf0.1 (2000 vecs) → unchanged
+    assert probe_modulus(500, base) == base
+    assert probe_modulus(2000, base) == base
+    for n in (10**5, 10**7, 10**9, 10**12):
+        mod = probe_modulus(n, base)
+        assert n // mod <= PROBE_BUDGET
+        assert mod % base == 0  # capped probes ⊂ base probes
+        assert probe_modulus(n, mod) == mod  # idempotent

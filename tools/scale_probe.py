@@ -26,6 +26,15 @@ PROBES = (
     "ql36_unigram_surprisal",
     "qt09_time_weighted_avg",
     "ql40_epoch_plan",
+    # round-4 additions: the multi-pass capstones and retrieval fusion
+    # (embeddings are replicated with per-replica perturbation below so
+    # the vector corpus actually grows instead of stacking exact copies)
+    "qp03_ivfpq_build_report",
+    "qp04_quality_dashboard",
+    "ql42_hybrid_rrf",
+    "ql34_cluster_representatives",
+    "ql43_ann_recall",
+    "qt10_nearest_error",
 )
 
 
@@ -69,7 +78,21 @@ def generate(src: str, dst: str, replicas: int) -> None:
         lang, source, n_chars
         FROM documents CROSS JOIN {rng}) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
     )
-    for t in ("region", "nation", "supplier", "part", "embeddings"):
+    vk = con.sql("SELECT max(vec_id)+1 FROM read_parquet"
+                 f"('{src}/embeddings.parquet')").fetchone()[0]
+    # replicate vectors with a per-replica nudge on dim 1: the corpus grows
+    # 10× with DISTINCT near-neighbors (stacking exact copies would turn
+    # every LSH bucket into a degenerate clique and measure the cap, not
+    # the plan)
+    con.execute(
+        f"""COPY (SELECT vec_id + i*{vk} AS vec_id,
+        list_transform(list_concat([embedding[1] + i * 0.01], embedding[2:]),
+                       x -> x::FLOAT) AS embedding,
+        label
+        FROM read_parquet('{src}/embeddings.parquet') CROSS JOIN {rng})
+        TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    for t in ("region", "nation", "supplier", "part"):
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet'))"
             f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
