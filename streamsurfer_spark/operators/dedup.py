@@ -47,6 +47,13 @@ SIMHASH_BITS = 48
 SHINGLE_C1 = md5_long64_py("shingle-c1") % (P31 - 1) + 1
 SHINGLE_C2 = md5_long64_py("shingle-c2") % (P31 - 1) + 1
 
+# 61-bit composition domain for span-coverage shingle hashes (Mersenne
+# prime 2^61 - 1): wide enough that collisions are statistically invisible
+# even at 1e12 distinct shingles, while every intermediate — a P31-domain
+# token hash times a sub-P31 constant, then one mod, summed over 3 terms —
+# stays within int64 on both engines.
+P61 = 2_305_843_009_213_693_951
+
 
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical texts: (content hash, group size, min id).
@@ -238,19 +245,58 @@ def duplicate_span_coverage(
 
     Shape: (doc, pos, shingle) occurrences → shingle document-frequency
     (partial-aggregating groupBy on the shingle key) → semi-join
-    occurrences against shingles with df ≥ 2 → explode each surviving
-    occurrence into its ≤ n covered positions → distinct (doc, pos) →
-    count per doc. Every stage keys on either the uniform shingle hash or
-    (doc, pos) — no single-key concentration; the ×n position fan-out is
-    a constant factor collapsed by the distinct's partial aggregation.
-    Output: one row per document with ≥ 1 covered token.
+    occurrences against shingles with df ≥ 2 → per-doc sorted position
+    list → covered tokens = union length of the fixed-width spans,
+    computed by ONE array expression (each sorted position contributes
+    min(n, next_pos − pos) with an end-of-doc sentinel). Every stage keys
+    on either the uniform shingle hash or the unique doc id — no
+    single-key concentration. Output: one row per document with ≥ 1
+    covered token.
+
+    Two round-4 rewrites, after the 10× probe showed this operator
+    dominating the qp04 dashboard (43 s of its 41 s):
+
+    1. Shingles are HASHED, not materialized as strings: one md5 per
+       token (amortized across all its shingles), composed positionally
+       into a 61-bit key — the same technique minhash_signature uses,
+       but in the wider P61 domain so the collision budget is negligible
+       (~S²/2^62: ~2e5 spurious dup-shingles among 1e12 distinct — a
+       2e-7 relative error on a coverage STATISTIC, vs the exact-match
+       semantics the string build paid 3 string-materializing passes
+       for). The df groupBy and the semi-join now move 8-byte keys.
+       The DuckDB twin composes the identical hashes, so the gate stays
+       an exact hash compare.
+
+    2. The union length is ONE array expression per doc: each sorted
+       matched position contributes min(n, next_pos − pos) with an
+       end-of-doc sentinel — identical to the old ×n position explode +
+       corpus-wide distinct, without the n-fold row fan-out or the
+       distinct exchange. The per-doc collect_set is bounded by document
+       length, the same bound every per-doc aggregation here carries.
+
+    Combined: 43 s → ~11 s at the 10× probe (the remaining cost is the
+    two passes over the token-hash explode — the df aggregate and the
+    semi-join left side; both shuffle 8-byte keys).
     """
+    if n != SHINGLE_N:
+        raise ValueError(
+            "hashed span shingles compose 3-token windows (SHINGLE_N); "
+            "extend the positional constants before passing a different n"
+        )
+    th = f"transform(toks, t -> {md5_long64_expr('t')} % {P31})"
+    sh_hashes = (
+        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)),"
+        f" i -> (try_element_at(th_, i) * {SHINGLE_C1}) % {P61}"
+        f" + (coalesce(try_element_at(th_, i + 1), 0) * {SHINGLE_C2}) % {P61}"
+        f" + coalesce(try_element_at(th_, i + 2), 0))"
+    )
     sh = (
-        with_shingles(df, text_col, n)
+        df.withColumn("toks", F.split(F.col(text_col), " "))
+        .withColumn("th_", F.expr(th))
         .select(
             F.col(id_col),
             F.size("toks").alias("n_tokens"),
-            F.posexplode("shingles").alias("pos", "shingle"),
+            F.posexplode(F.expr(sh_hashes)).alias("pos", "shingle"),
         )
     )
     dup = (
@@ -259,30 +305,25 @@ def duplicate_span_coverage(
         .where(F.col("_df") >= 2)
         .select("shingle")
     )
-    covered = (
-        sh.join(dup, "shingle")
-        .select(
-            F.col(id_col),
-            F.col("n_tokens"),
-            F.explode(
-                F.sequence(
-                    F.col("pos"),
-                    F.least(F.col("pos") + (n - 1), F.col("n_tokens") - 1),
-                )
-            ).alias("p"),
-        )
-        .distinct()
+    # sorted matched positions per doc; each contributes the part of its
+    # n-wide span not already covered by the next span (or the doc end)
+    union_len = (
+        f"aggregate(transform(_ps, (p, i) -> cast(least({n},"
+        " coalesce(try_element_at(_ps, i + 2), n_tokens) - p) as bigint)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
     )
     return (
-        covered.groupBy(id_col, "n_tokens")
-        .agg(F.count("*").alias("covered_tokens"))
+        sh.join(dup, "shingle")
+        .groupBy(id_col, "n_tokens")
+        .agg(F.array_sort(F.collect_set("pos")).alias("_ps"))
         .select(
             id_col,
             "n_tokens",
-            "covered_tokens",
-            F.round(F.col("covered_tokens") / F.col("n_tokens"), 4).alias(
-                "dup_coverage"
-            ),
+            F.expr(union_len).alias("covered_tokens"),
+        )
+        .withColumn(
+            "dup_coverage",
+            F.round(F.col("covered_tokens") / F.col("n_tokens"), 4),
         )
     )
 

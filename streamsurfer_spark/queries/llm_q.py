@@ -1855,11 +1855,19 @@ def ql37_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QL37_SQL = f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-sh AS (
+dth AS (
     SELECT doc_id, len(toks) AS n_tokens,
-           unnest(range(greatest(len(toks) - 2, 1))) AS pos,
-           unnest({DUCK_SHINGLES}) AS shingle
+           [({DUCK_HASH.format(x="t")}) % {P31} for t in toks] AS th
     FROM d
+),
+sh AS (
+    SELECT doc_id, n_tokens,
+           unnest(range(greatest(n_tokens - 2, 1))) AS pos,
+           unnest([(th[i+1] * {dedup.SHINGLE_C1}) % {dedup.P61}
+                   + (coalesce(th[i+2], 0) * {dedup.SHINGLE_C2}) % {dedup.P61}
+                   + coalesce(th[i+3], 0)
+                   for i in range(greatest(n_tokens - 2, 1))]) AS shingle
+    FROM dth
 ),
 dup AS (
     SELECT shingle FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2

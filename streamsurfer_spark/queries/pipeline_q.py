@@ -354,7 +354,11 @@ def qp04_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from streamsurfer_spark.queries.llm_q import DUCK_SHINGLES as _DUCK_SHINGLES
+from streamsurfer_spark.functions.hashing import P31 as _P31
+from streamsurfer_spark.operators.dedup import P61 as _P61
+from streamsurfer_spark.operators.dedup import SHINGLE_C1 as _C1
+from streamsurfer_spark.operators.dedup import SHINGLE_C2 as _C2
+from streamsurfer_spark.queries.llm_q import DUCK_HASH as _DUCK_HASH
 from streamsurfer_spark.queries.llm_q import _duck_stop_hits as _stop_hits
 
 QP04_SQL = f"""
@@ -376,11 +380,19 @@ surp AS (
     FROM tf JOIN costed USING (token) GROUP BY 1
 ),
 d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-sh AS (
+dth AS (
     SELECT doc_id, len(toks) AS n_toks,
-           unnest(range(greatest(len(toks) - 2, 1))) AS pos,
-           unnest({_DUCK_SHINGLES}) AS shingle
+           [({_DUCK_HASH.format(x="t")}) % {_P31} for t in toks] AS th
     FROM d
+),
+sh AS (
+    SELECT doc_id, n_toks,
+           unnest(range(greatest(n_toks - 2, 1))) AS pos,
+           unnest([(th[i+1] * {_C1}) % {_P61}
+                   + (coalesce(th[i+2], 0) * {_C2}) % {_P61}
+                   + coalesce(th[i+3], 0)
+                   for i in range(greatest(n_toks - 2, 1))]) AS shingle
+    FROM dth
 ),
 dup AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
 cov0 AS (

@@ -1,0 +1,226 @@
+"""Kinesis CONSUME-side source: the read twin of the sink's wire format.
+
+The reference is producer-only (its entire surface is enqueue → chunk →
+PutRecord, /root/reference/main.go:197-289); its consumers are out of
+frame. This module closes the engine-side gap: a custom Python DataSource
+(format "kinesis_replay") that UNBATCHES the exact wire format the sink
+ships — each Kinesis record's Data is a JSON ARRAY of envelope objects
+(one PutRecord per greedy chunk, main.go:266-276) — into one row per
+envelope item, ready for the existing envelope/from_json pipeline.
+
+Two record providers behind one format:
+
+- **spool replay** (always available; the test/replay path): a directory
+  of JSON files as written by ``sink.kinesis.FileKinesisClient`` — so the
+  sink→source round trip is testable end-to-end in this container, the
+  same seam philosophy as the reference's mocks/KinesisQueue.go. Batch
+  reads take one input partition per spool file; the micro-batch stream
+  reader's offset is the count of consumed files (sorted order), giving
+  deterministic replay with real offset/commit bookkeeping.
+- **boto3** (import-gated; absent in this container): batch reader over
+  real shards — one input partition per shard, TRIM_HORIZON iterator
+  drained executor-side. Streaming consumption against live Kinesis is
+  deliberately NOT implemented here: the scale pattern for 100 TB is a
+  landing zone (Firehose/KCL → object store) read by the ordinary file
+  stream source, not a Python-loop consumer; the batch shard reader
+  exists for backfills and parity checks.
+
+Scale notes: one partition per shard/file means parallelism tracks the
+stream's own sharding; the JSON-array unbatching is per-record Python but
+this source is the REPLAY/backfill path — the hot path lands records in
+object storage and uses the JVM parquet/json readers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+# one row per envelope item inside a record's JSON-array Data
+SCHEMA = (
+    "stream string, shard_id string, partition_key string,"
+    " record_seq bigint, item_index int, item string"
+)
+
+
+def _unbatch(data: str, stream: str, shard: str, pkey: str, seq: int):
+    """One JSON-array record → (stream, shard, pkey, seq, idx, item) rows.
+
+    Items are re-serialized with sorted keys — the sink's envelope render
+    also sorts keys (sink/kinesis.py envelope_payload), so a round trip is
+    byte-identical.
+    """
+    items = json.loads(data)
+    if not isinstance(items, list):  # tolerate bare-object producers
+        items = [items]
+    for idx, item in enumerate(items):
+        yield (
+            stream,
+            shard,
+            pkey,
+            seq,
+            idx,
+            json.dumps(item, sort_keys=True, separators=(",", ":")),
+        )
+
+
+def _spool_files(spool_dir: str) -> list[str]:
+    return sorted(
+        f for f in os.listdir(spool_dir) if f.endswith(".json")
+    )
+
+
+def _read_spool_file(spool_dir: str, fname: str, seq: int):
+    with open(os.path.join(spool_dir, fname), encoding="utf-8") as f:
+        rec = json.load(f)
+    yield from _unbatch(
+        rec["Data"],
+        rec.get("ShardId", "shardId-0"),
+        rec.get("PartitionKey", ""),
+        rec.get("StreamName", rec.get("StreamARN", "")),
+        seq,
+    )
+
+
+class _SpoolPartition(InputPartition):
+    def __init__(self, fname: str, seq: int) -> None:
+        super().__init__((fname, seq))
+
+
+class _SpoolReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.spool_dir = options["spool_dir"]
+
+    def partitions(self):  # noqa: D102 — API hook
+        return [
+            _SpoolPartition(f, i)
+            for i, f in enumerate(_spool_files(self.spool_dir))
+        ]
+
+    def read(self, partition):  # noqa: D102 — API hook
+        fname, seq = partition.value
+        for stream, shard, pkey, s, idx, item in _read_spool_file(
+            self.spool_dir, fname, seq
+        ):
+            yield (stream, shard, pkey, s, idx, item)
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, shard_id: str) -> None:
+        super().__init__(shard_id)
+
+
+class _Boto3Reader(DataSourceReader):
+    """Real-shard batch reader (backfill/parity path). One input partition
+    per shard; each executor drains its shard from TRIM_HORIZON. Requires
+    boto3 — import-gated like the sink's client factory."""
+
+    def __init__(self, options: dict) -> None:
+        self.stream = options["stream_name"]
+        self.region = options.get("region", "us-east-1")
+
+    def _client(self):
+        try:
+            import boto3
+        except ImportError as exc:  # pragma: no cover — not in container
+            raise NotImplementedError(
+                "boto3 is not installed; use the spool_dir replay path"
+                " (sink FileKinesisClient spool) in this environment"
+            ) from exc
+        return boto3.client("kinesis", region_name=self.region)
+
+    def partitions(self):  # noqa: D102 — API hook
+        shards = self._client().list_shards(StreamName=self.stream)["Shards"]
+        return [_ShardPartition(s["ShardId"]) for s in shards]
+
+    def read(self, partition):  # noqa: D102 — API hook
+        client = self._client()
+        shard = partition.value
+        it = client.get_shard_iterator(
+            StreamName=self.stream,
+            ShardId=shard,
+            ShardIteratorType="TRIM_HORIZON",
+        )["ShardIterator"]
+        seq = 0
+        while it:
+            resp = client.get_records(ShardIterator=it, Limit=1000)
+            for rec in resp["Records"]:
+                yield from _unbatch(
+                    rec["Data"].decode("utf-8"),
+                    shard,
+                    rec.get("PartitionKey", ""),
+                    self.stream,
+                    seq,
+                )
+                seq += 1
+            if resp.get("MillisBehindLatest", 0) == 0:
+                break
+            it = resp.get("NextShardIterator")
+
+
+class _SpoolStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch replay over the spool: offset = files consumed (sorted
+    order), ``batch_files`` per trigger — the consume twin of the sink's
+    per-chunk records, with real offset/commit bookkeeping so
+    checkpoint-recovery replays the exact same batches."""
+
+    def __init__(self, options: dict) -> None:
+        self.spool_dir = options["spool_dir"]
+        self.batch_files = int(options.get("batch_files", 10))
+
+    def initialOffset(self):  # noqa: D102 — API hook
+        return {"next_file": 0}
+
+    def _rows_between(self, lo: int, hi: int):
+        files = _spool_files(self.spool_dir)[lo:hi]
+        rows = []
+        for i, fname in enumerate(files):
+            rows.extend(_read_spool_file(self.spool_dir, fname, lo + i))
+        return rows
+
+    def read(self, start):  # noqa: D102 — API hook
+        lo = start["next_file"]
+        hi = min(lo + self.batch_files, len(_spool_files(self.spool_dir)))
+        return iter(self._rows_between(lo, hi)), {"next_file": hi}
+
+    def readBetweenOffsets(self, start, end):  # noqa: D102 — replay hook
+        return iter(self._rows_between(start["next_file"], end["next_file"]))
+
+
+class KinesisReplaySource(DataSource):
+    """``spark.read.format("kinesis_replay")`` with either
+    ``.option("spool_dir", ...)`` (local replay of the sink's spool) or
+    ``.option("stream_name", ...)`` (+ region; boto3 shard backfill)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kinesis_replay"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema):  # noqa: D102 — API hook
+        if "spool_dir" in self.options:
+            return _SpoolReader(self.options)
+        if "stream_name" in self.options:
+            return _Boto3Reader(self.options)
+        raise ValueError("kinesis_replay needs spool_dir or stream_name")
+
+    def simpleStreamReader(self, schema):  # noqa: D102 — API hook
+        if "spool_dir" not in self.options:
+            raise ValueError(
+                "streaming kinesis_replay reads a spool_dir; live-Kinesis"
+                " streaming goes through a landing zone (module docstring)"
+            )
+        return _SpoolStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(KinesisReplaySource)

@@ -1,0 +1,111 @@
+"""Consume-side round trip: sink spool → kinesis_replay source.
+
+The sink ships one JSON-array record per greedy chunk (the reference's
+wire format, main.go:266-276); the source must unbatch every record back
+into the exact envelope items — batch AND micro-batch stream paths.
+"""
+
+from __future__ import annotations
+
+import json
+
+from streamsurfer_spark.session import table
+from streamsurfer_spark.sink.config import KinesisSinkConfig
+from streamsurfer_spark.sink.kinesis import (
+    FileKinesisClient,
+    envelope_payload,
+    write_batch_to_kinesis,
+)
+from tests.conftest import SF_DIR
+
+
+def _fill_spool(spark, spool: str, n: int = 120) -> list[str]:
+    """Write n enveloped events through the real sink; return the expected
+    item payloads (sorted-key JSON, as the envelope render emits)."""
+    cfg = KinesisSinkConfig("rt-stream", max_size_bytes=2048, origin="rt")
+    ev = table(spark, SF_DIR, "events").limit(n)
+    payloads = envelope_payload(ev, event_col="event_type", ts_col="ts", origin="rt")
+    expected = sorted(r.payload for r in payloads.collect())
+    write_batch_to_kinesis(payloads, cfg, lambda _cfg: FileKinesisClient(spool))
+    return expected
+
+
+def test_spool_batch_round_trip(spark, tmp_path):
+    spool = str(tmp_path / "spool")
+    expected = _fill_spool(spark, spool)
+
+    from streamsurfer_spark.sources.kinesis_source import register
+
+    register(spark)
+    out = spark.read.format("kinesis_replay").option("spool_dir", spool).load()
+    rows = out.collect()
+
+    assert sorted(r.item for r in rows) == expected
+    # every item is the sink's envelope: origin stamped, parseable JSON
+    assert all(json.loads(r.item)["origin"] == "rt" for r in rows)
+    # item_index enumerates within each record; multi-item records exist
+    # (2048-byte chunks hold several envelopes)
+    per_record = {}
+    for r in rows:
+        per_record.setdefault((r.record_seq, r.partition_key), []).append(r.item_index)
+    assert any(len(v) > 1 for v in per_record.values())
+    assert all(sorted(v) == list(range(len(v))) for v in per_record.values())
+
+
+def test_spool_stream_round_trip(spark, tmp_path):
+    spool = str(tmp_path / "spool")
+    expected = _fill_spool(spark, spool)
+
+    import time
+    import uuid
+
+    from streamsurfer_spark.sources.kinesis_source import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("kinesis_replay")
+        .option("spool_dir", spool)
+        .option("batch_files", "2")  # force multiple micro-batches
+        .load()
+    )
+    # a simple stream reader surfaces one read() per trigger (availableNow
+    # falls back to a single batch) — drive with a fast processing-time
+    # trigger until the spool is drained, as the synthetic-source test does
+    name = f"krt_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while spark.table(name).count() < len(expected) and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    assert sorted(r.item for r in spark.table(name).collect()) == expected
+
+
+def test_boto3_gated_and_option_validation(spark):
+    import pytest
+
+    from streamsurfer_spark.sources.kinesis_source import (
+        KinesisReplaySource,
+        _Boto3Reader,
+    )
+
+    reader = _Boto3Reader({"stream_name": "s", "region": "us-east-1"})
+    try:
+        import boto3  # noqa: F401 — probe only
+
+        # boto3 present (real cluster / this container): client constructs
+        # without any network call
+        assert reader._client() is not None
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="spool_dir replay"):
+            reader._client()
+    with pytest.raises(ValueError, match="spool_dir or stream_name"):
+        KinesisReplaySource({}).reader(None)
+    with pytest.raises(ValueError, match="landing zone"):
+        KinesisReplaySource({"stream_name": "s"}).simpleStreamReader(None)
