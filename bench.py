@@ -71,6 +71,10 @@ BENCH_QUERIES = (
     "ql42_hybrid_rrf",
     "qt10_nearest_error",
     "ql43_ann_recall",
+    # round-4 second wave: split-leakage audit and the export-manifest
+    # capstone (the full curate→decontaminate→split→shard composition)
+    "ql44_split_leakage",
+    "qp05_export_manifest",
 )
 
 

@@ -29,17 +29,19 @@ class QuerySpec:
 
 
 # Ordering is load-bearing: the driver's correctness gate evaluates a
-# prefix of this dict (~50 entries). Front of the line, in order:
-# (1) queries fixed this round (need a fresh green row to prove the fix),
-# (2) queries with no driver verification in ANY previous round
-#     (rounds 1-2 covered qr01..qr50-era relational + qv/qs/qt/qp/ql01-23),
-# (3) high-churn event-time queries worth re-verifying, then everything else.
-# 58 entries have no green driver row yet but the window is ~50 — the
-# overflow (the tail below) is deliberately the LOWEST-risk group: the
-# round-2 TPC-H completion pack, plain SQL twins whose shapes the driver
-# already verified eleven times over in rounds 1-2. Every novel execution
-# path (stateful stream, iterative k-means, PQ, binary codec, RRF fusion)
-# sits inside the window.
+# prefix of this dict (~50 entries). Round-4 window, in order:
+# (1) the only queries with no driver row in ANY round (qr63-qr69),
+# (2) qr08, whose exact-twin oracle postdates its only (r1) driver row,
+# (3) queries NEW in round 4,
+# (4) queries whose execution path CHANGED in round 4 (scatter-hash
+#     codebook init, DECIMAL epoch budget, half-up tracker cents, cosine
+#     block cap, hashed-shingle span coverage) — a fresh green row proves
+#     each Spark+oracle lockstep update,
+# (5) rotation: real streaming runs and event-time readers (fixture ts
+#     churn), Python-boundary paths, then the least-recently-verified
+#     capstones and dedup/ANN family.
+# After round 4 the overflow tail consists ONLY of entries already
+# hash-verified green in rounds 1-3 and unchanged since.
 _VERIFY_FIRST = (
     # (1) the LAST queries with no driver row in ANY round: the round-2
     # TPC-H completion tail (rounds 1-3 windows never reached them)
@@ -57,6 +59,8 @@ _VERIFY_FIRST = (
     "ql07c_features_parity",
     "qt10_nearest_error",
     "ql43_ann_recall",
+    "ql44_split_leakage",
+    "qp05_export_manifest",
     # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
     # budget; half-up tracker cents; cosine block cap) — fresh green rows
     # prove the Spark+oracle lockstep updates
@@ -67,6 +71,8 @@ _VERIFY_FIRST = (
     "qs11_stateful_tracker",
     "ql21_cosine_near_dup",
     "ql23_dedup_clusters",
+    "ql37_duplicate_spans",
+    "qp04_quality_dashboard",
     # (5) rotation: high-churn families — real streaming runs and
     # event-time readers (the fixture ts type has changed across rounds),
     # Python-boundary paths, then the least-recently-verified capstones
@@ -86,12 +92,6 @@ _VERIFY_FIRST = (
     "qt07_ewma_smoothing",
     "ql06_udf_norm_parity",
     "ql07_multimodal_envelope",
-    "ql33_sequence_packing",
-    "ql36_unigram_surprisal",
-    "ql37_duplicate_spans",
-    "ql32_bm25_topk",
-    "ql42_hybrid_rrf",
-    "ql35_domain_mixture",
     "qp01_curation_report",
     "qp02_vector_index_report",
     "ql01_exact_dedup",

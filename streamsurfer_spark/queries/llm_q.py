@@ -2159,6 +2159,71 @@ ORDER BY 1
 QL43_SQL = _ql43_sql()
 
 
+# --- ql44: train/test near-dup leakage audit --------------------------------
+
+
+def ql44_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-integrity audit: MinHash-LSH near-dup pairs that CROSS the
+    deterministic train/val/test assignment — the leakage every eval
+    pipeline must prove absent (a test document with a train near-twin
+    inflates benchmark scores). Composes the hash-split (pure function of
+    doc_id — sampling.assign_split) with the capped LSH candidate pairs;
+    output is one row per (split_a, split_b) direction with the pair count
+    and exact id checksums for drill-down.
+
+    Scale: the pair table is the LSH family's bucketed/capped output (no
+    all-pairs path); the two split lookups are joins on the unique doc id.
+    A zero-row result is the healthy state — the audit is the proof, and
+    the per-pair drill-down (min_doc_a) is the triage pointer when not.
+    """
+    docs = table(spark, sf_dir, "documents")
+    split = sampling.assign_split(docs, "doc_id").select("doc_id", "split")
+    pairs = dedup.lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_leaked_pairs"),
+            F.min("doc_a").alias("min_doc_a"),
+            F.sum(F.col("doc_a") + F.col("doc_b")).alias("id_checksum"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+QL44_SQL = f"""
+WITH {duck_minhash_bands("documents")},
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sp AS (
+    SELECT doc_id,
+           CASE WHEN {DUCK_HASH.format(x="doc_id::VARCHAR")} % 100 < 80 THEN 'train'
+                WHEN {DUCK_HASH.format(x="doc_id::VARCHAR")} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT sa.split AS split_a, sb.split AS split_b,
+       count(*) AS n_leaked_pairs,
+       min(p.doc_a) AS min_doc_a,
+       CAST(sum(p.doc_a + p.doc_b) AS BIGINT) AS id_checksum
+FROM pairs p
+JOIN sp sa ON sa.doc_id = p.doc_a
+JOIN sp sb ON sb.doc_id = p.doc_b
+WHERE sa.split <> sb.split
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # --- ql40: per-domain epoch/replication plan --------------------------------
 
 
@@ -2324,6 +2389,11 @@ QUERIES: dict[str, QuerySpec] = {
         ql43_ann_recall,
         QL43_SQL,
         "recall@3 of IVF vs exact cosine ground truth, per probe",
+    ),
+    "ql44_split_leakage": QuerySpec(
+        ql44_split_leakage,
+        QL44_SQL,
+        "train/test near-dup leakage audit (LSH pairs crossing the hash split)",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,

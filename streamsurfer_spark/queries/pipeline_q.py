@@ -427,6 +427,165 @@ ORDER BY 1
 """
 
 
+# tokens per export shard: fixture-scaled so manifests have >1 shard per
+# (split, lang) slice; production sets this to the trainer's shard size
+EXPORT_SHARD_TOKENS = 4096
+
+
+def qp05_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the pipeline (capstone 5): what actually ships to the
+    trainer. Full curation (language-ID → quality gate → exact dedup →
+    LSH near-dup pruning, pipelines.curate) → benchmark decontamination
+    (drop held-out-source docs AND training docs whose shingle overlap
+    with them crosses the ql30 threshold) → deterministic hash split →
+    per-(split, lang) export manifest: docs, exact token totals, id
+    checksum, and the shard count at EXPORT_SHARD_TOKENS per shard
+    (exact ceiling division).
+
+    A hash-match here proves the COMPOSITION of five families end-to-end —
+    gates, dedup, asymmetric contamination probe, split hash, integer
+    shard math — not just each stage.
+
+    Scale: curate() is the audited curation chain (capped LSH, one window
+    per content hash); the benchmark shingle set broadcasts (eval suites
+    don't grow with the corpus); the split is a per-row hash; the manifest
+    groupBy keys on (split, lang) — map-side collapse everywhere.
+    """
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.operators import dedup as dedup_ops
+    from streamsurfer_spark.operators import sampling
+    from streamsurfer_spark.pipelines import curate
+    from streamsurfer_spark.queries.llm_q import QL30_BENCH_SOURCES, QL30_THRESHOLD
+
+    docs = table(spark, sf_dir, "documents")
+    surv = curate(docs).select("doc_id", "lang_pred", "n_tokens")
+
+    sh = dedup_ops.with_shingles(docs).select(
+        "doc_id", "source", F.explode(F.array_distinct("shingles")).alias("shingle")
+    )
+    is_bench = F.col("source").isin(*QL30_BENCH_SOURCES)
+    bench = sh.where(is_bench).select("shingle").distinct()
+    contaminated = (
+        sh.where(~is_bench)
+        .join(F.broadcast(bench.withColumn("_hit", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_c"),
+        )
+        .where(F.round(F.col("_c") / F.col("_n"), 4) >= QL30_THRESHOLD)
+        .select("doc_id")
+    )
+    clean = (
+        surv.join(docs.select("doc_id", "source"), "doc_id")
+        .where(~is_bench)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    split = sampling.assign_split(clean, "doc_id")
+    return (
+        split.groupBy("split", "lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .withColumn(
+            "n_shards",
+            F.expr(f"(total_tokens + {EXPORT_SHARD_TOKENS} - 1) div {EXPORT_SHARD_TOKENS}"),
+        )
+        .orderBy("split", "lang_pred")
+    )
+
+
+def _qp05_sql() -> str:
+    from streamsurfer_spark.queries.llm_q import (
+        DUCK_HASH,
+        DUCK_SHINGLES,
+        QL30_BENCH_SOURCES,
+        QL30_THRESHOLD,
+        duck_minhash_bands,
+    )
+
+    langs = list(text_ops.STOPWORDS)
+    scores = ",\n       ".join(f"{_stop_hits(lg)} AS s_{lg}" for lg in langs)
+    cases = "\n            ".join(
+        f"WHEN {' AND '.join(f's_{lg} >= s_{o}' for o in langs if o != lg)} THEN '{lg}'"
+        for lg in langs[:-1]
+    )
+    return f"""
+WITH s AS (
+    SELECT doc_id, text, source,
+       {scores},
+       len(string_split(text, ' ')) AS n_tokens,
+       (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+           / length(text) AS punct_ratio
+    FROM documents
+),
+g AS (
+    SELECT doc_id, text, source, n_tokens,
+           CASE {cases}
+                ELSE '{langs[-1]}' END AS lang_pred
+    FROM s
+    WHERE n_tokens >= {QUALITY_MIN_TOKENS} AND punct_ratio <= {QUALITY_MAX_PUNCT_RATIO}
+),
+e AS (
+    SELECT doc_id, text, source, n_tokens, lang_pred FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM g
+    ) WHERE rn = 1
+),
+{duck_minhash_bands("e").lstrip()},
+losers AS (
+    SELECT DISTINCT b.doc_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+surv AS (
+    SELECT e.* FROM e LEFT JOIN losers l ON l.doc_id = e.doc_id
+    WHERE l.doc_id IS NULL
+),
+dall AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+shd AS (
+    SELECT DISTINCT doc_id, source, shingle
+    FROM (SELECT doc_id, source, unnest({DUCK_SHINGLES}) AS shingle
+          FROM (SELECT doc_id, source, toks FROM dall) _x)
+),
+bench AS (
+    SELECT DISTINCT shingle FROM shd WHERE source IN {QL30_BENCH_SOURCES!r}
+),
+contaminated AS (
+    SELECT doc_id FROM (
+        SELECT c.doc_id, count(*) AS _n,
+               sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS _c
+        FROM shd c LEFT JOIN bench b USING (shingle)
+        WHERE c.source NOT IN {QL30_BENCH_SOURCES!r}
+        GROUP BY 1
+    ) WHERE round(_c::DOUBLE / _n, 4) >= {QL30_THRESHOLD}
+),
+clean AS (
+    SELECT s.doc_id, s.lang_pred, s.n_tokens,
+           CASE WHEN {DUCK_HASH.format(x="s.doc_id::VARCHAR")} % 100 < 80 THEN 'train'
+                WHEN {DUCK_HASH.format(x="s.doc_id::VARCHAR")} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM surv s
+    WHERE s.source NOT IN {QL30_BENCH_SOURCES!r}
+      AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT split, lang_pred,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST((sum(n_tokens) + {EXPORT_SHARD_TOKENS} - 1) // {EXPORT_SHARD_TOKENS}
+            AS BIGINT) AS n_shards
+FROM clean
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QP05_SQL = _qp05_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qp01_curation_report": QuerySpec(
         qp01_curation_report, QP01_SQL, "composed curation pipeline (capstone)"
@@ -443,5 +602,10 @@ QUERIES: dict[str, QuerySpec] = {
         qp04_quality_dashboard,
         QP04_SQL,
         "per-domain quality dashboard: surprisal + dup-span + quality (capstone 4)",
+    ),
+    "qp05_export_manifest": QuerySpec(
+        qp05_export_manifest,
+        QP05_SQL,
+        "end-of-pipeline export manifest: curate → decontaminate → split → shards (capstone 5)",
     ),
 }
