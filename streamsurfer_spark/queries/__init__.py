@@ -60,6 +60,7 @@ _VERIFY_FIRST = (
     "qt10_nearest_error",
     "ql43_ann_recall",
     "ql44_split_leakage",
+    "ql45_minhash_calibration",
     "qp05_export_manifest",
     # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
     # budget; half-up tracker cents; cosine block cap) — fresh green rows
@@ -101,7 +102,6 @@ _VERIFY_FIRST = (
     "ql09_ngram_jaccard",
     "ql10_lsh_ann_pairs",
     "ql14_ivf_topk",
-    "ql30_decontamination",
     # --- ~window boundary (driver evaluates the first ~50) ---
     # rows-only spec (weaker check by design; pytest + ql07c twin cover it)
     "ql07b_multimodal_features",

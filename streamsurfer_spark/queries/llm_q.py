@@ -2224,6 +2224,127 @@ ORDER BY 1, 2
 """
 
 
+# --- ql45: MinHash estimator calibration vs exact Jaccard -------------------
+
+
+def ql45_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the MinHash Jaccard ESTIMATE against the exact
+    n-gram Jaccard, per LSH candidate pair — the dedup-family counterpart
+    of ql43's ANN recall eval: before trusting a near-dup threshold at
+    100 TB you measure what the 8-hash estimator actually does on your
+    corpus. est_j = matching signature fraction; exact_j from the string
+    shingle sets; err = |est − exact|, all rounded once so the comparison
+    is bit-identical across engines (each value is a single IEEE division
+    of small exact ints, then one round).
+
+    Scale: every stage is restricted to the LSH CANDIDATE pairs (bucketed,
+    capped — never all-pairs); the exact-Jaccard intersection joins shingle
+    occurrence lists only for those pairs. The signature compare is a
+    zip_with over two 8-int arrays.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    sigs = dedup.minhash_signature(dedup.with_shingles(docs)).select(
+        "doc_id", "sig"
+    )
+    est = (
+        pairs.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "size(filter(zip_with(_sa, _sb, (x, y) -> x = y), b -> b))"
+            ).alias("_k"),
+        )
+    )
+    occ = dedup.with_shingles(docs).select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("shingle")
+    )
+    sizes = occ.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(occ.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            occ.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    n = dedup.N_MINHASH
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb")), "doc_b")
+        .withColumn("_inter", F.coalesce("_inter", F.lit(0)))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("_k") / n, 4).alias("est_j4"),
+            F.round(
+                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 4
+            ).alias("exact_j4"),
+            F.round(
+                F.abs(
+                    F.round(F.col("_k") / n, 4)
+                    - F.round(
+                        F.col("_inter")
+                        / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                        4,
+                    )
+                ),
+                4,
+            ).alias("err4"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QL45_SQL = f"""
+WITH {duck_minhash_bands("documents")},
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+est AS (
+    SELECT p.doc_a, p.doc_b,
+           sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS k
+    FROM pairs p
+    JOIN mh ma ON ma.doc_id = p.doc_a
+    JOIN mh mb ON mb.doc_id = p.doc_b AND mb.seed = ma.seed
+    GROUP BY 1, 2
+),
+occ AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM (SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM d)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM occ GROUP BY 1),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS i
+    FROM pairs p
+    JOIN occ a ON a.doc_id = p.doc_a
+    JOIN occ b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+)
+SELECT e.doc_a, e.doc_b,
+       round(e.k / {dedup.N_MINHASH}.0, 4) AS est_j4,
+       round(coalesce(i.i, 0) / (sa.n_sh + sb.n_sh - coalesce(i.i, 0))::DOUBLE, 4)
+           AS exact_j4,
+       round(abs(round(e.k / {dedup.N_MINHASH}.0, 4)
+                 - round(coalesce(i.i, 0)
+                         / (sa.n_sh + sb.n_sh - coalesce(i.i, 0))::DOUBLE, 4)), 4)
+           AS err4
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes sa ON sa.doc_id = e.doc_a
+JOIN sizes sb ON sb.doc_id = e.doc_b
+ORDER BY e.doc_a, e.doc_b
+"""
+
+
 # --- ql40: per-domain epoch/replication plan --------------------------------
 
 
@@ -2394,6 +2515,11 @@ QUERIES: dict[str, QuerySpec] = {
         ql44_split_leakage,
         QL44_SQL,
         "train/test near-dup leakage audit (LSH pairs crossing the hash split)",
+    ),
+    "ql45_minhash_calibration": QuerySpec(
+        ql45_minhash_calibration,
+        QL45_SQL,
+        "MinHash Jaccard estimate vs exact, per LSH candidate pair",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,
