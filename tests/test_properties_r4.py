@@ -183,3 +183,127 @@ def test_probe_budget_constant():
         assert n // mod <= PROBE_BUDGET
         assert mod % base == 0  # capped probes ⊂ base probes
         assert probe_modulus(n, mod) == mod  # idempotent
+
+
+def _span_coverage_py(docs: list[tuple[int, str]], n: int = 3) -> dict[int, tuple[int, int]]:
+    """Python brute-force twin of duplicate_span_coverage: same hashed
+    shingle composition (md5 → P31 token hashes, positional P61 sum), df≥2
+    filter, then DISTINCT covered positions per doc. Returns
+    doc_id → (n_tokens, covered_tokens)."""
+    from streamsurfer_spark.functions.hashing import P31, md5_long64_py
+    from streamsurfer_spark.operators.dedup import P61, SHINGLE_C1, SHINGLE_C2
+
+    def shingle_hashes(toks):
+        th = [md5_long64_py(t) % P31 for t in toks]
+        out = []
+        for i in range(max(len(th) - (n - 1), 1)):
+            h1 = th[i] if i < len(th) else 0
+            h2 = th[i + 1] if i + 1 < len(th) else 0
+            h3 = th[i + 2] if i + 2 < len(th) else 0
+            out.append((h1 * SHINGLE_C1) % P61 + (h2 * SHINGLE_C2) % P61 + h3)
+        return out
+
+    occ = {}  # shingle → set of docs
+    per_doc = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        hs = shingle_hashes(toks)
+        per_doc[doc_id] = (toks, hs)
+        for h in hs:
+            occ.setdefault(h, set()).add(doc_id)
+    dup = {h for h, d in occ.items() if len(d) >= 2}
+    result = {}
+    for doc_id, (toks, hs) in per_doc.items():
+        covered = set()
+        for pos, h in enumerate(hs):
+            if h in dup:
+                covered.update(range(pos, min(pos + n, len(toks))))
+        if covered:
+            result[doc_id] = (len(toks), len(covered))
+    return result
+
+
+def test_span_coverage_matches_bruteforce_random(spark):
+    """Randomized check of the interval-union rewrite: Spark's
+    covered_tokens must equal the brute-force distinct-position count for
+    corpora with overlapping, adjacent, and isolated duplicate spans."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = "the quick brown fox jumps over"
+    docs = []
+    for d in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 25))]
+        # plant boilerplate at a random position in half the docs —
+        # guarantees shared spans with varied overlap patterns
+        if d % 2 == 0:
+            at = rng.randint(0, len(words))
+            words[at:at] = boiler.split(" ")
+        docs.append((d, " ".join(words)))
+
+    from streamsurfer_spark.operators.dedup import duplicate_span_coverage
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.covered_tokens)
+        for r in duplicate_span_coverage(df).collect()
+    }
+    want = _span_coverage_py(docs)
+    assert got == want
+
+
+def test_asof_nearest_matches_bruteforce_random(spark):
+    """Randomized check of the union-sort nearest join against the obvious
+    per-left argmin over all right rows within tolerance."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    lefts = [
+        (i, rng.randint(0, 3), base + dt.timedelta(seconds=rng.randint(0, 5000)))
+        for i in range(60)
+    ]
+    rights = {}
+    for j in range(80):
+        key = (rng.randint(0, 3), base + dt.timedelta(seconds=rng.randint(0, 5000)))
+        rid = 1000 + j
+        # dedup per (key, ts): keep the SMALLEST id, the documented contract
+        if key not in rights or rid < rights[key]:
+            rights[key] = rid
+    right_rows = [(k, ts, rid) for (k, ts), rid in rights.items()]
+
+    tol = 600
+    from streamsurfer_spark.operators.asof import asof_nearest
+
+    left_df = spark.createDataFrame(lefts, "lid long, k long, lt timestamp")
+    right_df = spark.createDataFrame(right_rows, "k long, rt timestamp, rid long")
+    got = {
+        r.lid: (r.rid, r.direction, r.diff_us)
+        for r in asof_nearest(
+            left_df, right_df, "k", "lt", "rt", ["rid"], tolerance_seconds=tol
+        ).collect()
+    }
+
+    for lid, k, lt in lefts:
+        best = None
+        for (rk, rt), rid in rights.items():
+            if rk != k:
+                continue
+            diff = abs((lt - rt).total_seconds())
+            if diff > tol:
+                continue
+            dir_rank = 0 if rt <= lt else 1
+            cand = (diff, dir_rank, rt, rid)
+            if best is None or cand < best:
+                best = cand
+        if best is None:
+            assert got[lid] == (None, None, None), lid
+        else:
+            diff, dir_rank, rt, rid = best
+            assert got[lid] == (
+                rid,
+                "prev" if dir_rank == 0 else "next",
+                int(diff * 1_000_000),
+            ), lid
