@@ -62,6 +62,7 @@ _VERIFY_FIRST = (
     "ql44_split_leakage",
     "ql45_minhash_calibration",
     "qp05_export_manifest",
+    "qs12_stream_temporal_dim",
     # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
     # budget; half-up tracker cents; cosine block cap) — fresh green rows
     # prove the Spark+oracle lockstep updates
@@ -98,7 +99,6 @@ _VERIFY_FIRST = (
     "ql01_exact_dedup",
     "ql02_minhash_lsh_pairs",
     "ql03_cosine_topk",
-    "ql08_simhash",
     "ql09_ngram_jaccard",
     "ql10_lsh_ann_pairs",
     "ql14_ivf_topk",

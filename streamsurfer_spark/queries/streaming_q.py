@@ -469,6 +469,104 @@ ORDER BY a.user_id
 """
 
 
+# --- Q-S12: stream-static TEMPORAL dimension join (real run) -----------------
+
+QS12_CUTOVER = "2024-01-15 00:00:00"
+
+
+def qs12_stream_temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream joined to a slowly-changing dimension by VALIDITY INTERVAL in
+    a REAL availableNow run: each event picks the dimension version whose
+    [valid_from, valid_to) contains its event time — the SCD2 lookup every
+    warehouse stream does (qr44's batch SCD intervals, now on the stream
+    path). Stream-static joins are STATELESS (no watermark, each micro-
+    batch probes the static side), so append mode emits exactly the batch
+    join and the oracle is exact.
+
+    The dimension is derived deterministically from the user-id domain
+    (two epochs per user around a fixed cutover; tiers are pure hash
+    functions) so both engines rebuild the identical table. At scale the
+    dimension broadcasts — the plan must show BroadcastHashJoin, never a
+    per-batch shuffle of the stream side.
+
+    Output: per (tier, event_type) exact counts + cent sums over the
+    joined stream — grouped AFTER the streaming run (batch aggregation of
+    the materialized join) so the streaming path under test is the join.
+    """
+    ev_batch = table(spark, sf_dir, "events")
+    ids = ev_batch.select("user_id").distinct()
+    v1 = ids.select(
+        "user_id",
+        F.lit("1970-01-01 00:00:00").alias("valid_from"),
+        F.lit(QS12_CUTOVER).alias("valid_to"),
+        F.when(F.col("user_id") % 3 == 0, "bronze")
+        .when(F.col("user_id") % 3 == 1, "silver")
+        .otherwise("gold")
+        .alias("tier"),
+    )
+    v2 = ids.select(
+        "user_id",
+        F.lit(QS12_CUTOVER).alias("valid_from"),
+        F.lit("2100-01-01 00:00:00").alias("valid_to"),
+        # cutover promotion: every even user moves up to platinum
+        F.when(F.col("user_id") % 2 == 0, "platinum")
+        .when(F.col("user_id") % 3 == 1, "silver")
+        .otherwise("gold")
+        .alias("tier"),
+    )
+    dim = v1.unionByName(v2)
+
+    stream = read_events_stream(spark, _events_path(sf_dir))
+    joined = stream.join(
+        F.broadcast(dim),
+        (stream["user_id"] == dim["user_id"])
+        & (stream["ts"] >= dim["valid_from"])
+        & (stream["ts"] < dim["valid_to"]),
+    ).select(
+        stream["event_id"],
+        dim["tier"],
+        stream["event_type"],
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    out = run_to_memory(joined, "append")
+    return (
+        out.groupBy("tier", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("tier", "event_type")
+    )
+
+
+QS12_SQL = f"""
+WITH ids AS (SELECT DISTINCT user_id FROM events),
+dim AS (
+    SELECT user_id, TIMESTAMP '1970-01-01 00:00:00' AS valid_from,
+           TIMESTAMP '{QS12_CUTOVER}' AS valid_to,
+           CASE WHEN user_id % 3 = 0 THEN 'bronze'
+                WHEN user_id % 3 = 1 THEN 'silver'
+                ELSE 'gold' END AS tier
+    FROM ids
+    UNION ALL
+    SELECT user_id, TIMESTAMP '{QS12_CUTOVER}',
+           TIMESTAMP '2100-01-01 00:00:00',
+           CASE WHEN user_id % 2 = 0 THEN 'platinum'
+                WHEN user_id % 3 = 1 THEN 'silver'
+                ELSE 'gold' END AS tier
+    FROM ids
+)
+SELECT d.tier, e.event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events e
+JOIN dim d ON d.user_id = e.user_id
+          AND e.ts >= d.valid_from AND e.ts < d.valid_to
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qs01_stream_ingest_counts": QuerySpec(
         qs01_stream_ingest_counts, QS01_SQL, "Q-S1 real streaming ingest (availableNow)"
@@ -499,5 +597,10 @@ QUERIES: dict[str, QuerySpec] = {
         qs11_stateful_tracker,
         QS11_SQL,
         "Q-S11 custom applyInPandasWithState tracker (real run, exact oracle)",
+    ),
+    "qs12_stream_temporal_dim": QuerySpec(
+        qs12_stream_temporal_dim,
+        QS12_SQL,
+        "Q-S12 stream-static SCD2 interval join (real run, broadcast dim)",
     ),
 }
