@@ -307,3 +307,32 @@ def test_asof_nearest_matches_bruteforce_random(spark):
                 "prev" if dir_rank == 0 else "next",
                 int(diff * 1_000_000),
             ), lid
+
+
+def test_verify_window_contains_round4_must_verify():
+    """The driver's correctness gate evaluates the FIRST ~50 registry
+    entries. Every query that is new or execution-path-changed in round 4,
+    plus the only entries without a green driver row from rounds 1-3, must
+    sit inside that window — a registry edit that pushes one out silently
+    forfeits its independent verification."""
+    from streamsurfer_spark.queries import registry
+
+    window = set(list(registry())[:50])
+    must = {
+        # never driver-verified before round 4
+        "qr63_returned_items", "qr64_important_parts", "qr65_shipping_speed",
+        "qr66_customer_distribution", "qr67_supplier_part_counts",
+        "qr68_promotable_suppliers", "qr69_waiting_suppliers",
+        "qr08_approx_count_distinct",
+        # new in round 4
+        "ql07c_features_parity", "qt10_nearest_error", "ql43_ann_recall",
+        "ql44_split_leakage", "ql45_minhash_calibration",
+        "qp05_export_manifest", "qs12_stream_temporal_dim",
+        # execution path changed in round 4
+        "ql38_kmeans_clusters", "ql39_pq_encode", "qp03_ivfpq_build_report",
+        "ql40_epoch_plan", "qs11_stateful_tracker", "ql21_cosine_near_dup",
+        "ql23_dedup_clusters", "ql37_duplicate_spans",
+        "qp04_quality_dashboard", "ql14_ivf_topk",
+    }
+    missing = must - window
+    assert not missing, f"must-verify queries outside the gate window: {missing}"
