@@ -10,7 +10,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from streamsurfer_spark.functions.hashing import MOD_PRIME, md5_long64
+from streamsurfer_spark.functions.hashing import (
+    MOD_PRIME,
+    P31,
+    md5_long64,
+    md5_long64_expr,
+    md5_long64_py,
+)
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deliberately small and frozen: they are part of the operator's
@@ -131,6 +137,109 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .withColumn(
             "avg_surprisal_nats",
             F.round(F.col("surprisal_micro") / F.col("n_tokens") / 1e6, 4),
+        )
+    )
+
+
+# --- DSIR-style hashed-bigram importance weights -----------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): score every raw
+# document by the log-likelihood ratio of its hashed n-gram features under a
+# bag-of-hashed-bigrams model of a TARGET corpus vs the RAW corpus. Documents
+# with high ratios "look like" the target domain; the score feeds the
+# hash-threshold samplers in operators/sampling.py for the resampling step.
+DSIR_BUCKETS = 2048
+# Positional constant for composing a bigram hash from its two token hashes
+# (same one-md5-per-token trick as the shingle family in operators/dedup.py).
+DSIR_C1 = md5_long64_py("dsir-c1") % (P31 - 1) + 1
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_lang: str = "en",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR importance score over hashed-bigram features.
+
+    Features: adjacent-token bigrams, hashed into ``n_buckets`` buckets via
+    the portable md5 scheme — one md5 per TOKEN, bigram hash composed
+    positionally ((th[i]*C1 + th[i+1]) mod P31 mod B), no bigram string
+    materialized. Both unigram models are Laplace-smoothed bucket
+    multinomials; the per-bucket weight
+
+        w(b) = ln(cnt_target[b]+1) - ln(tot_target+B)
+             - ln(cnt_raw[b]+1)    + ln(tot_raw+B)
+
+    is evaluated ONCE PER BUCKET (every ln argument is an integer-valued
+    double — exactly representable and bit-identical across engines up to
+    2^53), rounded to integer micro-nats, and all per-document aggregation
+    is exact BIGINT summation (order/partitioning independent — the same
+    float discipline as unigram_surprisal above).
+
+    Distributed shape (100 TB): per-(doc, bucket) tf groupBy collapses
+    repeats map-side; both bucket models are ≤ n_buckets rows (CONSTANT,
+    corpus-size independent) so the weight table is computed in one tiny
+    aggregation and BROADCAST back to the fat (doc, bucket) side — the only
+    corpus-sized shuffle is the tf groupBy on a uniform composite key.
+    Final groupBy(doc) partial-aggregates on a unique key.
+    """
+    th = f"transform(toks, t -> {md5_long64_expr('t')} % {P31})"
+    bk = (
+        "case when size(toks) < 2 then cast(array() as array<bigint>) else "
+        "transform(sequence(1, size(toks) - 1),"
+        f" i -> ((element_at(th_, i) * {DSIR_C1}) % {P31}"
+        f" + element_at(th_, i + 1)) % {P31} % {n_buckets}) end"
+    )
+    buckets = (
+        df.withColumn("toks", F.split(F.col(text_col), " "))
+        .withColumn("th_", F.expr(th))
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.explode(F.expr(bk)).alias("bucket"),
+        )
+    )
+    tf = buckets.groupBy(id_col, lang_col, "bucket").agg(F.count("*").alias("tf"))
+    raw = tf.groupBy("bucket").agg(F.sum("tf").alias("cnt_r"))
+    tgt = (
+        tf.where(F.col(lang_col) == target_lang)
+        .groupBy("bucket")
+        .agg(F.sum("tf").alias("cnt_t"))
+    )
+    totals = raw.join(tgt, "bucket", "left").agg(
+        F.sum("cnt_r").alias("tot_r"),
+        F.sum(F.coalesce(F.col("cnt_t"), F.lit(0))).alias("tot_t"),
+    )
+    weights = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(F.coalesce(F.col("cnt_t"), F.lit(0)) + F.lit(1))
+                    - F.log(F.col("tot_t") + F.lit(n_buckets))
+                    - F.log(F.col("cnt_r") + F.lit(1))
+                    + F.log(F.col("tot_r") + F.lit(n_buckets))
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("w_micro"),
+        )
+    )
+    return (
+        tf.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("w_micro")).alias("logratio_micro"),
+        )
+        .withColumn(
+            "avg_logratio_nats",
+            F.round(F.col("logratio_micro") / F.col("n_bigrams") / 1e6, 4),
         )
     )
 

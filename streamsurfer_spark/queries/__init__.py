@@ -63,6 +63,10 @@ _VERIFY_FIRST = (
     "ql45_minhash_calibration",
     "qp05_export_manifest",
     "qs12_stream_temporal_dim",
+    "ql46_dsir_importance",
+    "ql47_perplexity_buckets",
+    "ql48_bpe_pair_stats",
+    "qp06_semdedup_report",
     # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
     # budget; half-up tracker cents; cosine block cap) — fresh green rows
     # prove the Spark+oracle lockstep updates

@@ -2412,6 +2412,230 @@ ORDER BY source
 """
 
 
+# --- ql46: DSIR hashed-bigram importance weights -----------------------------
+
+
+def ql46_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023) for every document against
+    an English target corpus (operators/text.py dsir_importance — see its
+    float-discipline and 100 TB notes: per-bucket weights computed once on
+    a CONSTANT-size bucket table and broadcast; per-doc sums exact BIGINT)."""
+    docs = table(spark, sf_dir, "documents")
+    return text_ops.dsir_importance(docs).orderBy("doc_id")
+
+
+_B = text_ops.DSIR_BUCKETS
+
+QL46_SQL = f"""
+WITH base AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+th AS (
+    SELECT doc_id, lang,
+           [('0x' || substr(md5(t), 1, 15))::BIGINT % {P31} for t in toks] AS th_
+    FROM base
+),
+bk AS (
+    SELECT doc_id, lang,
+           unnest([((th_[i+1] * {text_ops.DSIR_C1}) % {P31} + th_[i+2])
+                   % {P31} % {_B} for i in range(len(th_) - 1)]) AS bucket
+    FROM th
+),
+tf AS (
+    SELECT doc_id, lang, bucket, count(*) AS tf FROM bk GROUP BY 1, 2, 3
+),
+raw AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS cnt_r FROM tf GROUP BY 1),
+tgt AS (
+    SELECT bucket, CAST(sum(tf) AS BIGINT) AS cnt_t
+    FROM tf WHERE lang = 'en' GROUP BY 1
+),
+j AS (
+    SELECT raw.bucket, cnt_r, coalesce(cnt_t, 0) AS cnt_t
+    FROM raw LEFT JOIN tgt USING (bucket)
+),
+tot AS (
+    SELECT CAST(sum(cnt_r) AS BIGINT) AS tot_r,
+           CAST(sum(cnt_t) AS BIGINT) AS tot_t
+    FROM j
+),
+w AS (
+    SELECT bucket,
+           CAST(round((ln(cnt_t + 1) - ln(tot_t + {_B})
+                       - ln(cnt_r + 1) + ln(tot_r + {_B})) * 1000000)
+                AS BIGINT) AS w_micro
+    FROM j CROSS JOIN tot
+)
+SELECT tf.doc_id, tf.lang,
+       CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       CAST(sum(tf * w_micro) AS BIGINT) AS logratio_micro,
+       round(CAST(sum(tf * w_micro) AS BIGINT)
+             / CAST(sum(tf) AS BIGINT) / 1000000.0, 4) AS avg_logratio_nats
+FROM tf JOIN w USING (bucket)
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+# --- ql47: CCNet-style per-domain perplexity buckets -------------------------
+
+
+def ql47_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail tertiles per language on the unigram
+    surprisal score (Wenzek et al. 2020 bucket common-crawl by LM
+    perplexity; head = most fluent third).
+
+    Exactness: ranks use the 4-dp-rounded surprisal (bit-identical across
+    engines) with doc_id tiebreak, so the tertile boundary is fully
+    deterministic; bucket membership is integer arithmetic (3·rank vs n).
+
+    100 TB note: the oracle-checkable twin ranks exactly (one sort per
+    language partition). At corpus scale you would compute the two tertile
+    THRESHOLDS with approx_percentile and assign membership map-only; the
+    exact-rank form here is the ground truth that calibrates that
+    approximation.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sur = text_ops.unigram_surprisal(docs)
+    scored = sur.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("avg_surprisal_nats", "doc_id")
+    ranked = scored.select(
+        "lang",
+        "n_tokens",
+        "avg_surprisal_nats",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    bucketed = ranked.withColumn(
+        "bucket",
+        F.when(F.col("rn") * 3 <= F.col("n"), F.lit("head"))
+        .when(F.col("rn") * 3 <= F.col("n") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_total"),
+            F.round(F.min("avg_surprisal_nats"), 4).alias("min_surprisal"),
+            F.round(F.max("avg_surprisal_nats"), 4).alias("max_surprisal"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+QL47_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+costed AS (
+    SELECT token,
+           CAST(round(ln(total::DOUBLE / cnt) * 1000000) AS BIGINT) AS cost_micro
+    FROM vocab CROSS JOIN total
+),
+sur AS (
+    SELECT tf.doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(CAST(sum(tf * cost_micro) AS BIGINT)
+                 / CAST(sum(tf) AS BIGINT) / 1000000.0, 4) AS avg_surprisal_nats
+    FROM tf JOIN costed USING (token)
+    GROUP BY 1
+),
+scored AS (
+    SELECT s.doc_id, d.lang, s.n_tokens, s.avg_surprisal_nats
+    FROM sur s JOIN documents d USING (doc_id)
+),
+ranked AS (
+    SELECT lang, n_tokens, avg_surprisal_nats,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY avg_surprisal_nats, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM scored
+),
+b AS (
+    SELECT lang, n_tokens, avg_surprisal_nats,
+           CASE WHEN rn * 3 <= n THEN 'head'
+                WHEN rn * 3 <= n * 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+)
+SELECT lang, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+       round(min(avg_surprisal_nats), 4) AS min_surprisal,
+       round(max(avg_surprisal_nats), 4) AS max_surprisal
+FROM b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# --- ql48: BPE first-merge pair statistics -----------------------------------
+
+
+def ql48_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistic behind one BPE merge iteration (Sennrich et al. 2016):
+    adjacent character-pair counts over the word vocabulary, weighted by
+    word frequency — the argmax pair is the tokenizer's next merge. Top 20
+    with a deterministic (count desc, pair asc) order.
+
+    Distributed shape (100 TB): word counts collapse the corpus to its
+    vocabulary (groupBy on the word — map-side combine absorbs Zipf skew
+    since only count survives); pair expansion runs on the VOCABULARY
+    (≪ corpus, and each word contributes length-1 pairs); final top-20 is
+    a TakeOrdered heap, nothing globally sorted. Iterating merges would
+    re-segment the vocab table per round — each round this same plan.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(text_ops.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = words.withColumn(
+        "pair",
+        F.explode(
+            F.expr(
+                "case when length(w) < 2 then cast(array() as array<string>)"
+                " else transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2)) end"
+            )
+        ),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wc").alias("pair_count"))
+    top = counts.orderBy(F.desc("pair_count"), "pair").limit(20)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("pair_count"), "pair"))
+        .alias("merge_rank"),
+        "pair",
+        "pair_count",
+    ).orderBy("merge_rank")
+
+
+QL48_SQL = """
+WITH words AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (SELECT w, count(*) AS wc FROM words GROUP BY 1),
+pairs AS (
+    SELECT unnest([substr(w, i + 1, 2) for i in range(length(w) - 1)]) AS pair,
+           wc
+    FROM wc
+),
+counts AS (
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count FROM pairs GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY pair_count DESC, pair) AS merge_rank,
+       pair, pair_count
+FROM counts
+ORDER BY pair_count DESC, pair
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -2520,6 +2744,21 @@ QUERIES: dict[str, QuerySpec] = {
         ql45_minhash_calibration,
         QL45_SQL,
         "MinHash Jaccard estimate vs exact, per LSH candidate pair",
+    ),
+    "ql46_dsir_importance": QuerySpec(
+        ql46_dsir_importance,
+        QL46_SQL,
+        "DSIR hashed-bigram importance weights vs 'en' target",
+    ),
+    "ql47_perplexity_buckets": QuerySpec(
+        ql47_perplexity_buckets,
+        QL47_SQL,
+        "CCNet-style per-language surprisal tertiles",
+    ),
+    "ql48_bpe_pair_stats": QuerySpec(
+        ql48_bpe_pair_stats,
+        QL48_SQL,
+        "BPE first-merge adjacent-pair statistics (top 20)",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,

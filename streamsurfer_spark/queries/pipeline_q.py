@@ -586,6 +586,160 @@ ORDER BY 1, 2
 QP05_SQL = _qp05_sql()
 
 
+# --- qp06: SemDeDup semantic-dedup capstone ---------------------------------
+
+# Within-cell cosine threshold. Fixture embeddings are near-orthogonal
+# (p99.9 of random-pair cosine ≈ 0.38), so 0.45 isolates the genuinely
+# correlated tail inside each k-means cell; real text embeddings cluster
+# much tighter and would use τ ≈ 0.9+ (Abbas et al. use model-specific τ).
+SEMDEDUP_TAU = 0.45
+
+
+def qp06_semdedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) as one composed plan (capstone 6):
+    k-means cluster the embedding corpus (exact-int Lloyd, 2 iterations)
+    → exact cosine pairs WITHIN each cluster above τ (the cluster is the
+    block, so the quadratic stage is bounded per cell and capped by
+    COSINE_BLOCK_CAP) → connected components of the near-dup graph →
+    keep the minimum id per component, drop the rest → per-cell report:
+    occupancy, duplicate groups, dropped count/checksum, survivors.
+
+    This is the production semantic-dedup recipe: clustering makes the
+    all-pairs stage tractable (O(Σ cell²) not O(n²)), and the component
+    step prevents chain-duplicates from being double-kept. Everything
+    through the pair cut is reproducible arithmetic (integer k-means,
+    4-dp-rounded cosine), so the composed 4-stage pipeline hash-matches
+    the oracle exactly.
+
+    Scale (100 TB): kmeans assign is broadcast + map-side argmin; the pair
+    stage shuffles once on cent_id with per-block membership capped; CC
+    rounds are join+groupBy on uniform ids (near-dup components are tiny);
+    the report is one groupBy on the constant cell key space.
+    """
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.operators import clustering, graph, similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _cents = clustering.kmeans_fit(emb)
+    blocked = emb.join(assigned.select("vec_id", "cent_id"), "vec_id")
+    pairs = similarity.cosine_near_dup_pairs(
+        blocked, SEMDEDUP_TAU, block_col="cent_id"
+    )
+    comp = graph.connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+    dropped = (F.col("cluster_id").isNotNull()) & (
+        F.col("vec_id") != F.col("cluster_id")
+    )
+    return (
+        blocked.join(comp, "vec_id", "left")
+        .groupBy("cent_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.countDistinct("cluster_id").alias("n_dup_groups"),
+            F.sum(dropped.cast("long")).alias("n_dropped"),
+            (F.count("*") - F.sum(dropped.cast("long"))).alias("n_kept"),
+            F.sum(F.when(dropped, F.col("vec_id")).otherwise(F.lit(0))).alias(
+                "dropped_id_sum"
+            ),
+        )
+        .orderBy("cent_id")
+    )
+
+
+def _qp06_sql() -> str:
+    from streamsurfer_spark.operators import clustering
+    from streamsurfer_spark.queries.llm_q import _KM_DIST
+
+    seed = f"ORDER BY (vec_id * {clustering.SEED_SCATTER}) % 4294967296, vec_id"
+    return f"""
+WITH RECURSIVE q AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+    FROM embeddings
+),
+c0 AS (SELECT vec_id AS cent_id, qv AS cqv FROM q
+       {seed} LIMIT {clustering.KMEANS_K}),
+a1 AS (
+    SELECT vec_id, qv, cent_id FROM (
+        SELECT v.vec_id, v.qv, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_KM_DIST.format(a='v.qv', b='c.cqv')}, c.cent_id
+               ) AS rn
+        FROM q v CROSS JOIN c0 c
+    ) WHERE rn = 1
+),
+u1 AS (
+    SELECT cent_id, dim, CAST(floor(sum(x)::DOUBLE / count(*)) AS BIGINT) AS cx
+    FROM (
+        SELECT cent_id, unnest(qv) AS x, unnest(range(len(qv))) AS dim FROM a1
+    )
+    GROUP BY 1, 2
+),
+c1 AS (SELECT cent_id, list(cx ORDER BY dim) AS cqv FROM u1 GROUP BY 1),
+a2 AS (
+    SELECT vec_id, cent_id FROM (
+        SELECT v.vec_id, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_KM_DIST.format(a='v.qv', b='c.cqv')}, c.cent_id
+               ) AS rn
+        FROM q v CROSS JOIN c1 c
+    ) WHERE rn = 1
+),
+e AS (
+    SELECT m.vec_id, a2.cent_id, unnest(range(len(m.embedding))) AS pos,
+           unnest(m.embedding)::DOUBLE AS v
+    FROM embeddings m JOIN a2 ON a2.vec_id = m.vec_id
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+dots AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+    FROM e a
+    JOIN e b ON a.cent_id = b.cent_id AND a.pos = b.pos AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+pr AS (
+    SELECT id_a, id_b FROM (
+        SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS sim
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.id_a
+        JOIN norms nb ON nb.vec_id = d.id_b
+    ) WHERE sim >= {SEMDEDUP_TAU}
+),
+sym AS (
+    SELECT id_a AS a, id_b AS b FROM pr
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM pr
+),
+reach(id, r) AS (
+    SELECT DISTINCT a AS id, a AS r FROM sym
+    UNION
+    SELECT sym.a AS id, reach.r FROM sym JOIN reach ON sym.b = reach.id
+),
+clusters AS (SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+m AS (
+    SELECT a2.vec_id, a2.cent_id, c.cluster_id,
+           (c.cluster_id IS NOT NULL AND a2.vec_id <> c.cluster_id) AS dropped
+    FROM a2 LEFT JOIN clusters c USING (vec_id)
+)
+SELECT cent_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_dup_groups,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(count(*) - sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN dropped THEN vec_id ELSE 0 END) AS BIGINT) AS dropped_id_sum
+FROM m
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QP06_SQL = _qp06_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qp01_curation_report": QuerySpec(
         qp01_curation_report, QP01_SQL, "composed curation pipeline (capstone)"
@@ -607,5 +761,10 @@ QUERIES: dict[str, QuerySpec] = {
         qp05_export_manifest,
         QP05_SQL,
         "end-of-pipeline export manifest: curate → decontaminate → split → shards (capstone 5)",
+    ),
+    "qp06_semdedup_report": QuerySpec(
+        qp06_semdedup_report,
+        QP06_SQL,
+        "SemDeDup: k-means cells → within-cell cosine pairs → CC → survivors (capstone 6)",
     ),
 }
