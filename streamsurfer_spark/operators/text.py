@@ -202,33 +202,33 @@ def dsir_importance(
         )
     )
     tf = buckets.groupBy(id_col, lang_col, "bucket").agg(F.count("*").alias("tf"))
-    raw = tf.groupBy("bucket").agg(F.sum("tf").alias("cnt_r"))
-    tgt = (
-        tf.where(F.col(lang_col) == target_lang)
-        .groupBy("bucket")
-        .agg(F.sum("tf").alias("cnt_t"))
+    # both bucket models in ONE corpus pass: cnt_t is a conditional sum, not
+    # a second aggregation over the fat (doc, bucket) side
+    models = tf.groupBy("bucket").agg(
+        F.sum("tf").alias("cnt_r"),
+        F.sum(
+            F.when(F.col(lang_col) == target_lang, F.col("tf")).otherwise(F.lit(0))
+        ).alias("cnt_t"),
     )
-    totals = raw.join(tgt, "bucket", "left").agg(
-        F.sum("cnt_r").alias("tot_r"),
-        F.sum(F.coalesce(F.col("cnt_t"), F.lit(0))).alias("tot_t"),
-    )
-    weights = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            F.round(
-                (
-                    F.log(F.coalesce(F.col("cnt_t"), F.lit(0)) + F.lit(1))
-                    - F.log(F.col("tot_t") + F.lit(n_buckets))
-                    - F.log(F.col("cnt_r") + F.lit(1))
-                    + F.log(F.col("tot_r") + F.lit(n_buckets))
-                )
-                * 1_000_000
+    # totals via an unpartitioned window over the ≤ n_buckets model rows
+    # (a single CONSTANT-size partition) instead of a second aggregation
+    # lineage — keeps the whole weight table at ONE corpus pass
+    from pyspark.sql import Window
+
+    whole = Window.partitionBy()
+    weights = models.select(
+        "bucket",
+        F.round(
+            (
+                F.log(F.col("cnt_t") + F.lit(1))
+                - F.log(F.sum("cnt_t").over(whole) + F.lit(n_buckets))
+                - F.log(F.col("cnt_r") + F.lit(1))
+                + F.log(F.sum("cnt_r").over(whole) + F.lit(n_buckets))
             )
-            .cast("bigint")
-            .alias("w_micro"),
+            * 1_000_000
         )
+        .cast("bigint")
+        .alias("w_micro"),
     )
     return (
         tf.join(F.broadcast(weights), "bucket")

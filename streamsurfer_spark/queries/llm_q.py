@@ -2444,26 +2444,22 @@ bk AS (
 tf AS (
     SELECT doc_id, lang, bucket, count(*) AS tf FROM bk GROUP BY 1, 2, 3
 ),
-raw AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS cnt_r FROM tf GROUP BY 1),
-tgt AS (
-    SELECT bucket, CAST(sum(tf) AS BIGINT) AS cnt_t
-    FROM tf WHERE lang = 'en' GROUP BY 1
-),
-j AS (
-    SELECT raw.bucket, cnt_r, coalesce(cnt_t, 0) AS cnt_t
-    FROM raw LEFT JOIN tgt USING (bucket)
+models AS (
+    SELECT bucket, CAST(sum(tf) AS BIGINT) AS cnt_r,
+           CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS cnt_t
+    FROM tf GROUP BY 1
 ),
 tot AS (
     SELECT CAST(sum(cnt_r) AS BIGINT) AS tot_r,
            CAST(sum(cnt_t) AS BIGINT) AS tot_t
-    FROM j
+    FROM models
 ),
 w AS (
     SELECT bucket,
            CAST(round((ln(cnt_t + 1) - ln(tot_t + {_B})
                        - ln(cnt_r + 1) + ln(tot_r + {_B})) * 1000000)
                 AS BIGINT) AS w_micro
-    FROM j CROSS JOIN tot
+    FROM models CROSS JOIN tot
 )
 SELECT tf.doc_id, tf.lang,
        CAST(sum(tf) AS BIGINT) AS n_bigrams,

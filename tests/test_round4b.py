@@ -1,0 +1,175 @@
+"""Round-4 second-wave tests: DSIR importance weights, perplexity tertiles,
+BPE merge statistics, SemDeDup composition."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR
+
+
+# --- DSIR (ql46) -------------------------------------------------------------
+
+
+def test_dsir_short_docs_excluded_and_partition_invariant(spark):
+    """Documents with <2 tokens have no bigram features and drop out (no
+    error, no NULL row); scores are exact BIGINT sums so any repartitioning
+    yields bit-identical results."""
+    from streamsurfer_spark.operators import text as text_ops
+
+    rows = [
+        (1, "the quick brown fox", "en"),
+        (2, "solo", "en"),  # 1 token -> no bigrams
+        (3, "el zorro marron rapido", "es"),
+        (4, "the quick red fox jumps", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = text_ops.dsir_importance(df).orderBy("doc_id")
+    got = out.collect()
+    assert [r.doc_id for r in got] == [1, 3, 4]
+    assert [r.n_bigrams for r in got] == [3, 3, 4]  # tokens - 1
+
+    re = text_ops.dsir_importance(df.repartition(7, "lang")).orderBy("doc_id")
+    assert [tuple(r) for r in re.collect()] == [tuple(r) for r in got]
+
+
+def test_dsir_target_docs_score_higher(spark):
+    """Sanity on the sign of the log-ratio: documents written in the target
+    domain's vocabulary must out-score documents with disjoint vocabulary
+    (their buckets carry positive target mass; foreign buckets only the
+    smoothing floor)."""
+    from streamsurfer_spark.operators import text as text_ops
+
+    en = [(i, "the cat sat on the mat and the dog ran", "en") for i in range(10)]
+    zz = [(100 + i, "zork blim quux flarp nix blim zork quux", "xx") for i in range(10)]
+    df = spark.createDataFrame(en + zz, "doc_id long, text string, lang string")
+    scores = {
+        r.doc_id: r.avg_logratio_nats
+        for r in text_ops.dsir_importance(df, target_lang="en").collect()
+    }
+    assert min(scores[i] for i in range(10)) > max(scores[100 + i] for i in range(10))
+
+
+def test_dsir_models_single_corpus_pass(spark):
+    """Plan shape: the bucket models come from ONE aggregation over the
+    (doc, bucket) side — exactly two corpus scans total (model pass + doc
+    scoring pass), weight table joined as a broadcast, no sort-merge join."""
+    from streamsurfer_spark.plans.inspect import (
+        broadcast_join_count,
+        formatted_plan,
+        scan_schemas,
+    )
+    from streamsurfer_spark.queries import registry
+
+    df = registry()["ql46_dsir_importance"].spark(spark, SF_DIR)
+    assert len(scan_schemas(df)) == 2
+    assert broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in formatted_plan(df)
+
+
+# --- perplexity tertiles (ql47) ----------------------------------------------
+
+
+def test_perplexity_bucket_sizes_are_exact_tertiles(spark):
+    """Per language: |head| = floor(n/3), |head|+|middle| = floor(2n/3) —
+    the deterministic integer-rank cut, independent of value ties."""
+    from streamsurfer_spark.queries import registry
+
+    out = registry()["ql47_perplexity_buckets"].spark(spark, SF_DIR).collect()
+    by_lang: dict[str, dict[str, int]] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r.n_docs
+    assert by_lang
+    for _lang, b in by_lang.items():
+        n = sum(b.values())
+        assert b.get("head", 0) == n // 3
+        assert b.get("head", 0) + b.get("middle", 0) == 2 * n // 3
+
+
+# --- BPE merge statistics (ql48) ---------------------------------------------
+
+
+def test_bpe_pair_counts_hand_checked(spark):
+    """Tiny corpus with 1-char words (contribute nothing) and repeated
+    words (weighted by frequency): counts verified by hand."""
+    from streamsurfer_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "ab ab b a abc")], "doc_id long, text string"
+    )
+
+    words = (
+        df.select(F.explode(text_ops.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = words.withColumn(
+        "pair",
+        F.explode(
+            F.expr(
+                "case when length(w) < 2 then cast(array() as array<string>)"
+                " else transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2)) end"
+            )
+        ),
+    )
+    got = {
+        r.pair: r.pair_count
+        for r in pairs.groupBy("pair").agg(F.sum("wc").alias("pair_count")).collect()
+    }
+    # wc: ab=2, abc=1, a=1, b=1 -> pairs: "ab" from ab(w=2) + abc(w=1) = 3; "bc" from abc = 1
+    assert got == {"ab": 3, "bc": 1}
+
+
+def test_bpe_topk_is_heap_not_global_sort(spark):
+    """The final top-20 must compile to TakeOrdered (per-partition heap),
+    not a global Sort over the pair table."""
+    from streamsurfer_spark.plans.inspect import formatted_plan
+    from streamsurfer_spark.queries import registry
+
+    plan = formatted_plan(registry()["ql48_bpe_pair_stats"].spark(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+# --- SemDeDup (qp06) ---------------------------------------------------------
+
+
+def _unit(theta_deg: float, dim: int = 8) -> list[float]:
+    t = math.radians(theta_deg)
+    return [math.cos(t), math.sin(t)] + [0.0] * (dim - 2)
+
+
+def test_semdedup_chain_keeps_one_per_component(spark):
+    """A-B and B-C similar but A-C not: connected components must still
+    collapse the chain to ONE survivor (the min id), not two — the reason
+    SemDeDup needs CC rather than greedy pairwise drops."""
+    from streamsurfer_spark.operators import graph, similarity
+
+    rows = [
+        (1, 0, _unit(0.0)),
+        (2, 0, _unit(25.0)),
+        (3, 0, _unit(50.0)),
+        (10, 1, _unit(200.0)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, cent_id int, embedding array<double>")
+    tau = 0.866  # cos(30 deg): adjacent pairs ~0.906 pass, A-C ~0.643 fails
+    pairs = similarity.cosine_near_dup_pairs(df, tau, block_col="cent_id")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2), (2, 3)}
+    comp = graph.connected_components(pairs, "id_a", "id_b").collect()
+    labels = {r.id: r.cluster_id for r in comp}
+    assert labels == {1: 1, 2: 1, 3: 1}
+
+
+def test_semdedup_plan_broadcasts_every_stage(spark):
+    """qp06's composed plan: k-means assign + weight joins all broadcast,
+    no sort-merge join anywhere."""
+    from streamsurfer_spark.plans.inspect import broadcast_join_count, formatted_plan
+    from streamsurfer_spark.queries import registry
+
+    df = registry()["qp06_semdedup_report"].spark(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert broadcast_join_count(df) >= 4
