@@ -567,6 +567,116 @@ ORDER BY 1, 2
 """
 
 
+# --- Q-S13: foreachBatch idempotent MERGE (exactly-once state, real run) ----
+
+QS13_N_SLICES = 3
+QS13_REPLAY_BATCH = 1
+
+
+def qs13_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once keyed state from an at-least-once stream: a REAL
+    3-micro-batch run whose foreachBatch sink MERGEs each batch into a
+    target (latest event per user, latest-wins on (ts, event_id)) — and
+    deliberately REPLAYS batch 1 a second time, simulating the retried
+    delivery foreachBatch exhibits after a failure. Because the merge is
+    idempotent (max_by over a total order), the replay is a no-op and the
+    final state still equals the batch-mode answer — the exactly-once
+    recipe Structured Streaming documents for foreachBatch sinks
+    (idempotent writes keyed by the data, or transactional writes keyed
+    by batchId).
+
+    The target lives as a localCheckpointed DataFrame advanced per batch
+    (lineage truncated each round, same discipline as the CC fixpoint);
+    production would MERGE into a transactional table, the plan per batch
+    is identical. State size is bounded by the KEY domain (users), not the
+    stream length — the same argument that makes the design hold when the
+    stream is 100 TB deep: each batch's merge shuffles target ∪ batch on
+    the uniform user key, and the target never exceeds the user count.
+    """
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmpdir = tempfile.mkdtemp(prefix="qs13_slices_")
+    t = pq.read_table(_events_path(sf_dir))
+    rem = t.column("event_id").to_numpy() % QS13_N_SLICES
+    for i in range(QS13_N_SLICES):
+        pq.write_table(
+            t.filter(pa.array(rem == i)), os.path.join(tmpdir, f"slice_{i}.parquet")
+        )
+
+    payload = ["event_id", "event_type", "cents", "ts"]
+
+    def latest_wins(cur: DataFrame, batch: DataFrame) -> DataFrame:
+        return (
+            cur.unionByName(batch)
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct(*payload), F.struct(F.col("ts"), F.col("event_id"))
+                ).alias("_l")
+            )
+            .select("user_id", "_l.*")
+        )
+
+    holder = {
+        "df": spark.createDataFrame(
+            [],
+            "user_id long, event_id long, event_type string, cents long, ts timestamp",
+        )
+    }
+
+    def apply_batch(bdf: DataFrame, bid: int) -> None:
+        b = bdf.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+            "ts",
+        )
+        merged = latest_wins(holder["df"], b)
+        if bid == QS13_REPLAY_BATCH:
+            # at-least-once delivery: the same batch arrives twice
+            merged = latest_wins(merged, b)
+        holder["df"] = merged.localCheckpoint(eager=True)
+
+    stream = read_events_stream(spark, tmpdir, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        holder["df"]
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("cents").alias("last_cents"),
+            F.date_format("ts", transforms.TS_FMT).alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QS13_SQL = """
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       CAST(round(value * 100) AS BIGINT) AS last_cents,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) AS rn
+    FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qs01_stream_ingest_counts": QuerySpec(
         qs01_stream_ingest_counts, QS01_SQL, "Q-S1 real streaming ingest (availableNow)"
@@ -602,5 +712,10 @@ QUERIES: dict[str, QuerySpec] = {
         qs12_stream_temporal_dim,
         QS12_SQL,
         "Q-S12 stream-static SCD2 interval join (real run, broadcast dim)",
+    ),
+    "qs13_foreachbatch_upsert": QuerySpec(
+        qs13_foreachbatch_upsert,
+        QS13_SQL,
+        "Q-S13 foreachBatch idempotent MERGE with batch replay (real run)",
     ),
 }

@@ -163,6 +163,43 @@ def test_semdedup_chain_keeps_one_per_component(spark):
     assert labels == {1: 1, 2: 1, 3: 1}
 
 
+# --- foreachBatch exactly-once (qs13) ----------------------------------------
+
+
+def test_foreachbatch_replay_noop_only_for_idempotent_merge(spark):
+    """The qs13 design point: replaying a batch corrupts an append/count
+    sink but is a no-op for the latest-wins merge — the property that turns
+    at-least-once foreachBatch delivery into exactly-once state."""
+    rows = [(1, 10, "a", 100), (1, 11, "b", 200), (2, 12, "c", 300)]
+    schema = "user_id long, event_id long, event_type string, cents long"
+    batch = spark.createDataFrame(rows, schema)
+
+    def latest_wins(cur, b):
+        payload = ["event_id", "event_type", "cents"]
+        return (
+            cur.unionByName(b)
+            .groupBy("user_id")
+            .agg(
+                F.max_by(F.struct(*payload), F.col("event_id")).alias("_l")
+            )
+            .select("user_id", "_l.*")
+        )
+
+    empty = spark.createDataFrame([], schema)
+    once = latest_wins(empty, batch)
+    twice = latest_wins(once, batch)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+    # the naive sink (append + sum) is NOT replay-safe: totals double
+    naive_once = batch.groupBy("user_id").agg(F.sum("cents").alias("s"))
+    naive_twice = (
+        batch.unionByName(batch).groupBy("user_id").agg(F.sum("cents").alias("s"))
+    )
+    assert sorted(map(tuple, naive_once.collect())) != sorted(
+        map(tuple, naive_twice.collect())
+    )
+
+
 def test_semdedup_plan_broadcasts_every_stage(spark):
     """qp06's composed plan: k-means assign + weight joins all broadcast,
     no sort-merge join anywhere."""

@@ -35,6 +35,9 @@ PROBES = (
     "ql34_cluster_representatives",
     "ql43_ann_recall",
     "qt10_nearest_error",
+    # round-4 third wave: one-pass DSIR scoring and the SemDeDup composition
+    "ql46_dsir_importance",
+    "qp06_semdedup_report",
 )
 
 
