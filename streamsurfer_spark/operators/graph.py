@@ -187,6 +187,84 @@ def _connected_components_star(
     )
 
 
+PAGERANK_ITERS = 3
+PAGERANK_DAMP_PCT = 85  # 0.85 damping as an integer percentage
+PAGERANK_SCALE = 1_000_000  # ranks in micro-units
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = PAGERANK_ITERS,
+    damp_pct: int = PAGERANK_DAMP_PCT,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected pair graph, in EXACT
+    integer arithmetic so every engine lands on identical ranks.
+
+    Ranks live in micro-units (init 1e6 per node); one iteration is
+
+        r'(v) = (1-d)·1e6 + (d · Σ_{u∈Γ(v)} r(u) div deg(u)) div 100
+
+    with d as an integer percentage and `div` integer division — no
+    floats anywhere, so results are independent of summation order and
+    bit-identical on DuckDB (which unrolls the same ``iters`` rounds).
+    Integer div truncation loses ≤ deg(u) micro-units of mass per node
+    per round — a ~1e-6 relative perturbation, far below any ranking
+    decision, in exchange for exactness of the oracle gate.
+
+    Isolated nodes never enter (edges define the node set); dangling
+    nodes cannot exist in a symmetrized graph (every node has deg ≥ 1).
+
+    Scale (100 TB): each iteration is one equi-join of ranks to the
+    symmetrized edges plus one groupBy on the neighbor id — both shuffle
+    on the uniform node key and reuse the same partitioning; iterations
+    are a FIXED count, each round lazily localCheckpointed and
+    materialized by a 1-row checksum so lineage stays one round deep
+    (the CC fixpoint discipline). Degree skew (a celebrity node) is a
+    hot REDUCE key absorbed by partial aggregation of the contribution
+    sum — only (node, partial-sum) rows cross the wire.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    ranks = deg.select(
+        F.col("a").alias("id"),
+        "deg",
+        F.lit(PAGERANK_SCALE).cast("long").alias("rank_micro"),
+    )
+    base = (100 - damp_pct) * PAGERANK_SCALE // 100
+    for _ in range(iters):
+        contrib = (
+            sym.join(ranks, sym["a"] == ranks["id"])
+            .select(
+                F.col("b").alias("id"),
+                F.expr("rank_micro div deg").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ranks.select("id", "deg")
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                "deg",
+                F.expr(
+                    f"{base} + ({damp_pct} * coalesce(s, 0)) div 100"
+                ).alias("rank_micro"),
+            )
+        ).localCheckpoint(eager=False)
+        ranks.agg(F.count("*")).collect()  # materialize, truncate lineage
+    sym.unpersist()
+    return ranks
+
+
 def cluster_representatives(
     pairs: DataFrame,
     scores: DataFrame,

@@ -68,6 +68,7 @@ _VERIFY_FIRST = (
     "ql48_bpe_pair_stats",
     "qp06_semdedup_report",
     "qs13_foreachbatch_upsert",
+    "ql49_pagerank",
     # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
     # budget; half-up tracker cents; cosine block cap) — fresh green rows
     # prove the Spark+oracle lockstep updates

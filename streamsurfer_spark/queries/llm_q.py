@@ -2412,6 +2412,72 @@ ORDER BY source
 """
 
 
+# --- ql49: PageRank centrality of the near-dup graph -------------------------
+
+
+def ql49_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration exact-integer PageRank over the MinHash-LSH
+    candidate-pair graph (operators/graph.py pagerank): document
+    centrality in the near-duplicate neighborhood — high-rank nodes are
+    template/boilerplate hubs (many near-copies point at them), a
+    curation signal CC alone can't provide. 3 unrolled iterations, all
+    BIGINT micro-unit arithmetic, so the DuckDB twin is bit-exact."""
+    from streamsurfer_spark.operators import graph
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    pr = graph.pagerank(pairs, "doc_a", "doc_b")
+    return pr.select(
+        F.col("id").alias("doc_id"), "deg", "rank_micro"
+    ).orderBy("doc_id")
+
+
+def _ql49_sql() -> str:
+    from streamsurfer_spark.operators import graph
+
+    base = (100 - graph.PAGERANK_DAMP_PCT) * graph.PAGERANK_SCALE // 100
+    d = graph.PAGERANK_DAMP_PCT
+    its = []
+    for i in range(1, graph.PAGERANK_ITERS + 1):
+        its.append(f"""
+c{i} AS (
+    SELECT s.b AS id, CAST(sum(r.r // r.deg) AS BIGINT) AS s
+    FROM sym s JOIN r{i - 1} r ON r.id = s.a
+    GROUP BY 1
+),
+r{i} AS (
+    SELECT d.id, d.deg,
+           CAST({base} + ({d} * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+    FROM r{i - 1} d LEFT JOIN c{i} c USING (id)
+)""")
+        # rank vector r{i} carries deg forward so every round is one join
+    last = f"r{graph.PAGERANK_ITERS}"
+    return f"""
+WITH {duck_minhash_bands("documents")},
+pr AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sym AS (
+    SELECT DISTINCT a, b FROM (
+        SELECT id_a AS a, id_b AS b FROM pr
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM pr
+    ) WHERE a <> b
+),
+deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+r0 AS (SELECT id, deg, CAST(1000000 AS BIGINT) AS r FROM deg),
+{",".join(its)}
+SELECT id AS doc_id, deg, r AS rank_micro FROM {last} ORDER BY doc_id
+"""
+
+
+QL49_SQL = _ql49_sql()
+
+
 # --- ql46: DSIR hashed-bigram importance weights -----------------------------
 
 
@@ -2755,6 +2821,11 @@ QUERIES: dict[str, QuerySpec] = {
         ql48_bpe_pair_stats,
         QL48_SQL,
         "BPE first-merge adjacent-pair statistics (top 20)",
+    ),
+    "ql49_pagerank": QuerySpec(
+        ql49_pagerank,
+        QL49_SQL,
+        "exact-int PageRank centrality over the LSH near-dup graph",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,

@@ -163,6 +163,28 @@ def test_semdedup_chain_keeps_one_per_component(spark):
     assert labels == {1: 1, 2: 1, 3: 1}
 
 
+# --- PageRank (ql49) ---------------------------------------------------------
+
+
+def test_pagerank_star_graph_hub_dominates_and_mass_conserved(spark):
+    """On a 4-leaf star the hub must out-rank every leaf; total rank mass
+    stays within integer-truncation loss of n x 1e6 (the conservation
+    argument in the operator docstring)."""
+    from streamsurfer_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, i) for i in range(2, 6)], "src long, dst long"
+    )
+    out = {r.id: (r.deg, r.rank_micro) for r in graph.pagerank(edges).collect()}
+    assert out[1][0] == 4 and all(out[i][0] == 1 for i in range(2, 6))
+    hub = out[1][1]
+    leaves = [out[i][1] for i in range(2, 6)]
+    assert len(set(leaves)) == 1  # symmetry
+    assert hub > leaves[0] * 2
+    total = hub + sum(leaves)
+    assert 5 * 900_000 < total <= 5 * 1_000_000
+
+
 # --- foreachBatch exactly-once (qs13) ----------------------------------------
 
 
