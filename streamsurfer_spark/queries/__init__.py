@@ -69,6 +69,8 @@ _VERIFY_FIRST = (
     "qp06_semdedup_report",
     "qs13_foreachbatch_upsert",
     "ql49_pagerank",
+    "qr70_schema_evolution",
+    "qr71_approx_quantile_gate",
     # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
     # budget; half-up tracker cents; cosine block cap) — fresh green rows
     # prove the Spark+oracle lockstep updates

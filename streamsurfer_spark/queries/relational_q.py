@@ -3199,6 +3199,166 @@ LIMIT 10
 """
 
 
+# --- qr70: schema evolution across parquet file generations ------------------
+
+
+def qr70_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read one logical table across two parquet GENERATIONS: v1 files
+    written before a column existed, v2 files carrying the new
+    ``o_channel`` column — unified by ``mergeSchema=true`` so v1 rows
+    surface NULL for the late-added column (the additive-evolution
+    contract every long-lived lake table relies on).
+
+    The generations are derived deterministically from the orders view
+    (even keys = v1, odd keys = v2 with a key-hash channel) and written
+    to a scratch dir at query time; the oracle replays the SEMANTICS
+    from the same view, so the gate checks that the merged scan is
+    byte-equivalent to never having split the schema at all.
+
+    Scale: mergeSchema reconciles footers at planning time (driver-side,
+    per-file metadata only — at 100 TB pair it with a fixed table schema
+    or a catalog to avoid footer-sampling ALL files); the scan itself
+    stays one pruned columnar read, NULL-filling v1 batches for free.
+    """
+    import os
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="qr70_generations_")
+    v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    v2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 3 == 0, "web")
+        .when(F.col("o_orderkey") % 3 == 1, "store")
+        .otherwise("partner")
+        .alias("o_channel"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(tmp, "g=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(tmp, "g=2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(tmp)
+    )
+    return (
+        merged.groupBy(F.coalesce(F.col("o_channel"), F.lit("pre-migration")).alias("channel"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias(
+                "total_cents"
+            ),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("channel")
+    )
+
+
+QR70_SQL = """
+SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN
+                  CASE WHEN o_orderkey % 3 = 0 THEN 'web'
+                       WHEN o_orderkey % 3 = 1 THEN 'store'
+                       ELSE 'partner' END
+                END, 'pre-migration') AS channel,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --- qr71: approx-quantile sketch with exact-twin rank-tolerance gate --------
+
+QR71_ACC = 1000  # GK sketch accuracy: rank error <= n/ACC
+
+
+def qr71_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approx_percentile — the mergeable sketch that
+    replaces per-group sorts at scale — gated by its exact twin, the qr08
+    pattern for quantiles: the sketch VALUE is engine-specific, but any
+    valid GK sketch guarantees rank error ≤ n/accuracy, so the hashable
+    contract is (exact percentile, n, within-rank-tolerance flag). The
+    rank of each approx value is measured exactly (one conditional-sum
+    pass against the broadcast probe values) and checked as pure integer
+    arithmetic: |100·rank − q·n| ≤ 100·n div ACC + 100. A sketch
+    regression flips the flag and fails the hash.
+
+    Scale: the sketch aggregate is one map-side-mergeable pass (no
+    per-group sort); the rank audit is a second scan against ≤ 3·groups
+    broadcast rows; exact percentiles (the twin) are the only per-group
+    sort and exist purely as ground truth.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    # exact twin uses DISCRETE percentiles (actual data values, no
+    # interpolation) — bit-identical across engines, no rounding fragility
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            f"approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), {QR71_ACC})"
+        ).alias("av"),
+        F.array(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"),
+        ).alias("ev"),
+    )
+    probes = agg.select(
+        "l_returnflag",
+        "n",
+        F.explode(
+            F.expr("arrays_zip(array(50L, 90L, 99L), av, ev)")
+        ).alias("z"),
+    ).select(
+        "l_returnflag",
+        "n",
+        F.col("z.0").alias("qpct"),
+        F.col("z.av").alias("approx_v"),
+        F.col("z.ev").alias("exact_value"),
+    )
+    ranks = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(probes), "l_returnflag")
+        .groupBy("l_returnflag", "qpct", "n", "exact_value")
+        .agg(
+            F.sum((F.col("l_extendedprice") <= F.col("approx_v")).cast("long")).alias(
+                "r"
+            )
+        )
+    )
+    return ranks.select(
+        "l_returnflag",
+        "qpct",
+        "n",
+        "exact_value",
+        (
+            F.abs(F.lit(100) * F.col("r") - F.col("qpct") * F.col("n"))
+            <= F.expr(f"(100 * n) div {QR71_ACC}") + F.lit(100)
+        ).alias("within_tol"),
+    ).orderBy("l_returnflag", "qpct")
+
+
+QR71_SQL = """
+WITH g AS (
+    SELECT l_returnflag, count(*) AS n,
+           quantile_disc(l_extendedprice, 0.5) AS e50,
+           quantile_disc(l_extendedprice, 0.9) AS e90,
+           quantile_disc(l_extendedprice, 0.99) AS e99
+    FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, CAST(q.qpct AS BIGINT) AS qpct, n,
+       CASE q.qpct WHEN 50 THEN e50 WHEN 90 THEN e90 ELSE e99 END AS exact_value,
+       TRUE AS within_tol
+FROM g CROSS JOIN (VALUES (50), (90), (99)) AS q(qpct)
+ORDER BY l_returnflag, qpct
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -3371,5 +3531,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "qr69_waiting_suppliers": QuerySpec(
         qr69_waiting_suppliers, QR69_SQL, "Q-R69 TPC-H Q21 shape: sole-late EXISTS/NOT-EXISTS"
+    ),
+    "qr70_schema_evolution": QuerySpec(
+        qr70_schema_evolution,
+        QR70_SQL,
+        "mergeSchema read across parquet generations (late-added column)",
+    ),
+    "qr71_approx_quantile_gate": QuerySpec(
+        qr71_approx_quantile_gate,
+        QR71_SQL,
+        "GK approx-percentile sketch vs exact twin (rank-tolerance gate)",
     ),
 }
