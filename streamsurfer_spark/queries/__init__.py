@@ -71,6 +71,7 @@ _VERIFY_FIRST = (
     "ql49_pagerank",
     "qr70_schema_evolution",
     "qr71_approx_quantile_gate",
+    "qt11_seasonal_profile",
     # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
     # budget; half-up tracker cents; cosine block cap) — fresh green rows
     # prove the Spark+oracle lockstep updates

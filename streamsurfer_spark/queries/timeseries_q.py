@@ -655,6 +655,84 @@ ORDER BY p.event_id
 """
 
 
+# --- qt11: hour-of-day seasonal profile + deseasonalized 2-sigma outliers ----
+
+
+def qt11_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition against an hour-of-day profile: per
+    (event_type, hour) the corpus builds its seasonal baseline (exact
+    integer mean of cents), then each event is tested against ITS OWN
+    bucket's 2σ band — the qt08 exact-moment trick lifted from trailing
+    windows to seasonal buckets: |x − s/n| > 2σ ⇔ (n·x − s)² >
+    4·(n·ss − s²), evaluated in DECIMAL(38,0) so corpus-scale n never
+    overflows (n·x up to ~1e17 squares to ~1e34 — past int64, inside
+    DECIMAL38/HUGEINT).
+
+    Scale: the profile is ≤ types × 24 rows — broadcast back to the event
+    scan, so the plan is one partial-aggregating groupBy (profile pass)
+    plus one map-side-joined scan (flag pass); no window, no sort.
+    """
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    prof = b.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("s"),
+        F.sum(F.expr("cents * cents")).alias("ss"),
+    )
+    lhs = F.expr(
+        "(cast(n_events as decimal(38,0)) * cents - cast(s as decimal(38,0)))"
+        " * (cast(n_events as decimal(38,0)) * cents - cast(s as decimal(38,0)))"
+    )
+    rhs = F.expr(
+        "4 * (cast(n_events as decimal(38,0)) * cast(ss as decimal(38,0))"
+        " - cast(s as decimal(38,0)) * cast(s as decimal(38,0)))"
+    )
+    flagged = b.join(F.broadcast(prof), ["event_type", "hod"]).select(
+        "event_type", "hod", "n_events", "s", (lhs > rhs).cast("long").alias("is_out")
+    )
+    return (
+        flagged.groupBy("event_type", "hod", "n_events", "s")
+        .agg(F.sum("is_out").alias("n_outliers"))
+        .select(
+            "event_type",
+            "hod",
+            "n_events",
+            F.expr("s div n_events").alias("mean_cents"),
+            "n_outliers",
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+QT11_SQL = """
+WITH b AS (
+    SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+prof AS (
+    SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS s,
+           CAST(sum(cents * cents) AS BIGINT) AS ss
+    FROM b GROUP BY 1, 2
+)
+SELECT b.event_type, b.hod, p.n_events,
+       CAST(p.s // p.n_events AS BIGINT) AS mean_cents,
+       CAST(sum(CASE WHEN
+             (p.n_events::HUGEINT * b.cents - p.s::HUGEINT)
+           * (p.n_events::HUGEINT * b.cents - p.s::HUGEINT)
+           > 4 * (p.n_events::HUGEINT * p.ss::HUGEINT - p.s::HUGEINT * p.s::HUGEINT)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM b JOIN prof p USING (event_type, hod)
+GROUP BY 1, 2, 3, 4
+ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qt01_asof_last_click": QuerySpec(
         qt01_asof_last_click, QT01_SQL, "as-of join (union-sort) vs native DuckDB ASOF"
@@ -691,5 +769,10 @@ QUERIES: dict[str, QuerySpec] = {
         qt10_nearest_error,
         QT10_SQL,
         "bidirectional nearest-event as-of join with tolerance (union-sort)",
+    ),
+    "qt11_seasonal_profile": QuerySpec(
+        qt11_seasonal_profile,
+        QT11_SQL,
+        "hour-of-day seasonal profile + exact-moment 2-sigma outlier counts",
     ),
 }
