@@ -72,6 +72,8 @@ _VERIFY_FIRST = (
     "qr70_schema_evolution",
     "qr71_approx_quantile_gate",
     "qt11_seasonal_profile",
+    "ql50_snapshot_novelty",
+    "ql51_hard_negatives",
     # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
     # budget; half-up tracker cents; cosine block cap) — fresh green rows
     # prove the Spark+oracle lockstep updates

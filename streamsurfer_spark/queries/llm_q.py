@@ -17,7 +17,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from streamsurfer_spark.functions.hashing import MOD_PRIME, P31, affine_params
+from streamsurfer_spark.functions.hashing import (
+    MOD_PRIME,
+    P31,
+    affine_params,
+    md5_long64_expr,
+)
 from streamsurfer_spark.operators.similarity import DOT_EXPR, NORM_EXPR
 from streamsurfer_spark.operators import (
     clustering,
@@ -2412,6 +2417,187 @@ ORDER BY source
 """
 
 
+# --- ql50: cross-snapshot shingle novelty ------------------------------------
+
+
+def ql50_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novel-content rate of a new crawl against the previous snapshot:
+    the incremental-ingest signal that decides whether a source is worth
+    re-crawling. Snapshots are simulated by doc_id parity (even = old
+    crawl A, odd = new crawl B); for each source, the share of B's
+    distinct 3-gram shingles that never occur anywhere in A.
+
+    Shingles are the ql37 hashed composition (one md5 per token, 61-bit
+    positional combine, never materialized as strings) so both the
+    distinct sets and the anti-join move 8-byte keys. Shape at 100 TB:
+    two shingle passes (A-set, B-set) each collapsed by a
+    partial-aggregating distinct on the uniform hash; one LEFT ANTI join
+    on that hash; the per-source rollup keys on ≤ |sources| rows.
+    """
+    docs = table(spark, sf_dir, "documents")
+    th = f"transform(toks, t -> {md5_long64_expr('t')} % {P31})"
+    sh_hashes = (
+        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+        f" i -> (try_element_at(th_, i) * {dedup.SHINGLE_C1}) % {dedup.P61}"
+        f" + (coalesce(try_element_at(th_, i + 1), 0) * {dedup.SHINGLE_C2}) % {dedup.P61}"
+        " + coalesce(try_element_at(th_, i + 2), 0))"
+    )
+    shingled = (
+        docs.withColumn("toks", F.split(F.col("text"), " "))
+        .withColumn("th_", F.expr(th))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(sh_hashes)).alias("shingle"),
+        )
+    )
+    a_set = (
+        shingled.where(F.col("doc_id") % 2 == 0).select("shingle").distinct()
+    )
+    b_set = (
+        shingled.where(F.col("doc_id") % 2 == 1)
+        .select("source", "shingle")
+        .distinct()
+    )
+    novel = b_set.join(a_set, "shingle", "left_anti")
+    n_docs = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs_new"))
+    )
+    b_counts = b_set.groupBy("source").agg(F.count("*").alias("n_shingles"))
+    nv_counts = novel.groupBy("source").agg(F.count("*").alias("n_novel"))
+    return (
+        n_docs.join(b_counts, "source")
+        .join(nv_counts, "source", "left")
+        .select(
+            "source",
+            "n_docs_new",
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_shingles"), 4
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+QL50_SQL = f"""
+WITH d AS (
+    SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+dth AS (
+    SELECT doc_id, source, len(toks) AS n_tokens,
+           [({DUCK_HASH.format(x="t")}) % {P31} for t in toks] AS th
+    FROM d
+),
+sh AS (
+    SELECT doc_id, source,
+           unnest([(th[i+1] * {dedup.SHINGLE_C1}) % {dedup.P61}
+                   + (coalesce(th[i+2], 0) * {dedup.SHINGLE_C2}) % {dedup.P61}
+                   + coalesce(th[i+3], 0)
+                   for i in range(greatest(n_tokens - 2, 1))]) AS shingle
+    FROM dth
+),
+a_set AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+b_set AS (SELECT DISTINCT source, shingle FROM sh WHERE doc_id % 2 = 1),
+novel AS (
+    SELECT b.source, b.shingle FROM b_set b
+    WHERE NOT EXISTS (SELECT 1 FROM a_set a WHERE a.shingle = b.shingle)
+),
+nd AS (
+    SELECT source, count(*) AS n_docs_new FROM documents
+    WHERE doc_id % 2 = 1 GROUP BY 1
+),
+bc AS (SELECT source, count(*) AS n_shingles FROM b_set GROUP BY 1),
+nc AS (SELECT source, count(*) AS n_novel FROM novel GROUP BY 1)
+SELECT nd.source, nd.n_docs_new, bc.n_shingles,
+       coalesce(nc.n_novel, 0) AS n_novel,
+       round(coalesce(nc.n_novel, 0)::DOUBLE / bc.n_shingles, 4) AS novelty
+FROM nd
+JOIN bc USING (source)
+LEFT JOIN nc USING (source)
+ORDER BY source
+"""
+
+
+# --- ql51: hard-negative mining for contrastive training ---------------------
+
+
+def ql51_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each probe vector, the top-3 most
+    similar vectors with a DIFFERENT label — the negatives that sit just
+    outside the decision boundary, the standard curriculum for training
+    contrastive/embedding models (in-batch negatives are too easy).
+
+    Same scale shape as ql03's exact top-k (broadcast probes, salted
+    two-stage top-k) with the label-mismatch predicate pushed into the
+    pair join, so same-label candidates never reach the scorer.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    p = emb.where(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").alias("probe_vec"),
+        F.expr(NORM_EXPR.format(a="embedding")).alias("probe_nrm"),
+    )
+    c = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(NORM_EXPR.format(a="embedding")).alias("corpus_nrm"),
+    )
+    dot = F.expr(DOT_EXPR.format(a="probe_vec", b="embedding"))
+    sims = c.join(
+        F.broadcast(p), F.col("label") != F.col("probe_label")
+    ).select(
+        "probe_id",
+        "vec_id",
+        "label",
+        F.round(dot / (F.col("probe_nrm") * F.col("corpus_nrm")), 4).alias("sim"),
+    )
+    return (
+        similarity.topk_per_key(
+            sims, "probe_id", [F.desc("sim"), F.col("vec_id")], 3, salt_src="vec_id"
+        )
+        .select("probe_id", "vec_id", "label", "sim", "rk")
+        .orderBy("probe_id", "rk")
+    )
+
+
+QL51_SQL = f"""
+WITH e AS (
+    SELECT vec_id, label, unnest(range(len(embedding))) AS pos,
+           unnest(embedding)::DOUBLE AS v
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+p AS (
+    SELECT vec_id AS probe_id, label AS probe_label, pos, v
+    FROM e WHERE vec_id % {PROBE_MOD} = 0
+),
+dots AS (
+    SELECT p.probe_id, e.vec_id, e.label, sum(p.v * e.v) AS dot
+    FROM p JOIN e ON p.pos = e.pos AND e.label <> p.probe_label
+    GROUP BY 1, 2, 3
+),
+sims AS (
+    SELECT probe_id, d.vec_id, d.label, round(dot / (na.nrm * nb.nrm), 4) AS sim
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.probe_id
+    JOIN norms nb ON nb.vec_id = d.vec_id
+),
+ranked AS (
+    SELECT probe_id, vec_id, label, sim,
+           row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rk
+    FROM sims
+)
+SELECT probe_id, vec_id, label, sim, rk FROM ranked WHERE rk <= 3
+ORDER BY probe_id, rk
+"""
+
+
 # --- ql49: PageRank centrality of the near-dup graph -------------------------
 
 
@@ -2826,6 +3012,16 @@ QUERIES: dict[str, QuerySpec] = {
         ql49_pagerank,
         QL49_SQL,
         "exact-int PageRank centrality over the LSH near-dup graph",
+    ),
+    "ql50_snapshot_novelty": QuerySpec(
+        ql50_snapshot_novelty,
+        QL50_SQL,
+        "cross-snapshot shingle novelty per source (hashed anti-join)",
+    ),
+    "ql51_hard_negatives": QuerySpec(
+        ql51_hard_negatives,
+        QL51_SQL,
+        "hard-negative mining: top-3 cross-label cosine per probe",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,
