@@ -77,6 +77,7 @@ _VERIFY_FIRST = (
     # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
     # budget; half-up tracker cents; cosine block cap) — fresh green rows
     # prove the Spark+oracle lockstep updates
+    "ql14_ivf_topk",
     "ql38_kmeans_clusters",
     "ql39_pq_encode",
     "qp03_ivfpq_build_report",
@@ -112,7 +113,6 @@ _VERIFY_FIRST = (
     "ql03_cosine_topk",
     "ql09_ngram_jaccard",
     "ql10_lsh_ann_pairs",
-    "ql14_ivf_topk",
     # --- ~window boundary (driver evaluates the first ~50) ---
     # rows-only spec (weaker check by design; pytest + ql07c twin cover it)
     "ql07b_multimodal_features",

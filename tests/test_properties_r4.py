@@ -328,6 +328,12 @@ def test_verify_window_contains_round4_must_verify():
         "ql07c_features_parity", "qt10_nearest_error", "ql43_ann_recall",
         "ql44_split_leakage", "ql45_minhash_calibration",
         "qp05_export_manifest", "qs12_stream_temporal_dim",
+        # new in round 4, second wave
+        "ql46_dsir_importance", "ql47_perplexity_buckets",
+        "ql48_bpe_pair_stats", "qp06_semdedup_report",
+        "qs13_foreachbatch_upsert", "ql49_pagerank", "qr70_schema_evolution",
+        "qr71_approx_quantile_gate", "qt11_seasonal_profile",
+        "ql50_snapshot_novelty", "ql51_hard_negatives",
         # execution path changed in round 4
         "ql38_kmeans_clusters", "ql39_pq_encode", "qp03_ivfpq_build_report",
         "ql40_epoch_plan", "qs11_stateful_tracker", "ql21_cosine_near_dup",
