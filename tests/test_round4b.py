@@ -163,6 +163,51 @@ def test_semdedup_chain_keeps_one_per_component(spark):
     assert labels == {1: 1, 2: 1, 3: 1}
 
 
+# --- plan shapes for the remaining second-wave queries -----------------------
+
+
+def test_hard_negatives_broadcast_probes_no_smj(spark):
+    """ql51: the probe side must broadcast (cross-label pair join is a
+    BroadcastNestedLoopJoin over ≤ |probes| rows), never a sort-merge."""
+    from streamsurfer_spark.plans.inspect import formatted_plan
+    from streamsurfer_spark.queries import registry
+
+    plan = formatted_plan(registry()["ql51_hard_negatives"].spark(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+
+
+def test_seasonal_profile_broadcasts_profile(spark):
+    """qt11: the types x 24 profile joins back as a broadcast — the event
+    scan is never shuffled for the flag pass."""
+    from streamsurfer_spark.plans.inspect import broadcast_join_count, formatted_plan
+    from streamsurfer_spark.queries import registry
+
+    df = registry()["qt11_seasonal_profile"].spark(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_snapshot_novelty_anti_join_on_hash(spark):
+    """ql50: the novelty check is a LEFT ANTI join (no materialized
+    intersection), keyed on the 8-byte shingle hash."""
+    from streamsurfer_spark.plans.inspect import formatted_plan
+    from streamsurfer_spark.queries import registry
+
+    plan = formatted_plan(registry()["ql50_snapshot_novelty"].spark(spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_approx_quantile_gate_broadcasts_probes(spark):
+    """qr71: the rank audit joins ≤ 3·groups probe rows as a broadcast
+    against the lineitem scan."""
+    from streamsurfer_spark.plans.inspect import broadcast_join_count
+    from streamsurfer_spark.queries import registry
+
+    df = registry()["qr71_approx_quantile_gate"].spark(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1
+
+
 # --- PageRank (ql49) ---------------------------------------------------------
 
 
