@@ -74,6 +74,7 @@ _VERIFY_FIRST = (
     "qt11_seasonal_profile",
     "ql50_snapshot_novelty",
     "ql51_hard_negatives",
+    "ql52_multimodal_ann",
     # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
     # budget; half-up tracker cents; cosine block cap) — fresh green rows
     # prove the Spark+oracle lockstep updates

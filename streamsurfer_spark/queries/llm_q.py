@@ -2598,6 +2598,115 @@ ORDER BY probe_id, rk
 """
 
 
+# --- ql52: multimodal blob → pseudo-embedding → same-modality ANN ------------
+
+MM_EMBED_DIM = 8
+MM_PROBE_MOD = 97
+
+
+def ql52_multimodal_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal retrieval composition end-to-end: binary payload →
+    content digest → embedding → same-modality nearest neighbors. The
+    embedding here is the deterministic STAND-IN for a real encoder
+    (CLIP/CLAP would run as a Pandas UDF — the container has no model
+    libs), derived entirely in whole-stage codegen from the payload's md5
+    (seed-suffixed hash per dimension, centered to [-500, 500]) so the
+    whole path — blob column in, ranked neighbors out — is exact and
+    oracle-checkable. Swapping the stand-in for a real encoder changes
+    ONE projection; the join/top-k topology is production-shaped:
+    broadcast probes, modality-blocked pairs, salted two-stage top-k.
+    """
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.as_media(docs)
+    seeded_digest = "concat(md5(payload), '#', cast(j as string))"
+    dim_expr = (
+        f"transform(sequence(0, {MM_EMBED_DIM - 1}),"
+        f" j -> {md5_long64_expr(seeded_digest)}"
+        " % 1001 - 500)"
+    )
+    vecs = media.select(
+        "doc_id", "modality", F.expr(dim_expr).alias("mm_vec")
+    )
+    p = vecs.where(F.col("doc_id") % MM_PROBE_MOD == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("modality").alias("probe_modality"),
+        F.col("mm_vec").alias("probe_vec"),
+        F.expr(NORM_EXPR.format(a="mm_vec")).alias("probe_nrm"),
+    )
+    c = vecs.select(
+        "doc_id",
+        "modality",
+        "mm_vec",
+        F.expr(NORM_EXPR.format(a="mm_vec")).alias("corpus_nrm"),
+    )
+    dot = F.expr(DOT_EXPR.format(a="probe_vec", b="mm_vec"))
+    sims = c.join(
+        F.broadcast(p),
+        (F.col("modality") == F.col("probe_modality"))
+        & (F.col("doc_id") != F.col("probe_id")),
+    ).select(
+        "probe_id",
+        "modality",
+        "doc_id",
+        F.round(dot / (F.col("probe_nrm") * F.col("corpus_nrm")), 4).alias("sim"),
+    )
+    return (
+        similarity.topk_per_key(
+            sims, "probe_id", [F.desc("sim"), F.col("doc_id")], 3, salt_src="doc_id"
+        )
+        .select("probe_id", "modality", "doc_id", "sim", "rk")
+        .orderBy("probe_id", "rk")
+    )
+
+
+QL52_SQL = f"""
+WITH media AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           md5(text) AS content_md5
+    FROM documents
+),
+vecs AS (
+    SELECT doc_id, modality,
+           [('0x' || substr(md5(content_md5 || '#' || j), 1, 15))::BIGINT
+            % 1001 - 500 for j in range({MM_EMBED_DIM})] AS mm_vec
+    FROM media
+),
+e AS (
+    SELECT doc_id, modality, unnest(range(len(mm_vec))) AS pos,
+           unnest(mm_vec)::DOUBLE AS v
+    FROM vecs
+),
+norms AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+p AS (
+    SELECT doc_id AS probe_id, modality, pos, v
+    FROM e WHERE doc_id % {MM_PROBE_MOD} = 0
+),
+dots AS (
+    SELECT p.probe_id, e.modality, e.doc_id, sum(p.v * e.v) AS dot
+    FROM p JOIN e ON p.pos = e.pos AND e.modality = p.modality
+                 AND e.doc_id <> p.probe_id
+    GROUP BY 1, 2, 3
+),
+sims AS (
+    SELECT probe_id, d.modality, d.doc_id,
+           round(dot / (na.nrm * nb.nrm), 4) AS sim
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.probe_id
+    JOIN norms nb ON nb.doc_id = d.doc_id
+),
+ranked AS (
+    SELECT probe_id, modality, doc_id, sim,
+           row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, doc_id) AS rk
+    FROM sims
+)
+SELECT probe_id, modality, doc_id, sim, rk FROM ranked WHERE rk <= 3
+ORDER BY probe_id, rk
+"""
+
+
 # --- ql49: PageRank centrality of the near-dup graph -------------------------
 
 
@@ -3022,6 +3131,11 @@ QUERIES: dict[str, QuerySpec] = {
         ql51_hard_negatives,
         QL51_SQL,
         "hard-negative mining: top-3 cross-label cosine per probe",
+    ),
+    "ql52_multimodal_ann": QuerySpec(
+        ql52_multimodal_ann,
+        QL52_SQL,
+        "multimodal blob → codegen pseudo-embedding → same-modality ANN",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,
