@@ -103,6 +103,9 @@ def cosine_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_cols: tuple[str, ...] = (),
+    corpus_cols: tuple[str, ...] = (),
+    pair_cond=None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per probe: (probe_id, vec_id, sim, rk).
 
@@ -112,29 +115,39 @@ def cosine_topk(
     single task sorts a probe's full candidate list at 100× corpus scale;
     stage 2 ranks the ≤ k·16 survivors. Ties broken by neighbor id on the
     ROUNDED similarity so ranking is reproducible across engines.
+
+    ``probe_cols``/``corpus_cols`` carry extra columns through (probe-side
+    columns are prefixed ``probe_``); ``pair_cond`` replaces the default
+    self-pair exclusion with any predicate over the joined columns — the
+    hook the hard-negative (label mismatch) and multimodal (modality
+    match) retrieval queries use without duplicating this scaffolding.
     """
     # norms factored out pre-join: computed once per row instead of once
     # per (probe, corpus) pair — 2/3 less arithmetic in the O(p·n) stage
     p = probes.select(
         F.col(id_col).alias("probe_id"),
+        *[F.col(c).alias(f"probe_{c}") for c in probe_cols],
         F.col(vec_col).alias("probe_vec"),
         F.expr(NORM_EXPR.format(a=vec_col)).alias("probe_nrm"),
     )
     c = corpus.select(
         F.col(id_col),
+        *corpus_cols,
         F.col(vec_col),
         F.expr(NORM_EXPR.format(a=vec_col)).alias("corpus_nrm"),
     )
-    joined = c.join(F.broadcast(p), F.col(id_col) != F.col("probe_id"))
+    cond = pair_cond if pair_cond is not None else F.col(id_col) != F.col("probe_id")
+    joined = c.join(F.broadcast(p), cond)
     dot = F.expr(DOT_EXPR.format(a="probe_vec", b=vec_col))
     sims = joined.select(
         "probe_id",
         F.col(id_col),
+        *corpus_cols,
         F.round(dot / (F.col("probe_nrm") * F.col("corpus_nrm")), 4).alias("sim"),
     )
     return topk_per_key(
         sims, "probe_id", [F.desc("sim"), F.col(id_col)], k, salt_src=id_col
-    ).select("probe_id", id_col, "sim", "rk")
+    ).select("probe_id", id_col, *corpus_cols, "sim", "rk")
 
 
 # Per-block membership cap for the exact cosine pair expansion — the same

@@ -2536,34 +2536,15 @@ def ql51_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join, so same-label candidates never reach the scorer.
     """
     emb = table(spark, sf_dir, "embeddings")
-    p = emb.where(F.col("vec_id") % PROBE_MOD == 0).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("label").alias("probe_label"),
-        F.col("embedding").alias("probe_vec"),
-        F.expr(NORM_EXPR.format(a="embedding")).alias("probe_nrm"),
-    )
-    c = emb.select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.expr(NORM_EXPR.format(a="embedding")).alias("corpus_nrm"),
-    )
-    dot = F.expr(DOT_EXPR.format(a="probe_vec", b="embedding"))
-    sims = c.join(
-        F.broadcast(p), F.col("label") != F.col("probe_label")
-    ).select(
-        "probe_id",
-        "vec_id",
-        "label",
-        F.round(dot / (F.col("probe_nrm") * F.col("corpus_nrm")), 4).alias("sim"),
-    )
-    return (
-        similarity.topk_per_key(
-            sims, "probe_id", [F.desc("sim"), F.col("vec_id")], 3, salt_src="vec_id"
-        )
-        .select("probe_id", "vec_id", "label", "sim", "rk")
-        .orderBy("probe_id", "rk")
-    )
+    probes = emb.where(F.col("vec_id") % PROBE_MOD == 0)
+    return similarity.cosine_topk(
+        emb,
+        probes,
+        k=3,
+        probe_cols=("label",),
+        corpus_cols=("label",),
+        pair_cond=F.col("label") != F.col("probe_label"),
+    ).orderBy("probe_id", "rk")
 
 
 QL51_SQL = f"""
@@ -2627,32 +2608,18 @@ def ql52_multimodal_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = media.select(
         "doc_id", "modality", F.expr(dim_expr).alias("mm_vec")
     )
-    p = vecs.where(F.col("doc_id") % MM_PROBE_MOD == 0).select(
-        F.col("doc_id").alias("probe_id"),
-        F.col("modality").alias("probe_modality"),
-        F.col("mm_vec").alias("probe_vec"),
-        F.expr(NORM_EXPR.format(a="mm_vec")).alias("probe_nrm"),
-    )
-    c = vecs.select(
-        "doc_id",
-        "modality",
-        "mm_vec",
-        F.expr(NORM_EXPR.format(a="mm_vec")).alias("corpus_nrm"),
-    )
-    dot = F.expr(DOT_EXPR.format(a="probe_vec", b="mm_vec"))
-    sims = c.join(
-        F.broadcast(p),
-        (F.col("modality") == F.col("probe_modality"))
-        & (F.col("doc_id") != F.col("probe_id")),
-    ).select(
-        "probe_id",
-        "modality",
-        "doc_id",
-        F.round(dot / (F.col("probe_nrm") * F.col("corpus_nrm")), 4).alias("sim"),
-    )
+    probes = vecs.where(F.col("doc_id") % MM_PROBE_MOD == 0)
     return (
-        similarity.topk_per_key(
-            sims, "probe_id", [F.desc("sim"), F.col("doc_id")], 3, salt_src="doc_id"
+        similarity.cosine_topk(
+            vecs,
+            probes,
+            k=3,
+            vec_col="mm_vec",
+            id_col="doc_id",
+            probe_cols=("modality",),
+            corpus_cols=("modality",),
+            pair_cond=(F.col("modality") == F.col("probe_modality"))
+            & (F.col("doc_id") != F.col("probe_id")),
         )
         .select("probe_id", "modality", "doc_id", "sim", "rk")
         .orderBy("probe_id", "rk")
