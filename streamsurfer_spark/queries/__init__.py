@@ -75,6 +75,8 @@ _VERIFY_FIRST = (
     "ql50_snapshot_novelty",
     "ql51_hard_negatives",
     "ql52_multimodal_ann",
+    "qt12_funnel",
+    "qr72_winsorized_stats",
     # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
     # budget; half-up tracker cents; cosine block cap) — fresh green rows
     # prove the Spark+oracle lockstep updates

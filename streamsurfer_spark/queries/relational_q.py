@@ -3359,6 +3359,86 @@ ORDER BY l_returnflag, qpct
 """
 
 
+# --- qr72: winsorized robust statistics per group ----------------------------
+
+
+def qr72_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clamped) per-group statistics: values are
+    clamped to the group's DISCRETE p05/p95 (actual data values — bit
+    identical across engines, see qr71) and the robust mean is computed
+    over exact integer cents. The standard defense before any mean-based
+    monitoring at corpus scale, where a single corrupt row can drag a
+    plain average arbitrarily.
+
+    Shape: pass 1 computes the two cut points per group (the only
+    per-group sort); the ≤ |groups| cut rows broadcast back to pass 2,
+    which is one conditional-sum scan — no row-level sort or window.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents"),
+    )
+    cuts = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.expr("cast(percentile_disc(0.05) WITHIN GROUP (ORDER BY cents) as bigint)").alias(
+            "lo_cents"
+        ),
+        F.expr("cast(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents) as bigint)").alias(
+            "hi_cents"
+        ),
+    )
+    clamped = F.greatest(F.col("lo_cents"), F.least(F.col("hi_cents"), F.col("cents")))
+    return (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag", "n_rows", "lo_cents", "hi_cents")
+        .agg(
+            F.sum(clamped).alias("win_sum_cents"),
+            F.sum((F.col("cents") < F.col("lo_cents")).cast("long")).alias(
+                "n_clipped_low"
+            ),
+            F.sum((F.col("cents") > F.col("hi_cents")).cast("long")).alias(
+                "n_clipped_high"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "lo_cents",
+            "hi_cents",
+            "n_clipped_low",
+            "n_clipped_high",
+            F.round(F.col("win_sum_cents") / F.col("n_rows") / 100.0, 4).alias(
+                "win_mean"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QR72_SQL = """
+WITH li AS (
+    SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem
+),
+cuts AS (
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(quantile_disc(cents, 0.05) AS BIGINT) AS lo_cents,
+           CAST(quantile_disc(cents, 0.95) AS BIGINT) AS hi_cents
+    FROM li GROUP BY 1
+)
+SELECT li.l_returnflag, c.n_rows, c.lo_cents, c.hi_cents,
+       CAST(sum(CASE WHEN li.cents < c.lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_low,
+       CAST(sum(CASE WHEN li.cents > c.hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_high,
+       round(CAST(sum(greatest(c.lo_cents, least(c.hi_cents, li.cents))) AS BIGINT)
+             / c.n_rows / 100.0, 4) AS win_mean
+FROM li JOIN cuts c USING (l_returnflag)
+GROUP BY 1, 2, 3, 4
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -3541,5 +3621,10 @@ QUERIES: dict[str, QuerySpec] = {
         qr71_approx_quantile_gate,
         QR71_SQL,
         "GK approx-percentile sketch vs exact twin (rank-tolerance gate)",
+    ),
+    "qr72_winsorized_stats": QuerySpec(
+        qr72_winsorized_stats,
+        QR72_SQL,
+        "winsorized robust stats: discrete p05/p95 clamp, exact-int mean",
     ),
 }

@@ -733,6 +733,109 @@ ORDER BY 1, 2
 """
 
 
+# --- qt12: ordered conversion funnel (view → click → purchase) ---------------
+
+
+def qt12_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: first 'view', then the first
+    'click' STRICTLY AFTER it, then the first 'purchase' strictly after
+    that — the event-analytics primitive (order matters, so this is not
+    expressible as one flat aggregate). Emits one row per stage with
+    reached-user counts, conversion vs stage 1, and (for the final stage)
+    the exact total µs latency from first view to conversion.
+
+    Shape at 100 TB: three keyed aggregations chained by equi-joins that
+    all shuffle on user_id — the exchange is REUSED across stages (same
+    key), each stage's state is one timestamp per user, and the final
+    stage rollup is three 1-row aggregates. No window over a user's full
+    history; no self-join on the raw event table beyond the keyed chain.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t1").alias("t1"))
+    )
+    f1 = s1.agg(
+        F.lit("1_view").alias("stage"),
+        F.count("*").alias("n_users"),
+        F.lit(0).cast("bigint").alias("total_latency_us"),
+    )
+    f2 = s2.agg(
+        F.lit("2_click").alias("stage"),
+        F.count("*").alias("n_users"),
+        F.lit(0).cast("bigint").alias("total_latency_us"),
+    )
+    f3 = s3.agg(
+        F.lit("3_purchase").alias("stage"),
+        F.count("*").alias("n_users"),
+        F.sum(F.expr("timestampdiff(MICROSECOND, t1, t3)")).alias(
+            "total_latency_us"
+        ),
+    )
+    base = s1.agg(F.count("*").alias("n_base"))
+    return (
+        f1.unionByName(f2)
+        .unionByName(f3)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "stage",
+            "n_users",
+            "total_latency_us",
+            F.round(F.col("n_users") / F.col("n_base"), 4).alias("conversion"),
+        )
+        .orderBy("stage")
+    )
+
+
+QT12_SQL = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+    GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+    GROUP BY 1
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3, min(s2.t1) AS t1
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY 1
+),
+base AS (SELECT count(*) AS n_base FROM s1),
+f AS (
+    SELECT '1_view' AS stage, count(*) AS n_users,
+           CAST(0 AS BIGINT) AS total_latency_us FROM s1
+    UNION ALL
+    SELECT '2_click', count(*), CAST(0 AS BIGINT) FROM s2
+    UNION ALL
+    SELECT '3_purchase', count(*),
+           CAST(coalesce(sum(epoch_us(t3) - epoch_us(t1)), 0) AS BIGINT) FROM s3
+)
+SELECT stage, n_users, total_latency_us,
+       round(n_users::DOUBLE / n_base, 4) AS conversion
+FROM f CROSS JOIN base
+ORDER BY stage
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qt01_asof_last_click": QuerySpec(
         qt01_asof_last_click, QT01_SQL, "as-of join (union-sort) vs native DuckDB ASOF"
@@ -774,5 +877,10 @@ QUERIES: dict[str, QuerySpec] = {
         qt11_seasonal_profile,
         QT11_SQL,
         "hour-of-day seasonal profile + exact-moment 2-sigma outlier counts",
+    ),
+    "qt12_funnel": QuerySpec(
+        qt12_funnel,
+        QT12_SQL,
+        "ordered conversion funnel view → click → purchase (keyed chain)",
     ),
 }
