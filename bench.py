@@ -75,10 +75,12 @@ BENCH_QUERIES = (
     # capstone (the full curate→decontaminate→split→shard composition)
     "ql44_split_leakage",
     "qp05_export_manifest",
-    # round-4 third wave: DSIR importance scoring (one-pass bucket models)
-    # and the SemDeDup composition (k-means + within-cell pairs + CC)
+    # round-4 third wave: DSIR importance scoring (one-pass bucket models),
+    # the SemDeDup composition (k-means + within-cell pairs + CC), and the
+    # cross-snapshot novelty anti-join (two hashed-shingle passes)
     "ql46_dsir_importance",
     "qp06_semdedup_report",
+    "ql50_snapshot_novelty",
 )
 
 

@@ -208,6 +208,100 @@ def test_approx_quantile_gate_broadcasts_probes(spark):
     assert broadcast_join_count(df) >= 1
 
 
+# --- funnel ordering (qt12) --------------------------------------------------
+
+
+def test_funnel_requires_strict_event_order(spark):
+    """A purchase BEFORE the user's first post-view click must not count
+    as stage 3 — order is the whole point of a funnel (a flat groupBy
+    min() per type would wrongly admit user 2)."""
+    import datetime as dt
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # user 1: view -> click -> purchase (complete, in order)
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # user 2: purchase happens BEFORE the click -> stage 2 only
+        (2, "view", t(0)), (2, "purchase", t(1)), (2, "click", t(2)),
+        # user 3: click before any view -> stage 1 only
+        (3, "click", t(0)), (3, "view", t(1)),
+        # user 4: no view at all -> not even stage 1
+        (4, "click", t(0)), (4, "purchase", t(1)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+    s1 = ev.where("event_type = 'view'").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = (
+        ev.where("event_type = 'click'")
+        .join(s1, "user_id")
+        .where("ts > t1")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.where("event_type = 'purchase'")
+        .join(s2, "user_id")
+        .where("ts > t2")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    assert sorted(r.user_id for r in s1.collect()) == [1, 2, 3]
+    assert sorted(r.user_id for r in s2.collect()) == [1, 2]
+    assert sorted(r.user_id for r in s3.collect()) == [1]
+
+
+# --- winsorized stats (qr72) -------------------------------------------------
+
+
+def test_winsorize_clamps_only_the_tails(spark):
+    """Hand-checked 20-value group: exactly one value below p05 and one
+    above p95 are clamped; the robust mean moves toward the middle."""
+    vals = list(range(1, 20)) + [10_000]  # one extreme outlier
+    df = spark.createDataFrame(
+        [("A", float(v)) for v in vals], "l_returnflag string, l_extendedprice double"
+    )
+    li = df.select(
+        "l_returnflag",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents"),
+    )
+    cuts = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "cast(percentile_disc(0.05) WITHIN GROUP (ORDER BY cents) as bigint)"
+        ).alias("lo"),
+        F.expr(
+            "cast(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents) as bigint)"
+        ).alias("hi"),
+    )
+    row = cuts.collect()[0]
+    clamped = (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .select(F.greatest("lo", F.least("hi", "cents")).alias("w"))
+        .agg(F.sum("w"))
+        .collect()[0][0]
+    )
+    # p05 of 20 discrete values = the 1st, p95 = the 19th: outlier 10000
+    # clamps to 1900 cents (=19.0)
+    assert row.lo == 100 and row.hi == 1900
+    assert clamped == sum(v * 100 for v in range(1, 20)) + 1900
+
+
+# --- multimodal ANN (ql52) ---------------------------------------------------
+
+
+def test_multimodal_ann_respects_modality_blocks(spark, duck):
+    """Every neighbor must share the probe's modality (doc_id % 3 class) —
+    the blocking predicate is load-bearing, not cosmetic."""
+    from streamsurfer_spark.queries import registry
+
+    out = registry()["ql52_multimodal_ann"].spark(spark, SF_DIR).collect()
+    assert out, "no probes at this SF"
+    for r in out:
+        assert r.probe_id % 3 == r.doc_id % 3
+        assert r.probe_id != r.doc_id
+
+
 # --- PageRank (ql49) ---------------------------------------------------------
 
 

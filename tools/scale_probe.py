@@ -35,9 +35,11 @@ PROBES = (
     "ql34_cluster_representatives",
     "ql43_ann_recall",
     "qt10_nearest_error",
-    # round-4 third wave: one-pass DSIR scoring and the SemDeDup composition
+    # round-4 third wave: one-pass DSIR scoring, the SemDeDup composition,
+    # and the cross-snapshot shingle-novelty anti-join
     "ql46_dsir_importance",
     "qp06_semdedup_report",
+    "ql50_snapshot_novelty",
 )
 
 
