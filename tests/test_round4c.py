@@ -1,0 +1,147 @@
+"""Randomized brute-force oracles for the round-4 third-wave operators:
+exact-int PageRank, ordered funnel, seasonal outlier counts."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pyspark.sql.functions as F
+
+
+def _pagerank_py(edges: list[tuple[int, int]], iters: int, damp: int) -> dict:
+    """Pure-Python twin of operators/graph.py pagerank — unbounded ints,
+    same truncating integer division, same iteration structure."""
+    sym = set()
+    for a, b in edges:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    deg: dict[int, int] = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    rank = {v: 1_000_000 for v in deg}
+    base = (100 - damp) * 1_000_000 // 100
+    for _ in range(iters):
+        contrib: dict[int, int] = {}
+        for a, b in sym:
+            contrib[b] = contrib.get(b, 0) + rank[a] // deg[a]
+        rank = {v: base + (damp * contrib.get(v, 0)) // 100 for v in deg}
+    return {v: (deg[v], rank[v]) for v in deg}
+
+
+def test_pagerank_matches_bruteforce_random(spark):
+    """Random graphs (chains, stars, cliques mixed in): Spark's exact-int
+    PageRank must be bit-identical to the unbounded-int Python twin."""
+    from streamsurfer_spark.operators import graph
+
+    rng = random.Random(7)
+    edges = set()
+    for _ in range(60):
+        a, b = rng.randint(0, 24), rng.randint(0, 24)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: (r.deg, r.rank_micro) for r in graph.pagerank(df).collect()}
+    want = _pagerank_py(edges, graph.PAGERANK_ITERS, graph.PAGERANK_DAMP_PCT)
+    assert got == want
+
+
+def test_funnel_matches_bruteforce_random(spark):
+    """Random event streams: the chained keyed aggregation must agree with
+    the obvious per-user scan for every stage."""
+    rng = random.Random(13)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    for u in range(30):
+        for _ in range(rng.randint(0, 12)):
+            rows.append(
+                (u, rng.choice(types), dt.datetime(2024, 1, 1) + dt.timedelta(minutes=rng.randint(0, 500)))
+            )
+    # brute force: sort each user's events, walk the stages in order
+    want = {1: set(), 2: set(), 3: set()}
+    by_user: dict[int, list] = {}
+    for u, t, ts in rows:
+        by_user.setdefault(u, []).append((ts, t))
+    for u, evs in by_user.items():
+        evs.sort()
+        t1 = min((ts for ts, t in evs if t == "view"), default=None)
+        if t1 is None:
+            continue
+        want[1].add(u)
+        t2 = min((ts for ts, t in evs if t == "click" and ts > t1), default=None)
+        if t2 is None:
+            continue
+        want[2].add(u)
+        t3 = min((ts for ts, t in evs if t == "purchase" and ts > t2), default=None)
+        if t3 is not None:
+            want[3].add(u)
+
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    s1 = ev.where("event_type = 'view'").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = (
+        ev.where("event_type = 'click'")
+        .join(s1, "user_id")
+        .where("ts > t1")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where("event_type = 'purchase'")
+        .join(s2, "user_id")
+        .where("ts > t2")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    assert {r.user_id for r in s1.collect()} == want[1]
+    assert {r.user_id for r in s2.collect()} == want[2]
+    assert {r.user_id for r in s3.collect()} == want[3]
+
+
+def test_seasonal_outliers_match_bruteforce_random(spark):
+    """Random cent values per bucket: the DECIMAL-squared inequality must
+    flag exactly the values |x - mean| > 2*sigma (computed in exact
+    rational arithmetic via the same integer identity in Python)."""
+    rng = random.Random(99)
+    rows = []
+    for et in ("a", "b"):
+        for h in (0, 1):
+            n = rng.randint(3, 40)
+            for _ in range(n):
+                # mixture: mostly small, occasionally huge → real outliers
+                v = rng.randint(0, 100) if rng.random() < 0.9 else rng.randint(5000, 9000)
+                rows.append((et, h, v))
+
+    want: dict[tuple, int] = {}
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for et, h, v in rows:
+        groups[(et, h)].append(v)
+    for key, xs in groups.items():
+        n, s, ss = len(xs), sum(xs), sum(x * x for x in xs)
+        want[key] = sum(1 for x in xs if (n * x - s) ** 2 > 4 * (n * ss - s * s))
+
+    df = spark.createDataFrame(rows, "event_type string, hod int, cents long")
+    prof = df.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("s"),
+        F.sum(F.expr("cents * cents")).alias("ss"),
+    )
+    lhs = F.expr(
+        "(cast(n_events as decimal(38,0)) * cents - cast(s as decimal(38,0)))"
+        " * (cast(n_events as decimal(38,0)) * cents - cast(s as decimal(38,0)))"
+    )
+    rhs = F.expr(
+        "4 * (cast(n_events as decimal(38,0)) * cast(ss as decimal(38,0))"
+        " - cast(s as decimal(38,0)) * cast(s as decimal(38,0)))"
+    )
+    got = {
+        (r.event_type, r.hod): r.n_out
+        for r in df.join(F.broadcast(prof), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(F.sum((lhs > rhs).cast("long")).alias("n_out"))
+        .collect()
+    }
+    assert got == want
