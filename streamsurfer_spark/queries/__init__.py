@@ -77,6 +77,7 @@ _VERIFY_FIRST = (
     "ql52_multimodal_ann",
     "qt12_funnel",
     "qr72_winsorized_stats",
+    "qp07_training_mix",
     # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
     # budget; half-up tracker cents; cosine block cap) — fresh green rows
     # prove the Spark+oracle lockstep updates

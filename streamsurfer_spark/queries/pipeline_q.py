@@ -740,6 +740,163 @@ ORDER BY 1
 QP06_SQL = _qp06_sql()
 
 
+# --- qp07: training-mix capstone (dedup → DSIR → perplexity cut → targets) ---
+
+
+def qp07_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 data-selection recipe as ONE composed plan (capstone 7):
+    exact dedup (min-id survivor per content hash) → DSIR gate (keep
+    documents whose hashed-bigram log-ratio vs the 'en' target is
+    positive — compared on the exact BIGINT micro-nat sum, no float
+    threshold) → CCNet-style per-language perplexity cut (drop the worst
+    tertile by unigram surprisal, deterministic integer-rank boundary) →
+    per-source √-temperature sampling targets (ql35's formula). A
+    hash-match proves the 4-stage composition end to end: every stage's
+    population is exactly the previous stage's survivors.
+
+    Scale: each stage is individually audited (ql01 / ql46 / ql47 / ql35
+    scale notes); composing them adds joins on the unique doc_id only.
+    The only global sort is the per-language rank — the documented
+    approx_percentile swap at corpus scale (see ql47).
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from streamsurfer_spark.operators import text as text_ops
+    from streamsurfer_spark.queries.llm_q import MIX_FACTOR
+
+    docs = table(spark, sf_dir, "documents")
+    kept_ids = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    base = docs.join(kept_ids.select("doc_id"), "doc_id")
+    ds = text_ops.dsir_importance(base).where(F.col("logratio_micro") > 0)
+    base2 = base.join(ds.select("doc_id"), "doc_id")
+    sur = text_ops.unigram_surprisal(base2)
+    scored = sur.join(base2.select("doc_id", "lang", "source"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("avg_surprisal_nats", "doc_id")
+    ranked = scored.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    keep = ranked.where(F.col("rn") * 3 <= F.col("n") * 2)
+    return (
+        keep.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.least(
+                F.col("n_docs"),
+                F.floor(F.sqrt(F.col("n_docs")) * MIX_FACTOR).cast("long"),
+            ).alias("target_n"),
+        )
+        .orderBy("source")
+    )
+
+
+def _qp07_sql() -> str:
+    from streamsurfer_spark.functions.hashing import P31
+    from streamsurfer_spark.operators import text as text_ops
+    from streamsurfer_spark.queries.llm_q import MIX_FACTOR
+
+    b = text_ops.DSIR_BUCKETS
+    return f"""
+WITH kept AS (
+    SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+base AS (
+    SELECT d.doc_id, d.lang, d.source, d.text
+    FROM documents d JOIN kept USING (doc_id)
+),
+bth AS (
+    SELECT doc_id, lang,
+           [('0x' || substr(md5(t), 1, 15))::BIGINT % {P31}
+            for t in string_split(text, ' ')] AS th_
+    FROM base
+),
+bk AS (
+    SELECT doc_id, lang,
+           unnest([((th_[i+1] * {text_ops.DSIR_C1}) % {P31} + th_[i+2])
+                   % {P31} % {b} for i in range(len(th_) - 1)]) AS bucket
+    FROM bth
+),
+btf AS (SELECT doc_id, lang, bucket, count(*) AS tf FROM bk GROUP BY 1, 2, 3),
+models AS (
+    SELECT bucket, CAST(sum(tf) AS BIGINT) AS cnt_r,
+           CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS cnt_t
+    FROM btf GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(cnt_r) AS BIGINT) AS tot_r,
+           CAST(sum(cnt_t) AS BIGINT) AS tot_t
+    FROM models
+),
+wt AS (
+    SELECT bucket,
+           CAST(round((ln(cnt_t + 1) - ln(tot_t + {b})
+                       - ln(cnt_r + 1) + ln(tot_r + {b})) * 1000000)
+                AS BIGINT) AS w_micro
+    FROM models CROSS JOIN tot
+),
+dsir AS (
+    SELECT btf.doc_id
+    FROM btf JOIN wt USING (bucket)
+    GROUP BY 1
+    HAVING CAST(sum(tf * w_micro) AS BIGINT) > 0
+),
+base2 AS (SELECT b.* FROM base b JOIN dsir USING (doc_id)),
+toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM base2
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+costed AS (
+    SELECT token,
+           CAST(round(ln(total::DOUBLE / cnt) * 1000000) AS BIGINT) AS cost_micro
+    FROM vocab CROSS JOIN total
+),
+sur AS (
+    SELECT tf.doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(CAST(sum(tf * cost_micro) AS BIGINT)
+                 / CAST(sum(tf) AS BIGINT) / 1000000.0, 4) AS avg_surprisal_nats
+    FROM tf JOIN costed USING (token)
+    GROUP BY 1
+),
+scored AS (
+    SELECT s.doc_id, b.lang, b.source, s.n_tokens, s.avg_surprisal_nats
+    FROM sur s JOIN base2 b USING (doc_id)
+),
+ranked AS (
+    SELECT source, n_tokens,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY avg_surprisal_nats, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM scored
+),
+agg AS (
+    SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM ranked WHERE rn * 3 <= n * 2
+    GROUP BY 1
+)
+SELECT source, n_docs, n_tokens,
+       least(n_docs, CAST(floor(sqrt(n_docs) * {MIX_FACTOR}) AS BIGINT)) AS target_n
+FROM agg
+ORDER BY source
+"""
+
+
+QP07_SQL = _qp07_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qp01_curation_report": QuerySpec(
         qp01_curation_report, QP01_SQL, "composed curation pipeline (capstone)"
@@ -766,5 +923,10 @@ QUERIES: dict[str, QuerySpec] = {
         qp06_semdedup_report,
         QP06_SQL,
         "SemDeDup: k-means cells → within-cell cosine pairs → CC → survivors (capstone 6)",
+    ),
+    "qp07_training_mix": QuerySpec(
+        qp07_training_mix,
+        QP07_SQL,
+        "training mix: dedup → DSIR gate → perplexity cut → √-temperature targets (capstone 7)",
     ),
 }
