@@ -81,6 +81,9 @@ BENCH_QUERIES = (
     "ql46_dsir_importance",
     "qp06_semdedup_report",
     "ql50_snapshot_novelty",
+    # capstone 7: the 4-stage selection recipe (dedup → DSIR → tertile cut
+    # → temperature targets)
+    "qp07_training_mix",
 )
 
 

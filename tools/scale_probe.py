@@ -40,6 +40,7 @@ PROBES = (
     "ql46_dsir_importance",
     "qp06_semdedup_report",
     "ql50_snapshot_novelty",
+    "qp07_training_mix",
 )
 
 
