@@ -758,6 +758,16 @@ def qp07_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale notes); composing them adds joins on the unique doc_id only.
     The only global sort is the per-language rank — the documented
     approx_percentile swap at corpus scale (see ql47).
+
+    Lineage note: expressed as ONE declarative plan, every downstream
+    reuse of a stage re-derives its upstream (the plan re-scans the
+    pruned corpus ~24×). That is the right trade at fixture scale —
+    persisting the survivor lists here hides stats from AQE and turns
+    the broadcast argmin joins into sort-merge (measured 3× slower). At
+    100 TB you run the stages as separate jobs that CHECKPOINT survivor
+    manifests (doc_id lists) to storage between passes, exactly as
+    qp05's export path does with its shard manifest — each pass is then
+    one pruned scan + one manifest join.
     """
     import pyspark.sql.functions as F
     from pyspark.sql import Window
