@@ -78,6 +78,8 @@ _VERIFY_FIRST = (
     "qt12_funnel",
     "qr72_winsorized_stats",
     "qp07_training_mix",
+    "ql53_vocab_diagnostics",
+    "qt13_cohort_retention",
     # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
     # budget; half-up tracker cents; cosine block cap) — fresh green rows
     # prove the Spark+oracle lockstep updates

@@ -2674,6 +2674,78 @@ ORDER BY probe_id, rk
 """
 
 
+# --- ql53: vocabulary growth / Zipf diagnostics per source -------------------
+
+
+def ql53_vocab_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus lexical diagnostics: token count, type (distinct
+    token) count, type-token ratio, hapax share (tokens occurring once —
+    the Heaps'-law tail that dominates tokenizer vocab growth), and the
+    top token with its frequency. The health panel that catches a
+    boilerplate-flooded or truncated source before training.
+
+    Shape: one (source, token) tf groupBy (map-side combine absorbs Zipf
+    skew — only counts survive), then a partial-aggregating rollup per
+    source; the top token is max_by over the tf table, no window.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(text_ops.tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum((F.col("tf") == 1).cast("long")).alias("n_hapax"),
+            F.max_by(
+                F.col("token"), F.struct(F.col("tf"), F.col("token"))
+            ).alias("top_token"),
+            F.max("tf").alias("top_tf"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_tokens"), 4).alias("type_token_ratio"),
+            "n_hapax",
+            F.round(F.col("n_hapax") / F.col("n_types"), 4).alias("hapax_share"),
+            "top_token",
+            "top_tf",
+        )
+        .orderBy("source")
+    )
+
+
+QL53_SQL = """
+WITH tf AS (
+    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (SELECT source, token, count(*) AS tf FROM tf GROUP BY 1, 2),
+top AS (
+    SELECT source, token AS top_token, tf AS top_tf FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY tf DESC, token DESC) AS rn
+        FROM c
+    ) WHERE rn = 1
+)
+SELECT c.source,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       round(count(*)::DOUBLE / CAST(sum(tf) AS BIGINT), 4) AS type_token_ratio,
+       CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+             / count(*), 4) AS hapax_share,
+       min(t.top_token) AS top_token,
+       min(t.top_tf) AS top_tf
+FROM c JOIN top t USING (source)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # --- ql49: PageRank centrality of the near-dup graph -------------------------
 
 
@@ -3103,6 +3175,11 @@ QUERIES: dict[str, QuerySpec] = {
         ql52_multimodal_ann,
         QL52_SQL,
         "multimodal blob → codegen pseudo-embedding → same-modality ANN",
+    ),
+    "ql53_vocab_diagnostics": QuerySpec(
+        ql53_vocab_diagnostics,
+        QL53_SQL,
+        "per-source vocabulary diagnostics: types, hapax share, top token",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,

@@ -836,6 +836,57 @@ ORDER BY stage
 """
 
 
+# --- qt13: weekly cohort retention -------------------------------------------
+
+COHORT_EPOCH = "2024-01-01"
+
+
+def qt13_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    as retained in every later week they are active — the canonical
+    product-analytics triangle. Weeks are exact integer day-diffs div 7
+    (no timezone or ISO-week ambiguity between engines).
+
+    Shape at 100 TB: first-seen week is one groupBy(user) min; activity
+    weeks are a distinct on (user, week) — both partial-aggregating on
+    the uniform user key; the cohort join reuses that key's partitioning
+    and the final rollup groups on the tiny (cohort, offset) space.
+    """
+    ev = table(spark, sf_dir, "events")
+    wk = F.expr(f"datediff(to_date(ts), DATE'{COHORT_EPOCH}') div 7")
+    first = (
+        ev.select("user_id", wk.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_week"))
+    )
+    active = ev.select("user_id", wk.alias("active_week")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+QT13_SQL = f"""
+WITH wk AS (
+    SELECT user_id,
+           CAST((CAST(ts AS DATE) - DATE '{COHORT_EPOCH}') // 7 AS BIGINT) AS w
+    FROM events
+),
+first AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY 1),
+active AS (SELECT DISTINCT user_id, w AS active_week FROM wk)
+SELECT f.cohort_week, a.active_week - f.cohort_week AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qt01_asof_last_click": QuerySpec(
         qt01_asof_last_click, QT01_SQL, "as-of join (union-sort) vs native DuckDB ASOF"
@@ -882,5 +933,10 @@ QUERIES: dict[str, QuerySpec] = {
         qt12_funnel,
         QT12_SQL,
         "ordered conversion funnel view → click → purchase (keyed chain)",
+    ),
+    "qt13_cohort_retention": QuerySpec(
+        qt13_cohort_retention,
+        QT13_SQL,
+        "weekly cohort retention triangle (exact integer week math)",
     ),
 }
