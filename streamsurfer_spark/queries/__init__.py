@@ -80,6 +80,7 @@ _VERIFY_FIRST = (
     "qp07_training_mix",
     "ql53_vocab_diagnostics",
     "qt13_cohort_retention",
+    "qs14_stream_cdc_apply",
     # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
     # budget; half-up tracker cents; cosine block cap) — fresh green rows
     # prove the Spark+oracle lockstep updates

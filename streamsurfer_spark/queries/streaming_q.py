@@ -677,6 +677,110 @@ ORDER BY user_id
 """
 
 
+# --- Q-S14: streaming CDC apply with tombstones (real multi-batch run) ------
+
+QS14_N_SLICES = 3
+
+
+def qs14_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A CDC change stream applied across 3 REAL micro-batches with
+    DELETE tombstones, out-of-order arrival, and batching-invariant
+    state. Events become a change feed (event_type 'error' ⇒ DELETE the
+    user, anything else ⇒ upsert); slicing by event_id % 3 deliberately
+    interleaves event times across batches, so naive per-batch
+    apply-in-arrival-order would resurrect deleted keys or keep stale
+    rows. The state kept per key is instead the (ts, event_id)-MAX change
+    row INCLUDING tombstones — a commutative/associative max, so the
+    result is independent of how the stream is batched — and the final
+    snapshot drops keys whose latest change is a delete. The oracle is
+    the global latest-change-per-user rule, which the run must equal
+    exactly.
+
+    This is qr43's batch CDC apply lifted to the stream path: same
+    latest-wins contract, plus the tombstone-retention detail that makes
+    it safe under out-of-order delivery (dropping tombstones eagerly
+    would let an older upsert in a later batch resurrect the key).
+    """
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmpdir = tempfile.mkdtemp(prefix="qs14_slices_")
+    t = pq.read_table(_events_path(sf_dir))
+    rem = t.column("event_id").to_numpy() % QS14_N_SLICES
+    for i in range(QS14_N_SLICES):
+        pq.write_table(
+            t.filter(pa.array(rem == i)), os.path.join(tmpdir, f"slice_{i}.parquet")
+        )
+
+    payload = ["event_id", "op", "cents", "ts"]
+
+    def merge_changes(cur: DataFrame, batch: DataFrame) -> DataFrame:
+        return (
+            cur.unionByName(batch)
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct(*payload), F.struct(F.col("ts"), F.col("event_id"))
+                ).alias("_l")
+            )
+            .select("user_id", "_l.*")
+        )
+
+    holder = {
+        "df": spark.createDataFrame(
+            [], "user_id long, event_id long, op string, cents long, ts timestamp"
+        )
+    }
+
+    def apply_batch(bdf: DataFrame, bid: int) -> None:
+        b = bdf.select(
+            "user_id",
+            "event_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+            "ts",
+        )
+        holder["df"] = merge_changes(holder["df"], b).localCheckpoint(eager=True)
+
+    stream = read_events_stream(spark, tmpdir, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        holder["df"]
+        .where(F.col("op") != "D")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("cents").alias("last_cents"),
+            F.date_format("ts", transforms.TS_FMT).alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QS14_SQL = """
+SELECT user_id,
+       event_id AS last_event_id,
+       CAST(round(value * 100) AS BIGINT) AS last_cents,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) AS rn
+    FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qs01_stream_ingest_counts": QuerySpec(
         qs01_stream_ingest_counts, QS01_SQL, "Q-S1 real streaming ingest (availableNow)"
@@ -717,5 +821,10 @@ QUERIES: dict[str, QuerySpec] = {
         qs13_foreachbatch_upsert,
         QS13_SQL,
         "Q-S13 foreachBatch idempotent MERGE with batch replay (real run)",
+    ),
+    "qs14_stream_cdc_apply": QuerySpec(
+        qs14_stream_cdc_apply,
+        QS14_SQL,
+        "Q-S14 CDC apply with tombstones, out-of-order batches (real run)",
     ),
 }

@@ -302,6 +302,45 @@ def test_multimodal_ann_respects_modality_blocks(spark, duck):
         assert r.probe_id != r.doc_id
 
 
+# --- CDC tombstones (qs14) ---------------------------------------------------
+
+
+def test_cdc_tombstone_survives_out_of_order_upsert(spark):
+    """The resurrection scenario: batch 1 delivers a DELETE at t=5, batch 2
+    delivers an UPSERT at t=3 (older, late-arriving). Retaining the
+    tombstone in state must keep the key deleted; applying changes in
+    arrival order would wrongly resurrect it."""
+    import datetime as dt
+
+    schema = "user_id long, event_id long, op string, cents long, ts timestamp"
+
+    def merge(cur, batch):
+        payload = ["event_id", "op", "cents", "ts"]
+        return (
+            cur.unionByName(batch)
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct(*payload), F.struct(F.col("ts"), F.col("event_id"))
+                ).alias("_l")
+            )
+            .select("user_id", "_l.*")
+        )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    empty = spark.createDataFrame([], schema)
+    b1 = spark.createDataFrame([(1, 10, "D", 0, t(5))], schema)
+    b2 = spark.createDataFrame([(1, 9, "U", 100, t(3))], schema)
+    state = merge(merge(empty, b1), b2)
+    survivors = state.where("op <> 'D'").collect()
+    assert survivors == []  # still deleted — tombstone won
+
+    # and the upsert wins when it is genuinely NEWER
+    b3 = spark.createDataFrame([(1, 11, "U", 200, t(7))], schema)
+    survivors = merge(state, b3).where("op <> 'D'").collect()
+    assert [(r.user_id, r.cents) for r in survivors] == [(1, 200)]
+
+
 # --- PageRank (ql49) ---------------------------------------------------------
 
 
