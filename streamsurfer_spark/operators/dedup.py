@@ -397,3 +397,78 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "jaccard")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_shingle_docs: int = NGRAM_SHINGLE_DF_CAP,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup: pairs where one document's shingle
+    set is (mostly) a subset of the other's — cont(A⊂B) = |A∩B| / |A|.
+
+    This catches what Jaccard structurally cannot: a short document fully
+    embedded in a long one (a quoted article, a page aggregating posts)
+    has J ≈ |A|/|B| ≈ 0 but containment 1.0 — the Broder (1997) resemblance
+    vs containment distinction. Emits pairs whose LARGER-direction
+    containment reaches ``threshold``, with both directions and the
+    contained side named.
+
+    Same inverted-index shape (and df cap) as ngram_jaccard_pairs; only
+    the scoring changes, so the scale argument is identical.
+    """
+    sh = (
+        with_shingles(df, text_col)
+        .select(F.col(id_col), F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    from pyspark.sql import Window
+
+    wdf = Window.partitionBy("shingle")
+    sh = (
+        sh.withColumn("_df", F.count("*").over(wdf))
+        .where(F.col("_df") <= max_shingle_docs)
+        .drop("_df")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    scored = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "cont_a_in_b",
+            F.round(F.col("n_inter").cast("double") / F.col("n_a"), 4),
+        )
+        .withColumn(
+            "cont_b_in_a",
+            F.round(F.col("n_inter").cast("double") / F.col("n_b"), 4),
+        )
+    )
+    return scored.where(
+        F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= threshold
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "cont_a_in_b",
+        "cont_b_in_a",
+        F.when(F.col("cont_a_in_b") >= F.col("cont_b_in_a"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("contained_id"),
+    )

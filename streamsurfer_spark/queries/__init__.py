@@ -81,6 +81,8 @@ _VERIFY_FIRST = (
     "ql53_vocab_diagnostics",
     "qt13_cohort_retention",
     "qs14_stream_cdc_apply",
+    "ql54_containment_pairs",
+    "qt14_transition_matrix",
     # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
     # budget; half-up tracker cents; cosine block cap) — fresh green rows
     # prove the Spark+oracle lockstep updates

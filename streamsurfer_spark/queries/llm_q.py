@@ -2746,6 +2746,51 @@ ORDER BY 1
 """
 
 
+# --- ql54: asymmetric containment dedup --------------------------------------
+
+CONTAIN_THRESHOLD = 0.8
+
+
+def ql54_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (not Jaccard) near-dup pairs — the embedded-document
+    case resemblance misses (operators/dedup.py ngram_containment_pairs,
+    Broder's containment measure): a short doc quoted inside a long one
+    scores J ≈ 0 but containment ≈ 1."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(docs, threshold=CONTAIN_THRESHOLD).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+QL54_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM (SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM d)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT doc_a, doc_b, n_inter,
+           round(n_inter::DOUBLE / sa.n_sh, 4) AS cont_a_in_b,
+           round(n_inter::DOUBLE / sb.n_sh, 4) AS cont_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, n_inter, cont_a_in_b, cont_b_in_a,
+       CASE WHEN cont_a_in_b >= cont_b_in_a THEN doc_a ELSE doc_b END
+           AS contained_id
+FROM scored
+WHERE greatest(cont_a_in_b, cont_b_in_a) >= {CONTAIN_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 # --- ql49: PageRank centrality of the near-dup graph -------------------------
 
 
@@ -3180,6 +3225,11 @@ QUERIES: dict[str, QuerySpec] = {
         ql53_vocab_diagnostics,
         QL53_SQL,
         "per-source vocabulary diagnostics: types, hapax share, top token",
+    ),
+    "ql54_containment_pairs": QuerySpec(
+        ql54_containment_pairs,
+        QL54_SQL,
+        "asymmetric containment dedup (embedded-document case)",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,

@@ -887,6 +887,67 @@ ORDER BY 1, 2
 """
 
 
+# --- qt14: session transition matrix (Markov path analytics) -----------------
+
+
+def qt14_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition statistics within user streams:
+    counts of (prev_type → type) steps ordered by (ts, event_id) per
+    user, plus each transition's share of its source state's outgoing
+    edges (rounded) — the Markov-chain view of user paths that funnels
+    (qt12) summarize one slice of.
+
+    Shape: one lag window per user (single exchange on the uniform user
+    key), then a partial-aggregating groupBy on the ≤ |types|² transition
+    space; the outgoing-total denominator joins back from a ≤ |types|
+    broadcast.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = steps.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n_steps")
+    )
+    outgoing = counts.groupBy("prev_type").agg(F.sum("n_steps").alias("n_out"))
+    return (
+        counts.join(F.broadcast(outgoing), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n_steps",
+            F.round(F.col("n_steps") / F.col("n_out"), 4).alias("p_transition"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+QT14_SQL = """
+WITH steps AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+counts AS (
+    SELECT prev_type, event_type, count(*) AS n_steps
+    FROM steps WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+),
+outgoing AS (
+    SELECT prev_type, CAST(sum(n_steps) AS BIGINT) AS n_out
+    FROM counts GROUP BY 1
+)
+SELECT c.prev_type, c.event_type, c.n_steps,
+       round(c.n_steps::DOUBLE / o.n_out, 4) AS p_transition
+FROM counts c JOIN outgoing o USING (prev_type)
+ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qt01_asof_last_click": QuerySpec(
         qt01_asof_last_click, QT01_SQL, "as-of join (union-sort) vs native DuckDB ASOF"
@@ -938,5 +999,10 @@ QUERIES: dict[str, QuerySpec] = {
         qt13_cohort_retention,
         QT13_SQL,
         "weekly cohort retention triangle (exact integer week math)",
+    ),
+    "qt14_transition_matrix": QuerySpec(
+        qt14_transition_matrix,
+        QT14_SQL,
+        "event-type transition matrix per user stream (Markov paths)",
     ),
 }
