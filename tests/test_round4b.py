@@ -302,6 +302,30 @@ def test_multimodal_ann_respects_modality_blocks(spark, duck):
         assert r.probe_id != r.doc_id
 
 
+# --- plan shapes: vocabulary diagnostics / transition matrix -----------------
+
+
+def test_vocab_diagnostics_no_window(spark):
+    """ql53: the top token comes from max_by inside the rollup — no window
+    function (a per-source rank window would re-sort the vocabulary)."""
+    from streamsurfer_spark.plans.inspect import formatted_plan
+    from streamsurfer_spark.queries import registry
+
+    plan = formatted_plan(registry()["ql53_vocab_diagnostics"].spark(spark, SF_DIR))
+    assert "Window" not in plan
+
+
+def test_transition_matrix_single_user_exchange(spark):
+    """qt14: one lag window on user_id plus bounded-keyspace rollups —
+    the outgoing-total join must broadcast."""
+    from streamsurfer_spark.plans.inspect import broadcast_join_count, formatted_plan
+    from streamsurfer_spark.queries import registry
+
+    df = registry()["qt14_transition_matrix"].spark(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in formatted_plan(df)
+
+
 # --- CDC tombstones (qs14) ---------------------------------------------------
 
 
