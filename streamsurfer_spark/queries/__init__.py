@@ -83,6 +83,7 @@ _VERIFY_FIRST = (
     "qs14_stream_cdc_apply",
     "ql54_containment_pairs",
     "qt14_transition_matrix",
+    "qp08_canonical_map",
     # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
     # budget; half-up tracker cents; cosine block cap) — fresh green rows
     # prove the Spark+oracle lockstep updates

@@ -907,6 +907,128 @@ ORDER BY source
 QP07_SQL = _qp07_sql()
 
 
+# --- qp08: unified canonical-duplicate map (capstone 8) ----------------------
+
+
+def qp08_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE deliverable of a dedup system: one canonical-id mapping table
+    unifying all three duplicate signals — byte-exact copies (md5
+    groups), MinHash-LSH near-duplicates, and asymmetric containment
+    (short doc embedded in long) — as one edge set, collapsed by
+    connected components, canonical = min id per component. Downstream
+    jobs join this table once to re-point every duplicate at its
+    survivor; a hash match proves the three signal paths AND the
+    component collapse compose exactly.
+
+    Scale: exact edges come from a window-min over the uniform md5 key
+    (no group materialization); the LSH and containment pair paths carry
+    their own caps (bucket cap, shingle-df cap); CC is the audited
+    O(log n)-round contraction. The union of edge sets is the only new
+    plumbing — everything else is reused, which is the point.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from streamsurfer_spark.operators import dedup, graph
+    from streamsurfer_spark.queries.llm_q import CONTAIN_THRESHOLD
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    exact_e = (
+        docs.select("doc_id", F.min("doc_id").over(w).alias("mn"))
+        .where(F.col("doc_id") != F.col("mn"))
+        .select(F.col("doc_id").alias("src"), F.col("mn").alias("dst"))
+    )
+    lsh_e = dedup.lsh_candidate_pairs(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cont_e = dedup.ngram_containment_pairs(
+        docs, threshold=CONTAIN_THRESHOLD
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = exact_e.unionByName(lsh_e).unionByName(cont_e)
+    cc = graph.connected_components(edges, "src", "dst")
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("cluster_id").alias("canonical_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _qp08_sql() -> str:
+    from streamsurfer_spark.queries.llm_q import (
+        CONTAIN_THRESHOLD,
+        DUCK_SHINGLES,
+        duck_minhash_bands,
+    )
+
+    return f"""
+WITH RECURSIVE {duck_minhash_bands("documents")},
+exact_e AS (
+    SELECT doc_id AS a, mn AS b FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS mn
+        FROM documents
+    ) WHERE doc_id <> mn
+),
+lsh_e AS (
+    SELECT a.doc_id AS a, b.doc_id AS b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+csh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM (SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM d)
+),
+csizes AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY 1),
+cinter AS (
+    SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
+    FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+cont_e AS (
+    SELECT a, b FROM (
+        SELECT a, b,
+               round(n_inter::DOUBLE / sa.n_sh, 4) AS cab,
+               round(n_inter::DOUBLE / sb.n_sh, 4) AS cba
+        FROM cinter
+        JOIN csizes sa ON sa.doc_id = a
+        JOIN csizes sb ON sb.doc_id = b
+    ) WHERE greatest(cab, cba) >= {CONTAIN_THRESHOLD}
+),
+alledges AS (
+    SELECT a, b FROM exact_e
+    UNION SELECT a, b FROM lsh_e
+    UNION SELECT a, b FROM cont_e
+),
+sym AS (
+    SELECT a, b FROM alledges
+    UNION SELECT b AS a, a AS b FROM alledges
+),
+reach(id, r) AS (
+    SELECT DISTINCT a AS id, a AS r FROM sym
+    UNION
+    SELECT sym.a AS id, reach.r FROM sym JOIN reach ON sym.b = reach.id
+),
+clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+sizes AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+    FROM clusters GROUP BY 1
+)
+SELECT c.id AS doc_id, c.cluster_id AS canonical_id, s.cluster_size
+FROM clusters c JOIN sizes s USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
+QP08_SQL = _qp08_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qp01_curation_report": QuerySpec(
         qp01_curation_report, QP01_SQL, "composed curation pipeline (capstone)"
@@ -938,5 +1060,10 @@ QUERIES: dict[str, QuerySpec] = {
         qp07_training_mix,
         QP07_SQL,
         "training mix: dedup → DSIR gate → perplexity cut → √-temperature targets (capstone 7)",
+    ),
+    "qp08_canonical_map": QuerySpec(
+        qp08_canonical_map,
+        QP08_SQL,
+        "canonical-duplicate map: exact ∪ LSH ∪ containment edges → CC (capstone 8)",
     ),
 }
