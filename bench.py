@@ -84,6 +84,9 @@ BENCH_QUERIES = (
     # capstone 7: the 4-stage selection recipe (dedup → DSIR → tertile cut
     # → temperature targets)
     "qp07_training_mix",
+    # capstone 8: the unified canonical-duplicate map (exact ∪ LSH ∪
+    # containment edges → connected components)
+    "qp08_canonical_map",
 )
 
 

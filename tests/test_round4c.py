@@ -99,6 +99,52 @@ def test_funnel_matches_bruteforce_random(spark):
     assert {r.user_id for r in s3.collect()} == want[3]
 
 
+def test_containment_matches_bruteforce_random(spark):
+    """Random small corpora with planted substrings: the inverted-index
+    containment scores must equal the brute-force distinct-shingle set
+    computation, including the contained-side pick."""
+    from streamsurfer_spark.operators.dedup import ngram_containment_pairs
+
+    rng = random.Random(21)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for d in range(20):
+        words = [rng.choice(vocab) for _ in range(rng.randint(3, 15))]
+        docs.append((d, " ".join(words)))
+    # plant full embeddings: doc 100 is a verbatim substring of doc 101
+    core = "alpha beta gamma delta epsilon zeta"
+    docs.append((100, core))
+    docs.append((101, "x1 x2 " + core + " y1 y2"))
+
+    def shingles(text):
+        toks = text.split(" ")
+        if len(toks) <= 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for (ia, ta) in docs:
+        for (ib, tb) in docs:
+            if ia >= ib:
+                continue
+            sa, sb = shingles(ta), shingles(tb)
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            cab = round(inter / len(sa), 4)
+            cba = round(inter / len(sb), 4)
+            if max(cab, cba) >= 0.8:
+                want[(ia, ib)] = (inter, cab, cba, ia if cab >= cba else ib)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.cont_a_in_b, r.cont_b_in_a, r.contained_id)
+        for r in ngram_containment_pairs(df, threshold=0.8).collect()
+    }
+    assert got == want
+    assert (100, 101) in got and got[(100, 101)][3] == 100  # planted case found
+
+
 def test_seasonal_outliers_match_bruteforce_random(spark):
     """Random cent values per bucket: the DECIMAL-squared inequality must
     flag exactly the values |x - mean| > 2*sigma (computed in exact

@@ -41,6 +41,7 @@ PROBES = (
     "qp06_semdedup_report",
     "ql50_snapshot_novelty",
     "qp07_training_mix",
+    "qp08_canonical_map",
 )
 
 
