@@ -145,6 +145,88 @@ def test_containment_matches_bruteforce_random(spark):
     assert (100, 101) in got and got[(100, 101)][3] == 100  # planted case found
 
 
+def test_canonical_map_chains_across_signal_types(spark):
+    """qp08's point: a duplicate chain that crosses SIGNAL types (A
+    byte-equal B, B near-dup C via shared shingles, C contains D... here:
+    exact + containment) must still collapse to ONE canonical id — any
+    single signal alone would leave the chain split."""
+    from streamsurfer_spark.operators import dedup, graph
+
+    core = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, core),                           # canonical
+        (2, core),                           # exact copy of 1
+        (3, "x1 x2 " + core + " y1 y2"),     # contains 2's text (and 1's)
+        (50, "unrelated words only here now completely"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text"))
+    exact_e = (
+        df.select("doc_id", F.min("doc_id").over(w).alias("mn"))
+        .where("doc_id <> mn")
+        .select(F.col("doc_id").alias("src"), F.col("mn").alias("dst"))
+    )
+    cont_e = dedup.ngram_containment_pairs(df, threshold=0.8).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = exact_e.unionByName(cont_e)
+    cc = {r.id: r.cluster_id for r in graph.connected_components(edges, "src", "dst").collect()}
+    assert cc.get(1) == 1 and cc.get(2) == 1 and cc.get(3) == 1
+    assert 50 not in cc  # no edges → not in the map
+
+
+def test_cdc_merge_is_batching_invariant(spark):
+    """qs14's core claim: the tombstone-retaining (ts, event_id)-max merge
+    yields the same state no matter how the change stream is sliced into
+    batches."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(5)
+    schema = "user_id long, event_id long, op string, cents long, ts timestamp"
+    changes = [
+        (
+            rng.randint(1, 6),
+            i,
+            "D" if rng.random() < 0.3 else "U",
+            rng.randint(0, 500),
+            dt.datetime(2024, 1, 1) + dt.timedelta(minutes=rng.randint(0, 100)),
+        )
+        for i in range(40)
+    ]
+
+    def merge(cur, batch):
+        payload = ["event_id", "op", "cents", "ts"]
+        return (
+            cur.unionByName(batch)
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct(*payload), F.struct(F.col("ts"), F.col("event_id"))
+                ).alias("_l")
+            )
+            .select("user_id", "_l.*")
+        )
+
+    def run(slices):
+        state = spark.createDataFrame([], schema)
+        for s in slices:
+            if s:
+                state = merge(state, spark.createDataFrame(s, schema))
+        return sorted(map(tuple, state.collect()))
+
+    one_shot = run([changes])
+    by_parity = run([[c for c in changes if c[1] % 2 == p] for p in (0, 1)])
+    reversed_thirds = run(
+        [[c for c in changes if c[1] % 3 == p] for p in (2, 0, 1)]
+    )
+    assert one_shot == by_parity == reversed_thirds
+
+
 def test_seasonal_outliers_match_bruteforce_random(spark):
     """Random cent values per bucket: the DECIMAL-squared inequality must
     flag exactly the values |x - mean| > 2*sigma (computed in exact
