@@ -42,6 +42,8 @@ PROBES = (
     "ql50_snapshot_novelty",
     "qp07_training_mix",
     "qp08_canonical_map",
+    "ql54_containment_pairs",
+    "qt14_transition_matrix",
 )
 
 
