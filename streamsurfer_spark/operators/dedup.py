@@ -331,6 +331,32 @@ def duplicate_span_coverage(
 NGRAM_SHINGLE_DF_CAP = 1000
 
 
+def hashed_shingle_set(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (id, shingle) with 61-bit HASHED 3-gram shingles — the
+    8-byte inverted-index key shared by the Jaccard/containment pair
+    paths and the span-coverage family. One md5 per token, positional
+    P61 composition (see duplicate_span_coverage's collision-budget
+    note: ~S²/2^62 spurious matches — statistically invisible); the
+    distinct, the df-cap window, and the self-join all move 8-byte longs
+    instead of materialized shingle strings — the rewrite that took the
+    span pass from 43 s to ~11 s at the 10× probe."""
+    th = f"transform(toks, t -> {md5_long64_expr('t')} % {P31})"
+    sh_hashes = (
+        f"transform(sequence(1, greatest(size(toks) - {SHINGLE_N - 1}, 1)),"
+        f" i -> (try_element_at(th_, i) * {SHINGLE_C1}) % {P61}"
+        f" + (coalesce(try_element_at(th_, i + 1), 0) * {SHINGLE_C2}) % {P61}"
+        f" + coalesce(try_element_at(th_, i + 2), 0))"
+    )
+    return (
+        df.withColumn("toks", F.split(F.col(text_col), " "))
+        .withColumn("th_", F.expr(th))
+        .select(F.col(id_col), F.explode(F.expr(sh_hashes)).alias("shingle"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -340,10 +366,11 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
-    Inverted-index shape: distinct (doc, shingle) → prune shingles with
-    document frequency > max_shingle_docs → self-join on shingle →
-    |A∩B| per pair → join per-doc set sizes → J = |A∩B| / (|A|+|B|-|A∩B|).
-    Emits pairs with J ≥ threshold.
+    Inverted-index shape: distinct (doc, HASHED shingle — see
+    hashed_shingle_set) → prune shingles with document frequency >
+    max_shingle_docs → self-join on shingle → |A∩B| per pair → join
+    per-doc set sizes → J = |A∩B| / (|A|+|B|-|A∩B|). Emits pairs with
+    J ≥ threshold.
 
     The frequency prune is a count window over the shingle key — one
     exchange that the self-join then reuses (same partitioning), so the
@@ -354,11 +381,7 @@ def ngram_jaccard_pairs(
     signal from such shingles, i.e. the prune only suppresses pairs that
     were never near-duplicates.
     """
-    sh = (
-        with_shingles(df, text_col)
-        .select(F.col(id_col), F.explode("shingles").alias("shingle"))
-        .distinct()
-    )
+    sh = hashed_shingle_set(df, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     from pyspark.sql import Window
 
@@ -416,14 +439,11 @@ def ngram_containment_pairs(
     containment reaches ``threshold``, with both directions and the
     contained side named.
 
-    Same inverted-index shape (and df cap) as ngram_jaccard_pairs; only
-    the scoring changes, so the scale argument is identical.
+    Same inverted-index shape (hashed shingle keys, df cap) as
+    ngram_jaccard_pairs; only the scoring changes, so the scale argument
+    is identical.
     """
-    sh = (
-        with_shingles(df, text_col)
-        .select(F.col(id_col), F.explode("shingles").alias("shingle"))
-        .distinct()
-    )
+    sh = hashed_shingle_set(df, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     from pyspark.sql import Window
 

@@ -48,6 +48,25 @@ DUCK_SHINGLES = (
 )
 
 
+def duck_hashed_shingle_set(src: str) -> str:
+    """Subquery: DISTINCT (doc_id, 61-bit hashed 3-gram shingle) over
+    ``src``(doc_id, text) — the DuckDB twin of dedup.hashed_shingle_set."""
+    return f"""(
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([(th[i+1] * {dedup.SHINGLE_C1}) % {dedup.P61}
+                       + (coalesce(th[i+2], 0) * {dedup.SHINGLE_C2}) % {dedup.P61}
+                       + coalesce(th[i+3], 0)
+                       for i in range(greatest(len(th) - 2, 1))]) AS shingle
+        FROM (
+            SELECT doc_id,
+                   [({DUCK_HASH.format(x="t")}) % {P31}
+                    for t in string_split(text, ' ')] AS th
+            FROM {src}
+        )
+    ))"""
+
+
 def _duck_stoplist(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in text_ops.STOPWORDS[lang])
 
@@ -359,11 +378,7 @@ def ql09_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QL09_SQL = f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-sh AS (
-    SELECT DISTINCT doc_id, shingle
-    FROM (SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM d)
-),
+WITH sh AS {duck_hashed_shingle_set("documents")},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -2763,11 +2778,7 @@ def ql54_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QL54_SQL = f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-sh AS (
-    SELECT DISTINCT doc_id, shingle
-    FROM (SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM d)
-),
+WITH sh AS {duck_hashed_shingle_set("documents")},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter

@@ -960,9 +960,9 @@ def qp08_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _qp08_sql() -> str:
+    from streamsurfer_spark.operators.dedup import P61, SHINGLE_C1, SHINGLE_C2
     from streamsurfer_spark.queries.llm_q import (
         CONTAIN_THRESHOLD,
-        DUCK_SHINGLES,
         duck_minhash_bands,
     )
 
@@ -982,8 +982,16 @@ lsh_e AS (
     GROUP BY 1, 2
 ),
 csh AS (
-    SELECT DISTINCT doc_id, shingle
-    FROM (SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM d)
+    -- hashed twin of dedup.hashed_shingle_set, reusing the bands
+    -- fragment's per-token hash CTE (th) in the wider P61 domain
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([(th[i+1] * {SHINGLE_C1}) % {P61}
+                       + (coalesce(th[i+2], 0) * {SHINGLE_C2}) % {P61}
+                       + coalesce(th[i+3], 0)
+                       for i in range(greatest(len(th) - 2, 1))]) AS shingle
+        FROM th
+    )
 ),
 csizes AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY 1),
 cinter AS (
