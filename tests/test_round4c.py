@@ -262,6 +262,93 @@ def test_cdc_merge_is_batching_invariant(spark):
     assert one_shot == by_parity == reversed_thirds
 
 
+def test_cohort_retention_matches_bruteforce_random(spark):
+    """Random (user, day) activity: the cohort/offset counts must equal a
+    per-user Python walk — including users active in non-consecutive
+    weeks (offset gaps) and single-week users (offset 0 only)."""
+    import datetime as dt
+
+    rng = random.Random(31)
+    rows = []
+    for u in range(40):
+        for _ in range(rng.randint(1, 8)):
+            rows.append(
+                (u, dt.datetime(2024, 1, 1) + dt.timedelta(days=rng.randint(0, 70)))
+            )
+    want: dict[tuple, set] = {}
+    first = {}
+    for u, ts in rows:
+        w = (ts.date() - dt.date(2024, 1, 1)).days // 7
+        first[u] = min(first.get(u, w), w)
+    for u, ts in rows:
+        w = (ts.date() - dt.date(2024, 1, 1)).days // 7
+        want.setdefault((first[u], w - first[u]), set()).add(u)
+    expect = {k: len(v) for k, v in want.items()}
+
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    wk = F.expr("datediff(to_date(ts), DATE'2024-01-01') div 7")
+    fst = ev.select("user_id", wk.alias("w")).groupBy("user_id").agg(
+        F.min("w").alias("cohort_week")
+    )
+    active = ev.select("user_id", wk.alias("active_week")).distinct()
+    got = {
+        (r.cohort_week, r.week_offset): r.n_active
+        for r in active.join(fst, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_vocab_diagnostics_match_bruteforce_random(spark):
+    """Random corpora: type/token/hapax counts and the (tf, token)-max top
+    token must equal the Python Counter computation."""
+    from collections import Counter
+
+    from streamsurfer_spark.operators import text as text_ops
+
+    rng = random.Random(17)
+    vocab = [f"t{i}" for i in range(15)]
+    docs = []
+    for d in range(25):
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 30))]
+        docs.append((d, " ".join(words), f"s{d % 3}"))
+
+    want = {}
+    per_src: dict[str, Counter] = {}
+    for _d, text, src in docs:
+        per_src.setdefault(src, Counter()).update(text.split(" "))
+    for src, c in per_src.items():
+        top = max(c.items(), key=lambda kv: (kv[1], kv[0]))
+        want[src] = (sum(c.values()), len(c), sum(1 for v in c.values() if v == 1), top[0], top[1])
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    tf = (
+        df.select("source", F.explode(text_ops.tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    got = {
+        r.source: (r.n_tokens, r.n_types, r.n_hapax, r.top_token, r.top_tf)
+        for r in tf.groupBy("source")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum((F.col("tf") == 1).cast("long")).alias("n_hapax"),
+            F.max_by(F.col("token"), F.struct(F.col("tf"), F.col("token"))).alias(
+                "top_token"
+            ),
+            F.max("tf").alias("top_tf"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_seasonal_outliers_match_bruteforce_random(spark):
     """Random cent values per bucket: the DECIMAL-squared inequality must
     flag exactly the values |x - mean| > 2*sigma (computed in exact
