@@ -87,6 +87,7 @@ _VERIFY_FIRST = (
     # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
     # budget; half-up tracker cents; cosine block cap) — fresh green rows
     # prove the Spark+oracle lockstep updates
+    "ql03_cosine_topk",
     "ql09_ngram_jaccard",
     "ql14_ivf_topk",
     "ql38_kmeans_clusters",
@@ -121,7 +122,6 @@ _VERIFY_FIRST = (
     "qp02_vector_index_report",
     "ql01_exact_dedup",
     "ql02_minhash_lsh_pairs",
-    "ql03_cosine_topk",
     "ql10_lsh_ann_pairs",
     # --- ~window boundary (driver evaluates the first ~50) ---
     # rows-only spec (weaker check by design; pytest + ql07c twin cover it)

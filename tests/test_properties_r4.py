@@ -337,7 +337,7 @@ def test_verify_window_contains_round4_must_verify():
         "qt12_funnel", "qr72_winsorized_stats", "qp07_training_mix",
         "ql53_vocab_diagnostics", "qt13_cohort_retention", "qs14_stream_cdc_apply",
         "ql54_containment_pairs", "qt14_transition_matrix", "qp08_canonical_map",
-        "ql09_ngram_jaccard",
+        "ql09_ngram_jaccard", "ql03_cosine_topk",
         # execution path changed in round 4
         "ql38_kmeans_clusters", "ql39_pq_encode", "qp03_ivfpq_build_report",
         "ql40_epoch_plan", "qs11_stateful_tracker", "ql21_cosine_near_dup",
