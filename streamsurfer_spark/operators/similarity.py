@@ -19,9 +19,13 @@ Two tiers, as the task demands:
 
 Scale notes: both paths are shuffle-minimal — brute force shuffles only for
 the final top-k window (keyed by probe id); LSH shuffles on uniform bucket
-ids. Skewed buckets (mass near a hyperplane) are handled by AQE skew-join
-at runtime; at 100 TB add a second independent plane set and intersect
-candidates to cap bucket size.
+ids. Skewed buckets (mass near a hyperplane) are bounded structurally:
+`lsh_near_pairs` caps per-bucket membership at LSH_ANN_BUCKET_CAP with a
+WindowGroupLimit that prunes before the exchange, so no bucket can go
+quadratic regardless of corpus size; residual moderate skew is handled by
+AQE skew-join at runtime. At 100 TB, additionally widen the bucket space
+(a second independent plane set, candidates intersected) so the cap binds
+rarely instead of often.
 """
 
 from __future__ import annotations
@@ -116,11 +120,13 @@ def cosine_topk(
     stage 2 ranks the ≤ k·16 survivors. Ties broken by neighbor id on the
     ROUNDED similarity so ranking is reproducible across engines.
 
-    ``probe_cols``/``corpus_cols`` carry extra columns through (probe-side
-    columns are prefixed ``probe_``); ``pair_cond`` replaces the default
-    self-pair exclusion with any predicate over the joined columns — the
-    hook the hard-negative (label mismatch) and multimodal (modality
-    match) retrieval queries use without duplicating this scaffolding.
+    ``corpus_cols`` carry extra corpus-side columns through to the output;
+    ``probe_cols`` exist ONLY for use inside ``pair_cond`` (they are
+    prefixed ``probe_`` in the join and dropped after it — they do NOT
+    reach the result). ``pair_cond`` replaces the default self-pair
+    exclusion with any predicate over the joined columns — the hook the
+    hard-negative (label mismatch) and multimodal (modality match)
+    retrieval queries use without duplicating this scaffolding.
     """
     # norms factored out pre-join: computed once per row instead of once
     # per (probe, corpus) pair — 2/3 less arithmetic in the O(p·n) stage
@@ -249,15 +255,27 @@ def lsh_buckets(
 
     Per-row expression only — the bucket id is computed inside codegen, no
     shuffle, no Python. sign(dot(plane, v)) per plane → bit → packed int.
+
+    The plane weights are generated for exactly DIM dimensions; zip_with
+    silently truncates to the shorter array, so a corpus whose embedding
+    width differs from DIM (say a 768-d production model vs the 64-d
+    planes) would hash on the first 64 components only — wrong, silently.
+    The bucket expression therefore guards on size(vec) = DIM and
+    raise_error()s per row otherwise: a mismatched corpus fails loudly on
+    the first batch instead of producing plausible garbage.
     """
     bits = []
     for p, weights in enumerate(plane_weights()):
         arr = f"array({', '.join(str(w) for w in weights)})"
         dot = DOT_EXPR.format(a=arr, b=vec_col)
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-    return df.select(
-        F.col(id_col), F.col(vec_col), F.expr(" + ".join(bits)).alias("bucket")
+    bucket = " + ".join(bits)
+    guarded = (
+        f"CASE WHEN size({vec_col}) = {DIM} THEN {bucket} "
+        f"ELSE CAST(raise_error(CONCAT('lsh_buckets: embedding dim ', "
+        f"CAST(size({vec_col}) AS STRING), ' != plane DIM {DIM}')) AS INT) END"
     )
+    return df.select(F.col(id_col), F.col(vec_col), F.expr(guarded).alias("bucket"))
 
 
 QUANT_SCALE = 1000
@@ -453,18 +471,44 @@ def ivf_topk(
     ).select("probe_id", id_col, "sim", "rk")
 
 
+# Per-bucket membership cap for the random-hyperplane pair expansion — the
+# same guard lsh_candidate_pairs (LSH_BUCKET_CAP) and cosine_near_dup_pairs
+# (COSINE_BLOCK_CAP) apply to their join keys. With N_PLANES=8 there are
+# only 256 buckets, so an UNCAPPED self-join is O(n²/256) — quadratic,
+# merely rescaled — and one dense bucket (a mega-duplicated embedding, or
+# mass near the hyperplanes) concentrates it on a single join key. 256 is
+# far above any honest fixture bucket (max 22 at sf0.1, so sf≤0.1 hashes
+# are unchanged) yet hard-bounds the worst bucket to ~32k pairs. Overflow
+# policy: keep the `cap` smallest ids per bucket (deterministic), enforced
+# by a row_number window whose WindowGroupLimit prunes every map partition
+# BEFORE the exchange. Must stay ≤
+# spark.sql.optimizer.windowGroupLimitThreshold (default 1000) or Spark
+# skips the pre-shuffle prune (pinned by
+# tests/test_properties_r5.py::test_lsh_near_pairs_plan_prunes_before_exchange).
+LSH_ANN_BUCKET_CAP = 256
+
+
 def lsh_near_pairs(
     df: DataFrame,
     threshold: float = 0.8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    bucket_cap: int = LSH_ANN_BUCKET_CAP,
 ) -> DataFrame:
     """Approximate near-duplicate pairs: same LSH bucket AND cosine ≥ t.
 
     The self-join is keyed on the bucket id (uniform by construction), so
     the shuffle is balanced; cosine is verified exactly inside the bucket.
+    Bucket membership is capped at ``bucket_cap`` (smallest ids survive)
+    so no single bucket can go quadratic — see LSH_ANN_BUCKET_CAP.
     """
     b = lsh_buckets(df, vec_col, id_col)
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    b = (
+        b.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= bucket_cap)
+        .drop("_rn")
+    )
     a, c = b.alias("a"), b.alias("b")
     dot = F.expr(DOT_EXPR.format(a=f"a.{vec_col}", b=f"b.{vec_col}"))
     norms = F.expr(NORM_EXPR.format(a=f"a.{vec_col}")) * F.expr(

@@ -29,140 +29,121 @@ class QuerySpec:
 
 
 # Ordering is load-bearing: the driver's correctness gate evaluates a
-# prefix of this dict (~50 entries). Round-4 window, in order:
-# (1) the only queries with no driver row in ANY round (qr63-qr69),
-# (2) qr08, whose exact-twin oracle postdates its only (r1) driver row,
-# (3) queries NEW in round 4,
-# (4) queries whose execution path CHANGED in round 4 (scatter-hash
-#     codebook init, DECIMAL epoch budget, half-up tracker cents, cosine
-#     block cap, hashed-shingle span coverage) — a fresh green row proves
-#     each Spark+oracle lockstep update,
-# (5) rotation: real streaming runs and event-time readers (fixture ts
-#     churn), Python-boundary paths, then the least-recently-verified
-#     capstones and dedup/ANN family.
-# After round 4 the overflow tail consists ONLY of entries already
-# hash-verified green in rounds 1-3 and unchanged since.
+# prefix of this dict (~50 entries). Round-5 window policy (per the r4
+# verdict: "spend the round-5 window on rotation, not growth"):
+# (1) queries whose execution path or oracle CHANGED in round 5 (LSH
+#     bucket cap + plane-DIM guard + twin cap replication, cosine twin
+#     caps, qt12 coalesce, scratch-dir lifecycle, qp07b manifest variant)
+#     — a fresh green row proves each Spark+oracle lockstep update,
+# (2) rotation, oldest-verified-first: the 49 entries whose latest driver
+#     row is ROUND 1 (qr01-qr44 band) fill the remaining ~41 slots,
+# (3) the overflow tail continues the rotation order — remaining r1
+#     entries, then the 38 r2-latest entries (qv/ql/qs/qt bands), so a
+#     wider window or the r6 rotation picks them up next, then everything
+#     verified in r3/r4.
+# Latest-driver-row histogram going into r5: r1=49, r2=38, r3=43, r4=50.
 _VERIFY_FIRST = (
-    # (1) the LAST queries with no driver row in ANY round: the round-2
-    # TPC-H completion tail (rounds 1-3 windows never reached them)
-    "qr63_returned_items",
-    "qr64_important_parts",
-    "qr65_shipping_speed",
-    "qr66_customer_distribution",
-    "qr67_supplier_part_counts",
-    "qr68_promotable_suppliers",
-    "qr69_waiting_suppliers",
-    # (2) qr08: its exact-twin tolerance oracle landed in r2 but its only
-    # driver row predates it (r1, rows-only) — verification-stale
-    "qr08_approx_count_distinct",
-    # (3) NEW in round 4
-    "ql07c_features_parity",
-    "qt10_nearest_error",
-    "ql43_ann_recall",
-    "ql44_split_leakage",
-    "ql45_minhash_calibration",
-    "qp05_export_manifest",
-    "qs12_stream_temporal_dim",
-    "ql46_dsir_importance",
-    "ql47_perplexity_buckets",
-    "ql48_bpe_pair_stats",
-    "qp06_semdedup_report",
-    "qs13_foreachbatch_upsert",
-    "ql49_pagerank",
-    "qr70_schema_evolution",
-    "qr71_approx_quantile_gate",
-    "qt11_seasonal_profile",
-    "ql50_snapshot_novelty",
-    "ql51_hard_negatives",
-    "ql52_multimodal_ann",
-    "qt12_funnel",
-    "qr72_winsorized_stats",
-    "qp07_training_mix",
-    "ql53_vocab_diagnostics",
-    "qt13_cohort_retention",
-    "qs14_stream_cdc_apply",
-    "ql54_containment_pairs",
-    "qt14_transition_matrix",
-    "qp08_canonical_map",
-    # (4) CHANGED in round 4 (scatter-hash codebook init; DECIMAL epoch
-    # budget; half-up tracker cents; cosine block cap) — fresh green rows
-    # prove the Spark+oracle lockstep updates
-    "ql03_cosine_topk",
-    "ql09_ngram_jaccard",
-    "ql14_ivf_topk",
-    "ql38_kmeans_clusters",
-    "ql39_pq_encode",
-    "qp03_ivfpq_build_report",
-    "ql40_epoch_plan",
-    "qs11_stateful_tracker",
-    "ql21_cosine_near_dup",
-    "ql23_dedup_clusters",
-    "ql37_duplicate_spans",
-    "qp04_quality_dashboard",
-    # (5) rotation: high-churn families — real streaming runs and
-    # event-time readers (the fixture ts type has changed across rounds),
-    # Python-boundary paths, then the least-recently-verified capstones
-    "qs01_stream_ingest_counts",
-    "qs02_tumbling_window",
+    # (1) CHANGED in round 5
+    "ql10_lsh_ann_pairs",       # LSH_ANN_BUCKET_CAP + dim guard + capped twin
+    "ql21_cosine_near_dup",     # twin now replicates COSINE_BLOCK_CAP
+    "qp06_semdedup_report",     # twin now replicates COSINE_BLOCK_CAP
+    "qt12_funnel",              # NULL-sum coalesce on empty funnel stage
+    "qp07b_training_mix_manifest",  # NEW: checkpointed-manifest qp07 variant
+    "qr70_schema_evolution",    # scratch-dir lifecycle
+    "qs07_update_mode",         # scratch-dir lifecycle
+    "qs13_foreachbatch_upsert", # scratch-dir lifecycle
+    "qs14_stream_cdc_apply",    # scratch-dir lifecycle
+    # (2) rotation, oldest-verified-first: latest driver row is r1
+    "qr01_scan_checksum",
+    "qr02_filter_agg",
+    "qr03_join_orders_customer",
+    "qr04_multiway_join",
+    "qr05_anti_join",
+    "qr05_left_join_histogram",
+    "qr05_semi_join",
+    "qr06_hash_agg_q1",
+    "qr07_count_distinct",
+    "qr09_rollup",
+    "qr09b_cube",
+    "qr10_window_rank",
+    "qr10b_window_analytics",
+    "qr11_window_running",
+    "qr12_topk",
+    "qr13_except",
+    "qr13_intersect",
+    "qr13_union",
+    "qr14_string_fns",
+    "qr15_date_fns",
+    "qr16_math_decimal",
+    "qr17_array_fns",
+    "qr18_subqueries",
+    "qr19_case_when",
+    "qr20_pivot",
+    "qr21_percentiles",
+    "qr22_histogram",
+    "qr23_levenshtein_pairs",
+    "qr24_bit_and_array_ops",
+    "qr25_full_outer_join",
+    "qr26_stats_pack",
+    "qr27_string_agg",
+    "qr28_filtered_agg",
+    "qr29_range_frame",
+    "qr30_arg_extrema",
+    "qr31_null_semantics",
+    "qr32_unpivot",
+    "qr33_posexplode",
+    "qr34_timezone_pack",
+    "qr35_lambda_pack",
+    "qr36_lateral_topk",
+    # --- ~window boundary (driver evaluates the first ~50) ---
+    # (3) overflow tail: remaining r1-latest entries first...
+    "qr37_salted_join",
+    "qr38_shipping_priority",
+    "qr39_large_volume_customers",
+    "qr40_scd2_intervals",
+    "qr41_dormant_customers",
+    "qr42_upsert_snapshot",
+    "qr43_cdc_apply",
+    "qr44_profile_orders",
+    # ...then the r2-latest band (oldest families first)
+    "qv01_validate_required",
+    "qv02_payload_parse",
+    "qv03_origin_stamp",
+    "qv04_ts_render",
+    "qv05_envelope_json",
+    "qv06_json_extract",
+    "qv07_json_typed_parse",
+    "qv08_batch_wire_format",
+    "ql01_exact_dedup",
+    "ql02_minhash_lsh_pairs",
+    "ql04_text_stats",
+    "ql05_top_terms",
+    "ql06_udf_norm_parity",
+    "ql07_multimodal_envelope",
+    "ql08_simhash",
+    "ql11_quality_features",
+    "ql12_language_id",
+    "ql15_label_centroids",
+    "ql16_hash_sample",
+    "ql17_stratified_sample",
+    "ql18_udaf_geo_mean",
+    "ql19_grouped_map_zscore",
+    "ql20_udtf_tokenize",
+    "ql22_tfidf_top_terms",
+    "qp01_curation_report",
+    "qp02_vector_index_report",
     "qs02b_sliding_window",
     "qs03_session_window",
     "qs05_dedup_earliest",
     "qs06_stream_static_join",
-    "qs07_update_mode",
-    "qs10_interval_join",
     "qt01_asof_last_click",
     "qt02_range_join_errors",
     "qt04_gapfill_daily",
     "qt05_ohlc_bars",
     "qt06_resample_interpolate",
     "qt07_ewma_smoothing",
-    "ql06_udf_norm_parity",
-    "ql07_multimodal_envelope",
-    "qp01_curation_report",
-    "qp02_vector_index_report",
-    "ql01_exact_dedup",
-    "ql02_minhash_lsh_pairs",
-    "ql10_lsh_ann_pairs",
-    # --- ~window boundary (driver evaluates the first ~50) ---
     # rows-only spec (weaker check by design; pytest + ql07c twin cover it)
     "ql07b_multimodal_features",
-    # overflow tail: verified green in r3, stable plain twins
-    "qs04_watermarked_append",
-    "qs08_stream_sessions",
-    "qs09_chained_windows",
-    "qt03_sessionize",
-    "ql13_fingerprint",
-    "qt08_rolling_anomaly",
-    "qt09_time_weighted_avg",
-    "qp04_quality_dashboard",
-    "ql41_binary_header",
-    "ql24_chunk_windows",
-    "ql25_pii_redaction",
-    "ql26_export_shards",
-    "ql27_bigram_collocations",
-    "ql28_quantization_error",
-    "ql29_split_manifest",
-    "ql31_repetition_metrics",
-    "ql34_cluster_representatives",
-    "qr45_window_value_fns",
-    "qr46_disjunctive_join",
-    "qr47_promo_share",
-    "qr48_nation_volume",
-    "qr49_except_all",
-    "qr49_intersect_all",
-    "qr50_expectations_orders",
-    "qr51_grouping_sets",
-    "qr52_variant_props",
-    "qr53_small_quantity_revenue",
-    "qr54_top_supplier",
-    "qr55_empty_result",
-    "qr56_inventory_drawdown",
-    "qr57_try_arithmetic",
-    "qr58_collated_grouping",
-    "qr59_min_cost_supplier",
-    "qr60_priority_lateness",
-    "qr61_market_share",
-    "qr62_product_profit",
 )
 
 

@@ -425,9 +425,16 @@ sig AS (
            CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
     FROM dots GROUP BY 1
 ),
+capped AS (
+    -- replicate lsh_near_pairs' LSH_ANN_BUCKET_CAP (smallest ids survive)
+    -- so Spark and the twin agree even when the cap binds
+    SELECT vec_id, bucket FROM sig
+    QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+            <= {similarity.LSH_ANN_BUCKET_CAP}
+),
 pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
 pair_dots AS (
     SELECT p.id_a, p.id_b, sum(ea.v * eb.v) AS dot
@@ -771,10 +778,18 @@ def ql21_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QL21_SQL = f"""
-WITH e AS (
+WITH capped AS (
+    -- replicate cosine_near_dup_pairs' COSINE_BLOCK_CAP (smallest ids
+    -- survive per block) so Spark and the twin agree even when it binds
+    SELECT vec_id FROM embeddings
+    QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id)
+            <= {similarity.COSINE_BLOCK_CAP}
+),
+e AS (
     SELECT vec_id, label, unnest(range(len(embedding))) AS pos,
            unnest(embedding)::DOUBLE AS v
     FROM embeddings
+    WHERE vec_id IN (SELECT vec_id FROM capped)
 ),
 norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
 dots AS (

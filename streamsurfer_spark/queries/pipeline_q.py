@@ -649,7 +649,7 @@ def qp06_semdedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _qp06_sql() -> str:
-    from streamsurfer_spark.operators import clustering
+    from streamsurfer_spark.operators import clustering, similarity
     from streamsurfer_spark.queries.llm_q import _KM_DIST
 
     seed = f"ORDER BY (vec_id * {clustering.SEED_SCATTER}) % 4294967296, vec_id"
@@ -695,10 +695,20 @@ e AS (
     FROM embeddings m JOIN a2 ON a2.vec_id = m.vec_id
 ),
 norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+capped AS (
+    -- replicate cosine_near_dup_pairs' COSINE_BLOCK_CAP (smallest ids
+    -- survive per cell) so Spark and the twin agree even when a skewed
+    -- cell crosses the cap
+    SELECT vec_id FROM a2
+    QUALIFY row_number() OVER (PARTITION BY cent_id ORDER BY vec_id)
+            <= {similarity.COSINE_BLOCK_CAP}
+),
 dots AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
     FROM e a
     JOIN e b ON a.cent_id = b.cent_id AND a.pos = b.pos AND a.vec_id < b.vec_id
+    WHERE a.vec_id IN (SELECT vec_id FROM capped)
+      AND b.vec_id IN (SELECT vec_id FROM capped)
     GROUP BY 1, 2
 ),
 pr AS (
@@ -907,6 +917,95 @@ ORDER BY source
 QP07_SQL = _qp07_sql()
 
 
+def qp07b_training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qp07's documented 100 TB recipe as TESTED code: the same 4-stage
+    training-mix selection, but each stage CHECKPOINTS its survivor
+    doc_id manifest to parquet and the next stage starts from one pruned
+    corpus scan + one manifest join — instead of one declarative plan
+    that re-derives every upstream stage (~24 corpus re-scans at fixture
+    scale, see qp07's lineage note).
+
+    Trade being demonstrated: at fixture scale the monolithic plan wins
+    (AQE sees live stats; persist/checkpoint hides them), so qp07 stays
+    the headline. At 100 TB the manifest variant wins — each stage is a
+    separate job whose inputs are bounded (corpus scan + doc_id list),
+    failure recovery restarts one stage not four, and the manifest IS the
+    audit artifact (qp05's export pattern). Shares QP07_SQL as its
+    oracle: a hash match proves the two formulations compute the same
+    selection, which is exactly the equivalence the 100 TB migration
+    relies on.
+
+    The manifests land in a process-scoped scratch dir (reclaimed at
+    exit); at real scale they'd be object-store paths.
+    """
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from streamsurfer_spark.queries.llm_q import MIX_FACTOR
+    from streamsurfer_spark.scratch import scratch_dir
+
+    root = scratch_dir("qp07b_manifests_")
+
+    def checkpoint_manifest(df: DataFrame, name: str) -> DataFrame:
+        """Write a doc_id manifest and read it back: truncates lineage at a
+        durable artifact, exactly what separate jobs at scale would do."""
+        path = os.path.join(root, name)
+        df.select("doc_id").write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    docs = table(spark, sf_dir, "documents")
+
+    # stage 1 job: exact dedup → manifest
+    m1 = checkpoint_manifest(
+        docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id")),
+        "stage1_exact_dedup",
+    )
+
+    # stage 2 job: DSIR gate over the stage-1 survivors → manifest
+    base = docs.join(m1, "doc_id")
+    m2 = checkpoint_manifest(
+        text_ops.dsir_importance(base).where(F.col("logratio_micro") > 0),
+        "stage2_dsir_gate",
+    )
+
+    # stage 3 job: per-language perplexity cut over stage-2 survivors →
+    # manifest carrying the rank survivors' (source, n_tokens) payload
+    base2 = docs.join(m2, "doc_id")
+    sur = text_ops.unigram_surprisal(base2)
+    scored = sur.join(base2.select("doc_id", "lang", "source"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("avg_surprisal_nats", "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    m3 = checkpoint_manifest(
+        ranked.where(F.col("rn") * 3 <= F.col("n") * 2), "stage3_perplexity_cut"
+    )
+
+    # stage 4 job: √-temperature targets from the final survivor manifest
+    kept = docs.join(m3, "doc_id")
+    toks = kept.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return (
+        toks.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .select(
+            "source",
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.least(
+                F.col("n_docs"),
+                F.floor(F.sqrt(F.col("n_docs")) * MIX_FACTOR).cast("long"),
+            ).alias("target_n"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- qp08: unified canonical-duplicate map (capstone 8) ----------------------
 
 
@@ -1068,6 +1167,11 @@ QUERIES: dict[str, QuerySpec] = {
         qp07_training_mix,
         QP07_SQL,
         "training mix: dedup → DSIR gate → perplexity cut → √-temperature targets (capstone 7)",
+    ),
+    "qp07b_training_mix_manifest": QuerySpec(
+        qp07b_training_mix_manifest,
+        QP07_SQL,
+        "qp07 via checkpointed survivor manifests (the 100 TB recipe, same oracle)",
     ),
     "qp08_canonical_map": QuerySpec(
         qp08_canonical_map,

@@ -3221,10 +3221,11 @@ def qr70_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays one pruned columnar read, NULL-filling v1 batches for free.
     """
     import os
-    import tempfile
+
+    from streamsurfer_spark.scratch import scratch_dir
 
     orders = _t(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="qr70_generations_")
+    tmp = scratch_dir("qr70_generations_")
     v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )

@@ -220,9 +220,10 @@ def qs07_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
-    import tempfile
 
-    tmpdir = tempfile.mkdtemp(prefix="qs07_slices_")
+    from streamsurfer_spark.scratch import scratch_dir
+
+    tmpdir = scratch_dir("qs07_slices_")
     t = pq.read_table(_events_path(sf_dir))
     rem = t.column("event_id").to_numpy() % QS07_N_SLICES
     for i in range(QS07_N_SLICES):
@@ -593,12 +594,12 @@ def qs13_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream is 100 TB deep: each batch's merge shuffles target ∪ batch on
     the uniform user key, and the target never exceeds the user count.
     """
-    import tempfile
-
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tmpdir = tempfile.mkdtemp(prefix="qs13_slices_")
+    from streamsurfer_spark.scratch import scratch_dir
+
+    tmpdir = scratch_dir("qs13_slices_")
     t = pq.read_table(_events_path(sf_dir))
     rem = t.column("event_id").to_numpy() % QS13_N_SLICES
     for i in range(QS13_N_SLICES):
@@ -701,12 +702,12 @@ def qs14_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     it safe under out-of-order delivery (dropping tombstones eagerly
     would let an older upsert in a later batch resurrect the key).
     """
-    import tempfile
-
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tmpdir = tempfile.mkdtemp(prefix="qs14_slices_")
+    from streamsurfer_spark.scratch import scratch_dir
+
+    tmpdir = scratch_dir("qs14_slices_")
     t = pq.read_table(_events_path(sf_dir))
     rem = t.column("event_id").to_numpy() % QS14_N_SLICES
     for i in range(QS14_N_SLICES):

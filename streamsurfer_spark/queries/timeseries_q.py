@@ -701,6 +701,9 @@ def qt11_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "hod",
             "n_events",
+            # `div` truncates toward zero; DuckDB's integer `//` does the
+            # SAME (verified: -7 // 2 = -3 on BIGINT operands), so the
+            # twins agree on all inputs including negative cents sums
             F.expr("s div n_events").alias("mean_cents"),
             "n_outliers",
         )
@@ -783,9 +786,12 @@ def qt12_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     f3 = s3.agg(
         F.lit("3_purchase").alias("stage"),
         F.count("*").alias("n_users"),
-        F.sum(F.expr("timestampdiff(MICROSECOND, t1, t3)")).alias(
-            "total_latency_us"
-        ),
+        # coalesce: sum over zero rows is NULL in Spark; the twin coalesces
+        # to 0, so a fixture where no user completes the funnel must too
+        F.coalesce(
+            F.sum(F.expr("timestampdiff(MICROSECOND, t1, t3)")),
+            F.lit(0).cast("bigint"),
+        ).alias("total_latency_us"),
     )
     base = s1.agg(F.count("*").alias("n_base"))
     return (
@@ -853,6 +859,9 @@ def qt13_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final rollup groups on the tiny (cohort, offset) space.
     """
     ev = table(spark, sf_dir, "events")
+    # `div` truncates toward zero; DuckDB's integer `//` (DATE - DATE is
+    # an integer day count there) truncates identically, so the week index
+    # agrees across engines even for pre-epoch timestamps
     wk = F.expr(f"datediff(to_date(ts), DATE'{COHORT_EPOCH}') div 7")
     first = (
         ev.select("user_id", wk.alias("w"))

@@ -13,7 +13,7 @@ changes, every transform and the sink stay identical.
 from __future__ import annotations
 
 import os
-import tempfile
+from streamsurfer_spark.scratch import scratch_dir
 import uuid
 
 import pyspark.sql.functions as F
@@ -43,7 +43,7 @@ def read_events_stream(
     if os.path.isfile(path):
         # FileStreamSource requires a directory; wrap a bare file in an
         # ephemeral symlink dir (same lifecycle as Spark's temp checkpoints).
-        d = tempfile.mkdtemp(prefix="events_stream_")
+        d = scratch_dir("events_stream_")
         os.symlink(path, os.path.join(d, os.path.basename(path)))
         path = d
     schema = spark.read.parquet(path).schema

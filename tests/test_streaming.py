@@ -269,7 +269,10 @@ def test_transform_with_state_map_counts(spark, tmp_path):
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:
-        pytest.skip("transformWithState worker needs protobuf; not in this container")
+        pytest.skip(
+            "transformWithState worker needs protobuf; permanently absent in "
+            "this container (no network, no installs) — see FIXTURES.md §4"
+        )
     from streamsurfer_spark.streaming.stateful import event_type_counter
 
     d = tmp_path / "twd_events"

@@ -44,6 +44,14 @@ PROBES = (
     "qp08_canonical_map",
     "ql54_containment_pairs",
     "qt14_transition_matrix",
+    # round-5 additions: the RH-LSH pair path (now bucket-capped — this row
+    # is where an uncapped bucket would show as super-linear wall-clock),
+    # the REAL streaming runs whose state size is the thing to measure,
+    # and the manifest-checkpoint contrast row for qp07
+    "ql10_lsh_ann_pairs",
+    "qs13_foreachbatch_upsert",
+    "qs14_stream_cdc_apply",
+    "qp07b_training_mix_manifest",
 )
 
 
