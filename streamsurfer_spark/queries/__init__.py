@@ -53,6 +53,7 @@ _VERIFY_FIRST = (
     "qs07_update_mode",         # scratch-dir lifecycle
     "qs13_foreachbatch_upsert", # scratch-dir lifecycle
     "qs14_stream_cdc_apply",    # scratch-dir lifecycle
+    "qs15_stream_lsh_dedup",    # NEW: incremental LSH dedup stream (stretch)
     # (2) rotation, oldest-verified-first: latest driver row is r1
     "qr01_scan_checksum",
     "qr02_filter_agg",

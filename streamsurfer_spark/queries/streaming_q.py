@@ -782,6 +782,168 @@ ORDER BY user_id
 """
 
 
+# --- Q-S15: incremental MinHash-LSH dedup against a real stream -------------
+
+QS15_N_SLICES = 3
+QS15_REPLAY_BATCH = 1
+# arrival key = slice * _QS15_ARR + doc_id: one BIGINT encoding the total
+# arrival order (batch first, then id within a batch); doc_id ≪ _QS15_ARR
+_QS15_ARR = 1_000_000_000_000
+
+
+def qs15_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-duplicate SUPPRESSION in a REAL stream — the shape
+    a continuous crawl pipeline actually runs (r4 verdict stretch item):
+    documents arrive in 3 micro-batches; each batch is MinHash-banded
+    (the exact ql02 signature math), checked against a band→earliest-
+    arrival index accumulated from prior batches, and every document that
+    shares a band bucket with ANY earlier-arrived document is marked
+    suppressed. Batch QS15_REPLAY_BATCH is deliberately applied twice
+    (at-least-once delivery): the design is replay-idempotent without
+    special-casing, because
+
+    - the index merge is a min() over arrival keys — commutative,
+      associative, idempotent; and
+    - the suppression test is a STRICT < on a UNIQUE total order: on
+      replay a document's own index entry equals (never undercuts) its
+      arrival key, so the recomputed decision is bit-identical and the
+      first-wins decision merge is a no-op.
+
+    The oracle is the global formulation — suppressed iff the bucket's
+    global min arrival key is smaller than the doc's — which equals the
+    incremental one exactly because arrival order IS the arrival-key
+    order (slice files are given strictly increasing mtimes, so the file
+    source replays them in slice order).
+
+    Scale (100 TB crawl): state is one row per distinct (band, band_key)
+    — a uniform hash key space that grows with corpus novelty, not stream
+    length; each batch costs the batch's banding (pure codegen) plus one
+    join against the index on the uniform key (production: MERGE into a
+    keyed table, the qs13 pattern). No pair expansion anywhere — this is
+    dedup against the index, not within-corpus pair mining.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamsurfer_spark.operators import dedup
+    from streamsurfer_spark.scratch import scratch_dir
+
+    tmpdir = scratch_dir("qs15_slices_")
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    rem = t.column("doc_id").to_numpy() % QS15_N_SLICES
+    base_mtime = 1_600_000_000  # fixed past epoch; only the ORDER matters
+    for i in range(QS15_N_SLICES):
+        p = os.path.join(tmpdir, f"slice_{i}.parquet")
+        pq.write_table(t.filter(pa.array(rem == i)), p)
+        # strictly increasing mtimes pin the file source's arrival order
+        # to slice order (it sorts files by modification timestamp)
+        os.utime(p, times=(base_mtime + 10 * i, base_mtime + 10 * i))
+
+    holder = {
+        "index": spark.createDataFrame([], "band int, band_key string, min_arr long"),
+        "decisions": spark.createDataFrame(
+            [], "doc_id long, source string, suppressed boolean"
+        ),
+    }
+
+    def apply_batch(bdf: DataFrame, bid: int) -> None:
+        def run(b: DataFrame) -> None:
+            docs = b.withColumn(
+                "arr", (F.col("doc_id") % QS15_N_SLICES) * _QS15_ARR + F.col("doc_id")
+            )
+            bands = dedup.lsh_bands(
+                dedup.minhash_signature(dedup.with_shingles(docs.select("doc_id", "text")))
+            ).join(docs.select("doc_id", "arr", "source"), "doc_id")
+            b_min = bands.groupBy("band", "band_key").agg(F.min("arr").alias("b_min"))
+            eff = (
+                b_min.join(holder["index"], ["band", "band_key"], "left")
+                .select(
+                    "band",
+                    "band_key",
+                    F.least(
+                        F.col("b_min"), F.coalesce(F.col("min_arr"), F.lit(1 << 62))
+                    ).alias("eff_min"),
+                )
+            )
+            dec = (
+                bands.join(eff, ["band", "band_key"])
+                .groupBy("doc_id", "source", "arr")
+                .agg(F.min("eff_min").alias("m"))
+                .select("doc_id", "source", (F.col("m") < F.col("arr")).alias("suppressed"))
+            )
+            # first-wins per doc (replayed decisions are identical rows)
+            holder["decisions"] = (
+                holder["decisions"].unionByName(dec).dropDuplicates(["doc_id"])
+            ).localCheckpoint(eager=True)
+            holder["index"] = (
+                holder["index"]
+                .unionByName(b_min.withColumnRenamed("b_min", "min_arr"))
+                .groupBy("band", "band_key")
+                .agg(F.min("min_arr").alias("min_arr"))
+            ).localCheckpoint(eager=True)
+
+        run(bdf)
+        if bid == QS15_REPLAY_BATCH:
+            run(bdf)  # at-least-once delivery: the same batch arrives twice
+
+    schema = spark.read.parquet(tmpdir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmpdir)
+    )
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    d = holder["decisions"]
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((~F.col("suppressed")).cast("long")).alias("n_kept"),
+            F.sum(F.col("suppressed").cast("long")).alias("n_suppressed"),
+            F.sum(F.when(F.col("suppressed"), F.col("doc_id")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("suppressed_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+def _qs15_sql() -> str:
+    from streamsurfer_spark.queries.llm_q import duck_minhash_bands
+
+    return f"""
+WITH {duck_minhash_bands("documents")},
+a AS (
+    SELECT doc_id, source,
+           (doc_id % {QS15_N_SLICES}) * {_QS15_ARR} + doc_id AS arr
+    FROM documents
+),
+ba AS (
+    SELECT b.doc_id, b.band, b.band_key, a.arr
+    FROM bands b JOIN a USING (doc_id)
+),
+gmin AS (SELECT band, band_key, min(arr) AS gm FROM ba GROUP BY 1, 2),
+dec AS (
+    SELECT ba.doc_id, min(g.gm) < min(ba.arr) AS suppressed
+    FROM ba JOIN gmin g USING (band, band_key)
+    GROUP BY 1
+)
+SELECT a.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN NOT suppressed THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN suppressed THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+       CAST(sum(CASE WHEN suppressed THEN doc_id ELSE 0 END) AS BIGINT)
+           AS suppressed_id_sum
+FROM dec JOIN a USING (doc_id)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QS15_SQL = _qs15_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qs01_stream_ingest_counts": QuerySpec(
         qs01_stream_ingest_counts, QS01_SQL, "Q-S1 real streaming ingest (availableNow)"
@@ -827,5 +989,10 @@ QUERIES: dict[str, QuerySpec] = {
         qs14_stream_cdc_apply,
         QS14_SQL,
         "Q-S14 CDC apply with tombstones, out-of-order batches (real run)",
+    ),
+    "qs15_stream_lsh_dedup": QuerySpec(
+        qs15_stream_lsh_dedup,
+        QS15_SQL,
+        "Q-S15 incremental LSH dedup vs band index, replayed batch (real run)",
     ),
 }

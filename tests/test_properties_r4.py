@@ -331,6 +331,7 @@ def test_verify_window_follows_round5_rotation_policy():
         "qs07_update_mode",         # scratch-dir lifecycle
         "qs13_foreachbatch_upsert", # scratch-dir lifecycle
         "qs14_stream_cdc_apply",    # scratch-dir lifecycle
+        "qs15_stream_lsh_dedup",    # new in round 5
     }
     missing = changed_r5 - window
     assert not missing, f"round-5-changed queries outside the gate window: {missing}"
