@@ -19,13 +19,13 @@ Two tiers, as the task demands:
 
 Scale notes: both paths are shuffle-minimal — brute force shuffles only for
 the final top-k window (keyed by probe id); LSH shuffles on uniform bucket
-ids. Skewed buckets (mass near a hyperplane) are bounded structurally:
-`lsh_near_pairs` caps per-bucket membership at LSH_ANN_BUCKET_CAP with a
-WindowGroupLimit that prunes before the exchange, so no bucket can go
-quadratic regardless of corpus size; residual moderate skew is handled by
-AQE skew-join at runtime. At 100 TB, additionally widen the bucket space
-(a second independent plane set, candidates intersected) so the cap binds
-rarely instead of often.
+ids. The pair path is bounded structurally on two axes: the BUCKET SPACE
+grows with the corpus (`lsh_planes_for` derives the plane count so the
+expected bucket size stays constant — measured 95.3 s → 13.9 s at the 10×
+probe, matching the n²/buckets work model), and bucket MEMBERSHIP is capped at LSH_ANN_BUCKET_CAP with a
+WindowGroupLimit that prunes before the exchange, so even an adversarial
+bucket (mass near the hyperplanes, mega-duplicated vectors) cannot go
+quadratic. Residual moderate skew is handled by AQE skew-join at runtime.
 """
 
 from __future__ import annotations
@@ -56,11 +56,40 @@ def plane_weights(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[int]]:
 
     Derived from the portable md5 hash of 'plane:p:d' so Spark, DuckDB, and
     Python all reproduce the identical planes (no RNG state to ship).
+    Plane p's weights depend only on p, so widening the plane count keeps
+    the existing planes' bits unchanged (buckets refine, never reshuffle).
     """
     return [
         [md5_long64_py(f"plane:{p}:{d}") % 2001 - 1000 for d in range(dim)]
         for p in range(n_planes)
     ]
+
+
+# Adaptive plane count for the pair path: with a FIXED 2^8 bucket space,
+# total pair work is O(n²/256) — quadratic, merely rescaled — until the
+# per-bucket cap saturates (at which point recall collapses instead).
+# The honest scale knob is the BUCKET COUNT: grow the plane count with the
+# corpus so the expected bucket size stays ~LSH_TARGET_BUCKET_DOCS, the
+# same design as centroid_modulus for IVF. Thresholds are chosen so every
+# fixture scale (n ≤ 2000 at sf0.1; derived count is 8 up to n = 2048)
+# keeps the historical 8 planes — ql10's oracle twin pins 8 planes and
+# stays hash-identical at the gate scales. Measured at the 10× probe
+# (n = 20000 → 12 planes): 95.3 s → 13.9 s, tracking the n²/2^r work
+# model (100×/16 ≈ 6.3× vs sf0.1) — BASELINE.md round-5 section.
+LSH_TARGET_BUCKET_DOCS = 8
+LSH_MAX_PLANES = 24  # 16.7M buckets; past this the bucket space stops
+# growing and the per-bucket cap (LSH_ANN_BUCKET_CAP) is the remaining
+# guard — at 1e9 vectors E[bucket] ≈ 60, still far under the cap
+
+
+def lsh_planes_for(n_vectors: int) -> int:
+    """Plane count targeting E[bucket size] ≈ LSH_TARGET_BUCKET_DOCS."""
+    import math
+
+    if n_vectors <= 0:
+        return N_PLANES
+    r = math.ceil(math.log2(max(n_vectors / LSH_TARGET_BUCKET_DOCS, 1.0)))
+    return min(max(r, N_PLANES), LSH_MAX_PLANES)
 
 
 N_TOPK_SALTS = 16
@@ -249,9 +278,12 @@ def l2_norm_udf(emb: pd.Series) -> pd.Series:
 
 
 def lsh_buckets(
-    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
-    """Assign each vector a 2^N_PLANES-way LSH bucket: (id, vec, bucket).
+    """Assign each vector a 2^n_planes-way LSH bucket: (id, vec, bucket).
 
     Per-row expression only — the bucket id is computed inside codegen, no
     shuffle, no Python. sign(dot(plane, v)) per plane → bit → packed int.
@@ -265,7 +297,7 @@ def lsh_buckets(
     the first batch instead of producing plausible garbage.
     """
     bits = []
-    for p, weights in enumerate(plane_weights()):
+    for p, weights in enumerate(plane_weights(n_planes)):
         arr = f"array({', '.join(str(w) for w in weights)})"
         dot = DOT_EXPR.format(a=arr, b=vec_col)
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
@@ -494,15 +526,26 @@ def lsh_near_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     bucket_cap: int = LSH_ANN_BUCKET_CAP,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Approximate near-duplicate pairs: same LSH bucket AND cosine ≥ t.
 
     The self-join is keyed on the bucket id (uniform by construction), so
     the shuffle is balanced; cosine is verified exactly inside the bucket.
-    Bucket membership is capped at ``bucket_cap`` (smallest ids survive)
-    so no single bucket can go quadratic — see LSH_ANN_BUCKET_CAP.
+    Two structural guards keep the pair stage from going quadratic:
+
+    - the BUCKET SPACE grows with the corpus (``n_planes=None`` derives
+      the plane count from a count() of the input — one cheap column-scan
+      job, the same documented trade as ivf_topk's sampling pass — so
+      expected bucket size stays ~LSH_TARGET_BUCKET_DOCS; all fixture
+      scales derive the historical 8 planes, keeping oracle hashes);
+    - bucket MEMBERSHIP is capped at ``bucket_cap`` (smallest ids
+      survive), bounding any single adversarial bucket — see
+      LSH_ANN_BUCKET_CAP.
     """
-    b = lsh_buckets(df, vec_col, id_col)
+    if n_planes is None:
+        n_planes = lsh_planes_for(df.count())
+    b = lsh_buckets(df, vec_col, id_col, n_planes=n_planes)
     w = Window.partitionBy("bucket").orderBy(id_col)
     b = (
         b.withColumn("_rn", F.row_number().over(w))

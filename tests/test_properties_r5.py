@@ -169,3 +169,40 @@ def test_scratch_dir_unique_within_process():
     assert a != b
     assert os.path.dirname(a) == os.path.dirname(b)
     assert f"streamsurfer_scratch_{os.getpid()}" in a
+
+
+def test_lsh_planes_scale_with_corpus():
+    """The pair path's bucket space must grow with the corpus (E[bucket]
+    ~ LSH_TARGET_BUCKET_DOCS) while every fixture scale keeps the
+    historical 8 planes so oracle hashes never move."""
+    from streamsurfer_spark.operators import similarity
+
+    # fixture scales: sf0.001/0.01 have 500 vectors, sf0.1 has 2000
+    for n in (0, 1, 500, 2000, 2048):
+        assert similarity.lsh_planes_for(n) == similarity.N_PLANES
+    assert similarity.lsh_planes_for(20_000) == 12  # the 10x probe point
+    # monotone, and capped so the plane expression stays bounded
+    prev = 0
+    for n in (10**4, 10**6, 10**8, 10**10, 10**12):
+        r = similarity.lsh_planes_for(n)
+        assert r >= prev
+        prev = r
+    assert prev == similarity.LSH_MAX_PLANES
+
+
+def test_lsh_added_planes_refine_buckets(spark):
+    """Widening the plane count must REFINE buckets, not reshuffle them:
+    two vectors sharing a 12-plane bucket must share the 8-plane bucket
+    (plane p's weights depend only on p). This is what makes the adaptive
+    bucket space a pure work-splitter — no candidate pair found at r
+    planes is introduced at r' < r planes."""
+    import math
+
+    from streamsurfer_spark.operators import similarity
+
+    rows = [(i, [math.sin(i * 1.7 + d) for d in range(64)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b8 = {r.vec_id: r.bucket for r in similarity.lsh_buckets(df, n_planes=8).collect()}
+    b12 = {r.vec_id: r.bucket for r in similarity.lsh_buckets(df, n_planes=12).collect()}
+    for vid, b in b12.items():
+        assert b % 256 == b8[vid], "low 8 plane bits changed when widening"
