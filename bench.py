@@ -87,6 +87,12 @@ BENCH_QUERIES = (
     # capstone 8: the unified canonical-duplicate map (exact ∪ LSH ∪
     # containment edges → connected components)
     "qp08_canonical_map",
+    # round-5 extensions: the adaptive-bucket-space LSH pair path, the
+    # manifest-checkpoint training mix (qp07's 100 TB formulation), and
+    # the incremental streaming LSH dedup (real 3-batch run + replay)
+    "ql10_lsh_ann_pairs",
+    "qp07b_training_mix_manifest",
+    "qs15_stream_lsh_dedup",
 )
 
 
