@@ -51,10 +51,26 @@ def profile(df: DataFrame, renders: dict[str, Column]) -> DataFrame:
         ]
     )
     long = df.select(F.explode(entries).alias("e")).select("e.col_name", "e.val")
-    return long.groupBy("col_name").agg(
+    stats = long.groupBy("col_name").agg(
         F.count("*").alias("n_rows"),
         (F.count("*") - F.count("val")).alias("n_nulls"),
         F.countDistinct("val").alias("n_distinct"),
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
+    )
+    # a profile of an EMPTY table is still one row per column (all-zero
+    # counts, NULL extrema) — matching the per-column-aggregate formulation
+    # the DuckDB twin uses; without this, the grouped shape silently drops
+    # to zero rows on empty input (found by tools/empty_sweep.py). The
+    # join is a broadcast against a literal len(renders)-row frame.
+    names = df.sparkSession.createDataFrame(
+        [(n,) for n in renders], "col_name string"
+    )
+    return F.broadcast(names).join(stats, "col_name", "left").select(
+        "col_name",
+        F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        F.coalesce("n_nulls", F.lit(0)).alias("n_nulls"),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        "min_val",
+        "max_val",
     )

@@ -54,6 +54,7 @@ _VERIFY_FIRST = (
     "qs13_foreachbatch_upsert", # scratch-dir lifecycle
     "qs14_stream_cdc_apply",    # scratch-dir lifecycle
     "qs15_stream_lsh_dedup",    # NEW: incremental LSH dedup stream (stretch)
+    "qr44_profile_orders",      # profile emits all-zero rows on empty input
     # (2) rotation, oldest-verified-first: latest driver row is r1
     "qr01_scan_checksum",
     "qr02_filter_agg",
@@ -105,7 +106,6 @@ _VERIFY_FIRST = (
     "qr41_dormant_customers",
     "qr42_upsert_snapshot",
     "qr43_cdc_apply",
-    "qr44_profile_orders",
     # ...then the r2-latest band (oldest families first)
     "qv01_validate_required",
     "qv02_payload_parse",

@@ -802,7 +802,12 @@ def qt12_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stage",
             "n_users",
             "total_latency_us",
-            F.round(F.col("n_users") / F.col("n_base"), 4).alias("conversion"),
+            # try_divide: an empty funnel base (no views at all) yields
+            # NULL conversion on both engines — DuckDB's x/0 is already
+            # NULL, Spark's ANSI `/` would error (tools/empty_sweep.py)
+            F.round(F.try_divide(F.col("n_users"), F.col("n_base")), 4).alias(
+                "conversion"
+            ),
         )
         .orderBy("stage")
     )

@@ -332,6 +332,8 @@ def test_verify_window_follows_round5_rotation_policy():
         "qs13_foreachbatch_upsert", # scratch-dir lifecycle
         "qs14_stream_cdc_apply",    # scratch-dir lifecycle
         "qs15_stream_lsh_dedup",    # new in round 5
+        "qr44_profile_orders",      # empty-input profile rows (round 5)
+        "qt12_funnel",              # try_divide on empty funnel base
     }
     missing = changed_r5 - window
     assert not missing, f"round-5-changed queries outside the gate window: {missing}"
