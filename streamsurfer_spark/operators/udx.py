@@ -38,9 +38,11 @@ def zscore_by_group(df, group_col: str, value_col: str, out_schema: str):
     """Grouped-map: z-score `value_col` within each group.
 
     applyInPandas hands each whole group as one pandas DataFrame (Arrow);
-    ddof=1 matches SQL stddev_samp. Groups must fit in memory — for
-    unbounded groups use window expressions instead (same math, streaming
-    partials).
+    ddof=1 matches SQL stddev_samp. Degenerate groups z-score to 0.0 (a
+    single sample — pandas std NaN — or an all-equal group — std 0; the
+    QL19 twin replicates this with a CASE on stddev_samp > 0). Groups
+    must fit in memory — for unbounded groups use window expressions
+    instead (same math, streaming partials).
     """
 
     def zs(pdf: pd.DataFrame) -> pd.DataFrame:

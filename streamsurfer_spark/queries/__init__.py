@@ -55,6 +55,7 @@ _VERIFY_FIRST = (
     "qs14_stream_cdc_apply",    # scratch-dir lifecycle
     "qs15_stream_lsh_dedup",    # NEW: incremental LSH dedup stream (stretch)
     "qr44_profile_orders",      # profile emits all-zero rows on empty input
+    "ql19_grouped_map_zscore",  # twin: degenerate-group zscore CASE
     # (2) rotation, oldest-verified-first: latest driver row is r1
     "qr01_scan_checksum",
     "qr02_filter_agg",
@@ -128,7 +129,6 @@ _VERIFY_FIRST = (
     "ql16_hash_sample",
     "ql17_stratified_sample",
     "ql18_udaf_geo_mean",
-    "ql19_grouped_map_zscore",
     "ql20_udtf_tokenize",
     "ql22_tfidf_top_terms",
     "qp01_curation_report",

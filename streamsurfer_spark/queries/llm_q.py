@@ -660,7 +660,14 @@ def ql19_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QL19_SQL = """
 SELECT doc_id, source,
-       round((n_chars - avg(n_chars) OVER w) / stddev_samp(n_chars) OVER w, 4) AS zscore
+       -- degenerate groups (1 sample → stddev NULL; all-equal → stddev 0)
+       -- z-score to 0.0, matching the operator's sd > 0 guard — found by
+       -- the 1-row sweep (tools/empty_sweep.py one); populated groups hit
+       -- the THEN branch unchanged
+       CASE WHEN stddev_samp(n_chars) OVER w > 0
+            THEN round((n_chars - avg(n_chars) OVER w)
+                       / stddev_samp(n_chars) OVER w, 4)
+            ELSE 0.0 END AS zscore
 FROM documents
 WINDOW w AS (PARTITION BY source)
 ORDER BY doc_id

@@ -1,6 +1,7 @@
-"""Empty-fixture differential sweep: run every oracle-bearing registry
-query on a fixture where EVERY table has its real schema but ZERO rows,
-and compare Spark vs DuckDB exactly as the gate does.
+"""Degenerate-fixture differential sweep: run every oracle-bearing
+registry query on a fixture where EVERY table has its real schema but
+ZERO rows (mode `empty`, default) or exactly ONE row (mode `one`), and
+compare Spark vs DuckDB exactly as the gate does.
 
 Why: the round-4 ADVICE found qt12 returning NULL where its twin returned
 0 — a divergence invisible at any populated scale because the fixture
@@ -10,7 +11,11 @@ so sweeping the whole registry against an empty fixture flushes out every
 instance at once. qr55_empty_result pinned ONE query's empty behavior;
 this sweeps all of them.
 
-Usage: python tools/empty_sweep.py [--fix-dir DIR]
+Mode `one` probes a different divergence class: single-sample variance
+(NULL vs NaN), degenerate windows and percentiles, self-joins with no
+partner rows.
+
+Usage: python tools/empty_sweep.py [dstdir] [empty|one]
 Prints one line per query: OK / MISMATCH / SKIP (structural) / ERR.
 """
 
@@ -40,7 +45,7 @@ STRUCTURAL = {
 }
 
 
-def build_empty_fixture(dst: str) -> None:
+def build_fixture(dst: str, mode: str) -> None:
     import duckdb
 
     from streamsurfer_spark.session import TABLES
@@ -51,8 +56,9 @@ def build_empty_fixture(dst: str) -> None:
         src_path = os.path.join(SRC, f"{t}.parquet")
         if not os.path.exists(src_path):
             continue
+        pred = "WHERE 1=0" if mode == "empty" else "LIMIT 1"
         con.execute(
-            f"COPY (SELECT * FROM read_parquet('{src_path}') WHERE 1=0)"
+            f"COPY (SELECT * FROM read_parquet('{src_path}') {pred})"
             f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
 
@@ -65,7 +71,8 @@ def main() -> None:
     from tests.conftest import canonicalize
 
     dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfempty"
-    build_empty_fixture(dst)
+    mode = sys.argv[2] if len(sys.argv) > 2 else "empty"
+    build_fixture(dst, mode)
 
     spark = get_spark("empty-sweep", shuffle_partitions=4)
     con = duckdb.connect()
@@ -105,7 +112,7 @@ def main() -> None:
         else:
             print(f"{name}: OK ({len(s_rows)}r)", flush=True)
             ok += 1
-    print(f"\nempty sweep: {ok} OK, {mism} MISMATCH, {err} ERR, {skip} SKIP")
+    print(f"\n{mode} sweep: {ok} OK, {mism} MISMATCH, {err} ERR, {skip} SKIP")
 
 
 if __name__ == "__main__":
