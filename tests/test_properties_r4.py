@@ -318,8 +318,15 @@ def test_verify_window_follows_round5_rotation_policy():
     half silently forfeits independent verification."""
     from streamsurfer_spark.queries import registry
 
+    from streamsurfer_spark.queries import _VERIFY_FIRST
+
     names = list(registry())
     window = set(names[:50])
+
+    # a typo in _VERIFY_FIRST is silently skipped by registry(), quietly
+    # reshaping the window — every prefix name must resolve
+    unknown = [n for n in _VERIFY_FIRST if n not in names]
+    assert not unknown, f"_VERIFY_FIRST names not in registry: {unknown}"
 
     changed_r5 = {
         "ql10_lsh_ann_pairs",       # LSH_ANN_BUCKET_CAP + dim guard + capped twin
