@@ -6,9 +6,15 @@ Design notes (100 TB target):
   partition counts are always wrong for at least one stage.
 - UTC session timezone: deterministic timestamp rendering (the reference
   stamps UTC strings — /root/reference/main.go:179) and oracle parity.
-- shuffle.partitions is a *local* default; on a real cluster this is
-  superseded by AQE's coalescing from `spark.sql.adaptive.coalescePartitions.
-  initialPartitionNum`, which we set high so AQE can split skew.
+- shuffle.partitions is a *local* default sized to the thread count. On
+  a real cluster, raise `spark.sql.adaptive.coalescePartitions.
+  initialPartitionNum` (or SPARK_GRAFT_SHUFFLE_PARTITIONS here) so
+  partitions scale with data and AQE coalesces the small stages back
+  down. Measured on this box (30× probe, ql54): 128 partitions cut a
+  GC-bound linear-volume shuffle 40%, but blanket-raising
+  initialPartitionNum to 256 SLOWED every fixture-scale query 1.5-2×
+  (local-mode pre-coalesce reducer overhead) — so the wide default is a
+  cluster setting, deliberately NOT baked in locally.
 - Arrow enabled for every pandas interchange (vectorized UDF hot paths).
 """
 
@@ -42,7 +48,11 @@ def get_spark(app_name: str = "streamsurfer-spark", *, shuffle_partitions: int |
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+        env_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "")
+        if env_parts.isdigit():
+            shuffle_partitions = int(env_parts)
+        else:
+            shuffle_partitions = int(cpus) if cpus.isdigit() else 32
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
