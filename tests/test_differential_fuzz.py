@@ -1,0 +1,162 @@
+"""Generated-input differential fuzz: Spark vs DuckDB on hypothesis-built
+event tables (round 5).
+
+The oracle gate and the local oracle suite compare engines on ONE data
+shape — the driver fixtures. These tests generate adversarial small
+`events` tables (colliding timestamps, single users, empty event-type
+classes, interleaved sessions) and run registry queries through BOTH
+engines on them, using the exact gate comparison. Targets are the
+operators whose semantics live in ordering edges the fixture may never
+hit: the as-of join (timestamp ties), cohort retention (first-seen
+boundaries), and the transition matrix (single-event users, self-loops).
+
+Queries are integer/count-valued, so there is no float-rounding
+ambiguity to mask a real mismatch. Example counts are kept small: each
+example runs two engines end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from streamsurfer_spark.queries import registry
+from tests.conftest import assert_matches_oracle
+
+EVENT_TYPES = ("view", "click", "purchase", "error")
+
+# timestamps inside one hour at second granularity → dense collisions
+_TS_BASE = 1_704_067_200_000_000  # 2024-01-01T00:00:00 UTC in micros
+
+event_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # user_id
+        st.integers(min_value=0, max_value=120),      # seconds offset
+        st.sampled_from(EVENT_TYPES),                 # event_type
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _write_events(rows, path: str) -> None:
+    # deterministic event_id = row index; duplicate (user, ts, type)
+    # triples are allowed and meaningful (the tie edges under test)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [_TS_BASE + s * 1_000_000 for _, s, _ in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+            "event_type": pa.array([e for _, _, e in rows], pa.string()),
+            "value": pa.array([float(i % 7) for i in range(len(rows))], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(path, "events.parquet"))
+
+
+def _check(spark, tmp_path, rows, name):
+    d = str(tmp_path)
+    _write_events(rows, d)
+    spec = registry()[name]
+    df = spec.spark(spark, d)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet("
+            f"'{os.path.join(d, 'events.parquet')}')"
+        )
+        assert_matches_oracle(df, con, spec.oracle, name=f"{name} fuzz")
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["qt01_asof_last_click", "qt13_cohort_retention", "qt14_transition_matrix"],
+)
+@given(rows=event_rows)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_events_match_oracle(spark, tmp_path_factory, rows, name):
+    tmp = tmp_path_factory.mktemp("fuzz")
+    _check(spark, tmp, rows, name)
+
+
+# --- tie-heavy numeric fuzz: extrema and percentile families ---------------
+
+cents_values = st.lists(
+    st.tuples(
+        st.sampled_from(("A", "B")),                    # group
+        st.integers(min_value=-500, max_value=500),     # value in cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _check_numeric(spark, tmp_path, rows, name):
+    """Generate tie-heavy numeric tables for the extrema/percentile family.
+
+    Values are exact cent grids (x/100 is exact enough in binary64 for
+    round() to agree), duplicated freely — the tie edges max_by/min_by
+    and percentile_disc are specified to resolve deterministically.
+    """
+    d = str(tmp_path)
+    vals = [c / 100.0 for _, c in rows]
+    groups = [g for g, _ in rows]
+    n = len(rows)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n), pa.int64()),
+                "c_mktsegment": pa.array(groups, pa.string()),
+                "c_acctbal": pa.array(vals, pa.float64()),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array(groups, pa.string()),
+                "l_extendedprice": pa.array(vals, pa.float64()),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    spec = registry()[name]
+    df = spec.spark(spark, d)
+    con = duckdb.connect()
+    try:
+        for t in ("customer", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                f"'{os.path.join(d, t + '.parquet')}')"
+            )
+        assert_matches_oracle(df, con, spec.oracle, name=f"{name} fuzz")
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("name", ["qr30_arg_extrema", "qr72_winsorized_stats"])
+@given(rows=cents_values)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_numeric_match_oracle(spark, tmp_path_factory, rows, name):
+    tmp = tmp_path_factory.mktemp("nfuzz")
+    _check_numeric(spark, tmp, rows, name)
