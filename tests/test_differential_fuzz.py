@@ -45,19 +45,21 @@ event_rows = st.lists(
 
 
 def _write_events(rows, path: str) -> None:
-    # deterministic event_id = row index; duplicate (user, ts, type)
-    # triples are allowed and meaningful (the tie edges under test)
+    # event_ids deliberately COLLIDE (~2 rows per id) so the dedup and
+    # tie-resolution paths actually fire; duplicate (user, ts, type)
+    # triples are likewise allowed and meaningful
+    n = len(rows)
     t = pa.table(
         {
-            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "event_id": pa.array([i % (n // 2 + 1) for i in range(n)], pa.int64()),
             "ts": pa.array(
-                [_TS_BASE + s * 1_000_000 for _, s, _ in rows],
+                [_TS_BASE + sec * 1_000_000 for _, sec, _ in rows],
                 pa.timestamp("us"),
             ),
             "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
             "event_type": pa.array([e for _, _, e in rows], pa.string()),
-            "value": pa.array([float(i % 7) for i in range(len(rows))], pa.float64()),
-            "props": pa.array(["{}"] * len(rows), pa.string()),
+            "value": pa.array([float(i % 7) for i in range(n)], pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
         }
     )
     pq.write_table(t, os.path.join(path, "events.parquet"))
@@ -81,7 +83,14 @@ def _check(spark, tmp_path, rows, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["qt01_asof_last_click", "qt13_cohort_retention", "qt14_transition_matrix"],
+    [
+        "qt01_asof_last_click",
+        "qt13_cohort_retention",
+        "qt14_transition_matrix",
+        "qt03_sessionize",       # gap ties at the session boundary
+        "qs05_dedup_earliest",   # duplicate-id tie resolution
+        "qt05_ohlc_bars",        # open/close ties at equal timestamps
+    ],
 )
 @given(rows=event_rows)
 @settings(
