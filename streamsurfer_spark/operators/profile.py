@@ -62,11 +62,12 @@ def profile(df: DataFrame, renders: dict[str, Column]) -> DataFrame:
     # counts, NULL extrema) — matching the per-column-aggregate formulation
     # the DuckDB twin uses; without this, the grouped shape silently drops
     # to zero rows on empty input (found by tools/empty_sweep.py). The
-    # join is a broadcast against a literal len(renders)-row frame.
+    # stats side (tiny after aggregation) is the broadcast build side —
+    # the preserved left side of an outer join cannot be broadcast.
     names = df.sparkSession.createDataFrame(
         [(n,) for n in renders], "col_name string"
     )
-    return F.broadcast(names).join(stats, "col_name", "left").select(
+    return names.join(F.broadcast(stats), "col_name", "left").select(
         "col_name",
         F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
         F.coalesce("n_nulls", F.lit(0)).alias("n_nulls"),

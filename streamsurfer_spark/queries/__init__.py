@@ -35,8 +35,8 @@ class QuerySpec:
 #     bucket cap + plane-DIM guard + twin cap replication, cosine twin
 #     caps, qt12 coalesce, scratch-dir lifecycle, qp07b manifest variant)
 #     — a fresh green row proves each Spark+oracle lockstep update,
-# (2) rotation, oldest-verified-first: the 49 entries whose latest driver
-#     row is ROUND 1 (qr01-qr44 band) fill the remaining ~41 slots,
+# (2) rotation, oldest-verified-first: entries whose latest driver row
+#     is ROUND 1 (the qr01-qr33 band) fill the remaining 38 slots,
 # (3) the overflow tail continues the rotation order — remaining r1
 #     entries, then the 38 r2-latest entries (qv/ql/qs/qt bands), so a
 #     wider window or the r6 rotation picks them up next, then everything
@@ -95,11 +95,12 @@ _VERIFY_FIRST = (
     "qr31_null_semantics",
     "qr32_unpivot",
     "qr33_posexplode",
+    # --- ~window boundary (driver evaluates the first ~50; the 12
+    # round-5-changed entries above + qr01-qr33 = exactly 50) ---
+    # (3) overflow tail: remaining r1-latest entries first...
     "qr34_timezone_pack",
     "qr35_lambda_pack",
     "qr36_lateral_topk",
-    # --- ~window boundary (driver evaluates the first ~50) ---
-    # (3) overflow tail: remaining r1-latest entries first...
     "qr37_salted_join",
     "qr38_shipping_priority",
     "qr39_large_volume_customers",

@@ -49,7 +49,7 @@ def get_spark(app_name: str = "streamsurfer-spark", *, shuffle_partitions: int |
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         env_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "")
-        if env_parts.isdigit():
+        if env_parts.isdigit() and int(env_parts) > 0:
             shuffle_partitions = int(env_parts)
         else:
             shuffle_partitions = int(cpus) if cpus.isdigit() else 32

@@ -340,7 +340,6 @@ def test_verify_window_follows_round5_rotation_policy():
         "qs14_stream_cdc_apply",    # scratch-dir lifecycle
         "qs15_stream_lsh_dedup",    # new in round 5
         "qr44_profile_orders",      # empty-input profile rows (round 5)
-        "qt12_funnel",              # try_divide on empty funnel base
         "ql19_grouped_map_zscore",  # degenerate-group zscore twin CASE
     }
     missing = changed_r5 - window
