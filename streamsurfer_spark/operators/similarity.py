@@ -21,11 +21,12 @@ Scale notes: both paths are shuffle-minimal — brute force shuffles only for
 the final top-k window (keyed by probe id); LSH shuffles on uniform bucket
 ids. The pair path is bounded structurally on two axes: the BUCKET SPACE
 grows with the corpus (`lsh_planes_for` derives the plane count so the
-expected bucket size stays constant — measured 95.3 s → 13.9 s at the 10×
-probe, matching the n²/buckets work model), and bucket MEMBERSHIP is capped at LSH_ANN_BUCKET_CAP with a
-WindowGroupLimit that prunes before the exchange, so even an adversarial
-bucket (mass near the hyperplanes, mega-duplicated vectors) cannot go
-quadratic. Residual moderate skew is handled by AQE skew-join at runtime.
+expected bucket size stays constant — measured 95.3 s → 13.9 s at the
+10× probe, matching the n²/buckets work model), and bucket MEMBERSHIP
+is capped at LSH_ANN_BUCKET_CAP with a WindowGroupLimit that prunes
+before the exchange, so even an adversarial bucket (mass near the
+hyperplanes, mega-duplicated vectors) cannot go quadratic. Residual
+moderate skew is handled by AQE skew-join at runtime.
 """
 
 from __future__ import annotations
