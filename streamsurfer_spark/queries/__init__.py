@@ -56,6 +56,7 @@ _VERIFY_FIRST = (
     "qs15_stream_lsh_dedup",    # NEW: incremental LSH dedup stream (stretch)
     "qr44_profile_orders",      # profile emits all-zero rows on empty input
     "ql19_grouped_map_zscore",  # twin: degenerate-group zscore CASE
+    "qv06_json_extract",        # try_cast payload extraction (fuzz find)
     # (2) rotation, oldest-verified-first: latest driver row is r1
     "qr01_scan_checksum",
     "qr02_filter_agg",
@@ -94,10 +95,10 @@ _VERIFY_FIRST = (
     "qr30_arg_extrema",
     "qr31_null_semantics",
     "qr32_unpivot",
-    "qr33_posexplode",
-    # --- ~window boundary (driver evaluates the first ~50; the 12
-    # round-5-changed entries above + qr01-qr33 = exactly 50) ---
+    # --- ~window boundary (driver evaluates the first ~50; the 13
+    # round-5-changed entries above + qr01-qr32 = exactly 50) ---
     # (3) overflow tail: remaining r1-latest entries first...
+    "qr33_posexplode",
     "qr34_timezone_pack",
     "qr35_lambda_pack",
     "qr36_lateral_topk",
@@ -114,7 +115,6 @@ _VERIFY_FIRST = (
     "qv03_origin_stamp",
     "qv04_ts_render",
     "qv05_envelope_json",
-    "qv06_json_extract",
     "qv07_json_typed_parse",
     "qv08_batch_wire_format",
     "ql01_exact_dedup",

@@ -130,15 +130,25 @@ ORDER BY event_id
 
 def qv06_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    # try_cast: the reference accepts ANY json.Marshal-able payload
+    # (main.go:202), so a producer sending {"k": "x"} must yield NULL,
+    # not kill the query under ANSI cast (found by the payload fuzz in
+    # tests/test_differential_fuzz.py)
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.expr("try_cast(get_json_object(props, '$.k') AS int)").alias("k_val"),
     ).orderBy("event_id")
 
 
+# the integer-string regex guard replicates Spark's try_cast semantics:
+# DuckDB's TRY_CAST ROUNDS decimal strings ('1.5' -> 2) where Spark
+# yields NULL — found by the payload fuzz's decimal-string probe
 QV06_SQL = """
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+       CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                '^\\s*[+-]?\\d+\\s*$')
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+            ELSE NULL END AS k_val
 FROM events
 ORDER BY event_id
 """

@@ -169,3 +169,132 @@ def _check_numeric(spark, tmp_path, rows, name):
 def test_generated_numeric_match_oracle(spark, tmp_path_factory, rows, name):
     tmp = tmp_path_factory.mktemp("nfuzz")
     _check_numeric(spark, tmp, rows, name)
+
+
+# --- sub-second timestamp render fuzz (the reference's wire format) --------
+
+# deliberately include the trimming edges: exact millis, hanging micros,
+# all-zeros, all-nines — Go's .999 layout trims trailing zeros
+# (reference main.go:179) and both engines must agree after the trim
+_EDGE_MICROS = (0, 1, 999, 1_000, 10_000, 500_000, 900_000, 999_000, 999_999, 123_456)
+
+micro_offsets = st.lists(
+    st.one_of(
+        st.sampled_from(_EDGE_MICROS),
+        st.integers(min_value=0, max_value=3_599_999_999),  # µs within an hour
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(offsets=micro_offsets)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ts_render_fuzz_subsecond(spark, tmp_path_factory, offsets):
+    """qv04's millisecond render + Go-style trailing-zero trim must agree
+    across engines for arbitrary MICROsecond timestamps — the fixture only
+    exercises whatever sub-second distribution the generator happened to
+    produce."""
+    d = str(tmp_path_factory.mktemp("tsfuzz"))
+    n = len(offsets)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    [_TS_BASE + off for off in offsets], pa.timestamp("us")
+                ),
+                "user_id": pa.array([0] * n, pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array([0.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    spec = registry()["qv04_ts_render"]
+    df = spec.spark(spark, d)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet("
+            f"'{os.path.join(d, 'events.parquet')}')"
+        )
+        assert_matches_oracle(df, con, spec.oracle, name="qv04 fuzz")
+    finally:
+        con.close()
+
+
+# --- JSON payload extraction fuzz ------------------------------------------
+
+import json as _json
+
+# props JSON: the probed key "k" may be absent, an int, an int-ish
+# string, a non-numeric string, nested, or null; extra keys and unicode
+# stress the parser the same way arbitrary producer payloads would
+_k_value = st.one_of(
+    st.none(),
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.integers(min_value=-99, max_value=99).map(str),
+    st.sampled_from(
+        ("x", "", "12abc", "naïve – 測試", "1.5", "2.7", " 12 ", "+7", "-0",
+         "99999999999999999999")
+    ),
+    st.lists(st.integers(min_value=0, max_value=3), max_size=2),
+)
+props_strategy = st.lists(
+    st.fixed_dictionaries(
+        {},
+        optional={
+            "k": _k_value,
+            "other": st.sampled_from(("a", "ü", '"quoted"')),
+        },
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(dicts=props_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_json_extract_fuzz(spark, tmp_path_factory, dicts):
+    """qv06's $.k extraction + int cast must agree across engines for
+    absent keys, wrong-typed values, nested values, and unicode payloads
+    — the schema-less producer reality the reference accepts (any
+    json.Marshal-able map)."""
+    d = str(tmp_path_factory.mktemp("jsonfuzz"))
+    n = len(dicts)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array([_TS_BASE] * n, pa.timestamp("us")),
+                "user_id": pa.array([0] * n, pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array([0.0] * n, pa.float64()),
+                "props": pa.array(
+                    [_json.dumps(x, ensure_ascii=False) for x in dicts], pa.string()
+                ),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    spec = registry()["qv06_json_extract"]
+    df = spec.spark(spark, d)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet("
+            f"'{os.path.join(d, 'events.parquet')}')"
+        )
+        assert_matches_oracle(df, con, spec.oracle, name="qv06 fuzz")
+    finally:
+        con.close()

@@ -341,6 +341,7 @@ def test_verify_window_follows_round5_rotation_policy():
         "qs15_stream_lsh_dedup",    # new in round 5
         "qr44_profile_orders",      # empty-input profile rows (round 5)
         "ql19_grouped_map_zscore",  # degenerate-group zscore twin CASE
+        "qv06_json_extract",        # try_cast payload extraction
     }
     missing = changed_r5 - window
     assert not missing, f"round-5-changed queries outside the gate window: {missing}"
