@@ -57,6 +57,8 @@ _VERIFY_FIRST = (
     "qr44_profile_orders",      # profile emits all-zero rows on empty input
     "ql19_grouped_map_zscore",  # twin: degenerate-group zscore CASE
     "qv06_json_extract",        # try_cast payload extraction (fuzz find)
+    "qv02_payload_parse",       # try_parse_json validity + typed-k guard
+    "qv07_json_typed_parse",    # json_type-guarded twin (fuzz find)
     # (2) rotation, oldest-verified-first: latest driver row is r1
     "qr01_scan_checksum",
     "qr02_filter_agg",
@@ -93,11 +95,11 @@ _VERIFY_FIRST = (
     "qr28_filtered_agg",
     "qr29_range_frame",
     "qr30_arg_extrema",
+    # --- ~window boundary (driver evaluates the first ~50; the 15
+    # round-5-changed entries above + qr01-qr30 = exactly 50) ---
+    # (3) overflow tail: remaining r1-latest entries first...
     "qr31_null_semantics",
     "qr32_unpivot",
-    # --- ~window boundary (driver evaluates the first ~50; the 13
-    # round-5-changed entries above + qr01-qr32 = exactly 50) ---
-    # (3) overflow tail: remaining r1-latest entries first...
     "qr33_posexplode",
     "qr34_timezone_pack",
     "qr35_lambda_pack",
@@ -111,11 +113,9 @@ _VERIFY_FIRST = (
     "qr43_cdc_apply",
     # ...then the r2-latest band (oldest families first)
     "qv01_validate_required",
-    "qv02_payload_parse",
     "qv03_origin_stamp",
     "qv04_ts_render",
     "qv05_envelope_json",
-    "qv07_json_typed_parse",
     "qv08_batch_wire_format",
     "ql01_exact_dedup",
     "ql02_minhash_lsh_pairs",

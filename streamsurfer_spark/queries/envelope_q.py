@@ -44,20 +44,32 @@ FROM events
 
 def qv02_payload_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    parsed = ev.withColumn("payload", F.from_json("props", "k INT"))
-    # from_json yields NULL for unparseable payloads — the engine's analog
-    # of the reference's type-assertion reject (main.go:175).
+    # validity = try_parse_json (NULL ⇔ malformed) — the engine's analog of
+    # the reference's type-assertion reject (main.go:175). PERMISSIVE
+    # from_json is NOT a validity test: it returns a non-null all-NULL
+    # struct for malformed input (found by the payload fuzz); the typed
+    # k extraction still goes through from_json, whose INT field accepts
+    # integral in-range JSON NUMBERS only (quoted "12", 1.5, true → NULL).
+    parsed = ev.withColumn("payload", F.from_json("props", "k INT")).withColumn(
+        "ok", F.expr("try_parse_json(props) IS NOT NULL")
+    )
     return parsed.agg(
-        F.count(F.when(F.col("payload").isNotNull(), 1)).alias("n_parse_ok"),
-        F.count(F.when(F.col("payload").isNull(), 1)).alias("n_parse_fail"),
+        F.count(F.when(F.col("ok"), 1)).alias("n_parse_ok"),
+        F.count(F.when(~F.col("ok"), 1)).alias("n_parse_fail"),
         F.sum(F.col("payload.k").cast("long")).alias("sum_k"),
     )
 
 
+# the json_type guard replicates from_json's INT-field semantics: only
+# integral JSON numbers count; UBIGINT/BIGINT covers both signs, and
+# TRY_CAST to INTEGER nulls int32 overflow exactly as Spark does
 QV02_SQL = """
 SELECT count(CASE WHEN json_valid(props) THEN 1 END) AS n_parse_ok,
        count(CASE WHEN NOT json_valid(props) THEN 1 END) AS n_parse_fail,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+       CAST(sum(CAST(CASE WHEN json_valid(props)
+                           AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                      THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+                      END AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 """
 
@@ -174,12 +186,22 @@ def qv07_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# same json_type guard as QV02_SQL: from_json INT fields accept integral
+# in-range JSON numbers only
 QV07_SQL = """
+WITH typed AS (
+    SELECT event_type,
+           CASE WHEN json_valid(props)
+                 AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+                END AS k
+    FROM events
+)
 SELECT event_type,
-       count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_k
-FROM events
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 2) AS avg_k
+FROM typed
 GROUP BY event_type
 ORDER BY event_type
 """

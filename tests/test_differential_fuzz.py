@@ -298,3 +298,69 @@ def test_json_extract_fuzz(spark, tmp_path_factory, dicts):
         assert_matches_oracle(df, con, spec.oracle, name="qv06 fuzz")
     finally:
         con.close()
+
+
+# --- typed-payload parse fuzz (qv02 / qv07) --------------------------------
+
+_raw_props = st.one_of(
+    # malformed and non-object JSON — the validity-count edges
+    st.sampled_from(
+        ("not json", "", "[1, 2]", "12", "null", "{", '{"k": }', "true")
+    ),
+    # well-formed objects with k of every JSON type
+    st.fixed_dictionaries(
+        {},
+        optional={
+            "k": st.one_of(
+                st.none(),
+                st.integers(min_value=-(2**40), max_value=2**40),  # incl. int32 overflow
+                st.floats(allow_nan=False, allow_infinity=False, width=32),
+                st.integers(min_value=-99, max_value=99).map(str),
+                st.booleans(),
+                st.lists(st.integers(min_value=0, max_value=3), max_size=2),
+            ),
+            "noise": st.sampled_from(("a", "ü")),
+        },
+    ).map(lambda d: _json.dumps(d, ensure_ascii=False)),
+)
+
+
+@pytest.mark.parametrize("name", ["qv02_payload_parse", "qv07_json_typed_parse"])
+@given(props=st.lists(_raw_props, min_size=1, max_size=25))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_typed_parse_fuzz(spark, tmp_path_factory, props, name):
+    """qv02/qv07's parse-validity counts and typed-k aggregates must agree
+    across engines for malformed JSON, non-object JSON, and k values of
+    every JSON type — the schema-less producer reality."""
+    d = str(tmp_path_factory.mktemp("pfuzz"))
+    n = len(props)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array([_TS_BASE] * n, pa.timestamp("us")),
+                "user_id": pa.array([0] * n, pa.int64()),
+                "event_type": pa.array(
+                    [("view", "click")[i % 2] for i in range(n)], pa.string()
+                ),
+                "value": pa.array([0.0] * n, pa.float64()),
+                "props": pa.array(props, pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    spec = registry()[name]
+    df = spec.spark(spark, d)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet("
+            f"'{os.path.join(d, 'events.parquet')}')"
+        )
+        assert_matches_oracle(df, con, spec.oracle, name=f"{name} fuzz")
+    finally:
+        con.close()

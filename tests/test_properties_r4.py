@@ -342,6 +342,8 @@ def test_verify_window_follows_round5_rotation_policy():
         "qr44_profile_orders",      # empty-input profile rows (round 5)
         "ql19_grouped_map_zscore",  # degenerate-group zscore twin CASE
         "qv06_json_extract",        # try_cast payload extraction
+        "qv02_payload_parse",       # try_parse_json validity (fuzz find)
+        "qv07_json_typed_parse",    # json_type-guarded twin (fuzz find)
     }
     missing = changed_r5 - window
     assert not missing, f"round-5-changed queries outside the gate window: {missing}"
