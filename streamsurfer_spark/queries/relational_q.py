@@ -515,6 +515,9 @@ QR13_EXCEPT_SQL = _QR13_TMPL.format(op="EXCEPT")
 # --- Q-R14: scalar string functions -------------------------------------------
 
 def qr14_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # upper() uses the JVM's FULL Unicode case mapping ('ß' → 'SS');
+    # DuckDB's ICU path maps simply ('ß' → 'ẞ') — a documented
+    # engine-level divergence outside ASCII (FIXTURES.md §5)
     part = _t(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
