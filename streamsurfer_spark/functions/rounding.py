@@ -1,0 +1,48 @@
+"""Tie-proof cross-engine rounding for computed ratios and similarities.
+
+`ROUND(x, d)` on a raw computed double is the one mechanism left (probed
+round 5, FIXTURES.md §3) that can silently split the engines: Spark rounds
+the double's SHORTEST DECIMAL REPRESENTATION half-up (``round(0.285d, 2)``
+→ 0.29 even though the binary value is 0.28499999999999998), while DuckDB
+rounds the EXACT binary value (→ 0.28). Ratios of small integers hit this
+for real — 57/200 IS 0.285 — so every similarity/ratio score the engine
+emits goes through the scaled-integer discipline instead:
+
+    micro = CAST(ROUND(x * 10^d') AS BIGINT)   -- d' = digits kept
+    score = micro / 10^d'                      -- double read-back
+
+Why this is tie-proof: rounding a double to an INTEGER cannot diverge.
+Every half-integer is exactly representable in binary, so a double either
+IS a true midpoint (shortest repr "…#.5"; Spark's HALF_UP and DuckDB's
+round-half-away-from-zero both move away from zero) or is strictly on one
+side of it (its shortest repr then carries enough digits to show which
+side, so the shortest-repr and exact-binary views agree). The divergence
+window of fractional-digit rounding — shortest repr shows a bare '5' just
+past the kept digit while the binary value sits below the midpoint — has
+no integer-scale analogue. The read-back division by a power of ten is a
+single correctly-rounded IEEE op on identical inputs, hence identical
+doubles on both engines; values equal the old ``ROUND(x, d)`` output
+everywhere except in the tie class being retired.
+
+Both sides of every oracle pair use the matching helper so the contract is
+visible at each call site (lockstep rule, FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def scaled_round(col: Column | str, digits: int = 4) -> Column:
+    """Tie-proof replacement for ``F.round(col, digits)`` on computed
+    doubles: round once at integer scale, read back as a double."""
+    scale = 10 ** digits
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale).cast("bigint") / float(scale)
+
+
+def scaled_round_sql(expr: str, digits: int = 4) -> str:
+    """DuckDB twin of :func:`scaled_round` (same integer-scale contract)."""
+    scale = 10 ** digits
+    return f"(CAST(round(({expr}) * {scale}) AS BIGINT) / {scale}.0)"

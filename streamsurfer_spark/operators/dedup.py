@@ -33,6 +33,7 @@ from streamsurfer_spark.functions.hashing import (
     md5_long64_expr,
     md5_long64_py,
 )
+from streamsurfer_spark.functions.rounding import scaled_round
 
 SHINGLE_N = 3
 N_MINHASH = 8
@@ -323,7 +324,7 @@ def duplicate_span_coverage(
         )
         .withColumn(
             "dup_coverage",
-            F.round(F.col("covered_tokens") / F.col("n_tokens"), 4),
+            scaled_round(F.col("covered_tokens") / F.col("n_tokens")),
         )
     )
 
@@ -411,10 +412,9 @@ def ngram_jaccard_pairs(
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
+            scaled_round(
                 F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                4,
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
             ),
         )
         .where(F.col("jaccard") >= threshold)
@@ -473,11 +473,11 @@ def ngram_containment_pairs(
         .join(sb, "doc_b")
         .withColumn(
             "cont_a_in_b",
-            F.round(F.col("n_inter").cast("double") / F.col("n_a"), 4),
+            scaled_round(F.col("n_inter").cast("double") / F.col("n_a")),
         )
         .withColumn(
             "cont_b_in_a",
-            F.round(F.col("n_inter").cast("double") / F.col("n_b"), 4),
+            scaled_round(F.col("n_inter").cast("double") / F.col("n_b")),
         )
     )
     return scored.where(

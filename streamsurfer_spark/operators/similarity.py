@@ -38,6 +38,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from streamsurfer_spark.functions.hashing import md5_long64_py
+from streamsurfer_spark.functions.rounding import scaled_round
 
 N_PLANES = 8
 DIM = 64
@@ -179,7 +180,7 @@ def cosine_topk(
         "probe_id",
         F.col(id_col),
         *corpus_cols,
-        F.round(dot / (F.col("probe_nrm") * F.col("corpus_nrm")), 4).alias("sim"),
+        scaled_round(dot / (F.col("probe_nrm") * F.col("corpus_nrm"))).alias("sim"),
     )
     return topk_per_key(
         sims, "probe_id", [F.desc("sim"), F.col(id_col)], k, salt_src=id_col
@@ -213,9 +214,9 @@ def cosine_near_dup_pairs(
     """Exact embedding-cosine near-duplicate pairs within blocks.
 
     The exact sibling of ``lsh_near_pairs``: all pairs sharing ``block_col``
-    whose cosine similarity (rounded to 4 dp, so the cut is reproducible
-    across engines) reaches ``threshold``. Returns (id_a, id_b, sim) with
-    id_a < id_b.
+    whose cosine similarity (scaled-integer rounded to 4 dp — tie-proof
+    across engines, see functions/rounding.py) reaches ``threshold``.
+    Returns (id_a, id_b, sim) with id_a < id_b.
 
     Scale notes: the self-join is equi-keyed on the block column, so cost is
     O(Σ min(block, cap)²), not O(n²) — the same blocking argument as LSH,
@@ -257,7 +258,7 @@ def cosine_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(dot / (F.col("_na") * F.col("_nb")), 4).alias("sim"),
+            scaled_round(dot / (F.col("_na") * F.col("_nb"))).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
     )
@@ -492,8 +493,8 @@ def ivf_topk(
         "sqrt(cast(aggregate(transform({a}, x -> x * x),"
         " cast(0 as bigint), (acc, v) -> acc + v) as double))"
     )
-    sim = F.round(
-        dot.cast("double") / (F.expr(nrm.format(a="probe_qv")) * F.expr(nrm.format(a="qv"))), 4
+    sim = scaled_round(
+        dot.cast("double") / (F.expr(nrm.format(a="probe_qv")) * F.expr(nrm.format(a="qv")))
     )
     return topk_per_key(
         cand.withColumn("sim", sim),
@@ -567,7 +568,7 @@ def lsh_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(dot / norms, 4).alias("cos_sim"),
+            scaled_round(dot / norms).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -17,6 +17,7 @@ from streamsurfer_spark.functions.hashing import (
     md5_long64_expr,
     md5_long64_py,
 )
+from streamsurfer_spark.functions.rounding import scaled_round
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deliberately small and frozen: they are part of the operator's
@@ -85,13 +86,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n_chars.alias("n_chars_actual"),
         tc.alias("n_tokens"),
-        F.round(n_chars.cast("double") / tc, 4).alias("avg_token_span"),
-        F.round(punct_chars.cast("double") / n_chars, 4).alias("punct_ratio"),
-        F.round(stop_en.cast("double") / tc, 4).alias("stopword_ratio"),
-        F.round(
+        scaled_round(n_chars.cast("double") / tc).alias("avg_token_span"),
+        scaled_round(punct_chars.cast("double") / n_chars).alias("punct_ratio"),
+        scaled_round(stop_en.cast("double") / tc).alias("stopword_ratio"),
+        scaled_round(
             F.least(F.lit(1.0), tc.cast("double") / 100.0) * 0.5
-            + F.least(F.lit(1.0), stop_en.cast("double") / tc * 5.0) * 0.5,
-            4,
+            + F.least(F.lit(1.0), stop_en.cast("double") / tc * 5.0) * 0.5
         ).alias("quality_score"),
     )
 
@@ -135,6 +135,9 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             F.sum(F.col("tf") * F.col("cost_micro")).alias("surprisal_micro"),
         )
         .withColumn(
+            # NOTE: still a raw-double ROUND (r7 tranche, FIXTURES.md §3) —
+            # converting it cascades into the ql36/ql46/ql47/qp04/qp07
+            # twins, deferred to keep the r6 gate window on rotation
             "avg_surprisal_nats",
             F.round(F.col("surprisal_micro") / F.col("n_tokens") / 1e6, 4),
         )
@@ -238,6 +241,8 @@ def dsir_importance(
             F.sum(F.col("tf") * F.col("w_micro")).alias("logratio_micro"),
         )
         .withColumn(
+            # raw-double ROUND kept for now — same r7 tranche as
+            # avg_surprisal_nats above (twin cascade)
             "avg_logratio_nats",
             F.round(F.col("logratio_micro") / F.col("n_bigrams") / 1e6, 4),
         )

@@ -19,6 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from streamsurfer_spark.functions.rounding import scaled_round
 from streamsurfer_spark.operators import dedup
 from streamsurfer_spark.operators import text as text_ops
 
@@ -37,10 +38,9 @@ def curate(docs: DataFrame) -> DataFrame:
     n_chars = F.length("text")
     punct = n_chars - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
     stop_en = text_ops.stopword_hits("text", "en")
-    quality = F.round(
+    quality = scaled_round(
         F.least(F.lit(1.0), tc.cast("double") / 100.0) * 0.5
-        + F.least(F.lit(1.0), stop_en.cast("double") / tc * 5.0) * 0.5,
-        4,
+        + F.least(F.lit(1.0), stop_en.cast("double") / tc * 5.0) * 0.5
     )
 
     # stage 1+2: per-row gates (one codegen pass, no shuffle)
@@ -85,7 +85,7 @@ def curation_report(docs: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            scaled_round(F.avg("quality_score")).alias("avg_quality"),
         )
         .orderBy("lang_pred")
     )

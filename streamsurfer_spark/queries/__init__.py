@@ -29,75 +29,63 @@ class QuerySpec:
 
 
 # Ordering is load-bearing: the driver's correctness gate evaluates a
-# prefix of this dict (~50 entries). Round-5 window policy (per the r4
-# verdict: "spend the round-5 window on rotation, not growth"):
-# (1) queries whose execution path or oracle CHANGED in round 5 (LSH
-#     bucket cap + plane-DIM guard + twin cap replication, cosine twin
-#     caps, qt12 coalesce, scratch-dir lifecycle, qp07b manifest variant)
-#     — a fresh green row proves each Spark+oracle lockstep update,
-# (2) rotation, oldest-verified-first: entries whose latest driver row
-#     is ROUND 1 (the qr01-qr33 band) fill the remaining 38 slots,
-# (3) the overflow tail continues the rotation order — remaining r1
-#     entries, then the 38 r2-latest entries (qv/ql/qs/qt bands), so a
-#     wider window or the r6 rotation picks them up next, then everything
-#     verified in r3/r4.
-# Latest-driver-row histogram going into r5: r1=49, r2=38, r3=43, r4=50.
+# prefix of this dict (50 entries in every round so far). Round-6 window
+# policy (same shape as r5's):
+# (1) queries whose execution path or oracle CHANGED in round 6 — the
+#     ROUND tie-class retirement (FIXTURES.md §3: every similarity/ratio
+#     score now goes through functions/rounding.py scaled_round on the
+#     Spark side and the matching CAST(round(x*1e4) AS BIGINT)/1e4 in the
+#     twin, edited in lockstep), the qv02 NULL-props coalesce, the ql10
+#     derived-plane-count twin, and the qs15 checkpoint cadence. A fresh
+#     green row proves each lockstep update. 34 entries.
+# (2) rotation, oldest-verified-first: the 13 entries whose latest driver
+#     row is ROUND 1 (qr31–qr43), then the oldest of the r2-latest band
+#     (qv01/qv03/qv04) to fill the 50-slot window.
+# (3) the overflow tail continues the rotation order — the remaining
+#     r2-latest entries (the untouched qv/ql/qs/qt bands below), so a
+#     wider window or the r7 rotation picks them up next; then everything
+#     verified in r3+. The full-registry sim (tools/driver_sim.py →
+#     DRIVER_SIM_r6.txt) covers every entry regardless of the window.
+# Latest-driver-row histogram going into r6: r1=13, r2=32, r3=43, r4=44,
+# r5=50 (recomputed from CORRECTNESS_r01..r05 at round start).
 _VERIFY_FIRST = (
-    # (1) CHANGED in round 5
-    "ql10_lsh_ann_pairs",       # LSH_ANN_BUCKET_CAP + dim guard + capped twin
-    "ql21_cosine_near_dup",     # twin now replicates COSINE_BLOCK_CAP
-    "qp06_semdedup_report",     # twin now replicates COSINE_BLOCK_CAP
-    "qt12_funnel",              # NULL-sum coalesce on empty funnel stage
-    "qp07b_training_mix_manifest",  # NEW: checkpointed-manifest qp07 variant
-    "qr70_schema_evolution",    # scratch-dir lifecycle
-    "qs07_update_mode",         # scratch-dir lifecycle
-    "qs13_foreachbatch_upsert", # scratch-dir lifecycle
-    "qs14_stream_cdc_apply",    # scratch-dir lifecycle
-    "qs15_stream_lsh_dedup",    # NEW: incremental LSH dedup stream (stretch)
-    "qr44_profile_orders",      # profile emits all-zero rows on empty input
-    "ql19_grouped_map_zscore",  # twin: degenerate-group zscore CASE
-    "qv06_json_extract",        # try_cast payload extraction (fuzz find)
-    "qv02_payload_parse",       # try_parse_json validity + typed-k guard
-    "qv07_json_typed_parse",    # json_type-guarded twin (fuzz find)
-    # (2) rotation, oldest-verified-first: latest driver row is r1
-    "qr01_scan_checksum",
-    "qr02_filter_agg",
-    "qr03_join_orders_customer",
-    "qr04_multiway_join",
-    "qr05_anti_join",
-    "qr05_left_join_histogram",
-    "qr05_semi_join",
-    "qr06_hash_agg_q1",
-    "qr07_count_distinct",
-    "qr09_rollup",
-    "qr09b_cube",
-    "qr10_window_rank",
-    "qr10b_window_analytics",
-    "qr11_window_running",
-    "qr12_topk",
-    "qr13_except",
-    "qr13_intersect",
-    "qr13_union",
-    "qr14_string_fns",
-    "qr15_date_fns",
-    "qr16_math_decimal",
-    "qr17_array_fns",
-    "qr18_subqueries",
-    "qr19_case_when",
-    "qr20_pivot",
-    "qr21_percentiles",
-    "qr22_histogram",
-    "qr23_levenshtein_pairs",
-    "qr24_bit_and_array_ops",
-    "qr25_full_outer_join",
-    "qr26_stats_pack",
-    "qr27_string_agg",
-    "qr28_filtered_agg",
-    "qr29_range_frame",
-    "qr30_arg_extrema",
-    # --- ~window boundary (driver evaluates the first ~50; the 15
-    # round-5-changed entries above + qr01-qr30 = exactly 50) ---
-    # (3) overflow tail: remaining r1-latest entries first...
+    # (1) CHANGED in round 6 — ROUND tie-class retirement + ADVICE fixes
+    "qv02_payload_parse",        # twin: coalesce(json_valid, FALSE) NULL symmetry
+    "qv07_json_typed_parse",     # avg_k scaled_round
+    "ql03_cosine_topk",          # cosine_topk sim scaled (operator)
+    "ql09_ngram_jaccard",        # jaccard scaled + threshold (operator)
+    "ql10_lsh_ann_pairs",        # cos_sim scaled + twin derives plane count
+    "ql14_ivf_topk",             # ivf_topk sim scaled (operator)
+    "ql21_cosine_near_dup",      # cosine_near_dup_pairs sim scaled (operator)
+    "ql23_dedup_clusters",       # edge threshold on scaled sim
+    "ql34_cluster_representatives",  # quality_score scaled (via operator)
+    "ql43_ann_recall",           # both sim paths + recall4 scaled
+    "ql45_minhash_calibration",  # est/exact/err on the micro grid
+    "ql51_hard_negatives",       # cosine_topk sim scaled
+    "ql52_multimodal_ann",       # cosine_topk sim scaled
+    "ql53_vocab_diagnostics",    # type/hapax ratios scaled
+    "ql54_containment_pairs",    # containment scaled + threshold (operator)
+    "ql27_bigram_collocations",  # lift scaled
+    "ql30_decontamination",      # contamination ratio scaled + threshold
+    "ql31_repetition_metrics",   # repetition ratios scaled + flag
+    "ql37_duplicate_spans",      # dup_coverage scaled (operator)
+    "qp04_quality_dashboard",    # q4/aggregate reads scaled
+    "qp05_export_manifest",      # ql30-threshold reuse scaled
+    "qp06_semdedup_report",      # cell-pair sim scaled
+    "qp08_canonical_map",        # containment stage scaled
+    "qt12_funnel",               # conversion ratio scaled
+    "qt14_transition_matrix",    # p_transition scaled
+    "qs15_stream_lsh_dedup",     # checkpoint cadence (output unchanged)
+    # changed AND r2-band (rotation + lockstep in one slot):
+    "ql04_text_stats",           # avg_tokens scaled
+    "ql06_udf_norm_parity",      # l2_norm scaled
+    "ql11_quality_features",     # all four ratios scaled (operator)
+    "ql15_label_centroids",      # centroid_norm scaled
+    "ql18_udaf_geo_mean",        # geo_mean scaled
+    "ql22_tfidf_top_terms",      # tfidf score scaled
+    "qp01_curation_report",      # quality_score + avg_quality scaled
+    "qp02_vector_index_report",  # avg_dist scaled
+    # (2) rotation: latest driver row is r1 (qr31–qr43)
     "qr31_null_semantics",
     "qr32_unpivot",
     "qr33_posexplode",
@@ -111,29 +99,24 @@ _VERIFY_FIRST = (
     "qr41_dormant_customers",
     "qr42_upsert_snapshot",
     "qr43_cdc_apply",
-    # ...then the r2-latest band (oldest families first)
+    # ...then the oldest r2-latest entries up to the ~50 boundary
     "qv01_validate_required",
     "qv03_origin_stamp",
     "qv04_ts_render",
+    # --- ~window boundary (34 changed + 13 r1 + 3 r2 = exactly 50) ---
+    # (3) overflow tail: the remaining r2-latest band, oldest families
+    # first, for the r7 rotation
     "qv05_envelope_json",
     "qv08_batch_wire_format",
     "ql01_exact_dedup",
     "ql02_minhash_lsh_pairs",
-    "ql04_text_stats",
     "ql05_top_terms",
-    "ql06_udf_norm_parity",
     "ql07_multimodal_envelope",
     "ql08_simhash",
-    "ql11_quality_features",
     "ql12_language_id",
-    "ql15_label_centroids",
     "ql16_hash_sample",
     "ql17_stratified_sample",
-    "ql18_udaf_geo_mean",
     "ql20_udtf_tokenize",
-    "ql22_tfidf_top_terms",
-    "qp01_curation_report",
-    "qp02_vector_index_report",
     "qs02b_sliding_window",
     "qs03_session_window",
     "qs05_dedup_earliest",

@@ -16,6 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from streamsurfer_spark.envelope import render_timestamp
+from streamsurfer_spark.functions.rounding import scaled_round
 from streamsurfer_spark.queries import QuerySpec
 from streamsurfer_spark.session import table
 
@@ -62,10 +63,15 @@ def qv02_payload_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the json_type guard replicates from_json's INT-field semantics: only
 # integral JSON numbers count; UBIGINT/BIGINT covers both signs, and
-# TRY_CAST to INTEGER nulls int32 overflow exactly as Spark does
+# TRY_CAST to INTEGER nulls int32 overflow exactly as Spark does.
+# coalesce(json_valid, FALSE): a SQL-NULL props row must land in
+# n_parse_fail on BOTH engines — Spark's `try_parse_json(NULL) IS NOT
+# NULL` is FALSE (a reject), while bare `NOT json_valid(NULL)` is NULL
+# (counted nowhere) — the round-5 ADVICE latent divergence
 QV02_SQL = """
 SELECT count(CASE WHEN json_valid(props) THEN 1 END) AS n_parse_ok,
-       count(CASE WHEN NOT json_valid(props) THEN 1 END) AS n_parse_fail,
+       count(CASE WHEN NOT coalesce(json_valid(props), FALSE) THEN 1 END)
+           AS n_parse_fail,
        CAST(sum(CAST(CASE WHEN json_valid(props)
                            AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
                       THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
@@ -180,7 +186,7 @@ def qv07_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("p.k").alias("n_with_k"),
             F.sum("p.k").alias("sum_k"),
-            F.round(F.avg("p.k"), 2).alias("avg_k"),
+            scaled_round(F.avg("p.k"), 2).alias("avg_k"),
         )
         .orderBy("event_type")
     )
@@ -200,7 +206,7 @@ WITH typed AS (
 SELECT event_type,
        count(k) AS n_with_k,
        CAST(sum(k) AS BIGINT) AS sum_k,
-       round(avg(k), 2) AS avg_k
+       CAST(round(avg(k) * 100) AS BIGINT) / 100.0 AS avg_k
 FROM typed
 GROUP BY event_type
 ORDER BY event_type

@@ -33,6 +33,7 @@ from streamsurfer_spark.operators import (
     sampling,
     similarity,
 )
+from streamsurfer_spark.functions import rounding
 from streamsurfer_spark.operators import text as text_ops
 from streamsurfer_spark.queries import QuerySpec
 from streamsurfer_spark.session import table
@@ -165,7 +166,8 @@ dots AS (
     GROUP BY 1, 2
 ),
 sims AS (
-    SELECT probe_id, d.vec_id, round(dot / (na.nrm * nb.nrm), 4) AS sim
+    SELECT probe_id, d.vec_id,
+           CAST(round(dot / (na.nrm * nb.nrm) * 10000) AS BIGINT) / 10000.0 AS sim
     FROM dots d
     JOIN norms na ON na.vec_id = d.probe_id
     JOIN norms nb ON nb.vec_id = d.vec_id
@@ -192,7 +194,7 @@ def ql04_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(tc).alias("total_ws_tokens"),
             F.sum(text_ops.bpe_ish_token_count("text")).alias("total_bpe_tokens"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg(tc), 2).alias("avg_tokens"),
+            rounding.scaled_round(F.avg(tc), 2).alias("avg_tokens"),
         )
         .orderBy("source")
     )
@@ -205,7 +207,7 @@ SELECT source,
        CAST(sum(len(regexp_extract_all(text, '{text_ops.BPE_ISH_PATTERN}'))) AS BIGINT)
            AS total_bpe_tokens,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       round(avg(len(string_split(text, ' '))), 2) AS avg_tokens
+       CAST(round(avg(len(string_split(text, ' '))) * 100) AS BIGINT) / 100.0 AS avg_tokens
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -250,13 +252,15 @@ def ql06_udf_norm_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
-        F.round(similarity.l2_norm_udf(F.col("embedding")), 4).alias("l2_norm"),
+        rounding.scaled_round(
+            similarity.l2_norm_udf(F.col("embedding"))
+        ).alias("l2_norm"),
     ).orderBy("vec_id")
 
 
 QL06_SQL = """
 WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v FROM embeddings)
-SELECT vec_id, round(sqrt(sum(v * v)), 4) AS l2_norm
+SELECT vec_id, CAST(round(sqrt(sum(v * v)) * 10000) AS BIGINT) / 10000.0 AS l2_norm
 FROM e GROUP BY vec_id ORDER BY vec_id
 """
 
@@ -386,11 +390,13 @@ inter AS (
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_inter,
-       round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+       CAST(round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) * 10000) AS BIGINT)
+           / 10000.0 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.4
+WHERE CAST(round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) * 10000) AS BIGINT)
+          / 10000.0 >= 0.4
 ORDER BY doc_a, doc_b
 """
 
@@ -403,10 +409,17 @@ def ql10_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ql10_sql() -> str:
-    w = similarity.plane_weights()
+    # weights are generated out to LSH_MAX_PLANES and the ACTIVE plane
+    # count is derived in SQL from a COUNT over embeddings, mirroring
+    # lsh_planes_for exactly — the twin now tracks the Spark derivation
+    # at ANY fixture scale instead of pinning 8 (round-5 ADVICE). The
+    # ceil(log2(·)) agrees across engines: a divergence would need log2
+    # to straddle an integer, which happens only at exact powers of two,
+    # where log2 is exact in both.
+    w = similarity.plane_weights(n_planes=similarity.LSH_MAX_PLANES)
     values = ", ".join(
         f"({p}, {d}, {w[p][d]})"
-        for p in range(similarity.N_PLANES)
+        for p in range(similarity.LSH_MAX_PLANES)
         for d in range(similarity.DIM)
     )
     return f"""
@@ -415,10 +428,20 @@ WITH e AS (
            unnest(embedding)::DOUBLE AS v
     FROM embeddings
 ),
+np AS (
+    -- lsh_planes_for: ceil(log2(max(n / {similarity.LSH_TARGET_BUCKET_DOCS}, 1)))
+    -- clamped to [{similarity.N_PLANES}, {similarity.LSH_MAX_PLANES}]
+    SELECT least(greatest(CAST(ceil(log2(greatest(
+               count(*) / {similarity.LSH_TARGET_BUCKET_DOCS}.0, 1.0))) AS INT),
+           {similarity.N_PLANES}), {similarity.LSH_MAX_PLANES}) AS r
+    FROM embeddings
+),
 w(p, pos, wt) AS (VALUES {values}),
 dots AS (
     SELECT e.vec_id, w.p, sum(e.v * w.wt) AS dot
-    FROM e JOIN w ON w.pos = e.pos GROUP BY 1, 2
+    FROM e JOIN w ON w.pos = e.pos
+    WHERE w.p < (SELECT r FROM np)
+    GROUP BY 1, 2
 ),
 sig AS (
     SELECT vec_id,
@@ -444,11 +467,12 @@ pair_dots AS (
     GROUP BY 1, 2
 ),
 norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1)
-SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+SELECT id_a, id_b,
+       CAST(round(dot / (na.nrm * nb.nrm) * 10000) AS BIGINT) / 10000.0 AS cos_sim
 FROM pair_dots
 JOIN norms na ON na.vec_id = id_a
 JOIN norms nb ON nb.vec_id = id_b
-WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.8
+WHERE CAST(round(dot / (na.nrm * nb.nrm) * 10000) AS BIGINT) / 10000.0 >= 0.8
 ORDER BY id_a, id_b
 """
 
@@ -468,13 +492,15 @@ QL11_SQL = f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_actual,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       round(length(text)::DOUBLE / len(string_split(text, ' ')), 4) AS avg_token_span,
-       round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-             / length(text), 4) AS punct_ratio,
-       round({_STOP_EN}::DOUBLE / len(string_split(text, ' ')), 4) AS stopword_ratio,
-       round(least(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
-           + least(1.0, {_STOP_EN}::DOUBLE / len(string_split(text, ' ')) * 5.0) * 0.5,
-             4) AS quality_score
+       CAST(round(length(text)::DOUBLE / len(string_split(text, ' ')) * 10000) AS BIGINT)
+           / 10000.0 AS avg_token_span,
+       CAST(round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+             / length(text) * 10000) AS BIGINT) / 10000.0 AS punct_ratio,
+       CAST(round({_STOP_EN}::DOUBLE / len(string_split(text, ' ')) * 10000) AS BIGINT)
+           / 10000.0 AS stopword_ratio,
+       CAST(round((least(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+           + least(1.0, {_STOP_EN}::DOUBLE / len(string_split(text, ' ')) * 5.0) * 0.5)
+           * 10000) AS BIGINT) / 10000.0 AS quality_score
 FROM documents
 ORDER BY doc_id
 """
@@ -555,7 +581,9 @@ def ql15_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         by_dim.groupBy("label")
         .agg(
-            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm"),
+            rounding.scaled_round(
+                F.sqrt(F.sum(F.col("m") * F.col("m")))
+            ).alias("centroid_norm"),
             F.max("n").alias("n_vectors"),
         )
         .orderBy("label")
@@ -572,7 +600,7 @@ by_dim AS (
     SELECT label, pos, avg(v) AS m, count(*) AS n FROM e GROUP BY 1, 2
 )
 SELECT label,
-       round(sqrt(sum(m * m)), 4) AS centroid_norm,
+       CAST(round(sqrt(sum(m * m)) * 10000) AS BIGINT) / 10000.0 AS centroid_norm,
        CAST(max(n) AS BIGINT) AS n_vectors
 FROM by_dim GROUP BY label ORDER BY label
 """
@@ -636,13 +664,18 @@ def ql18_udaf_geo_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return (
         docs.groupBy("lang")
-        .agg(F.round(geo_mean_udf(F.col("n_chars").cast("double")), 2).alias("geo_mean_chars"))
+        .agg(
+            rounding.scaled_round(
+                geo_mean_udf(F.col("n_chars").cast("double")), 2
+            ).alias("geo_mean_chars")
+        )
         .orderBy("lang")
     )
 
 
 QL18_SQL = """
-SELECT lang, round(exp(avg(ln(n_chars::DOUBLE))), 2) AS geo_mean_chars
+SELECT lang, CAST(round(exp(avg(ln(n_chars::DOUBLE))) * 100) AS BIGINT) / 100.0
+           AS geo_mean_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -751,7 +784,9 @@ dots AS (
 ),
 norms AS (SELECT vec_id, sqrt(sum(v * v)::DOUBLE) AS nrm FROM qe GROUP BY 1),
 sims AS (
-    SELECT d.probe_id, d.vec_id, round(d.dot::DOUBLE / (np.nrm * nc.nrm), 4) AS sim
+    SELECT d.probe_id, d.vec_id,
+           CAST(round(d.dot::DOUBLE / (np.nrm * nc.nrm) * 10000) AS BIGINT)
+               / 10000.0 AS sim
     FROM dots d
     JOIN norms np ON np.vec_id = d.probe_id
     JOIN norms nc ON nc.vec_id = d.vec_id
@@ -806,7 +841,8 @@ dots AS (
     GROUP BY 1, 2
 ),
 sims AS (
-    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS sim
+    SELECT id_a, id_b,
+           CAST(round(dot / (na.nrm * nb.nrm) * 10000) AS BIGINT) / 10000.0 AS sim
     FROM dots d
     JOIN norms na ON na.vec_id = d.id_a
     JOIN norms nb ON nb.vec_id = d.id_b
@@ -844,10 +880,9 @@ def ql22_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
-            F.round(
+            rounding.scaled_round(
                 F.col("tf")
-                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
-                4,
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1)
             ),
         )
     )
@@ -870,7 +905,8 @@ df_t AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
     SELECT tf.doc_id, tf.token, tf.tf, df_t.df,
-           round(tf.tf * (ln((n.n_docs + 1.0) / (df_t.df + 1.0)) + 1), 4) AS score
+           CAST(round(tf.tf * (ln((n.n_docs + 1.0) / (df_t.df + 1.0)) + 1) * 10000)
+                AS BIGINT) / 10000.0 AS score
     FROM tf JOIN df_t USING (token) CROSS JOIN n
 ),
 ranked AS (
@@ -927,7 +963,8 @@ edges AS (
     FROM dots d
     JOIN norms na ON na.vec_id = d.id_a
     JOIN norms nb ON nb.vec_id = d.id_b
-    WHERE round(dot / (na.nrm * nb.nrm), 4) >= {NEAR_DUP_THRESHOLD}
+    WHERE CAST(round(dot / (na.nrm * nb.nrm) * 10000) AS BIGINT) / 10000.0
+              >= {NEAR_DUP_THRESHOLD}
 ),
 sym AS (
     SELECT id_a AS a, id_b AS b FROM edges
@@ -1155,7 +1192,12 @@ def ql27_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["lang", "w2"],
         )
         .join(F.broadcast(n_tok), "lang")
-        .withColumn("lift", F.round(F.col("cnt") * F.col("n") / (F.col("c1") * F.col("c2")), 4))
+        .withColumn(
+            "lift",
+            rounding.scaled_round(
+                F.col("cnt") * F.col("n") / (F.col("c1") * F.col("c2"))
+            ),
+        )
     )
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.col("bigram"))
     return (
@@ -1184,7 +1226,7 @@ WITH toks AS (
   SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2
 ), joined AS (
   SELECT b.lang, b.bigram, b.cnt,
-         round(b.cnt * n.n / (u1.c * u2.c), 4) AS lift,
+         CAST(round(b.cnt * n.n / (u1.c * u2.c) * 10000) AS BIGINT) / 10000.0 AS lift,
          row_number() OVER (PARTITION BY b.lang ORDER BY b.cnt DESC, b.bigram) AS rk
   FROM bgc b
   JOIN uni_c u1 ON u1.lang = b.lang AND u1.w = string_split(b.bigram, ' ')[1]
@@ -1335,7 +1377,8 @@ def ql30_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
         )
         .withColumn(
-            "ratio", F.round(F.col("n_contaminated") / F.col("n_shingles"), 4)
+            "ratio",
+            rounding.scaled_round(F.col("n_contaminated") / F.col("n_shingles")),
         )
     )
     return (
@@ -1364,9 +1407,11 @@ per_doc AS (
     GROUP BY 1
 )
 SELECT doc_id, n_shingles, n_contaminated,
-       round(n_contaminated * 1.0 / n_shingles, 4) AS ratio
+       CAST(round((n_contaminated * 1.0 / n_shingles) * 10000) AS BIGINT)
+           / 10000.0 AS ratio
 FROM per_doc
-WHERE round(n_contaminated * 1.0 / n_shingles, 4) >= {QL30_THRESHOLD}
+WHERE CAST(round((n_contaminated * 1.0 / n_shingles) * 10000) AS BIGINT) / 10000.0
+          >= {QL30_THRESHOLD}
 ORDER BY doc_id
 """
 
@@ -1394,9 +1439,9 @@ def ql31_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = base.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
-        F.round(1 - F.size(F.array_distinct("toks")) / F.size("toks"), 4).alias(
-            "dup_token_ratio"
-        ),
+        rounding.scaled_round(
+            1 - F.size(F.array_distinct("toks")) / F.size("toks")
+        ).alias("dup_token_ratio"),
         "shingles",
     )
     top = (
@@ -1413,7 +1458,9 @@ def ql31_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "dup_token_ratio",
-            F.round(F.col("max_c") / F.col("n_sh"), 4).alias("top_shingle_ratio"),
+            rounding.scaled_round(F.col("max_c") / F.col("n_sh")).alias(
+                "top_shingle_ratio"
+            ),
         )
         .withColumn(
             "flag_repetitive",
@@ -1429,7 +1476,8 @@ WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 tok AS (
     SELECT doc_id,
            len(toks) AS n_tokens,
-           round(1 - len(list_distinct(toks)) * 1.0 / len(toks), 4) AS dup_token_ratio,
+           CAST(round((1 - len(list_distinct(toks)) * 1.0 / len(toks)) * 10000)
+                AS BIGINT) / 10000.0 AS dup_token_ratio,
            {DUCK_SHINGLES} AS shingles
     FROM d
 ),
@@ -1439,9 +1487,11 @@ top AS (SELECT doc_id, max(c) AS max_c, sum(c) AS n_sh FROM per GROUP BY 1)
 SELECT tok.doc_id,
        CAST(n_tokens AS INT) AS n_tokens,
        dup_token_ratio,
-       round(max_c * 1.0 / n_sh, 4) AS top_shingle_ratio,
+       CAST(round((max_c * 1.0 / n_sh) * 10000) AS BIGINT) / 10000.0
+           AS top_shingle_ratio,
        (dup_token_ratio > {QL31_DUP_TOKEN_MAX}
-        OR round(max_c * 1.0 / n_sh, 4) > {QL31_TOP_SHINGLE_MAX}) AS flag_repetitive
+        OR CAST(round((max_c * 1.0 / n_sh) * 10000) AS BIGINT) / 10000.0
+               > {QL31_TOP_SHINGLE_MAX}) AS flag_repetitive
 FROM tok JOIN top ON top.doc_id = tok.doc_id
 ORDER BY tok.doc_id
 """
@@ -1582,9 +1632,9 @@ reach(id, r) AS (
 clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
 q AS (
     SELECT doc_id,
-           round(least(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
-               + least(1.0, {_STOP_EN}::DOUBLE / len(string_split(text, ' ')) * 5.0) * 0.5,
-                 4) AS quality_score
+           CAST(round((least(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+               + least(1.0, {_STOP_EN}::DOUBLE / len(string_split(text, ' ')) * 5.0) * 0.5)
+               * 10000) AS BIGINT) / 10000.0 AS quality_score
     FROM documents
 ),
 m AS (
@@ -1922,7 +1972,8 @@ cov0 AS (
 cov AS (SELECT DISTINCT doc_id, n_tokens, p FROM cov0)
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        count(*) AS covered_tokens,
-       round(count(*)::DOUBLE / n_tokens, 4) AS dup_coverage
+       CAST(round(count(*)::DOUBLE / n_tokens * 10000) AS BIGINT)
+           / 10000.0 AS dup_coverage
 FROM cov
 GROUP BY doc_id, n_tokens
 ORDER BY 1
@@ -2095,8 +2146,8 @@ def ql43_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
             "n_exact",
             F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-            F.round(
-                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact"), 4
+            rounding.scaled_round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact")
             ).alias("recall4"),
         )
         .orderBy("probe_id")
@@ -2120,7 +2171,8 @@ fdots AS (
     GROUP BY 1, 2
 ),
 fsims AS (
-    SELECT probe_id, d.vec_id, round(dot / (na.nrm * nb.nrm), 4) AS sim
+    SELECT probe_id, d.vec_id,
+           CAST(round(dot / (na.nrm * nb.nrm) * 10000) AS BIGINT) / 10000.0 AS sim
     FROM fdots d
     JOIN fnorms na ON na.vec_id = d.probe_id
     JOIN fnorms nb ON nb.vec_id = d.vec_id
@@ -2172,7 +2224,9 @@ qdots AS (
 ),
 qnorms AS (SELECT vec_id, sqrt(sum(v * v)::DOUBLE) AS nrm FROM qe GROUP BY 1),
 qsims AS (
-    SELECT d.probe_id, d.vec_id, round(d.dot::DOUBLE / (np.nrm * nc.nrm), 4) AS sim
+    SELECT d.probe_id, d.vec_id,
+           CAST(round(d.dot::DOUBLE / (np.nrm * nc.nrm) * 10000) AS BIGINT)
+               / 10000.0 AS sim
     FROM qdots d
     JOIN qnorms np ON np.vec_id = d.probe_id
     JOIN qnorms nc ON nc.vec_id = d.vec_id
@@ -2191,7 +2245,8 @@ hits AS (
 )
 SELECT e.probe_id, count(*) AS n_exact,
        coalesce(any_value(h.n_hits), 0) AS n_hits,
-       round(coalesce(any_value(h.n_hits), 0)::DOUBLE / count(*), 4) AS recall4
+       CAST(round(coalesce(any_value(h.n_hits), 0)::DOUBLE / count(*) * 10000)
+            AS BIGINT) / 10000.0 AS recall4
 FROM exact e LEFT JOIN hits h ON h.probe_id = e.probe_id
 GROUP BY 1
 ORDER BY 1
@@ -2319,24 +2374,27 @@ def ql45_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb")), "doc_b")
         .withColumn("_inter", F.coalesce("_inter", F.lit(0)))
+        .withColumn(
+            "_est_e4", (F.col("_k") * F.lit(10_000 // n)).cast("bigint")
+        )
+        .withColumn(
+            "_exact_e4",
+            F.round(
+                F.col("_inter")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+                * 10_000
+            ).cast("bigint"),
+        )
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("_k") / n, 4).alias("est_j4"),
-            F.round(
-                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 4
-            ).alias("exact_j4"),
-            F.round(
-                F.abs(
-                    F.round(F.col("_k") / n, 4)
-                    - F.round(
-                        F.col("_inter")
-                        / (F.col("_na") + F.col("_nb") - F.col("_inter")),
-                        4,
-                    )
-                ),
-                4,
-            ).alias("err4"),
+            (F.col("_est_e4") / 10_000.0).alias("est_j4"),
+            (F.col("_exact_e4") / 10_000.0).alias("exact_j4"),
+            # err on the micro grid: |est - exact| is exact integer math,
+            # so no second raw-double round is needed
+            (F.abs(F.col("_est_e4") - F.col("_exact_e4")) / 10_000.0).alias(
+                "err4"
+            ),
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -2372,13 +2430,13 @@ inter AS (
     GROUP BY 1, 2
 )
 SELECT e.doc_a, e.doc_b,
-       round(e.k / {dedup.N_MINHASH}.0, 4) AS est_j4,
-       round(coalesce(i.i, 0) / (sa.n_sh + sb.n_sh - coalesce(i.i, 0))::DOUBLE, 4)
-           AS exact_j4,
-       round(abs(round(e.k / {dedup.N_MINHASH}.0, 4)
-                 - round(coalesce(i.i, 0)
-                         / (sa.n_sh + sb.n_sh - coalesce(i.i, 0))::DOUBLE, 4)), 4)
-           AS err4
+       CAST(e.k * {10_000 // dedup.N_MINHASH} AS BIGINT) / 10000.0 AS est_j4,
+       CAST(round(coalesce(i.i, 0) / (sa.n_sh + sb.n_sh - coalesce(i.i, 0))::DOUBLE
+                  * 10000) AS BIGINT) / 10000.0 AS exact_j4,
+       abs(CAST(e.k * {10_000 // dedup.N_MINHASH} AS BIGINT)
+           - CAST(round(coalesce(i.i, 0)
+                        / (sa.n_sh + sb.n_sh - coalesce(i.i, 0))::DOUBLE
+                        * 10000) AS BIGINT)) / 10000.0 AS err4
 FROM est e
 LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
 JOIN sizes sa ON sa.doc_id = e.doc_a
@@ -2601,7 +2659,8 @@ dots AS (
     GROUP BY 1, 2, 3
 ),
 sims AS (
-    SELECT probe_id, d.vec_id, d.label, round(dot / (na.nrm * nb.nrm), 4) AS sim
+    SELECT probe_id, d.vec_id, d.label,
+           CAST(round(dot / (na.nrm * nb.nrm) * 10000) AS BIGINT) / 10000.0 AS sim
     FROM dots d
     JOIN norms na ON na.vec_id = d.probe_id
     JOIN norms nb ON nb.vec_id = d.vec_id
@@ -2696,7 +2755,7 @@ dots AS (
 ),
 sims AS (
     SELECT probe_id, d.modality, d.doc_id,
-           round(dot / (na.nrm * nb.nrm), 4) AS sim
+           CAST(round(dot / (na.nrm * nb.nrm) * 10000) AS BIGINT) / 10000.0 AS sim
     FROM dots d
     JOIN norms na ON na.doc_id = d.probe_id
     JOIN norms nb ON nb.doc_id = d.doc_id
@@ -2746,9 +2805,13 @@ def ql53_vocab_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_tokens",
             "n_types",
-            F.round(F.col("n_types") / F.col("n_tokens"), 4).alias("type_token_ratio"),
+            rounding.scaled_round(F.col("n_types") / F.col("n_tokens")).alias(
+                "type_token_ratio"
+            ),
             "n_hapax",
-            F.round(F.col("n_hapax") / F.col("n_types"), 4).alias("hapax_share"),
+            rounding.scaled_round(F.col("n_hapax") / F.col("n_types")).alias(
+                "hapax_share"
+            ),
             "top_token",
             "top_tf",
         )
@@ -2771,10 +2834,11 @@ top AS (
 SELECT c.source,
        CAST(sum(tf) AS BIGINT) AS n_tokens,
        count(*) AS n_types,
-       round(count(*)::DOUBLE / CAST(sum(tf) AS BIGINT), 4) AS type_token_ratio,
+       CAST(round(count(*)::DOUBLE / CAST(sum(tf) AS BIGINT) * 10000) AS BIGINT)
+           / 10000.0 AS type_token_ratio,
        CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-       round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
-             / count(*), 4) AS hapax_share,
+       CAST(round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+             / count(*) * 10000) AS BIGINT) / 10000.0 AS hapax_share,
        min(t.top_token) AS top_token,
        min(t.top_tf) AS top_tf
 FROM c JOIN top t USING (source)
@@ -2809,8 +2873,10 @@ inter AS (
 ),
 scored AS (
     SELECT doc_a, doc_b, n_inter,
-           round(n_inter::DOUBLE / sa.n_sh, 4) AS cont_a_in_b,
-           round(n_inter::DOUBLE / sb.n_sh, 4) AS cont_b_in_a
+           CAST(round(n_inter::DOUBLE / sa.n_sh * 10000) AS BIGINT) / 10000.0
+               AS cont_a_in_b,
+           CAST(round(n_inter::DOUBLE / sb.n_sh * 10000) AS BIGINT) / 10000.0
+               AS cont_b_in_a
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from streamsurfer_spark.functions.rounding import scaled_round
 from streamsurfer_spark.operators import similarity as _sim
 from streamsurfer_spark.operators import text as text_ops
 from streamsurfer_spark.pipelines import (
@@ -47,8 +48,9 @@ g AS (
     SELECT doc_id, text, n_tokens,
            CASE {cases}
                 ELSE '{langs[-1]}' END AS lang_pred,
-           round(least(1.0, n_tokens / 100.0) * 0.5
-               + least(1.0, s_en::DOUBLE / n_tokens * 5.0) * 0.5, 4) AS quality_score
+           CAST(round((least(1.0, n_tokens / 100.0) * 0.5
+               + least(1.0, s_en::DOUBLE / n_tokens * 5.0) * 0.5) * 10000) AS BIGINT)
+               / 10000.0 AS quality_score
     FROM s
     WHERE n_tokens >= {QUALITY_MIN_TOKENS} AND punct_ratio <= {QUALITY_MAX_PUNCT_RATIO}
 ),
@@ -70,7 +72,7 @@ surv AS (
 SELECT lang_pred,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       round(avg(quality_score), 4) AS avg_quality
+       CAST(round(avg(quality_score) * 10000) AS BIGINT) / 10000.0 AS avg_quality
 FROM surv GROUP BY 1 ORDER BY 1
 """
 
@@ -113,7 +115,7 @@ def qp02_vector_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_vectors"),
             F.countDistinct("label").alias("n_labels"),
-            F.round(F.sum("dist") / F.count("*"), 2).alias("avg_dist"),
+            scaled_round(F.sum("dist") / F.count("*"), 2).alias("avg_dist"),
             F.max("dist").alias("max_dist"),
         )
         .orderBy("cent_id")
@@ -143,7 +145,8 @@ assign AS (
 SELECT a.cent_id,
        count(*) AS n_vectors,
        CAST(count(DISTINCT q.label) AS BIGINT) AS n_labels,
-       round(CAST(sum(a.dist) AS BIGINT) * 1.0 / count(*), 2) AS avg_dist,
+       CAST(round(CAST(sum(a.dist) AS BIGINT) * 1.0 / count(*) * 100) AS BIGINT)
+           / 100.0 AS avg_dist,
        CAST(max(a.dist) AS BIGINT) AS max_dist
 FROM assign a JOIN q ON q.vec_id = a.vec_id
 GROUP BY 1 ORDER BY 1
@@ -340,14 +343,14 @@ def qp04_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
-            F.round(
-                F.sum("surprisal_micro") / F.sum("n_tokens") / 1e6, 4
+            scaled_round(
+                F.sum("surprisal_micro") / F.sum("n_tokens") / 1e6
             ).alias("avg_surprisal_nats"),
-            F.round(F.sum("q4") / F.count("*") / 10_000.0, 4).alias(
+            scaled_round(F.sum("q4") / F.count("*") / 10_000.0).alias(
                 "avg_quality"
             ),
-            F.round(
-                F.sum("covered_tokens") / F.sum("n_tokens"), 4
+            scaled_round(
+                F.sum("covered_tokens") / F.sum("n_tokens")
             ).alias("dup_token_share"),
         )
         .orderBy("source")
@@ -405,19 +408,22 @@ cov AS (
 ),
 qual AS (
     SELECT doc_id,
-           CAST(round(round(least(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
-               + least(1.0, {_stop_hits("en")}::DOUBLE / len(string_split(text, ' ')) * 5.0) * 0.5,
-               4) * 10000) AS BIGINT) AS q4
+           CAST(round((least(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+               + least(1.0, {_stop_hits("en")}::DOUBLE / len(string_split(text, ' ')) * 5.0) * 0.5)
+               * 10000) AS BIGINT) AS q4
     FROM documents
 )
 SELECT dd.source,
        count(*) AS n_docs,
        CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens,
-       round(CAST(sum(s.surprisal_micro) AS BIGINT)
-             / CAST(sum(s.n_tokens) AS BIGINT) / 1000000.0, 4) AS avg_surprisal_nats,
-       round(CAST(sum(q.q4) AS BIGINT) / count(*) / 10000.0, 4) AS avg_quality,
-       round(CAST(sum(coalesce(c.covered_tokens, 0)) AS BIGINT)
-             / CAST(sum(s.n_tokens) AS BIGINT), 4) AS dup_token_share
+       CAST(round(CAST(sum(s.surprisal_micro) AS BIGINT)
+             / CAST(sum(s.n_tokens) AS BIGINT) / 1000000.0 * 10000) AS BIGINT)
+           / 10000.0 AS avg_surprisal_nats,
+       CAST(round(CAST(sum(q.q4) AS BIGINT) / count(*) / 10000.0 * 10000) AS BIGINT)
+           / 10000.0 AS avg_quality,
+       CAST(round(CAST(sum(coalesce(c.covered_tokens, 0)) AS BIGINT)
+             / CAST(sum(s.n_tokens) AS BIGINT) * 10000) AS BIGINT)
+           / 10000.0 AS dup_token_share
 FROM documents dd
 JOIN surp s USING (doc_id)
 JOIN qual q USING (doc_id)
@@ -474,7 +480,7 @@ def qp05_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("_n"),
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_c"),
         )
-        .where(F.round(F.col("_c") / F.col("_n"), 4) >= QL30_THRESHOLD)
+        .where(scaled_round(F.col("_c") / F.col("_n")) >= QL30_THRESHOLD)
         .select("doc_id")
     )
     clean = (
@@ -560,7 +566,8 @@ contaminated AS (
         FROM shd c LEFT JOIN bench b USING (shingle)
         WHERE c.source NOT IN {QL30_BENCH_SOURCES!r}
         GROUP BY 1
-    ) WHERE round(_c::DOUBLE / _n, 4) >= {QL30_THRESHOLD}
+    ) WHERE CAST(round(_c::DOUBLE / _n * 10000) AS BIGINT) / 10000.0
+                >= {QL30_THRESHOLD}
 ),
 clean AS (
     SELECT s.doc_id, s.lang_pred, s.n_tokens,
@@ -713,7 +720,9 @@ dots AS (
 ),
 pr AS (
     SELECT id_a, id_b FROM (
-        SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS sim
+        SELECT id_a, id_b,
+               CAST(round(dot / (na.nrm * nb.nrm) * 10000) AS BIGINT)
+                   / 10000.0 AS sim
         FROM dots d
         JOIN norms na ON na.vec_id = d.id_a
         JOIN norms nb ON nb.vec_id = d.id_b
@@ -971,7 +980,8 @@ def qp07b_training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # stage 3 job: per-language perplexity cut over stage-2 survivors →
-    # manifest carrying the rank survivors' (source, n_tokens) payload
+    # survivor-id manifest (checkpoint_manifest persists doc_id only;
+    # stage 4 re-joins documents to recover source/n_tokens)
     base2 = docs.join(m2, "doc_id")
     sur = text_ops.unigram_surprisal(base2)
     scored = sur.join(base2.select("doc_id", "lang", "source"), "doc_id")
@@ -1101,8 +1111,10 @@ cinter AS (
 cont_e AS (
     SELECT a, b FROM (
         SELECT a, b,
-               round(n_inter::DOUBLE / sa.n_sh, 4) AS cab,
-               round(n_inter::DOUBLE / sb.n_sh, 4) AS cba
+               CAST(round(n_inter::DOUBLE / sa.n_sh * 10000) AS BIGINT)
+                   / 10000.0 AS cab,
+               CAST(round(n_inter::DOUBLE / sb.n_sh * 10000) AS BIGINT)
+                   / 10000.0 AS cba
         FROM cinter
         JOIN csizes sa ON sa.doc_id = a
         JOIN csizes sb ON sb.doc_id = b

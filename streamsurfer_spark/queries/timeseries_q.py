@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from streamsurfer_spark.functions.rounding import scaled_round
 from streamsurfer_spark.operators import sessions
 from streamsurfer_spark.operators.asof import asof_join, asof_nearest, range_join
 from streamsurfer_spark.queries import QuerySpec
@@ -805,9 +806,9 @@ def qt12_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             # try_divide: an empty funnel base (no views at all) yields
             # NULL conversion on both engines — DuckDB's x/0 is already
             # NULL, Spark's ANSI `/` would error (tools/empty_sweep.py)
-            F.round(F.try_divide(F.col("n_users"), F.col("n_base")), 4).alias(
-                "conversion"
-            ),
+            scaled_round(
+                F.try_divide(F.col("n_users"), F.col("n_base"))
+            ).alias("conversion"),
         )
         .orderBy("stage")
     )
@@ -841,7 +842,7 @@ f AS (
            CAST(coalesce(sum(epoch_us(t3) - epoch_us(t1)), 0) AS BIGINT) FROM s3
 )
 SELECT stage, n_users, total_latency_us,
-       round(n_users::DOUBLE / n_base, 4) AS conversion
+       CAST(round(n_users::DOUBLE / n_base * 10000) AS BIGINT) / 10000.0 AS conversion
 FROM f CROSS JOIN base
 ORDER BY stage
 """
@@ -933,7 +934,7 @@ def qt14_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev_type",
             "event_type",
             "n_steps",
-            F.round(F.col("n_steps") / F.col("n_out"), 4).alias("p_transition"),
+            scaled_round(F.col("n_steps") / F.col("n_out")).alias("p_transition"),
         )
         .orderBy("prev_type", "event_type")
     )
@@ -956,7 +957,8 @@ outgoing AS (
     FROM counts GROUP BY 1
 )
 SELECT c.prev_type, c.event_type, c.n_steps,
-       round(c.n_steps::DOUBLE / o.n_out, 4) AS p_transition
+       CAST(round(c.n_steps::DOUBLE / o.n_out * 10000) AS BIGINT) / 10000.0
+           AS p_transition
 FROM counts c JOIN outgoing o USING (prev_type)
 ORDER BY 1, 2
 """

