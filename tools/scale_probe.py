@@ -52,7 +52,14 @@ PROBES = (
     "qs13_foreachbatch_upsert",
     "qs14_stream_cdc_apply",
     "qp07b_training_mix_manifest",
+    # round-6 addition: the incremental LSH dedup stream after the
+    # checkpoint-cadence rework (one eager bands checkpoint per batch,
+    # index-only state pinning, lazy decisions)
+    "qs15_stream_lsh_dedup",
 )
+
+# allow probing a subset: python tools/scale_probe.py [replicas] [name...]
+
 
 
 def generate(src: str, dst: str, replicas: int) -> None:
@@ -118,6 +125,7 @@ def generate(src: str, dst: str, replicas: int) -> None:
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    probes = tuple(sys.argv[2:]) or PROBES
     src, dst = "/root/testdata/sf0.1", "/tmp/sfprobe"
     t0 = time.time()
     generate(src, dst, replicas)
@@ -130,7 +138,7 @@ def main() -> None:
     reg = registry()
     reg["qr02_filter_agg"].spark(spark, src).write.format("noop").mode("overwrite").save()
     for sf_dir, label in [(src, "sf0.1"), (dst, f"{replicas}x")]:
-        for name in PROBES:
+        for name in probes:
             t0 = time.perf_counter()
             reg[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             print(f"{label} {name}: {time.perf_counter() - t0:.2f}s", flush=True)
