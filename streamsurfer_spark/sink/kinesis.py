@@ -42,11 +42,23 @@ def boto3_client_factory(config: KinesisSinkConfig):
 
 
 class MockKinesisClient:
-    """In-memory put_record recorder (test double for the sink seam)."""
+    """In-memory put_record recorder (test double for the sink seam).
 
-    def __init__(self, fail: bool = False) -> None:
+    ``partial_failures`` programs the PutRecords batch API's per-record
+    failure mode (the real service can reject any subset of a batch with
+    ``ErrorCode`` while accepting the rest): element k is the set of
+    batch INDICES that fail on the k-th put_records call; calls beyond
+    the list succeed fully. Indices are into the submitted Records list
+    of that call, exactly like the AWS response array.
+    """
+
+    def __init__(
+        self, fail: bool = False, partial_failures: list[set[int]] | None = None
+    ) -> None:
         self.records: list[dict] = []
         self.fail = fail
+        self.partial_failures = list(partial_failures or [])
+        self.put_records_calls: list[list[dict]] = []
 
     def put_record(self, **record) -> dict:
         if self.fail:
@@ -57,9 +69,28 @@ class MockKinesisClient:
     def put_records(self, Records: list[dict], **stream) -> dict:
         if self.fail:
             raise RuntimeError("failed to put records to kinesis: mock failure")
-        for r in Records:
-            self.records.append({**r, **stream})
-        return {"FailedRecordCount": 0, "Records": [{"ShardId": "shardId-0"}] * len(Records)}
+        call_idx = len(self.put_records_calls)
+        self.put_records_calls.append(list(Records))
+        failing = (
+            self.partial_failures[call_idx]
+            if call_idx < len(self.partial_failures)
+            else set()
+        )
+        out = []
+        for i, r in enumerate(Records):
+            if i in failing:
+                out.append(
+                    {
+                        "ErrorCode": "ProvisionedThroughputExceededException",
+                        "ErrorMessage": "mock per-record failure",
+                    }
+                )
+            else:
+                self.records.append({**r, **stream})
+                out.append(
+                    {"SequenceNumber": str(len(self.records)), "ShardId": "shardId-0"}
+                )
+        return {"FailedRecordCount": len(failing & set(range(len(Records)))), "Records": out}
 
 
 class FileKinesisClient:
@@ -93,43 +124,88 @@ def _rows_to_sized_payloads(rows: Iterator) -> Iterator[tuple[int, str]]:
 PUT_RECORDS_MAX = 500  # Kinesis PutRecords per-call record cap
 
 
+def flush_put_records(
+    client,
+    config: KinesisSinkConfig,
+    records: list[dict],
+    max_attempts: int | None = None,
+) -> list[dict]:
+    """One PutRecords flush with per-record retry; returns the records
+    that STILL failed — the reference Flush's failed-items contract
+    (main.go:269-288 returns the items that could not be shipped, never
+    raising away the survivors).
+
+    The batch API can reject any SUBSET of a call (per-record
+    ``ErrorCode`` with ``FailedRecordCount`` > 0, typically throughput
+    throttling) while accepting the rest; treating that response as
+    success silently drops data. Each retry pass resubmits ONLY the
+    failed records, up to ``max_attempts`` passes (default: the
+    config's retry budget, mirroring the connectToKinesis retry=5 of
+    main.go:165).
+    """
+    if max_attempts is None:
+        max_attempts = max(config.retry_max_attempts, 1)
+    stream = (
+        {"StreamARN": config.stream_arn}
+        if config.stream_arn
+        else {"StreamName": config.stream_name}
+    )
+    pending = list(records)
+    for _ in range(max_attempts):
+        if not pending:
+            break
+        resp = client.put_records(Records=list(pending), **stream)
+        if not resp.get("FailedRecordCount"):
+            return []
+        pending = [
+            rec
+            for rec, status in zip(pending, resp["Records"])
+            if "ErrorCode" in status
+        ]
+    return pending
+
+
 def write_partition(
     rows: Iterator,
     config: KinesisSinkConfig,
     client_factory: Callable[[KinesisSinkConfig], object],
     use_put_records: bool = False,
+    on_failed: Callable[[list[dict]], None] | None = None,
 ) -> int:
     """Ship one partition: greedy-chunk the serialized events, one record
-    per chunk. Runs on the executor; returns records written.
+    per chunk. Runs on the executor; returns records ACKNOWLEDGED.
 
     Default is the reference's PutRecord-per-chunk (main.go:266-289:
     exactly one record per flush, never the batch API). With
     ``use_put_records`` the scale path groups up to 500 chunks per
     PutRecords call — same chunk payloads and partition-key semantics,
-    ~500x fewer network round-trips at full throughput.
+    ~500x fewer network round-trips at full throughput — with per-record
+    partial-failure retry (see ``flush_put_records``). Records failing
+    every retry go to ``on_failed`` (the Flush failed-items contract);
+    with no handler the partition errors LOUDLY — a sink that silently
+    drops throttled records corrupts the stream at exactly the moment
+    it is busiest.
     """
     client = client_factory(config)
     n = 0
     pending: list[dict] = []
+    dead: list[dict] = []
 
-    def flush_pending() -> None:
-        if pending:
-            client.put_records(
-                Records=list(pending),
-                **(
-                    {"StreamARN": config.stream_arn}
-                    if config.stream_arn
-                    else {"StreamName": config.stream_name}
-                ),
-            )
-            pending.clear()
+    def flush_pending() -> int:
+        if not pending:
+            return 0
+        failed = flush_put_records(client, config, pending)
+        acked = len(pending) - len(failed)
+        dead.extend(failed)
+        pending.clear()
+        return acked
 
     for chunk in greedy_chunks(_rows_to_sized_payloads(rows), config.max_size_bytes):
         data = ("[" + ",".join(chunk) + "]").encode("utf-8")
         if use_put_records:
             pending.append({"Data": data, "PartitionKey": str(uuid.uuid4())})
             if len(pending) >= PUT_RECORDS_MAX:
-                flush_pending()
+                n += flush_pending()
         else:
             record = {
                 "Data": data,
@@ -139,8 +215,15 @@ def write_partition(
             if config.stream_arn != "":
                 record["StreamARN"] = config.stream_arn
             client.put_record(**record)
-        n += 1
-    flush_pending()
+            n += 1
+    n += flush_pending()
+    if dead:
+        if on_failed is None:
+            raise RuntimeError(
+                f"failed to put {len(dead)} record(s) to kinesis after "
+                f"{max(config.retry_max_attempts, 1)} attempts"
+            )
+        on_failed(dead)
     return n
 
 
