@@ -393,3 +393,56 @@ def test_aqe_skew_join_splits_planted_hot_key(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Catalyst's runtime Bloom-filter join pruning: a selective filter on
+    the dimension side injects a bloom_filter_agg over the dim keys and a
+    might_contain probe on the FACT side's scan path, so fact rows that
+    cannot match are dropped before the join shuffle — at 100 TB this is
+    the difference between shuffling the whole fact table and shuffling
+    the ~selectivity fraction of it. Broadcast is disabled so the join is
+    a shuffle join (broadcast joins get the cheaper DPP/broadcast reuse
+    instead); the application-side scan threshold is zeroed because the
+    fixture fact table is far below the 10 GiB production default."""
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.session import table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        li = table(spark, SF_DIR, "lineitem")
+        orders = table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy()
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
