@@ -484,3 +484,66 @@ def test_jaccard_pairs_survive_tie_ratio(spark, tmp_path_factory):
     # jaccard values are on the 1e-4 grid by construction
     for r in rows:
         assert r["jaccard"] == round(r["jaccard"] * 10000) / 10000.0
+
+
+@given(
+    xs=st.lists(
+        st.one_of(
+            st.floats(min_value=-2.0, max_value=2.0, allow_nan=False),
+            # adversarial band: values within a few ulp of 4-dp midpoints,
+            # where fractional ROUND diverged and integer-scale must not
+            st.integers(min_value=-20000, max_value=20000).map(
+                lambda k: k / 10000.0 + 5e-5
+            ),
+            st.integers(min_value=-20000, max_value=20000).map(
+                lambda k: (k / 10000.0 + 5e-5) * (1 - 2.22e-16)
+            ),
+            st.integers(min_value=-20000, max_value=20000).map(
+                lambda k: (k / 10000.0 + 5e-5) * (1 + 2.22e-16)
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scaled_round_agrees_on_arbitrary_doubles(spark, xs):
+    """scaled_round must agree cross-engine for ARBITRARY doubles, not
+    just small-int ratios — including values sitting within an ulp of a
+    4-dp midpoint on either side. This is the claim that integer-scale
+    rounding has no tie class at all."""
+    from streamsurfer_spark.functions.rounding import scaled_round, scaled_round_sql
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "id long, x double"
+    ).select("id", scaled_round(F.col("x")).alias("r"))
+    s = {r["id"]: r["r"] for r in df.collect()}
+    con = duckdb.connect()
+    try:
+        expr = scaled_round_sql("x")
+        # literals must be QUOTED: an unquoted 17-digit numeric parses as
+        # DECIMAL(21,20) first, and DuckDB's decimal→DOUBLE cast can land
+        # one ulp off the correctly-rounded double (found by this fuzz:
+        # 0.00015000000000000001 → …3261 instead of …3262, flipping the
+        # product across 1.5). String→DOUBLE is correctly rounded, so the
+        # quoted form feeds bit-identical inputs — as parquet does in the
+        # real gate.
+        d = dict(
+            con.sql(
+                "SELECT id, " + expr + " FROM (VALUES "
+                + ", ".join(
+                    f"({i}, '{float(x)!r}'::DOUBLE)" for i, x in enumerate(xs)
+                )
+                + ") t(id, x)"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    mism = {i: (s[i], d[i], xs[i]) for i in s if s[i] != d[i]}
+    assert not mism, f"scaled_round diverged on arbitrary doubles: {mism}"

@@ -140,3 +140,55 @@ def test_engine_casemap_divergence_is_live(spark):
         con.close()
     assert d_val != "STRASSE"  # simple mapping keeps ß/ẞ single-char
     assert len(d_val) == len("straße")
+
+
+def test_ql10_twin_matches_at_derived_plane_scale(spark, tmp_path_factory):
+    """Differential check of the derived-plane-count twin OFF the pinned-8
+    regime: 3000 vectors derive 9 planes (ceil(log2(3000/8))), so both
+    engines must band on 512 buckets — the scale class the old pinned-8
+    oracle silently got wrong (round-5 ADVICE). Full gate-style compare:
+    schema + rows + values."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamsurfer_spark.operators.similarity import lsh_planes_for
+    from streamsurfer_spark.queries import registry
+    from tests.conftest import assert_matches_oracle
+
+    n, dim = 3000, 64
+    assert lsh_planes_for(n) == 9  # the point of the fixture size
+    rng = np.random.default_rng(42)
+    # clustered vectors so some pairs actually clear the 0.8 cosine cut
+    base = rng.normal(size=(n // 10, dim))
+    vecs = (
+        base[np.arange(n) % (n // 10)]
+        + rng.normal(scale=0.05, size=(n, dim))
+    ).astype("float32")
+    d = str(tmp_path_factory.mktemp("ql10big"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+                "label": pa.array([i % 7 for i in range(n)], pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    spec = registry()["ql10_lsh_ann_pairs"]
+    df = spec.spark(spark, d)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+            f"'{os.path.join(d, 'embeddings.parquet')}')"
+        )
+        assert_matches_oracle(df, con, spec.oracle, name="ql10 @ derived 9 planes")
+    finally:
+        con.close()
+    # and the result is non-degenerate (clusters produce real pairs)
+    assert df.count() > 0
