@@ -36,8 +36,10 @@ class QuerySpec:
 #     score now goes through functions/rounding.py scaled_round on the
 #     Spark side and the matching CAST(round(x*1e4) AS BIGINT)/1e4 in the
 #     twin, edited in lockstep), the qv02 NULL-props coalesce, the ql10
-#     derived-plane-count twin, and the qs15 checkpoint cadence. A fresh
-#     green row proves each lockstep update. 34 entries.
+#     derived-plane-count twin, and the qs15 checkpoint cadence — plus
+#     the NEW qv09 produce→consume wire-loop round trip. A fresh green
+#     row proves each lockstep update (and baptizes the new entry).
+#     35 entries.
 # (2) rotation, oldest-verified-first: the 13 entries whose latest driver
 #     row is ROUND 1 (qr31–qr43), then the oldest of the r2-latest band
 #     (qv01/qv03/qv04) to fill the 50-slot window.
@@ -52,6 +54,7 @@ _VERIFY_FIRST = (
     # (1) CHANGED in round 6 — ROUND tie-class retirement + ADVICE fixes
     "qv02_payload_parse",        # twin: coalesce(json_valid, FALSE) NULL symmetry
     "qv07_json_typed_parse",     # avg_k scaled_round
+    "qv09_consume_roundtrip",    # NEW: sink spool → kinesis_replay → aggregate
     "ql03_cosine_topk",          # cosine_topk sim scaled (operator)
     "ql09_ngram_jaccard",        # jaccard scaled + threshold (operator)
     "ql10_lsh_ann_pairs",        # cos_sim scaled + twin derives plane count
@@ -102,10 +105,10 @@ _VERIFY_FIRST = (
     # ...then the oldest r2-latest entries up to the ~50 boundary
     "qv01_validate_required",
     "qv03_origin_stamp",
-    "qv04_ts_render",
-    # --- ~window boundary (34 changed + 13 r1 + 3 r2 = exactly 50) ---
+    # --- ~window boundary (35 changed/new + 13 r1 + 2 r2 = exactly 50) ---
     # (3) overflow tail: the remaining r2-latest band, oldest families
     # first, for the r7 rotation
+    "qv04_ts_render",
     "qv05_envelope_json",
     "qv08_batch_wire_format",
     "ql01_exact_dedup",

@@ -272,6 +272,79 @@ FROM arr ORDER BY user_id
 """
 
 
+# --- Q-V9 (engine extension): produce→consume wire-loop round trip ----------
+
+def qv09_consume_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL wire loop in one gated query: events → envelope
+    (validate + origin + timestamp stamp, main.go:174-186) → greedy
+    chunking → one JSON-array record per chunk (main.go:266-276) spooled
+    through the REAL sink client seam → read back with the
+    ``kinesis_replay`` Python DataSource (one row per envelope item) →
+    typed parse → per-event-type aggregate.
+
+    The oracle recomputes the SAME aggregates straight from the `events`
+    table — a hash match therefore proves the sink+source pair is
+    LOSSLESS and stamp-correct end-to-end, with no reference to how the
+    chunker happened to cut records (every output column is
+    chunking-invariant; record-boundary behavior itself is pinned by the
+    chunker property tests). Value money-math goes through the cent
+    discipline; the timestamp distinct-count rides on the qv04-proven
+    render.
+    """
+    from streamsurfer_spark.scratch import scratch_dir
+    from streamsurfer_spark.sink.config import KinesisSinkConfig
+    from streamsurfer_spark.sink.kinesis import (
+        FileKinesisClient,
+        envelope_payload,
+        write_batch_to_kinesis,
+    )
+    from streamsurfer_spark.sources.kinesis_source import register
+
+    ev = table(spark, sf_dir, "events")
+    spool = scratch_dir("qv09_spool_")
+    cfg = KinesisSinkConfig("qv09-stream", max_size_bytes=16_384, origin="roundtrip")
+    payloads = envelope_payload(ev, event_col="event_type", ts_col="ts", origin="roundtrip")
+    write_batch_to_kinesis(payloads, cfg, lambda _cfg: FileKinesisClient(spool))
+
+    register(spark)
+    items = spark.read.format("kinesis_replay").option("spool_dir", spool).load()
+    p = F.from_json(
+        "item",
+        "event_type string, user_id long, value double,"
+        " server_timestamp string, origin string",
+    )
+    parsed = items.select(p.alias("p")).select("p.*")
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("user_id").alias("sum_user_id"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "sum_value_cents"
+            ),
+            F.countDistinct("server_timestamp").alias("n_distinct_sts"),
+            F.min("origin").alias("origin"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QV09_SQL = """
+SELECT event_type,
+       count(*) AS n_items,
+       CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       count(DISTINCT regexp_replace(regexp_replace(
+                 strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ'), '0+Z$', 'Z'),
+                 '\\.Z$', 'Z')) AS n_distinct_sts,
+       'roundtrip' AS origin
+FROM events
+WHERE event_type IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qv01_validate_required": QuerySpec(qv01_validate_required, QV01_SQL, "Q-V1 required-field check"),
     "qv02_payload_parse": QuerySpec(qv02_payload_parse, QV02_SQL, "Q-V2 payload parse validation"),
@@ -282,5 +355,10 @@ QUERIES: dict[str, QuerySpec] = {
     "qv07_json_typed_parse": QuerySpec(qv07_json_typed_parse, QV07_SQL, "Q-V6 typed from_json parse"),
     "qv08_batch_wire_format": QuerySpec(
         qv08_batch_wire_format, QV08_SQL, "Q-V8 batch JSON-array wire format per group"
+    ),
+    "qv09_consume_roundtrip": QuerySpec(
+        qv09_consume_roundtrip,
+        QV09_SQL,
+        "produce→consume wire loop: sink spool → kinesis_replay → aggregate",
     ),
 }

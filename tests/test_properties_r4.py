@@ -343,8 +343,10 @@ def test_verify_window_follows_round6_rotation_policy():
         "qp02_vector_index_report", "qp04_quality_dashboard",
         "qp05_export_manifest", "qp06_semdedup_report", "qp08_canonical_map",
         "qt12_funnel", "qt14_transition_matrix", "qv07_json_typed_parse",
-        # ADVICE NULL-symmetry fix + qs15 checkpoint-cadence rework
+        # ADVICE NULL-symmetry fix + qs15 checkpoint-cadence rework +
+        # the new produce→consume wire-loop entry
         "qv02_payload_parse", "qs15_stream_lsh_dedup",
+        "qv09_consume_roundtrip",
     }
     missing = changed_r6 - window
     assert not missing, f"round-6-changed queries outside the gate window: {missing}"
