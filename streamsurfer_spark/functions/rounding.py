@@ -24,8 +24,16 @@ single correctly-rounded IEEE op on identical inputs, hence identical
 doubles on both engines; values equal the old ``ROUND(x, d)`` output
 everywhere except in the tie class being retired.
 
-Both sides of every oracle pair use the matching helper so the contract is
-visible at each call site (lockstep rule, FIXTURES.md §3).
+Spark sides go through :func:`scaled_round`; the DuckDB twins inline the
+equivalent ``CAST(round((x) * 10^d) AS BIGINT) / 10^d.0`` SQL directly in
+their (mostly static) oracle strings rather than interpolating
+:func:`scaled_round_sql` — a deliberate trade: the twins were verified
+value-by-value against the gate at conversion time, and rewriting 30
+hash-proven strings to route through the helper re-risks each one for
+cosmetic uniformity. New twins SHOULD use :func:`scaled_round_sql`; the
+cross-engine agreement of both formulations is pinned by
+``tests/test_differential_fuzz.py`` (tie-pair and arbitrary-double
+sweeps) per the lockstep rule in FIXTURES.md §3.
 """
 
 from __future__ import annotations

@@ -42,7 +42,8 @@ class QuerySpec:
 #     35 entries.
 # (2) rotation, oldest-verified-first: the 13 entries whose latest driver
 #     row is ROUND 1 (qr31–qr43), then the oldest of the r2-latest band
-#     (qv01/qv03/qv04) to fill the 50-slot window.
+#     (qv01/qv03) to fill the 50-slot window; qv04 heads the overflow
+#     tail.
 # (3) the overflow tail continues the rotation order — the remaining
 #     r2-latest entries (the untouched qv/ql/qs/qt bands below), so a
 #     wider window or the r7 rotation picks them up next; then everything

@@ -2369,6 +2369,10 @@ def ql45_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("_inter"))
     )
     n = dedup.N_MINHASH
+    # est_e4 = k * (10000 // n) is exact ONLY while n divides 10000 —
+    # the twin hardcodes the same quotient, so both engines drift
+    # together but off the documented round(k/n, 4) if this breaks
+    assert 10_000 % n == 0, "N_MINHASH must divide 10000 for est_e4"
     return (
         est.join(inter, ["doc_a", "doc_b"], "left")
         .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na")), "doc_a")

@@ -124,11 +124,15 @@ def _rows_to_sized_payloads(rows: Iterator) -> Iterator[tuple[int, str]]:
 PUT_RECORDS_MAX = 500  # Kinesis PutRecords per-call record cap
 
 
+PUT_RECORDS_BACKOFF_S = 0.1  # doubles per pass; ~1.5s total at 5 attempts
+
+
 def flush_put_records(
     client,
     config: KinesisSinkConfig,
     records: list[dict],
     max_attempts: int | None = None,
+    backoff_s: float = PUT_RECORDS_BACKOFF_S,
 ) -> list[dict]:
     """One PutRecords flush with per-record retry; returns the records
     that STILL failed — the reference Flush's failed-items contract
@@ -141,8 +145,14 @@ def flush_put_records(
     success silently drops data. Each retry pass resubmits ONLY the
     failed records, up to ``max_attempts`` passes (default: the
     config's retry budget, mirroring the connectToKinesis retry=5 of
-    main.go:165).
+    main.go:165), with exponential backoff between passes — per-record
+    failures are overwhelmingly throughput throttling, and an immediate
+    resubmit lands on a shard still over its per-second quota (the SDK
+    retry path the reference relies on also backs off). Tests pass
+    ``backoff_s=0``.
     """
+    import time
+
     if max_attempts is None:
         max_attempts = max(config.retry_max_attempts, 1)
     stream = (
@@ -151,9 +161,11 @@ def flush_put_records(
         else {"StreamName": config.stream_name}
     )
     pending = list(records)
-    for _ in range(max_attempts):
+    for attempt in range(max_attempts):
         if not pending:
             break
+        if attempt and backoff_s:
+            time.sleep(backoff_s * (2 ** (attempt - 1)))
         resp = client.put_records(Records=list(pending), **stream)
         if not resp.get("FailedRecordCount"):
             return []

@@ -82,9 +82,9 @@ def _read_spool_file(spool_dir: str, fname: str, seq: int):
         rec = json.load(f)
     yield from _unbatch(
         rec["Data"],
+        rec.get("StreamName", rec.get("StreamARN", "")),
         rec.get("ShardId", "shardId-0"),
         rec.get("PartitionKey", ""),
-        rec.get("StreamName", rec.get("StreamARN", "")),
         seq,
     )
 
@@ -154,9 +154,9 @@ class _Boto3Reader(DataSourceReader):
             for rec in resp["Records"]:
                 yield from _unbatch(
                     rec["Data"].decode("utf-8"),
+                    self.stream,
                     shard,
                     rec.get("PartitionKey", ""),
-                    self.stream,
                     seq,
                 )
                 seq += 1

@@ -454,36 +454,51 @@ def test_round_tie_scaled_formulation_agrees(spark):
 
 
 def test_jaccard_pairs_survive_tie_ratio(spark, tmp_path_factory):
-    """End-to-end: a documents fixture engineered so a pair's Jaccard is
-    EXACTLY a repr-tie ratio (3/16 = "0.1875" is grid-safe; use 3/16 → no;
-    craft |A∩B|/|A∪B| = 3/20000-scale is impractical — instead use 57/2000
-    via shingle-set sizes) must hash-match the oracle under the converted
-    ql09 formulation. The point is the PIPELINE carries the tie-proof
-    discipline, not just the unit expression."""
-    import pyspark.sql.functions as F
+    """End-to-end: the FULL ql09 pipeline (hashed shingles → inverted
+    index → Jaccard with the scaled round) on a crafted corpus must
+    hash-match its DuckDB twin via the exact gate compare — the PIPELINE
+    carries the tie-proof discipline, not just the unit expression. The
+    corpus includes a pair above the 0.4 threshold (5 shared of 7 union
+    shingles, J = 5/7) and near-threshold pairs, plus every emitted
+    score must sit on the 1e-4 grid."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    from streamsurfer_spark.operators.dedup import ngram_jaccard_pairs
-
-    # Two documents sharing exactly 3 distinct 3-gram shingles with set
-    # sizes chosen so J = 3/16 is NOT representable-tie; and a second pair
-    # at J = 7/40 ("0.175" terminates → safe). The adversarial coverage
-    # for the operator itself is the expression-level sweep above; here we
-    # assert operator output equals the DuckDB twin on a crafted corpus
-    # with threshold 0 (no pruning) — any rounding divergence flips the
-    # hash compare.
     docs = [
         (1, "a b c d e f g h"),
-        (2, "a b c d e x y z"),
-        (3, "p q r s t u v w"),
-        (4, "p q r s m n o k"),
+        (2, "a b c d e f g z"),
+        (3, "a b c d e x y z"),
+        (4, "p q r s t u v w"),
+        (5, "p q r s m n o k"),
     ]
-    df = spark.createDataFrame(docs, "doc_id long, text string")
-    out = ngram_jaccard_pairs(df, threshold=0.0).orderBy("doc_a", "doc_b")
-    rows = out.collect()
-    assert len(rows) >= 2
-    # jaccard values are on the 1e-4 grid by construction
+    d = str(tmp_path_factory.mktemp("jacfuzz"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+                "lang": pa.array(["en"] * len(docs), pa.string()),
+                "source": pa.array(["src0"] * len(docs), pa.string()),
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    spec = registry()["ql09_ngram_jaccard"]
+    df = spec.spark(spark, d)
+    rows = df.collect()
+    assert len(rows) >= 1  # the J=5/7 pair clears the 0.4 cut
     for r in rows:
         assert r["jaccard"] == round(r["jaccard"] * 10000) / 10000.0
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{os.path.join(d, 'documents.parquet')}')"
+        )
+        assert_matches_oracle(df, con, spec.oracle, name="ql09 crafted corpus")
+    finally:
+        con.close()
 
 
 @given(

@@ -43,6 +43,14 @@ def test_spool_batch_round_trip(spark, tmp_path):
     assert sorted(r.item for r in rows) == expected
     # every item is the sink's envelope: origin stamped, parseable JSON
     assert all(json.loads(r.item)["origin"] == "rt" for r in rows)
+    # metadata columns land in the RIGHT columns (a round-6 review found
+    # both readers passing them to _unbatch in rotated order): stream is
+    # the configured stream name, shard_id the provider's shard, and
+    # partition_key the sink's per-record UUID (hex-dashed, not a name)
+    assert {r.stream for r in rows} == {"rt-stream"}
+    assert all(r.shard_id == "shardId-0" for r in rows)
+    assert all(len(r.partition_key) >= 32 and "-" in r.partition_key for r in rows)
+    assert not any(r.partition_key == "rt-stream" for r in rows)
     # item_index enumerates within each record; multi-item records exist
     # (2048-byte chunks hold several envelopes)
     per_record = {}

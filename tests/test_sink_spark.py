@@ -86,7 +86,7 @@ def test_put_records_every_record_acked_once_or_passed_back(
     records = [
         {"Data": b"[%d]" % i, "PartitionKey": str(i)} for i in range(n_chunks)
     ]
-    failed = flush_put_records(client, cfg, records, max_attempts=attempts)
+    failed = flush_put_records(client, cfg, records, max_attempts=attempts, backoff_s=0)
 
     acked = [r["Data"] for r in client.records]
     assert len(acked) == len(set(acked)), "a record was double-sent"
@@ -116,7 +116,7 @@ def test_put_records_retry_then_success():
     cfg = KinesisSinkConfig("s", max_size_bytes=1 << 20)
     client = MockKinesisClient(partial_failures=[{0, 2}])
     records = [{"Data": b"[%d]" % i, "PartitionKey": str(i)} for i in range(4)]
-    failed = flush_put_records(client, cfg, records, max_attempts=3)
+    failed = flush_put_records(client, cfg, records, max_attempts=3, backoff_s=0)
     assert failed == []
     assert [r["Data"] for r in client.put_records_calls[1]] == [b"[0]", b"[2]"]
     assert sorted(r["Data"] for r in client.records) == sorted(
@@ -132,7 +132,7 @@ def test_put_records_exhausted_retries_pass_failed_back():
     # index 0 — fail it on every subsequent pass too
     client = MockKinesisClient(partial_failures=[{1}, {0}, {0}, {0}, {0}])
     records = [{"Data": b"[%d]" % i, "PartitionKey": str(i)} for i in range(3)]
-    failed = flush_put_records(client, cfg, records, max_attempts=3)
+    failed = flush_put_records(client, cfg, records, max_attempts=3, backoff_s=0)
     assert [r["Data"] for r in failed] == [b"[1]"]
 
 
