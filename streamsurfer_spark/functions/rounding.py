@@ -44,13 +44,52 @@ from pyspark.sql import Column
 
 def scaled_round(col: Column | str, digits: int = 4) -> Column:
     """Tie-proof replacement for ``F.round(col, digits)`` on computed
-    doubles: round once at integer scale, read back as a double."""
+    doubles: round once at integer scale, read back as a double.
+
+    Non-finite inputs (NaN/±Inf — e.g. a zero-norm embedding's 0/0, which
+    Spark evaluates to NaN while DuckDB's x/0 is NULL) are nulled out
+    BEFORE the scale step: ``CAST(NaN AS BIGINT)`` aborts the whole query
+    under Spark ANSI mode and raises ConversionException in DuckDB, so
+    without the guard one engine errors while the other returns rows.
+    NULL-on-non-finite converges both engines to the same value.
+    """
     scale = 10 ** digits
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * scale).cast("bigint") / float(scale)
+    c = c.cast("double")
+    finite = ~F.isnan(c) & (F.abs(c) != float("inf"))
+    return F.when(finite, F.round(c * scale).cast("bigint") / float(scale))
+
+
+def scaled_round_np(values, digits: int = 4):
+    """Pandas/NumPy twin of :func:`scaled_round` for Arrow-UDF paths.
+
+    ``numpy.round``/``Series.round`` are HALF-TO-EVEN, which diverges from
+    the Spark/DuckDB half-away-from-zero integer round on exact binary
+    midpoints. This computes half-away on the EXACT binary value with no
+    intermediate rounding: ``y - trunc(y)`` is an exact float subtraction
+    (both operands within 1.0 of each other, |y| < 2^52 by contract), so
+    the ``>= 0.5`` midpoint test sees the true fractional part — unlike
+    the ``floor(abs(y) + 0.5)`` idiom, whose addition can round a
+    just-below-midpoint value up to the next integer. Non-finite inputs
+    come back NaN (the pandas analogue of the SQL NULL guard).
+    """
+    import numpy as np
+
+    scale = float(10**digits)
+    y = np.asarray(values, dtype="float64") * scale
+    k = np.trunc(y)
+    frac = y - k
+    with np.errstate(invalid="ignore"):
+        r = np.where(np.abs(frac) >= 0.5, k + np.sign(y), k)
+    r = np.where(np.isfinite(y), r, np.nan)
+    return r / scale
 
 
 def scaled_round_sql(expr: str, digits: int = 4) -> str:
-    """DuckDB twin of :func:`scaled_round` (same integer-scale contract)."""
+    """DuckDB twin of :func:`scaled_round` (same integer-scale contract,
+    same NULL-on-non-finite guard)."""
     scale = 10 ** digits
-    return f"(CAST(round(({expr}) * {scale}) AS BIGINT) / {scale}.0)"
+    return (
+        f"(CASE WHEN isfinite({expr}) THEN "
+        f"CAST(round(({expr}) * {scale}) AS BIGINT) / {scale}.0 END)"
+    )

@@ -23,6 +23,7 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from streamsurfer_spark.functions.rounding import scaled_round
 from streamsurfer_spark.operators.text import token_count, tokens
 
 BM25_K1 = 1.2
@@ -91,7 +92,9 @@ def bm25_topk(
             "doc_id",
             F.col("dl").alias("n_tokens"),
             *[F.col(c).alias(f"tf_{t}") for t, c in tf_cols.items()],
-            F.round(score, 4).alias("score"),
+            # tie-proof final round (r7 conversion, ql32/ql42 twins in
+            # lockstep)
+            scaled_round(score).alias("score"),
         )
         .where(F.col("score") > 0)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())

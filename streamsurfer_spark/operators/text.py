@@ -135,11 +135,10 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             F.sum(F.col("tf") * F.col("cost_micro")).alias("surprisal_micro"),
         )
         .withColumn(
-            # NOTE: still a raw-double ROUND (r7 tranche, FIXTURES.md §3) —
-            # converting it cascades into the ql36/ql46/ql47/qp04/qp07
-            # twins, deferred to keep the r6 gate window on rotation
+            # tie-proof final division (r7: converted off raw ROUND in
+            # lockstep with the ql36/ql46/ql47/qp07/qp07b twins)
             "avg_surprisal_nats",
-            F.round(F.col("surprisal_micro") / F.col("n_tokens") / 1e6, 4),
+            scaled_round(F.col("surprisal_micro") / F.col("n_tokens") / 1e6),
         )
     )
 
@@ -241,10 +240,9 @@ def dsir_importance(
             F.sum(F.col("tf") * F.col("w_micro")).alias("logratio_micro"),
         )
         .withColumn(
-            # raw-double ROUND kept for now — same r7 tranche as
-            # avg_surprisal_nats above (twin cascade)
+            # tie-proof final division (r7 conversion, twin in lockstep)
             "avg_logratio_nats",
-            F.round(F.col("logratio_micro") / F.col("n_bigrams") / 1e6, 4),
+            scaled_round(F.col("logratio_micro") / F.col("n_bigrams") / 1e6),
         )
     )
 

@@ -46,10 +46,15 @@ def zscore_by_group(df, group_col: str, value_col: str, out_schema: str):
     """
 
     def zs(pdf: pd.DataFrame) -> pd.DataFrame:
+        from streamsurfer_spark.functions.rounding import scaled_round_np
+
         v = pdf[value_col].astype("float64")
         sd = v.std(ddof=1)
         pdf = pdf.copy()
-        pdf["zscore"] = ((v - v.mean()) / sd if sd > 0 else v * 0.0).round(4)
+        # tie-proof integer-scale round (r7): Series.round is half-even,
+        # the engines are half-away — scaled_round_np matches them on the
+        # exact binary value (twin in lockstep in QL19_SQL)
+        pdf["zscore"] = scaled_round_np((v - v.mean()) / sd if sd > 0 else v * 0.0)
         return pdf
 
     return df.groupBy(group_col).applyInPandas(zs, schema=out_schema)

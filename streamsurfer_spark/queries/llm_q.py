@@ -34,6 +34,7 @@ from streamsurfer_spark.operators import (
     similarity,
 )
 from streamsurfer_spark.functions import rounding
+from streamsurfer_spark.functions.rounding import scaled_round
 from streamsurfer_spark.operators import text as text_ops
 from streamsurfer_spark.queries import QuerySpec
 from streamsurfer_spark.session import table
@@ -698,8 +699,9 @@ SELECT doc_id, source,
        -- the 1-row sweep (tools/empty_sweep.py one); populated groups hit
        -- the THEN branch unchanged
        CASE WHEN stddev_samp(n_chars) OVER w > 0
-            THEN round((n_chars - avg(n_chars) OVER w)
-                       / stddev_samp(n_chars) OVER w, 4)
+            THEN CAST(round((n_chars - avg(n_chars) OVER w)
+                       / stddev_samp(n_chars) OVER w * 10000) AS BIGINT)
+                 / 10000.0
             ELSE 0.0 END AS zscore
 FROM documents
 WINDOW w AS (PARTITION BY source)
@@ -1543,8 +1545,8 @@ s AS (
 ),
 scored AS (
   SELECT doc_id, n_tokens, {tf_outs},
-         round(0.0
-           + {term_scores}, 4) AS score
+         CAST(round((0.0
+           + {term_scores}) * 10000) AS BIGINT) / 10000.0 AS score
   FROM d, s
 )
 SELECT * FROM scored WHERE score > 0
@@ -1720,7 +1722,8 @@ def ql42_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
 
     lex = retrieval.bm25_topk(docs, BM25_TERMS, k=RRF_CANDIDATES).select(
-        F.col("doc_id").alias("item_id"), F.round("score", 4).alias("_ls")
+        # score is already tie-proof-rounded inside bm25_topk (r7)
+        F.col("doc_id").alias("item_id"), F.col("score").alias("_ls")
     )
     w_lex = Window.orderBy(F.desc("_ls"), F.col("item_id"))
     lex = lex.withColumn("r_lex", F.row_number().over(w_lex))
@@ -1735,8 +1738,8 @@ def ql42_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qvec))
         .select(
             F.col("vec_id").alias("item_id"),
-            F.round(
-                dot / (F.expr(NORM_EXPR.format(a="embedding")) * F.col("_qn")), 4
+            scaled_round(
+                dot / (F.expr(NORM_EXPR.format(a="embedding")) * F.col("_qn"))
             ).alias("_vs"),
         )
         .orderBy(F.desc("_vs"), F.col("item_id"))
@@ -1796,7 +1799,8 @@ stats AS (
 ),
 lex0 AS (
     SELECT doc_id AS item_id,
-           round({term_scores}, 4) AS ls
+           CAST(round((0.0
+           + {term_scores}) * 10000) AS BIGINT) / 10000.0 AS ls
     FROM tf CROSS JOIN stats
     WHERE ls > 0
     ORDER BY ls DESC, item_id LIMIT {RRF_CANDIDATES}
@@ -1812,10 +1816,11 @@ q AS (
 ),
 vec0 AS (
     SELECT vec_id AS item_id,
-           round(list_sum(list_transform(list_zip(embedding, qv),
+           CAST(round(list_sum(list_transform(list_zip(embedding, qv),
                       z -> z[1]::DOUBLE * z[2]::DOUBLE))
                  / (sqrt(list_sum(list_transform(embedding,
-                      x -> x::DOUBLE * x::DOUBLE))) * qn), 4) AS vs
+                      x -> x::DOUBLE * x::DOUBLE))) * qn) * 10000) AS BIGINT)
+               / 10000.0 AS vs
     FROM embeddings CROSS JOIN q
     WHERE vec_id != {RRF_QUERY_VEC_ID}
     ORDER BY vs DESC, item_id LIMIT {RRF_CANDIDATES}
@@ -1925,8 +1930,9 @@ costed AS (
 SELECT tf.doc_id,
        CAST(sum(tf) AS BIGINT) AS n_tokens,
        CAST(sum(tf * cost_micro) AS BIGINT) AS surprisal_micro,
-       round(CAST(sum(tf * cost_micro) AS BIGINT)
-             / CAST(sum(tf) AS BIGINT) / 1000000.0, 4) AS avg_surprisal_nats
+       CAST(round(CAST(sum(tf * cost_micro) AS BIGINT)
+             / CAST(sum(tf) AS BIGINT) / 1000000.0 * 10000) AS BIGINT)
+           / 10000.0 AS avg_surprisal_nats
 FROM tf JOIN costed USING (token)
 GROUP BY 1
 ORDER BY 1
@@ -2574,8 +2580,8 @@ def ql50_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_new",
             "n_shingles",
             F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
-            F.round(
-                F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_shingles"), 4
+            scaled_round(
+                F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_shingles")
             ).alias("novelty"),
         )
         .orderBy("source")
@@ -2613,7 +2619,7 @@ bc AS (SELECT source, count(*) AS n_shingles FROM b_set GROUP BY 1),
 nc AS (SELECT source, count(*) AS n_novel FROM novel GROUP BY 1)
 SELECT nd.source, nd.n_docs_new, bc.n_shingles,
        coalesce(nc.n_novel, 0) AS n_novel,
-       round(coalesce(nc.n_novel, 0)::DOUBLE / bc.n_shingles, 4) AS novelty
+       CAST(round(coalesce(nc.n_novel, 0)::DOUBLE / bc.n_shingles * 10000) AS BIGINT) / 10000.0 AS novelty
 FROM nd
 JOIN bc USING (source)
 LEFT JOIN nc USING (source)
@@ -3012,8 +3018,9 @@ w AS (
 SELECT tf.doc_id, tf.lang,
        CAST(sum(tf) AS BIGINT) AS n_bigrams,
        CAST(sum(tf * w_micro) AS BIGINT) AS logratio_micro,
-       round(CAST(sum(tf * w_micro) AS BIGINT)
-             / CAST(sum(tf) AS BIGINT) / 1000000.0, 4) AS avg_logratio_nats
+       CAST(round(CAST(sum(tf * w_micro) AS BIGINT)
+             / CAST(sum(tf) AS BIGINT) / 1000000.0 * 10000) AS BIGINT)
+           / 10000.0 AS avg_logratio_nats
 FROM tf JOIN w USING (bucket)
 GROUP BY 1, 2
 ORDER BY 1
@@ -3060,8 +3067,8 @@ def ql47_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens_total"),
-            F.round(F.min("avg_surprisal_nats"), 4).alias("min_surprisal"),
-            F.round(F.max("avg_surprisal_nats"), 4).alias("max_surprisal"),
+            scaled_round(F.min("avg_surprisal_nats")).alias("min_surprisal"),
+            scaled_round(F.max("avg_surprisal_nats")).alias("max_surprisal"),
         )
         .orderBy("lang", "bucket")
     )
@@ -3082,8 +3089,9 @@ costed AS (
 sur AS (
     SELECT tf.doc_id,
            CAST(sum(tf) AS BIGINT) AS n_tokens,
-           round(CAST(sum(tf * cost_micro) AS BIGINT)
-                 / CAST(sum(tf) AS BIGINT) / 1000000.0, 4) AS avg_surprisal_nats
+           CAST(round(CAST(sum(tf * cost_micro) AS BIGINT)
+                 / CAST(sum(tf) AS BIGINT) / 1000000.0 * 10000) AS BIGINT)
+               / 10000.0 AS avg_surprisal_nats
     FROM tf JOIN costed USING (token)
     GROUP BY 1
 ),
@@ -3108,8 +3116,8 @@ b AS (
 SELECT lang, bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
-       round(min(avg_surprisal_nats), 4) AS min_surprisal,
-       round(max(avg_surprisal_nats), 4) AS max_surprisal
+       CAST(round(min(avg_surprisal_nats) * 10000) AS BIGINT) / 10000.0 AS min_surprisal,
+       CAST(round(max(avg_surprisal_nats) * 10000) AS BIGINT) / 10000.0 AS max_surprisal
 FROM b
 GROUP BY 1, 2
 ORDER BY 1, 2

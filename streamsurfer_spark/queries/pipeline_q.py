@@ -895,8 +895,9 @@ costed AS (
 sur AS (
     SELECT tf.doc_id,
            CAST(sum(tf) AS BIGINT) AS n_tokens,
-           round(CAST(sum(tf * cost_micro) AS BIGINT)
-                 / CAST(sum(tf) AS BIGINT) / 1000000.0, 4) AS avg_surprisal_nats
+           CAST(round(CAST(sum(tf * cost_micro) AS BIGINT)
+                 / CAST(sum(tf) AS BIGINT) / 1000000.0 * 10000) AS BIGINT)
+               / 10000.0 AS avg_surprisal_nats
     FROM tf JOIN costed USING (token)
     GROUP BY 1
 ),

@@ -22,6 +22,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from streamsurfer_spark.functions.rounding import scaled_round
+
 from streamsurfer_spark.queries import QuerySpec
 from streamsurfer_spark.session import load_tables, table
 
@@ -49,12 +51,22 @@ def _i6(col) -> "F.Column":
 
 
 def _sum6(col, nd: int = 2) -> "F.Column":
-    """round(sum(scaled)/1e6, nd) — the exact-sum read-back."""
-    return F.round(F.sum(_i6(col)) / SCALE6, nd)
+    """Tie-proof sum read-back: scaled_round(sum(scaled)/1e6, nd).
+
+    For product args (extendedprice*(1-discount): a 4-dp grid), the micro
+    sum can land exactly on an nd-dp midpoint, which is the proven
+    ROUND tie class — hence the integer-scale round (r7 conversion,
+    twins via _duck_sum6 / the literal twin strings in lockstep).
+    """
+    return scaled_round(F.sum(_i6(col)) / SCALE6, nd)
 
 
 def _duck_sum6(expr: str, nd: int = 2) -> str:
-    return f"round(sum(CAST(round(({expr}) * 1000000) AS BIGINT)) / 1000000.0, {nd})"
+    scale = 10**nd
+    return (
+        f"(CAST(round((sum(CAST(round(({expr}) * 1000000) AS BIGINT)) / 1000000.0)"
+        f" * {scale}) AS BIGINT) / {scale}.0)"
+    )
 
 
 # --- Q-R1: parquet scan + full-table checksum ------------------------------
@@ -73,7 +85,7 @@ QR01_SQL = """
 SELECT count(*) AS n_rows,
        CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
        CAST(sum(l_linenumber) AS BIGINT) AS sum_lineno,
-       round(sum(CAST(round((l_quantity) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_qty
+       CAST(round((sum(CAST(round((l_quantity) * 1000000) AS BIGINT)) / 1000000.0) * 100) AS BIGINT) / 100.0 AS sum_qty
 FROM lineitem
 """
 
@@ -100,7 +112,7 @@ def qr02_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QR02_SQL = """
-SELECT round(sum(CAST(round((l_extendedprice * l_discount) * 1000000) AS BIGINT)) / 1000000.0, 2) AS revenue,
+SELECT CAST(round((sum(CAST(round((l_extendedprice * l_discount) * 1000000) AS BIGINT)) / 1000000.0) * 100) AS BIGINT) / 100.0 AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -132,7 +144,7 @@ def qr03_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 QR03_SQL = """
 SELECT c_mktsegment,
        count(*) AS n_orders,
-       round(sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_price
+       CAST(round((sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) / 1000000.0) * 100) AS BIGINT) / 100.0 AS sum_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -174,7 +186,7 @@ def qr04_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QR04_SQL = """
 SELECT n_name,
-       round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) / 1000000.0, 2) AS revenue,
+       CAST(round((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) / 1000000.0) * 100) AS BIGINT) / 100.0 AS revenue,
        count(*) AS n_items
 FROM region
 JOIN nation ON r_regionkey = n_regionkey
@@ -257,7 +269,7 @@ QR05_ANTI_SQL = """
 SELECT count(*) AS n_cust,
        CAST(min(c_custkey) AS BIGINT) AS min_key,
        CAST(max(c_custkey) AS BIGINT) AS max_key,
-       round(sum(CAST(round((c_acctbal) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_bal
+       CAST(round((sum(CAST(round((c_acctbal) * 1000000) AS BIGINT)) / 1000000.0) * 100) AS BIGINT) / 100.0 AS sum_bal
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
@@ -277,9 +289,9 @@ def qr06_hash_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sum6("l_extendedprice").alias("sum_base_price"),
             _sum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
             _sum6(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.round(F.sum(_i6("l_quantity")) / F.lit(SCALE6) / F.count("*"), 2).alias("avg_qty"),
-            F.round(F.sum(_i6("l_extendedprice")) / F.lit(SCALE6) / F.count("*"), 2).alias("avg_price"),
-            F.round(F.sum(_i6("l_discount")) / F.lit(SCALE6) / F.count("*"), 4).alias("avg_disc"),
+            scaled_round(F.sum(_i6("l_quantity")) / F.lit(SCALE6) / F.count("*"), 2).alias("avg_qty"),
+            scaled_round(F.sum(_i6("l_extendedprice")) / F.lit(SCALE6) / F.count("*"), 2).alias("avg_price"),
+            scaled_round(F.sum(_i6("l_discount")) / F.lit(SCALE6) / F.count("*"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -288,13 +300,13 @@ def qr06_hash_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QR06_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(CAST(round((l_quantity) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_qty,
-       round(sum(CAST(round((l_extendedprice) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_base_price,
-       round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_disc_price,
-       round(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_charge,
-       round(sum(CAST(round((l_quantity) * 1000000) AS BIGINT)) / 1000000.0 / count(*), 2) AS avg_qty,
-       round(sum(CAST(round((l_extendedprice) * 1000000) AS BIGINT)) / 1000000.0 / count(*), 2) AS avg_price,
-       round(sum(CAST(round((l_discount) * 1000000) AS BIGINT)) / 1000000.0 / count(*), 4) AS avg_disc,
+       CAST(round((sum(CAST(round((l_quantity) * 1000000) AS BIGINT)) / 1000000.0) * 100) AS BIGINT) / 100.0 AS sum_qty,
+       CAST(round((sum(CAST(round((l_extendedprice) * 1000000) AS BIGINT)) / 1000000.0) * 100) AS BIGINT) / 100.0 AS sum_base_price,
+       CAST(round((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) / 1000000.0) * 100) AS BIGINT) / 100.0 AS sum_disc_price,
+       CAST(round((sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000) AS BIGINT)) / 1000000.0) * 100) AS BIGINT) / 100.0 AS sum_charge,
+       CAST(round((sum(CAST(round((l_quantity) * 1000000) AS BIGINT)) / 1000000.0 / count(*)) * 100) AS BIGINT) / 100.0 AS avg_qty,
+       CAST(round((sum(CAST(round((l_extendedprice) * 1000000) AS BIGINT)) / 1000000.0 / count(*)) * 100) AS BIGINT) / 100.0 AS avg_price,
+       CAST(round((sum(CAST(round((l_discount) * 1000000) AS BIGINT)) / 1000000.0 / count(*)) * 10000) AS BIGINT) / 10000.0 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -379,7 +391,7 @@ def qr09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QR09_SQL = """
 SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
        o_orderstatus,
-       round(sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) / 1000000.0, 2) AS revenue,
+       CAST(round((sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) / 1000000.0) * 100) AS BIGINT) / 100.0 AS revenue,
        count(*) AS n_orders
 FROM orders
 GROUP BY ROLLUP (order_year, o_orderstatus)
@@ -586,10 +598,10 @@ def qr16_math_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.sum(dec).cast("double").alias("sum_dec_price"),
-            F.round(F.avg(dec).cast("double"), 2).alias("avg_dec_price"),
+            scaled_round(F.avg(dec).cast("double"), 2).alias("avg_dec_price"),
             F.floor(F.max("l_quantity")).cast("long").alias("max_qty_floor"),
-            F.round(F.abs(F.min(F.col("l_discount") - 0.05)), 4).alias("min_disc_dev"),
-            F.round(F.sqrt(F.sum("l_quantity")), 4).alias("sqrt_qty"),
+            scaled_round(F.abs(F.min(F.col("l_discount") - 0.05))).alias("min_disc_dev"),
+            scaled_round(F.sqrt(F.sum("l_quantity"))).alias("sqrt_qty"),
         )
         .orderBy("l_returnflag")
     )
@@ -598,10 +610,10 @@ def qr16_math_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
 QR16_SQL = """
 SELECT l_returnflag,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_dec_price,
-       round(CAST(avg(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS avg_dec_price,
+       CAST(round(CAST(avg(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) * 100) AS BIGINT) / 100.0 AS avg_dec_price,
        CAST(floor(max(l_quantity)) AS BIGINT) AS max_qty_floor,
-       round(abs(min(l_discount - 0.05)), 4) AS min_disc_dev,
-       round(sqrt(sum(l_quantity)), 4) AS sqrt_qty
+       CAST(round(abs(min(l_discount - 0.05)) * 10000) AS BIGINT) / 10000.0 AS min_disc_dev,
+       CAST(round(sqrt(sum(l_quantity)) * 10000) AS BIGINT) / 10000.0 AS sqrt_qty
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -616,20 +628,18 @@ def qr17_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").alias("n_dims"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
-        F.round(
+        scaled_round(F.element_at("embedding", 1).cast("double")).alias("first_val"),
+        scaled_round(
             F.expr(
                 "aggregate(transform(embedding, x -> abs(cast(x as double))),"
                 " cast(0.0 as double), (a, x) -> a + x)"
-            ),
-            4,
+            )
         ).alias("l1_norm"),
-        F.round(
+        scaled_round(
             F.expr(
                 "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),"
                 " cast(0.0 as double), (a, x) -> a + x)"
-            ),
-            4,
+            )
         ).alias("sq_norm"),
     ).orderBy("vec_id")
 
@@ -637,9 +647,9 @@ def qr17_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 QR17_SQL = """
 SELECT vec_id,
        CAST(len(embedding) AS INTEGER) AS n_dims,
-       round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-       round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 4) AS l1_norm,
-       round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 4) AS sq_norm
+       CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) / 10000.0 AS first_val,
+       CAST(round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) * 10000) AS BIGINT) / 10000.0 AS l1_norm,
+       CAST(round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) * 10000) AS BIGINT) / 10000.0 AS sq_norm
 FROM embeddings
 ORDER BY vec_id
 """
@@ -655,7 +665,7 @@ def qr18_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(min(c_custkey) AS BIGINT) AS min_key,
                CAST(max(c_custkey) AS BIGINT) AS max_key
         FROM customer
-        WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer)
+        WHERE c_acctbal > (SELECT CAST(round(avg(c_acctbal) * 100) AS BIGINT) / 100.0 FROM customer)
           AND c_custkey IN (SELECT o_custkey FROM orders)
           AND EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c_custkey AND o.o_totalprice > 1000)
@@ -668,7 +678,7 @@ SELECT count(*) AS n_above,
        CAST(min(c_custkey) AS BIGINT) AS min_key,
        CAST(max(c_custkey) AS BIGINT) AS max_key
 FROM customer
-WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer)
+WHERE c_acctbal > (SELECT CAST(round(avg(c_acctbal) * 100) AS BIGINT) / 100.0 FROM customer)
   AND c_custkey IN (SELECT o_custkey FROM orders)
   AND EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c_custkey AND o.o_totalprice > 1000)
@@ -699,7 +709,7 @@ SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
             ELSE 'low' END AS prio_bucket,
        coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_adj,
        count(*) AS n_orders,
-       round(sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_price
+       CAST(round((sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) / 1000000.0) * 100) AS BIGINT) / 100.0 AS sum_price
 FROM orders
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -743,9 +753,9 @@ def qr21_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderstatus")
         .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
-            F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+            scaled_round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+            scaled_round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+            scaled_round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
         )
         .orderBy("o_orderstatus")
     )
@@ -753,9 +763,9 @@ def qr21_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QR21_SQL = """
 SELECT o_orderstatus,
-       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
-       round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+       CAST(round(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) / 100.0 AS p50,
+       CAST(round(quantile_cont(o_totalprice, 0.9) * 100) AS BIGINT) / 100.0 AS p90,
+       CAST(round(quantile_cont(o_totalprice, 0.99) * 100) AS BIGINT) / 100.0 AS p99
 FROM orders
 GROUP BY 1 ORDER BY 1
 """
@@ -820,8 +830,8 @@ def qr10b_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_mktsegment",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        scaled_round(F.percent_rank().over(w)).alias("pct_rank"),
+        scaled_round(F.cume_dist().over(w)).alias("cume"),
         F.first("c_custkey").over(w).alias("top_cust"),
     ).orderBy("c_custkey")
 
@@ -829,8 +839,8 @@ def qr10b_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 QR10B_SQL = """
 SELECT c_custkey, c_mktsegment,
        ntile(4) OVER w AS quartile,
-       round(percent_rank() OVER w, 4) AS pct_rank,
-       round(cume_dist() OVER w, 4) AS cume,
+       CAST(round(percent_rank() OVER w * 10000) AS BIGINT) / 10000.0 AS pct_rank,
+       CAST(round(cume_dist() OVER w * 10000) AS BIGINT) / 10000.0 AS cume,
        first_value(c_custkey) OVER w AS top_cust
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
@@ -962,15 +972,15 @@ def qr26_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
-            F.round(F.stddev_pop("l_extendedprice"), 2).alias("sdp_price"),
-            F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
-            F.round(F.var_pop("l_quantity"), 2).alias("varp_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
-            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covp_qty_price"),
-            F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
-            F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias("intercept"),
+            scaled_round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            scaled_round(F.stddev_pop("l_extendedprice"), 2).alias("sdp_price"),
+            scaled_round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+            scaled_round(F.var_pop("l_quantity"), 2).alias("varp_qty"),
+            scaled_round(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+            scaled_round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+            scaled_round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covp_qty_price"),
+            scaled_round(F.expr("regr_slope(l_extendedprice, l_quantity)")).alias("slope"),
+            scaled_round(F.expr("regr_intercept(l_extendedprice, l_quantity)")).alias("intercept"),
         )
         .orderBy("l_returnflag")
     )
@@ -979,15 +989,15 @@ def qr26_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 QR26_SQL = """
 SELECT l_returnflag,
        count(*) AS n_rows,
-       round(stddev_samp(l_extendedprice), 2) AS sd_price,
-       round(stddev_pop(l_extendedprice), 2) AS sdp_price,
-       round(var_samp(l_quantity), 2) AS var_qty,
-       round(var_pop(l_quantity), 2) AS varp_qty,
-       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
-       round(covar_pop(l_quantity, l_extendedprice), 2) AS covp_qty_price,
-       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+       CAST(round(stddev_samp(l_extendedprice) * 100) AS BIGINT) / 100.0 AS sd_price,
+       CAST(round(stddev_pop(l_extendedprice) * 100) AS BIGINT) / 100.0 AS sdp_price,
+       CAST(round(var_samp(l_quantity) * 100) AS BIGINT) / 100.0 AS var_qty,
+       CAST(round(var_pop(l_quantity) * 100) AS BIGINT) / 100.0 AS varp_qty,
+       CAST(round(corr(l_quantity, l_extendedprice) * 10000) AS BIGINT) / 10000.0 AS corr_qty_price,
+       CAST(round(covar_samp(l_quantity, l_extendedprice) * 100) AS BIGINT) / 100.0 AS cov_qty_price,
+       CAST(round(covar_pop(l_quantity, l_extendedprice) * 100) AS BIGINT) / 100.0 AS covp_qty_price,
+       CAST(round(regr_slope(l_extendedprice, l_quantity) * 10000) AS BIGINT) / 10000.0 AS slope,
+       CAST(round(regr_intercept(l_extendedprice, l_quantity) * 10000) AS BIGINT) / 10000.0 AS intercept
 FROM lineitem
 GROUP BY 1 ORDER BY 1
 """
@@ -1040,16 +1050,16 @@ def qr28_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
-            F.round(
+            scaled_round(
                 F.sum(F.when(urgent, _i6("o_totalprice")).otherwise(F.lit(0).cast("bigint")))
                 / SCALE6,
                 2,
             ).alias("urgent_rev"),
-            F.round(F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2).alias(
-                "avg_open_price"
-            ),
-            F.round(
-                F.count_if(F.col("o_orderstatus") == "F") / F.count("*"), 4
+            scaled_round(
+                F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2
+            ).alias("avg_open_price"),
+            scaled_round(
+                F.count_if(F.col("o_orderstatus") == "F") / F.count("*")
             ).alias("finished_share"),
         )
         .orderBy("o_year")
@@ -1060,12 +1070,13 @@ QR28_SQL = """
 SELECT year(o_orderdate) AS o_year,
        count(*) AS n_orders,
        count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
-       round(coalesce(sum(CAST(round(o_totalprice * 1000000) AS BIGINT))
+       CAST(round(coalesce(sum(CAST(round(o_totalprice * 1000000) AS BIGINT))
                 FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')), 0)
-             / 1000000.0, 2) AS urgent_rev,
-       round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS avg_open_price,
-       round((count(*) FILTER (WHERE o_orderstatus = 'F')) / (1.0 * count(*)), 4)
-           AS finished_share
+             / 1000000.0 * 100) AS BIGINT) / 100.0 AS urgent_rev,
+       CAST(round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O') * 100) AS BIGINT)
+           / 100.0 AS avg_open_price,
+       CAST(round((count(*) FILTER (WHERE o_orderstatus = 'F')) / (1.0 * count(*))
+            * 10000) AS BIGINT) / 10000.0 AS finished_share
 FROM orders
 GROUP BY 1 ORDER BY 1
 """
@@ -1330,15 +1341,14 @@ def qr35_lambda_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"size(filter({d}, x -> x > 0))").alias("n_pos"),
         F.expr(f"exists({d}, x -> abs(x) > 2.0)").alias("has_big"),
         F.expr(f"forall({d}, x -> abs(x) < 100.0)").alias("all_bounded"),
-        F.round(F.expr(f"aggregate(slice({d}, 1, 3), cast(0.0 as double), (a, x) -> a + x)"), 4).alias(
-            "head3_sum"
-        ),
-        F.round(
+        scaled_round(
+            F.expr(f"aggregate(slice({d}, 1, 3), cast(0.0 as double), (a, x) -> a + x)")
+        ).alias("head3_sum"),
+        scaled_round(
             F.expr(
                 f"aggregate(zip_with({d}, reverse({d}), (x, y) -> x * y),"
                 " cast(0.0 as double), (a, x) -> a + x)"
-            ),
-            4,
+            )
         ).alias("rev_dot"),
     ).orderBy("vec_id")
 
@@ -1349,9 +1359,10 @@ SELECT vec_id,
        CAST(len(list_filter(e, x -> x > 0)) AS INTEGER) AS n_pos,
        len(list_filter(e, x -> abs(x) > 2.0)) > 0 AS has_big,
        len(list_filter(e, x -> abs(x) >= 100.0)) = 0 AS all_bounded,
-       round(list_sum(e[1:3]), 4) AS head3_sum,
-       round(list_sum(list_transform(generate_series(1, len(e)),
-                                     i -> e[i] * e[len(e) - i + 1])), 4) AS rev_dot
+       CAST(round(list_sum(e[1:3]) * 10000) AS BIGINT) / 10000.0 AS head3_sum,
+       CAST(round(list_sum(list_transform(generate_series(1, len(e)),
+                                     i -> e[i] * e[len(e) - i + 1])) * 10000) AS BIGINT)
+           / 10000.0 AS rev_dot
 FROM t
 ORDER BY vec_id
 """
@@ -1976,9 +1987,9 @@ def qr47_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev6).alias("total6"),
         )
         .select(
-            F.round(F.lit(100.0) * F.col("promo6") / F.col("total6"), 2).alias("promo_share_pct"),
-            F.round(F.col("promo6") / SCALE6, 2).alias("promo_revenue"),
-            F.round(F.col("total6") / SCALE6, 2).alias("total_revenue"),
+            scaled_round(F.lit(100.0) * F.col("promo6") / F.col("total6"), 2).alias("promo_share_pct"),
+            scaled_round(F.col("promo6") / SCALE6, 2).alias("promo_revenue"),
+            scaled_round(F.col("total6") / SCALE6, 2).alias("total_revenue"),
         )
     )
 
@@ -1992,9 +2003,9 @@ WITH s AS (
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 )
-SELECT round(100.0 * promo6 / total6, 2) AS promo_share_pct,
-       round(promo6 / 1000000.0, 2) AS promo_revenue,
-       round(total6 / 1000000.0, 2) AS total_revenue
+SELECT CAST(round(100.0 * promo6 / total6 * 100) AS BIGINT) / 100.0 AS promo_share_pct,
+       CAST(round(promo6 / 1000000.0 * 100) AS BIGINT) / 100.0 AS promo_revenue,
+       CAST(round(total6 / 1000000.0 * 100) AS BIGINT) / 100.0 AS total_revenue
 FROM s
 """
 
@@ -2301,7 +2312,7 @@ def qr53_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _sum6("l_extendedprice").alias("total_price"),
             F.count("*").alias("n_items"),
-            F.round(F.sum(_i6("l_extendedprice")) / (7.0 * SCALE6), 2).alias("avg_yearly"),
+            scaled_round(F.sum(_i6("l_extendedprice")) / (7.0 * SCALE6), 2).alias("avg_yearly"),
         )
         .orderBy("p_brand")
     )
@@ -2317,8 +2328,8 @@ WITH pp AS (
 SELECT p_brand,
        {_duck_sum6("l_extendedprice")} AS total_price,
        count(*) AS n_items,
-       round(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / (7.0 * 1000000), 2)
-         AS avg_yearly
+       CAST(round(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / (7.0 * 1000000)
+             * 100) AS BIGINT) / 100.0 AS avg_yearly
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN pp ON l_partkey = pp_key
@@ -2353,7 +2364,7 @@ def qr54_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("rev6") / SCALE6, 2).alias("total_revenue"),
+            scaled_round(F.col("rev6") / SCALE6, 2).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -2368,7 +2379,7 @@ WITH rev AS (
   GROUP BY 1
 )
 SELECT s_suppkey, s_name,
-       round(rev6 / 1000000.0, 2) AS total_revenue
+       CAST(round(rev6 / 1000000.0 * 100) AS BIGINT) / 100.0 AS total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE rev6 = (SELECT max(rev6) FROM rev)
 ORDER BY s_suppkey
@@ -2625,7 +2636,7 @@ def qr59_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cost.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .withColumn("unit_cost", F.round(F.col("price6") / F.col("qty6"), 4))
+        .withColumn("unit_cost", scaled_round(F.col("price6") / F.col("qty6")))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
@@ -2647,7 +2658,7 @@ supp AS (
   WHERE r_name = 'EUROPE'
 )
 SELECT p_partkey, p_name, s_name, n_name,
-       round(CAST(price6 AS BIGINT) / CAST(qty6 AS BIGINT), 4) AS unit_cost
+       CAST(round(CAST(price6 AS BIGINT) / CAST(qty6 AS BIGINT) * 10000) AS BIGINT) / 10000.0 AS unit_cost
 FROM cost
 JOIN supp ON l_suppkey = s_suppkey
 JOIN part ON l_partkey = p_partkey
@@ -2756,8 +2767,8 @@ def qr61_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_year",
-            F.round(F.col("nation6") / F.col("total6"), 4).alias("mkt_share"),
-            F.round(F.col("total6") / SCALE6, 2).alias("total_revenue"),
+            scaled_round(F.col("nation6") / F.col("total6")).alias("mkt_share"),
+            scaled_round(F.col("total6") / SCALE6, 2).alias("total_revenue"),
         )
         .orderBy("o_year")
     )
@@ -2765,13 +2776,13 @@ def qr61_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QR61_SQL = """
 SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+       CAST(round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
                  THEN CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)
                  ELSE 0 END) AS BIGINT)
-             / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT),
-             4) AS mkt_share,
-       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT)
-             / 1000000.0, 2) AS total_revenue
+             / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+             * 10000) AS BIGINT) / 10000.0 AS mkt_share,
+       CAST(round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+             / 1000000.0 * 100) AS BIGINT) / 100.0 AS total_revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2821,7 +2832,7 @@ def qr62_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit6) / SCALE6, 2).alias("sum_profit"))
+        .agg(scaled_round(F.sum(profit6) / SCALE6, 2).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -2829,10 +2840,10 @@ def qr62_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 QR62_SQL = """
 SELECT n_name AS nation,
        CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       round(CAST(sum(
+       CAST(round(CAST(sum(
          CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)
          - CAST(round(0.6 * p_retailprice * l_quantity * 1000000) AS BIGINT)
-       ) AS BIGINT) / 1000000.0, 2) AS sum_profit
+       ) AS BIGINT) / 1000000.0 * 100) AS BIGINT) / 100.0 AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -2913,7 +2924,7 @@ def qr64_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         value.crossJoin(F.broadcast(total))
         .where(F.col("v6") * F.col("n_parts") * 10 > 16 * F.col("t6"))
-        .select("l_partkey", F.round(F.col("v6") / SCALE6, 2).alias("part_value"))
+        .select("l_partkey", scaled_round(F.col("v6") / SCALE6, 2).alias("part_value"))
         .orderBy(F.desc("part_value"), "l_partkey")
     )
 
@@ -2925,7 +2936,7 @@ WITH v AS (
   FROM lineitem GROUP BY 1
 ),
 t AS (SELECT CAST(sum(v6) AS BIGINT) AS t6, count(*) AS n_parts FROM v)
-SELECT l_partkey, round(CAST(v6 AS BIGINT) / 1000000.0, 2) AS part_value
+SELECT l_partkey, CAST(round(CAST(v6 AS BIGINT) / 1000000.0 * 100) AS BIGINT) / 100.0 AS part_value
 FROM v, t
 WHERE CAST(v6 AS BIGINT) * n_parts * 10 > 16 * t6
 ORDER BY part_value DESC, l_partkey
@@ -3411,7 +3422,7 @@ def qr72_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi_cents",
             "n_clipped_low",
             "n_clipped_high",
-            F.round(F.col("win_sum_cents") / F.col("n_rows") / 100.0, 4).alias(
+            scaled_round(F.col("win_sum_cents") / F.col("n_rows") / 100.0).alias(
                 "win_mean"
             ),
         )
@@ -3435,8 +3446,8 @@ SELECT li.l_returnflag, c.n_rows, c.lo_cents, c.hi_cents,
            AS n_clipped_low,
        CAST(sum(CASE WHEN li.cents > c.hi_cents THEN 1 ELSE 0 END) AS BIGINT)
            AS n_clipped_high,
-       round(CAST(sum(greatest(c.lo_cents, least(c.hi_cents, li.cents))) AS BIGINT)
-             / c.n_rows / 100.0, 4) AS win_mean
+       CAST(round(CAST(sum(greatest(c.lo_cents, least(c.hi_cents, li.cents))) AS BIGINT)
+             / c.n_rows / 100.0 * 10000) AS BIGINT) / 10000.0 AS win_mean
 FROM li JOIN cuts c USING (l_returnflag)
 GROUP BY 1, 2, 3, 4
 ORDER BY 1

@@ -406,7 +406,7 @@ def qt07_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.join(a, (b.event_type == a.t) & (a.i <= b.idx))
         .groupBy("event_type", "day", "idx")
         .agg(
-            F.round(
+            scaled_round(
                 F.sum(a.xi * w) / F.sum(w) / 1_000_000, 2
             ).alias("ewma_value")
         )
@@ -432,8 +432,9 @@ idxd AS (
 )
 SELECT b.event_type,
        strftime(b.day, '%Y-%m-%d') AS day,
-       round(sum(a.x6 * pow(0.5, b.idx - a.idx))
-             / sum(pow(0.5, b.idx - a.idx)) / 1000000, 2) AS ewma_value
+       CAST(round(sum(a.x6 * pow(0.5, b.idx - a.idx))
+             / sum(pow(0.5, b.idx - a.idx)) / 1000000 * 100) AS BIGINT)
+           / 100.0 AS ewma_value
 FROM idxd b
 JOIN idxd a ON a.event_type = b.event_type AND a.idx <= b.idx
 GROUP BY b.event_type, b.day
@@ -556,7 +557,7 @@ def qt09_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "twa_value",
-            F.round(F.col("weighted_sum") / F.col("total_dur_us") / 100.0, 4),
+            scaled_round(F.col("weighted_sum") / F.col("total_dur_us") / 100.0),
         )
         .orderBy("user_id", "day")
     )
@@ -579,8 +580,9 @@ SELECT user_id,
        count(*) AS n_segments,
        CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
        CAST(sum(value_cents * dur_us) AS BIGINT) AS weighted_sum,
-       round(CAST(sum(value_cents * dur_us) AS BIGINT)
-             / CAST(sum(dur_us) AS BIGINT) / 100.0, 4) AS twa_value
+       CAST(round(CAST(sum(value_cents * dur_us) AS BIGINT)
+             / CAST(sum(dur_us) AS BIGINT) / 100.0 * 10000) AS BIGINT)
+           / 10000.0 AS twa_value
 FROM capped
 GROUP BY 1, 2
 ORDER BY 1, 2

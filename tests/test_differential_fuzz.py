@@ -516,6 +516,11 @@ def test_jaccard_pairs_survive_tie_ratio(spark, tmp_path_factory):
             st.integers(min_value=-20000, max_value=20000).map(
                 lambda k: (k / 10000.0 + 5e-5) * (1 + 2.22e-16)
             ),
+            # non-finite class (r7 ADVICE): without the isfinite guard,
+            # CAST(NaN AS BIGINT) aborts under Spark ANSI / raises
+            # ConversionException in DuckDB; the guard must null these
+            # out identically on both engines.
+            st.sampled_from([float("nan"), float("inf"), float("-inf")]),
         ),
         min_size=1,
         max_size=50,
