@@ -29,86 +29,29 @@ class QuerySpec:
 
 
 # Ordering is load-bearing: the driver's correctness gate evaluates a
-# prefix of this dict (50 entries in every round so far). Round-6 window
-# policy (same shape as r5's):
-# (1) queries whose execution path or oracle CHANGED in round 6 — the
-#     ROUND tie-class retirement (FIXTURES.md §3: every similarity/ratio
-#     score now goes through functions/rounding.py scaled_round on the
-#     Spark side and the matching CAST(round(x*1e4) AS BIGINT)/1e4 in the
-#     twin, edited in lockstep), the qv02 NULL-props coalesce, the ql10
-#     derived-plane-count twin, and the qs15 checkpoint cadence — plus
-#     the NEW qv09 produce→consume wire-loop round trip. A fresh green
-#     row proves each lockstep update (and baptizes the new entry).
-#     35 entries.
-# (2) rotation, oldest-verified-first: the 13 entries whose latest driver
-#     row is ROUND 1 (qr31–qr43), then the oldest of the r2-latest band
-#     (qv01/qv03) to fill the 50-slot window; qv04 heads the overflow
-#     tail.
-# (3) the overflow tail continues the rotation order — the remaining
-#     r2-latest entries (the untouched qv/ql/qs/qt bands below), so a
-#     wider window or the r7 rotation picks them up next; then everything
-#     verified in r3+. The full-registry sim (tools/driver_sim.py →
-#     DRIVER_SIM_r6.txt) covers every entry regardless of the window.
-# Latest-driver-row histogram going into r6: r1=13, r2=32, r3=43, r4=44,
-# r5=50 (recomputed from CORRECTNESS_r01..r05 at round start).
+# prefix of this dict (50 entries in every round so far). Round-7 window
+# policy:
+# (1) the 22 entries whose latest driver gate row is ROUND 2 — the
+#     oldest gate evidence left after r6 consumed the r1 band (histogram
+#     going into r7, recomputed from CORRECTNESS_r01..r06: r2=22, r3=38,
+#     r4=29, r5=43, r6=50). Three of them (qt04/qt05/qt07) also changed
+#     in r7, so they lead. This completes the rotation: after r7 no
+#     entry's gate row is older than r3.
+# (2) the round-7 scaled-round conversions whose VALUES could move in
+#     the retired tie class (FIXTURES.md §3): the surprisal/DSIR/BM25/
+#     z-score/novelty families, the qr statistic and ratio packs, qt09,
+#     and the NEW qv10 PutRecords wire row. 28 entries; 22 + 28 = 50.
+# (3) overflow tail: the remaining r7-changed entries — helper-twin
+#     rewrites (_sum6/_duck_sum6) over cent-grid sums whose values are
+#     identical off the tie class — ordered before the r3-verified band
+#     so a wider window or the r8 rotation picks them up. Every entry
+#     regardless of window is covered by the standing full-registry sim
+#     (tools/driver_sim.py → DRIVER_SIM_r7.txt, ALL PASS).
 _VERIFY_FIRST = (
-    # (1) CHANGED in round 6 — ROUND tie-class retirement + ADVICE fixes
-    "qv02_payload_parse",        # twin: coalesce(json_valid, FALSE) NULL symmetry
-    "qv07_json_typed_parse",     # avg_k scaled_round
-    "qv09_consume_roundtrip",    # NEW: sink spool → kinesis_replay → aggregate
-    "ql03_cosine_topk",          # cosine_topk sim scaled (operator)
-    "ql09_ngram_jaccard",        # jaccard scaled + threshold (operator)
-    "ql10_lsh_ann_pairs",        # cos_sim scaled + twin derives plane count
-    "ql14_ivf_topk",             # ivf_topk sim scaled (operator)
-    "ql21_cosine_near_dup",      # cosine_near_dup_pairs sim scaled (operator)
-    "ql23_dedup_clusters",       # edge threshold on scaled sim
-    "ql34_cluster_representatives",  # quality_score scaled (via operator)
-    "ql43_ann_recall",           # both sim paths + recall4 scaled
-    "ql45_minhash_calibration",  # est/exact/err on the micro grid
-    "ql51_hard_negatives",       # cosine_topk sim scaled
-    "ql52_multimodal_ann",       # cosine_topk sim scaled
-    "ql53_vocab_diagnostics",    # type/hapax ratios scaled
-    "ql54_containment_pairs",    # containment scaled + threshold (operator)
-    "ql27_bigram_collocations",  # lift scaled
-    "ql30_decontamination",      # contamination ratio scaled + threshold
-    "ql31_repetition_metrics",   # repetition ratios scaled + flag
-    "ql37_duplicate_spans",      # dup_coverage scaled (operator)
-    "qp04_quality_dashboard",    # q4/aggregate reads scaled
-    "qp05_export_manifest",      # ql30-threshold reuse scaled
-    "qp06_semdedup_report",      # cell-pair sim scaled
-    "qp08_canonical_map",        # containment stage scaled
-    "qt12_funnel",               # conversion ratio scaled
-    "qt14_transition_matrix",    # p_transition scaled
-    "qs15_stream_lsh_dedup",     # checkpoint cadence (output unchanged)
-    # changed AND r2-band (rotation + lockstep in one slot):
-    "ql04_text_stats",           # avg_tokens scaled
-    "ql06_udf_norm_parity",      # l2_norm scaled
-    "ql11_quality_features",     # all four ratios scaled (operator)
-    "ql15_label_centroids",      # centroid_norm scaled
-    "ql18_udaf_geo_mean",        # geo_mean scaled
-    "ql22_tfidf_top_terms",      # tfidf score scaled
-    "qp01_curation_report",      # quality_score + avg_quality scaled
-    "qp02_vector_index_report",  # avg_dist scaled
-    # (2) rotation: latest driver row is r1 (qr31–qr43)
-    "qr31_null_semantics",
-    "qr32_unpivot",
-    "qr33_posexplode",
-    "qr34_timezone_pack",
-    "qr35_lambda_pack",
-    "qr36_lateral_topk",
-    "qr37_salted_join",
-    "qr38_shipping_priority",
-    "qr39_large_volume_customers",
-    "qr40_scd2_intervals",
-    "qr41_dormant_customers",
-    "qr42_upsert_snapshot",
-    "qr43_cdc_apply",
-    # ...then the oldest r2-latest entries up to the ~50 boundary
-    "qv01_validate_required",
-    "qv03_origin_stamp",
-    # --- ~window boundary (35 changed/new + 13 r1 + 2 r2 = exactly 50) ---
-    # (3) overflow tail: the remaining r2-latest band, oldest families
-    # first, for the r7 rotation
+    # (1) r2-stale rotation — changed-in-r7 members first
+    "qt04_gapfill_daily",        # twin via _duck_sum6 rewrite
+    "qt05_ohlc_bars",
+    "qt07_ewma_smoothing",       # ewma ratio scaled (r7)
     "qv04_ts_render",
     "qv05_envelope_json",
     "qv08_batch_wire_format",
@@ -127,10 +70,57 @@ _VERIFY_FIRST = (
     "qs06_stream_static_join",
     "qt01_asof_last_click",
     "qt02_range_join_errors",
-    "qt04_gapfill_daily",
-    "qt05_ohlc_bars",
     "qt06_resample_interpolate",
-    "qt07_ewma_smoothing",
+    # (2) r7 conversions with real value exposure + the new sink row
+    "qv10_put_records_roundtrip",  # NEW: batch-sink spool round trip
+    "ql19_grouped_map_zscore",   # pandas z-score → scaled_round_np
+    "ql32_bm25_topk",            # BM25 score scaled
+    "ql36_unigram_surprisal",    # avg_surprisal_nats scaled
+    "ql42_hybrid_rrf",           # BM25 + cosine retriever scores scaled
+    "ql46_dsir_importance",      # avg_logratio_nats scaled
+    "ql47_perplexity_buckets",   # surprisal + min/max reads scaled
+    "ql50_snapshot_novelty",     # novelty count-ratio scaled
+    "qp07_training_mix",         # surprisal stage scaled (shared twin)
+    "qp07b_training_mix_manifest",
+    "qr06_hash_agg_q1",          # product sums + averages scaled
+    "qr10b_window_analytics",    # percent_rank/cume_dist scaled
+    "qr16_math_decimal",         # avg/min-dev/sqrt scaled
+    "qr17_array_fns",            # array float reads scaled
+    "qr18_subqueries",           # avg subquery bound scaled (both SQLs)
+    "qr21_percentiles",          # interpolated percentiles scaled
+    "qr26_stats_pack",           # stddev/var/corr/covar/regr scaled
+    "qr28_filtered_agg",         # filtered avg + count-share scaled
+    "qr35_lambda_pack",          # lambda float sums scaled
+    "qr38_shipping_priority",    # revenue product sums via _sum6
+    "qr47_promo_share",          # promo ratio + revenue reads scaled
+    "qr53_small_quantity_revenue",  # /7 average scaled
+    "qr59_min_cost_supplier",    # unit-cost ratio scaled
+    "qr61_market_share",         # share ratio scaled
+    "qr62_product_profit",       # profit sum read scaled
+    "qr64_important_parts",      # part-value read scaled
+    "qr72_winsorized_stats",     # winsorized mean scaled
+    "qt09_time_weighted_avg",    # time-weighted ratio scaled
+    # --- ~window boundary (22 rotation + 28 conversions = exactly 50) ---
+    # (3) overflow: remaining r7-changed (value-identical helper twins)
+    "qr54_top_supplier",
+    "qr19_case_when",
+    "qr01_scan_checksum",
+    "qr02_filter_agg",
+    "qr03_join_orders_customer",
+    "qr04_multiway_join",
+    "qr05_anti_join",
+    "qr09_rollup",
+    "qr25_full_outer_join",
+    "qr32_unpivot",
+    "qr37_salted_join",
+    "qr41_dormant_customers",
+    "qr42_upsert_snapshot",
+    "qr43_cdc_apply",
+    "qr46_disjunctive_join",
+    "qr48_nation_volume",
+    "qr55_empty_result",
+    "qr63_returned_items",
+    "qt03_sessionize",
     # rows-only spec (weaker check by design; pytest + ql07c twin cover it)
     "ql07b_multimodal_features",
 )

@@ -274,22 +274,29 @@ FROM arr ORDER BY user_id
 
 # --- Q-V9 (engine extension): produce→consume wire-loop round trip ----------
 
-def qv09_consume_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL wire loop in one gated query: events → envelope
-    (validate + origin + timestamp stamp, main.go:174-186) → greedy
-    chunking → one JSON-array record per chunk (main.go:266-276) spooled
-    through the REAL sink client seam → read back with the
-    ``kinesis_replay`` Python DataSource (one row per envelope item) →
-    typed parse → per-event-type aggregate.
+def _wire_roundtrip(
+    spark: SparkSession,
+    sf_dir: str,
+    origin: str,
+    stream: str,
+    spool_prefix: str,
+    use_put_records: bool,
+    jvm_consume: bool = False,
+) -> DataFrame:
+    """Shared body of qv09/qv10: events → envelope → greedy chunking →
+    JSON-array records through the REAL sink client seam (PutRecord per
+    chunk, or the batched PutRecords scale path) → read-back through the
+    ``kinesis_replay`` DataSource (qv09) or the JVM ``spool_items`` scan
+    path (qv10) → typed parse → per-event-type aggregate.
 
-    The oracle recomputes the SAME aggregates straight from the `events`
-    table — a hash match therefore proves the sink+source pair is
-    LOSSLESS and stamp-correct end-to-end, with no reference to how the
-    chunker happened to cut records (every output column is
-    chunking-invariant; record-boundary behavior itself is pinned by the
-    chunker property tests). Value money-math goes through the cent
-    discipline; the timestamp distinct-count rides on the qv04-proven
-    render.
+    NOTE: constructing this query is EFFECTFUL — the sink spool is
+    written eagerly (a foreachPartition job) before the returned
+    DataFrame exists, and each invocation allocates a fresh scratch
+    spool dir that is only swept at process exit (scratch.py atexit).
+    Re-evaluating the RETURNED DataFrame re-reads the same spool, so the
+    result is stable per invocation; calling the constructor again spools
+    again. Acceptable for the gate (one invocation per run); don't call
+    it in a loop.
     """
     from streamsurfer_spark.scratch import scratch_dir
     from streamsurfer_spark.sink.config import KinesisSinkConfig
@@ -301,13 +308,25 @@ def qv09_consume_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamsurfer_spark.sources.kinesis_source import register
 
     ev = table(spark, sf_dir, "events")
-    spool = scratch_dir("qv09_spool_")
-    cfg = KinesisSinkConfig("qv09-stream", max_size_bytes=16_384, origin="roundtrip")
-    payloads = envelope_payload(ev, event_col="event_type", ts_col="ts", origin="roundtrip")
-    write_batch_to_kinesis(payloads, cfg, lambda _cfg: FileKinesisClient(spool))
+    spool = scratch_dir(spool_prefix)
+    cfg = KinesisSinkConfig(stream, max_size_bytes=16_384, origin=origin)
+    payloads = envelope_payload(ev, event_col="event_type", ts_col="ts", origin=origin)
+    write_batch_to_kinesis(
+        payloads,
+        cfg,
+        lambda _cfg: FileKinesisClient(spool),
+        use_put_records=use_put_records,
+    )
 
-    register(spark)
-    items = spark.read.format("kinesis_replay").option("spool_dir", spool).load()
+    if jvm_consume:
+        from streamsurfer_spark.sources.kinesis_source import spool_items
+
+        items = spool_items(spark, spool)
+    else:
+        register(spark)
+        items = (
+            spark.read.format("kinesis_replay").option("spool_dir", spool).load()
+        )
     p = F.from_json(
         "item",
         "event_type string, user_id long, value double,"
@@ -329,6 +348,49 @@ def qv09_consume_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qv09_consume_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL wire loop in one gated query: events → envelope
+    (validate + origin + timestamp stamp, main.go:174-186) → greedy
+    chunking → one JSON-array record per chunk (main.go:266-276) spooled
+    through the REAL sink client seam → read back with the
+    ``kinesis_replay`` Python DataSource (one row per envelope item) →
+    typed parse → per-event-type aggregate.
+
+    The oracle recomputes the SAME aggregates straight from the `events`
+    table — a hash match therefore proves the sink+source pair is
+    LOSSLESS and stamp-correct end-to-end, with no reference to how the
+    chunker happened to cut records (every output column is
+    chunking-invariant; record-boundary behavior itself is pinned by the
+    chunker property tests). Value money-math goes through the cent
+    discipline; the timestamp distinct-count rides on the qv04-proven
+    render. See _wire_roundtrip for the effectfulness caveat.
+    """
+    return _wire_roundtrip(
+        spark, sf_dir, "roundtrip", "qv09-stream", "qv09_spool_", False
+    )
+
+
+def qv10_put_records_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qv09's loop through the OTHER half of each seam: the batched
+    PutRecords sink path (up to 500 chunks per call, per-record
+    partial-failure retry — sink/kinesis.py flush_put_records) and the
+    JVM ``spool_items`` consume scan (no Python row loop). The oracle
+    recomputes the aggregates from `events` with a distinct origin
+    stamp, so a hash match proves BOTH scale paths lossless; qv09 covers
+    the PutRecord + DataSource pair, and the row-level differential test
+    in tests/test_kinesis_source.py ties the two consume paths together.
+    """
+    return _wire_roundtrip(
+        spark,
+        sf_dir,
+        "roundtrip-batch",
+        "qv10-stream",
+        "qv10_spool_",
+        True,
+        jvm_consume=True,
+    )
+
+
 QV09_SQL = """
 SELECT event_type,
        count(*) AS n_items,
@@ -343,6 +405,9 @@ WHERE event_type IS NOT NULL
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+QV10_SQL = QV09_SQL.replace("'roundtrip' AS origin", "'roundtrip-batch' AS origin")
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -360,5 +425,10 @@ QUERIES: dict[str, QuerySpec] = {
         qv09_consume_roundtrip,
         QV09_SQL,
         "produce→consume wire loop: sink spool → kinesis_replay → aggregate",
+    ),
+    "qv10_put_records_roundtrip": QuerySpec(
+        qv10_put_records_roundtrip,
+        QV10_SQL,
+        "produce→consume wire loop via the batched PutRecords scale path",
     ),
 }

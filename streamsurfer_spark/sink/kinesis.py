@@ -95,7 +95,10 @@ class MockKinesisClient:
 
 class FileKinesisClient:
     """File-backed client for end-to-end local-mode tests: each put_record
-    appends one JSON line to a spool file (executors share the local FS)."""
+    appends one JSON line to a spool file (executors share the local FS).
+    ``put_records`` spools each batch record the same way, so the batch
+    API's wire output is round-trippable through ``kinesis_replay`` too
+    (qv10 hash-gates that loop)."""
 
     def __init__(self, spool_dir: str) -> None:
         self.spool_dir = spool_dir
@@ -110,6 +113,12 @@ class FileKinesisClient:
                 {**record, "Data": record["Data"].decode("utf-8")}, f, sort_keys=True
             )
         return {"SequenceNumber": "0", "ShardId": "shardId-0"}
+
+    def put_records(self, Records: list[dict], **stream) -> dict:
+        out = []
+        for r in Records:
+            out.append(self.put_record(**r, **stream))
+        return {"FailedRecordCount": 0, "Records": out}
 
 
 def _rows_to_sized_payloads(rows: Iterator) -> Iterator[tuple[int, str]]:
@@ -183,6 +192,7 @@ def write_partition(
     client_factory: Callable[[KinesisSinkConfig], object],
     use_put_records: bool = False,
     on_failed: Callable[[list[dict]], None] | None = None,
+    backoff_s: float = PUT_RECORDS_BACKOFF_S,
 ) -> int:
     """Ship one partition: greedy-chunk the serialized events, one record
     per chunk. Runs on the executor; returns records ACKNOWLEDGED.
@@ -192,21 +202,31 @@ def write_partition(
     ``use_put_records`` the scale path groups up to 500 chunks per
     PutRecords call — same chunk payloads and partition-key semantics,
     ~500x fewer network round-trips at full throughput — with per-record
-    partial-failure retry (see ``flush_put_records``). Records failing
-    every retry go to ``on_failed`` (the Flush failed-items contract);
-    with no handler the partition errors LOUDLY — a sink that silently
-    drops throttled records corrupts the stream at exactly the moment
-    it is busiest.
+    partial-failure retry (see ``flush_put_records``).
+
+    BOTH paths honor the reference Flush's failed-items contract
+    (main.go:269-288 returns the items that could not be shipped instead
+    of raising away the survivors): a chunk whose put_record raises is
+    retried up to the config retry budget with the same backoff schedule
+    as the batch path (the SDK-level retries the reference relies on via
+    connectToKinesis's budget, main.go:165), then parked — the REST of
+    the partition still ships. Records failing every retry go to
+    ``on_failed``; with no handler the partition errors LOUDLY at the
+    end — a sink that silently drops throttled records corrupts the
+    stream at exactly the moment it is busiest.
     """
+    import time
+
     client = client_factory(config)
     n = 0
     pending: list[dict] = []
     dead: list[dict] = []
+    attempts = max(config.retry_max_attempts, 1)
 
     def flush_pending() -> int:
         if not pending:
             return 0
-        failed = flush_put_records(client, config, pending)
+        failed = flush_put_records(client, config, pending, backoff_s=backoff_s)
         acked = len(pending) - len(failed)
         dead.extend(failed)
         pending.clear()
@@ -226,8 +246,16 @@ def write_partition(
             }
             if config.stream_arn != "":
                 record["StreamARN"] = config.stream_arn
-            client.put_record(**record)
-            n += 1
+            for attempt in range(attempts):
+                if attempt and backoff_s:
+                    time.sleep(backoff_s * (2 ** (attempt - 1)))
+                try:
+                    client.put_record(**record)
+                    n += 1
+                    break
+                except Exception:
+                    if attempt == attempts - 1:
+                        dead.append(record)
     n += flush_pending()
     if dead:
         if on_failed is None:
@@ -267,16 +295,21 @@ def write_batch_to_kinesis(
     df: DataFrame,
     config: KinesisSinkConfig,
     client_factory: Callable[[KinesisSinkConfig], object] = boto3_client_factory,
+    use_put_records: bool = False,
 ) -> None:
     """Batch (or foreachBatch micro-batch) sink entry point.
 
     At 100 TB the partition count bounds parallel PutRecord calls; callers
     should coalesce/repartition to match shard throughput (1 MiB/s/shard)
     upstream. No collect(): data flows executor→Kinesis directly.
+    ``use_put_records`` selects the batched scale path (see
+    ``write_partition``).
     """
     payloads = df if df.columns == ["payload"] else envelope_payload(df, origin=config.origin)
     payloads.foreachPartition(
-        lambda rows: write_partition(rows, config, client_factory)
+        lambda rows: write_partition(
+            rows, config, client_factory, use_put_records=use_put_records
+        )
     )
 
 

@@ -26,9 +26,16 @@ Two record providers behind one format:
   exists for backfills and parity checks.
 
 Scale notes: one partition per shard/file means parallelism tracks the
-stream's own sharding; the JSON-array unbatching is per-record Python but
-this source is the REPLAY/backfill path — the hot path lands records in
-object storage and uses the JVM parquet/json readers.
+stream's own sharding. The DataSource's JSON-array unbatching is
+per-record Python — fine for replay/backfill with offset bookkeeping —
+but the 100 TB consume-side SCAN path is :func:`spool_items` below: the
+same unbatch as pure JVM expressions (``spark.read.json`` →
+``posexplode(from_json(Data, 'array<variant>'))`` → ``to_json``), no
+Python row loop anywhere. The two paths are JSON-equal row for row on
+sink-produced spools (metadata byte-exact, items modulo variant's
+integral-double normalization; pinned by
+tests/test_kinesis_source.py::test_spool_items_matches_datasource) and
+qv09/qv10 hash-gate one path each against the same oracle.
 """
 
 from __future__ import annotations
@@ -224,3 +231,54 @@ class KinesisReplaySource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(KinesisReplaySource)
+
+
+def spool_items(spark, spool_dir: str):
+    """JVM-side unbatch of a sink spool — the consume-side SCAN path.
+
+    Same output contract as the ``kinesis_replay`` batch reader (SCHEMA
+    above), but every step is a codegen expression: the spool records load
+    through the JVM json reader, the JSON-array ``Data`` explodes via
+    ``from_json(..., 'array<variant>')`` (variant preserves the producer's
+    key order — the sink's envelope render sorts keys, main.go's envelope
+    equivalent — so ``to_json`` re-emits the Python path's sorted-key
+    bytes), and ``record_seq`` reproduces the reader's sorted-filename
+    numbering with a row_number window over the per-RECORD frame (one row
+    per record before the explode — at scale this is the cheap side).
+
+    Number-rendering caveat: variant normalizes integral doubles
+    (``11.0`` → ``11``) and the JVM exponent grammar differs from
+    Python's (``1.0E-7`` vs ``1e-07``), so ``item`` is JSON-EQUAL to the
+    DataSource path's bytes, not byte-identical — invisible to the
+    from_json consumers downstream. The differential test pins JSON
+    equality on a real spool; qv10 hash-gates this path end-to-end.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    recs = (
+        spark.read.schema(
+            "Data string, PartitionKey string, StreamName string, StreamARN string"
+        )
+        .json(os.path.join(spool_dir, "*.json"))
+        .withColumn("_file", F.input_file_name())
+    )
+    w = Window.orderBy("_file")
+    return (
+        recs.withColumn("record_seq", (F.row_number().over(w) - 1).cast("bigint"))
+        .select(
+            F.coalesce("StreamName", "StreamARN", F.lit("")).alias("stream"),
+            F.lit("shardId-0").alias("shard_id"),
+            F.coalesce("PartitionKey", F.lit("")).alias("partition_key"),
+            "record_seq",
+            F.posexplode(F.from_json("Data", "array<variant>")).alias("item_index", "_v"),
+        )
+        .select(
+            "stream",
+            "shard_id",
+            "partition_key",
+            "record_seq",
+            "item_index",
+            F.to_json("_v").alias("item"),
+        )
+    )

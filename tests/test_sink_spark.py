@@ -166,3 +166,78 @@ def test_write_partition_put_records_failed_handler_receives_payloads():
     # acked + passed-back covers every chunk exactly once
     assert n == len(client.records)
     assert n + len(out) == len(client.put_records_calls[0])
+
+
+# --- round-7: PutRecord-per-chunk path honors the same failed-items contract
+#
+# Before r7 the default (non-batch) path raised mid-partition on the first
+# client error, stranding every later chunk — while the docstring cited the
+# reference Flush contract (main.go:269-288) for the whole function. Now a
+# chunk whose put_record exhausts the retry budget is parked and the rest
+# of the partition still ships.
+
+
+class FlakyPutRecordClient:
+    """put_record raises for chunk payloads in ``fail_chunks`` (by call
+    order of FIRST attempt) for the first ``fail_times`` attempts each."""
+
+    def __init__(self, fail_chunks: set[int], fail_times: int = 10**9) -> None:
+        self.records: list[dict] = []
+        self.fail_chunks = fail_chunks
+        self.fail_times = fail_times
+        self.seen: dict[bytes, int] = {}
+        self._failed: dict[bytes, int] = {}
+
+    def put_record(self, **record) -> dict:
+        data = record["Data"]
+        if data not in self.seen:
+            self.seen[data] = len(self.seen)
+        if self.seen[data] in self.fail_chunks and self._failed.get(data, 0) < self.fail_times:
+            self._failed[data] = self._failed.get(data, 0) + 1
+            raise RuntimeError("mock put_record failure")
+        self.records.append(record)
+        return {"SequenceNumber": str(len(self.records)), "ShardId": "shardId-0"}
+
+
+def test_write_partition_put_record_parks_failed_and_ships_rest():
+    cfg = KinesisSinkConfig("s", max_size_bytes=64)
+    client = FlakyPutRecordClient(fail_chunks={1})
+    out: list[dict] = []
+    n = write_partition(
+        iter(_mk_rows(10)),
+        cfg,
+        lambda c: client,
+        on_failed=out.extend,
+        backoff_s=0,
+    )
+    # the poisoned chunk is passed back; every other chunk still shipped
+    assert len(out) == 1 and out[0]["Data"].startswith(b"[")
+    assert n == len(client.records)
+    assert n + len(out) == len(client.seen)
+    assert out[0]["Data"] not in [r["Data"] for r in client.records]
+
+
+def test_write_partition_put_record_loud_without_handler():
+    cfg = KinesisSinkConfig("s", max_size_bytes=64)
+    client = FlakyPutRecordClient(fail_chunks={0})
+    with pytest.raises(RuntimeError, match="failed to put"):
+        write_partition(iter(_mk_rows(10)), cfg, lambda c: client, backoff_s=0)
+    # later chunks were still attempted and shipped before the loud error
+    assert len(client.records) > 0
+
+
+def test_write_partition_put_record_transient_failure_recovers():
+    cfg = KinesisSinkConfig("s", max_size_bytes=64)
+    client = FlakyPutRecordClient(fail_chunks={0, 2}, fail_times=2)
+    out: list[dict] = []
+    n = write_partition(
+        iter(_mk_rows(10)),
+        cfg,
+        lambda c: client,
+        on_failed=out.extend,
+        backoff_s=0,
+    )
+    # transient (< retry budget) failures recover in place: nothing parked,
+    # every chunk acked exactly once
+    assert out == []
+    assert n == len(client.seen) == len(client.records)
