@@ -309,14 +309,17 @@ def test_asof_nearest_matches_bruteforce_random(spark):
             ), lid
 
 
-def test_verify_window_follows_round6_rotation_policy():
+def test_verify_window_follows_round7_rotation_policy():
     """The driver's correctness gate evaluates the FIRST ~50 registry
-    entries. Round-6 policy (r5 verdict items 1+2): the window leads with
-    every query whose execution path or oracle changed in round 6 (the
-    ROUND tie-class retirement + ADVICE fixes), then spends every
-    remaining slot on the oldest-verified entries — ALL 13 r1-latest
-    rows, then the oldest of the r2-latest band. A registry edit that
-    breaks either half silently forfeits independent verification."""
+    entries. Round-7 policy (r6 verdict items 1+2): the window must
+    contain (a) the ENTIRE r2-or-older-latest band — after round 6's
+    window consumed the 13 r1 rows, the ~22 r2-latest entries are the
+    oldest gate evidence left, and the verdict's done-bar is "no entry's
+    gate row older than r3" — and (b) every query whose Spark path or
+    oracle string changed in round 7 with real VALUE exposure (the
+    scaled-round conversion tranche + the new qv10 sink row). A registry
+    edit that breaks either half silently forfeits independent
+    verification."""
     from streamsurfer_spark.queries import registry
 
     from streamsurfer_spark.queries import _VERIFY_FIRST
@@ -329,48 +332,42 @@ def test_verify_window_follows_round6_rotation_policy():
     unknown = [n for n in _VERIFY_FIRST if n not in names]
     assert not unknown, f"_VERIFY_FIRST names not in registry: {unknown}"
 
-    changed_r6 = {
-        # ROUND tie-class retirement (FIXTURES.md §3, functions/rounding.py)
-        "ql03_cosine_topk", "ql09_ngram_jaccard", "ql10_lsh_ann_pairs",
-        "ql14_ivf_topk", "ql21_cosine_near_dup", "ql23_dedup_clusters",
-        "ql27_bigram_collocations", "ql30_decontamination",
-        "ql31_repetition_metrics", "ql34_cluster_representatives",
-        "ql37_duplicate_spans", "ql43_ann_recall", "ql45_minhash_calibration",
-        "ql51_hard_negatives", "ql52_multimodal_ann", "ql53_vocab_diagnostics",
-        "ql54_containment_pairs", "ql04_text_stats", "ql06_udf_norm_parity",
-        "ql11_quality_features", "ql15_label_centroids", "ql18_udaf_geo_mean",
-        "ql22_tfidf_top_terms", "qp01_curation_report",
-        "qp02_vector_index_report", "qp04_quality_dashboard",
-        "qp05_export_manifest", "qp06_semdedup_report", "qp08_canonical_map",
-        "qt12_funnel", "qt14_transition_matrix", "qv07_json_typed_parse",
-        # ADVICE NULL-symmetry fix + qs15 checkpoint-cadence rework +
-        # the new produce→consume wire-loop entry
-        "qv02_payload_parse", "qs15_stream_lsh_dedup",
-        "qv09_consume_roundtrip",
+    changed_r7 = {
+        # scaled-round conversion tranche with value exposure
+        # (FIXTURES.md §3 round-7 completion, commit 70d33f5)
+        "ql19_grouped_map_zscore", "ql32_bm25_topk",
+        "ql36_unigram_surprisal", "ql42_hybrid_rrf",
+        "ql46_dsir_importance", "ql47_perplexity_buckets",
+        "ql50_snapshot_novelty", "qp07_training_mix",
+        "qp07b_training_mix_manifest", "qr06_hash_agg_q1",
+        "qr10b_window_analytics", "qr16_math_decimal", "qr17_array_fns",
+        "qr18_subqueries", "qr21_percentiles", "qr26_stats_pack",
+        "qr28_filtered_agg", "qr35_lambda_pack", "qr38_shipping_priority",
+        "qr47_promo_share", "qr53_small_quantity_revenue",
+        "qr59_min_cost_supplier", "qr61_market_share",
+        "qr62_product_profit", "qr64_important_parts",
+        "qr72_winsorized_stats", "qt09_time_weighted_avg",
+        # the new PutRecords + JVM-scan wire loop (commit 7b97dd2)
+        "qv10_put_records_roundtrip",
     }
-    missing = changed_r6 - window
-    assert not missing, f"round-6-changed queries outside the gate window: {missing}"
+    missing = changed_r7 - window
+    assert not missing, f"round-7-changed queries outside the gate window: {missing}"
 
-    # rotation debt going into round 6: entries whose latest driver row is
-    # round 1 or 2, recomputed from CORRECTNESS_r01..r05
+    # rotation debt going into round 7: entries whose latest driver row is
+    # round ≤ 2, recomputed from CORRECTNESS_r01..r06
     import json
     import os
 
     rounds = {}
-    for n in (1, 2, 3, 4, 5):
+    for n in (1, 2, 3, 4, 5, 6):
         path = f"/root/repo/CORRECTNESS_r0{n}.json"
         if not os.path.exists(path):
             return  # artifacts absent (fresh clone) — policy unverifiable
         for k in json.load(open(path)):
             rounds[k] = n
-    stale_r1 = {k for k, v in rounds.items() if v == 1}
     stale = {k for k, v in rounds.items() if v <= 2}
 
-    # every r1-latest entry (the single oldest band) must be in the window
-    missing_r1 = stale_r1 - window
-    assert not missing_r1, f"r1-latest entries outside the window: {missing_r1}"
-    # and every slot not spent on a changed entry must rotate a stale one
-    n_rotation = len(window & stale)
-    assert n_rotation >= 50 - len(changed_r6), (
-        f"only {n_rotation} window slots rotate r1/r2-stale entries"
-    )
+    # the WHOLE r2-or-older band must fit in the window this round —
+    # that is the verdict's "no gate row older than r3" done-bar
+    missing_stale = stale - window
+    assert not missing_stale, f"r2-stale entries outside the window: {missing_stale}"

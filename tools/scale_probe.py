@@ -56,6 +56,14 @@ PROBES = (
     # checkpoint-cadence rework (one eager bands checkpoint per batch,
     # index-only state pinning, lazy decisions)
     "qs15_stream_lsh_dedup",
+    # round-7 additions: the full produce→consume wire loops through both
+    # sink APIs (PutRecord/Python-DataSource consume vs PutRecords/JVM
+    # scan). Constructing these specs is EFFECTFUL — the spool write (a
+    # foreachPartition job over the replicated events table) happens
+    # inside spec.spark(), so the probe row measures the WHOLE loop:
+    # envelope + chunking + spool + unbatch + parse + aggregate.
+    "qv09_consume_roundtrip",
+    "qv10_put_records_roundtrip",
 )
 
 # allow probing a subset: python tools/scale_probe.py [replicas] [name...]
