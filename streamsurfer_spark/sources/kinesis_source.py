@@ -112,6 +112,11 @@ class _SpoolReader(DataSourceReader):
         ]
 
     def read(self, partition):  # noqa: D102 — API hook
+        if partition is None:
+            # an EMPTY spool: Spark substitutes [None] for an empty
+            # partitions() list and still calls read once
+            # (pyspark worker plan_data_source_read: len==0 → [None])
+            return
         fname, seq = partition.value
         for stream, shard, pkey, s, idx, item in _read_spool_file(
             self.spool_dir, fname, seq
@@ -255,6 +260,12 @@ def spool_items(spark, spool_dir: str):
     """
     import pyspark.sql.functions as F
     from pyspark.sql import Window
+
+    if not _spool_files(spool_dir):
+        # an EMPTY spool (producer saw zero rows): the *.json glob would
+        # raise PATH_NOT_FOUND in the JVM reader — return the same-schema
+        # empty frame the DataSource path produces (empty-sweep r7)
+        return spark.createDataFrame([], SCHEMA)
 
     recs = (
         spark.read.schema(

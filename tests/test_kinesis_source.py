@@ -152,3 +152,35 @@ def test_spool_items_matches_datasource(spark, tmp_path):
     # python dict equality compares 11.0 == 11 numerically — exactly the
     # normalization tolerance we want
     assert ds_rows == jvm_rows
+
+
+def test_empty_spool_both_paths_return_zero_rows(spark, tmp_path):
+    """An EMPTY spool (producer saw zero rows) must read back as an empty
+    frame on BOTH consume paths, not error. The round-7 empty-fixture
+    sweep caught both: Spark substitutes [None] for an empty DataSource
+    partitions() list and still calls read(None) (pyspark worker
+    plan_data_source_read), and the JVM scan's *.json glob raises
+    PATH_NOT_FOUND when the directory has no spool files."""
+    from streamsurfer_spark.sources.kinesis_source import (
+        SCHEMA,
+        register,
+        spool_items,
+    )
+
+    spool = str(tmp_path / "empty_spool")
+    import os
+
+    os.makedirs(spool)
+
+    register(spark)
+    ds = spark.read.format("kinesis_replay").option("spool_dir", spool).load()
+    jvm = spool_items(spark, spool)
+
+    assert ds.count() == 0
+    assert jvm.count() == 0
+    # same shape as the populated path — downstream from_json/aggregate
+    # plans bind by name either way
+    assert ds.columns == jvm.columns
+    assert [f.dataType for f in ds.schema.fields] == [
+        f.dataType for f in jvm.schema.fields
+    ]
