@@ -77,11 +77,14 @@ def scaled_round_np(values, digits: int = 4):
 
     scale = float(10**digits)
     y = np.asarray(values, dtype="float64") * scale
-    k = np.trunc(y)
-    frac = y - k
     with np.errstate(invalid="ignore"):
+        # inf - inf in the frac subtraction is an invalid op too — the
+        # errstate must cover it, or ±Inf inputs emit RuntimeWarnings on
+        # the way to their documented NaN result
+        k = np.trunc(y)
+        frac = y - k
         r = np.where(np.abs(frac) >= 0.5, k + np.sign(y), k)
-    r = np.where(np.isfinite(y), r, np.nan)
+        r = np.where(np.isfinite(y), r, np.nan)
     return r / scale
 
 

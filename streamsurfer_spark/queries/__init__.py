@@ -33,8 +33,8 @@ class QuerySpec:
 # policy:
 # (1) the 22 entries whose latest driver gate row is ROUND 2 — the
 #     oldest gate evidence left after r6 consumed the r1 band (histogram
-#     going into r7, recomputed from CORRECTNESS_r01..r06: r2=22, r3=38,
-#     r4=29, r5=43, r6=50). Three of them (qt04/qt05/qt07) also changed
+#     going into r7, recomputed from CORRECTNESS_r01..r06: r2=22, r3=39,
+#     r4=29, r5=43, r6=50; sums to 183 = the pre-qv10 registry). Three of them (qt04/qt05/qt07) also changed
 #     in r7, so they lead. This completes the rotation: after r7 no
 #     entry's gate row is older than r3.
 # (2) the round-7 scaled-round conversions whose VALUES could move in

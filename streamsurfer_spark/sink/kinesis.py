@@ -175,7 +175,16 @@ def flush_put_records(
             break
         if attempt and backoff_s:
             time.sleep(backoff_s * (2 ** (attempt - 1)))
-        resp = client.put_records(Records=list(pending), **stream)
+        try:
+            resp = client.put_records(Records=list(pending), **stream)
+        except Exception:
+            # a raising CALL (connection reset, throttling surfaced as an
+            # exception rather than per-record ErrorCode) costs one attempt
+            # with the whole batch still pending — the park-and-continue
+            # contract must hold at call level too, or one socket error
+            # aborts the partition mid-flight and strands every later
+            # chunk (r7 review finding)
+            continue
         if not resp.get("FailedRecordCount"):
             return []
         pending = [

@@ -25,8 +25,11 @@ Two record providers behind one format:
   stream source, not a Python-loop consumer; the batch shard reader
   exists for backfills and parity checks.
 
-Scale notes: one partition per shard/file means parallelism tracks the
-stream's own sharding. The DataSource's JSON-array unbatching is
+Scale notes: the boto3 reader takes one partition per shard (parallelism
+tracks the stream's own sharding); the spool batch reader groups files
+into at most ``max_partitions`` (default 64) input partitions — the 30×
+probe measured per-file partitioning as super-linear in wall clock
+(BASELINE.md round-7 rows). The DataSource's JSON-array unbatching is
 per-record Python — fine for replay/backfill with offset bookkeeping —
 but the 100 TB consume-side SCAN path is :func:`spool_items` below: the
 same unbatch as pure JVM expressions (``spark.read.json`` →
@@ -97,18 +100,34 @@ def _read_spool_file(spool_dir: str, fname: str, seq: int):
 
 
 class _SpoolPartition(InputPartition):
-    def __init__(self, fname: str, seq: int) -> None:
-        super().__init__((fname, seq))
+    """A GROUP of (fname, seq) pairs, not one file: the 30× probe measured
+    one-partition-per-file as super-linear (3.65× wall for 3× data — every
+    spool file is one sink record, so file count grows with the corpus and
+    per-task Python worker round trips dominate). Bounded grouping keeps
+    task count constant while each file still carries its global sorted
+    seq."""
+
+    def __init__(self, files: list) -> None:
+        super().__init__(files)
 
 
 class _SpoolReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.spool_dir = options["spool_dir"]
+        self.max_partitions = int(options.get("max_partitions", 64))
+        if self.max_partitions < 1:
+            # 0 would ZeroDivisionError in partitions(); a negative value
+            # would silently flip the grouping back to one-partition-per-
+            # file — the exact unbounded-task regime the cap exists to
+            # prevent
+            raise ValueError("max_partitions must be >= 1")
 
     def partitions(self):  # noqa: D102 — API hook
+        files = list(enumerate(_spool_files(self.spool_dir)))
+        per = max(1, -(-len(files) // self.max_partitions))
         return [
-            _SpoolPartition(f, i)
-            for i, f in enumerate(_spool_files(self.spool_dir))
+            _SpoolPartition([(f, i) for i, f in files[lo : lo + per]])
+            for lo in range(0, len(files), per)
         ]
 
     def read(self, partition):  # noqa: D102 — API hook
@@ -117,11 +136,8 @@ class _SpoolReader(DataSourceReader):
             # partitions() list and still calls read once
             # (pyspark worker plan_data_source_read: len==0 → [None])
             return
-        fname, seq = partition.value
-        for stream, shard, pkey, s, idx, item in _read_spool_file(
-            self.spool_dir, fname, seq
-        ):
-            yield (stream, shard, pkey, s, idx, item)
+        for fname, seq in partition.value:
+            yield from _read_spool_file(self.spool_dir, fname, seq)
 
 
 class _ShardPartition(InputPartition):
@@ -248,8 +264,18 @@ def spool_items(spark, spool_dir: str):
     key order — the sink's envelope render sorts keys, main.go's envelope
     equivalent — so ``to_json`` re-emits the Python path's sorted-key
     bytes), and ``record_seq`` reproduces the reader's sorted-filename
-    numbering with a row_number window over the per-RECORD frame (one row
-    per record before the explode — at scale this is the cheap side).
+    numbering by broadcast-joining a driver-built (basename → seq) map —
+    the listing is driver-side metadata either way (the DataSource reader
+    derives seq from the same listdir), and the tiny broadcast avoids the
+    single-partition global window a row_number derivation would force on
+    the scan path.
+
+    Failure parity with the Python path (r7 review): a record whose
+    ``Data`` is missing or not valid JSON FAILS LOUDLY (``raise_error``
+    naming the file) instead of being silently dropped by PERMISSIVE
+    ``from_json`` + non-outer explode, and a bare-object ``Data`` (the
+    Python path's "tolerate bare-object producers") unbatches as a
+    one-item array via the variant fallback parse.
 
     Number-rendering caveat: variant normalizes integral doubles
     (``11.0`` → ``11``) and the JVM exponent grammar differs from
@@ -259,30 +285,43 @@ def spool_items(spark, spool_dir: str):
     equality on a real spool; qv10 hash-gates this path end-to-end.
     """
     import pyspark.sql.functions as F
-    from pyspark.sql import Window
 
-    if not _spool_files(spool_dir):
+    files = _spool_files(spool_dir)
+    if not files:
         # an EMPTY spool (producer saw zero rows): the *.json glob would
         # raise PATH_NOT_FOUND in the JVM reader — return the same-schema
         # empty frame the DataSource path produces (empty-sweep r7)
         return spark.createDataFrame([], SCHEMA)
 
+    seq_map = spark.createDataFrame(
+        [(f, i) for i, f in enumerate(files)],
+        "_fname string, record_seq bigint",
+    )
     recs = (
         spark.read.schema(
             "Data string, PartitionKey string, StreamName string, StreamARN string"
         )
         .json(os.path.join(spool_dir, "*.json"))
-        .withColumn("_file", F.input_file_name())
+        .withColumn(
+            "_fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        .join(F.broadcast(seq_map), "_fname")
     )
-    w = Window.orderBy("_file")
+    # array parse first; a bare-object Data falls back to a one-item
+    # array (variant accepts any valid JSON); both NULL ⇒ malformed ⇒
+    # the explode yields one NULL _v and the item render raises
+    parsed = F.coalesce(
+        F.from_json("Data", "array<variant>"),
+        F.array(F.from_json("Data", "variant")),
+    )
     return (
-        recs.withColumn("record_seq", (F.row_number().over(w) - 1).cast("bigint"))
-        .select(
+        recs.select(
             F.coalesce("StreamName", "StreamARN", F.lit("")).alias("stream"),
             F.lit("shardId-0").alias("shard_id"),
             F.coalesce("PartitionKey", F.lit("")).alias("partition_key"),
             "record_seq",
-            F.posexplode(F.from_json("Data", "array<variant>")).alias("item_index", "_v"),
+            F.posexplode(parsed).alias("item_index", "_v"),
+            "_fname",
         )
         .select(
             "stream",
@@ -290,6 +329,15 @@ def spool_items(spark, spool_dir: str):
             "partition_key",
             "record_seq",
             "item_index",
-            F.to_json("_v").alias("item"),
+            F.when(F.col("_v").isNotNull(), F.to_json("_v"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("malformed spool Data (missing or invalid JSON) in "),
+                        F.col("_fname"),
+                    )
+                )
+            )
+            .alias("item"),
         )
     )

@@ -154,6 +154,106 @@ def test_spool_items_matches_datasource(spark, tmp_path):
     assert ds_rows == jvm_rows
 
 
+def test_spool_partitions_are_bounded_groups(tmp_path):
+    """Spool batch reads group files into at most max_partitions input
+    partitions (default 64) — one-partition-per-file measured super-linear
+    at the 30× probe (BASELINE.md round-7). Grouping must preserve each
+    file's GLOBAL sorted seq and cover every file exactly once."""
+    import os
+
+    from streamsurfer_spark.sources.kinesis_source import _SpoolReader
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    names = [f"rec_{i:05d}.json" for i in range(200)]
+    for n in names:
+        with open(os.path.join(spool, n), "w") as f:
+            f.write('{"Data": "[]"}')
+
+    parts = _SpoolReader({"spool_dir": spool}).partitions()
+    assert len(parts) <= 64
+    flat = [pair for p in parts for pair in p.value]
+    assert flat == [(n, i) for i, n in enumerate(names)]
+
+    # explicit option honored
+    parts4 = _SpoolReader(
+        {"spool_dir": spool, "max_partitions": "4"}
+    ).partitions()
+    assert len(parts4) == 4
+    assert [pair for p in parts4 for pair in p.value] == flat
+
+
+def test_spool_items_failure_parity(spark, tmp_path):
+    """The JVM scan must not silently drop what the Python path surfaces
+    (r7 review): malformed/missing Data fails LOUDLY naming the file
+    (PERMISSIVE from_json + non-outer explode would drop the record with
+    zero rows), and a bare-object Data unbatches as a one-item array,
+    matching _unbatch's bare-object tolerance."""
+    import json as _json
+    import os
+
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from streamsurfer_spark.sources.kinesis_source import spool_items
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    with open(os.path.join(spool, "a_bare.json"), "w") as f:
+        _json.dump({"Data": '{"event": "x", "k": 1}', "PartitionKey": "p",
+                    "StreamName": "s"}, f)
+
+    rows = spool_items(spark, spool).collect()
+    assert len(rows) == 1 and rows[0].item_index == 0
+    assert _json.loads(rows[0].item) == {"event": "x", "k": 1}
+
+    with open(os.path.join(spool, "b_malformed.json"), "w") as f:
+        _json.dump({"Data": '[{"event": tru', "PartitionKey": "p",
+                    "StreamName": "s"}, f)
+    with pytest.raises(SparkRuntimeException, match="b_malformed"):
+        spool_items(spark, spool).collect()
+
+
+def test_flush_put_records_parks_on_raising_call():
+    """A put_records CALL that raises (socket error — not a per-record
+    ErrorCode) must cost one attempt and park the batch, not abort the
+    partition mid-flight (r7 review): the reference Flush contract
+    (main.go:269-288) returns failed items, never raising away the
+    survivors."""
+    from streamsurfer_spark.sink.config import KinesisSinkConfig
+    from streamsurfer_spark.sink.kinesis import flush_put_records
+
+    class AlwaysRaises:
+        calls = 0
+
+        def put_records(self, **kwargs):
+            type(self).calls += 1
+            raise ConnectionError("reset")
+
+    cfg = KinesisSinkConfig("s")
+    records = [{"Data": b"[]", "PartitionKey": "k"}] * 3
+    failed = flush_put_records(
+        AlwaysRaises(), cfg, records, max_attempts=4, backoff_s=0
+    )
+    assert failed == records
+    assert AlwaysRaises.calls == 4
+
+    class RaisesOnceThenAcks(AlwaysRaises):
+        calls = 0
+
+        def put_records(self, **kwargs):
+            type(self).calls += 1
+            if type(self).calls == 1:
+                raise ConnectionError("reset")
+            return {"FailedRecordCount": 0,
+                    "Records": [{} for _ in kwargs["Records"]]}
+
+    assert flush_put_records(
+        RaisesOnceThenAcks(), cfg, records, max_attempts=4, backoff_s=0
+    ) == []
+    assert RaisesOnceThenAcks.calls == 2
+
+
 def test_empty_spool_both_paths_return_zero_rows(spark, tmp_path):
     """An EMPTY spool (producer saw zero rows) must read back as an empty
     frame on BOTH consume paths, not error. The round-7 empty-fixture
