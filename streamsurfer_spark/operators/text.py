@@ -96,6 +96,81 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --- Gopher-style document-quality rules -------------------------------------
+# The public rule-based curation gate of Rae et al. 2021 ("Scaling Language
+# Models: ... Gopher", §A.1.1 / MassiveWeb filtering), as used (with varied
+# thresholds) by most open training-data pipelines. Thresholds are module
+# constants scaled to the fixture's 10-99-word documents; the RULES are the
+# published ones. All comparisons are exact BIGINT inequalities (a ratio
+# threshold r = p/q is tested as q*hits <op> p*n), so the keep/fail booleans
+# are bit-identical across engines with no float threshold anywhere.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_MEAN_LEN = 3  # mean word length bounds (chars)
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_MAX_SYMBOL_RATIO = (1, 10)  # symbols ('#', '...') per word < 1/10
+GOPHER_MIN_ALPHA_RATIO = (4, 5)  # words containing a letter > 4/5
+GOPHER_MIN_STOP_HITS = 2  # ≥ 2 English stopword occurrences
+
+
+def gopher_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule evaluation: the raw counts, tie-proof
+    display ratios, one boolean per rule, and the AND-of-all ``keep``.
+
+    Everything is a codegen column expression over the token array —
+    per-row, shuffle-free, linear at 100 TB. Mean-length and ratio rules
+    compare integers (sum_len vs k*n_words etc.), never doubles.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    alpha_words = F.size(
+        F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    hash_chars = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    ellipses = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / 3
+    symbol_hits = (hash_chars + ellipses).cast("long")
+    stop_hits = stopword_hits(text_col, "en")
+
+    sp, sq = GOPHER_MAX_SYMBOL_RATIO
+    ap, aq = GOPHER_MIN_ALPHA_RATIO
+    pass_word_count = (n_words >= GOPHER_MIN_WORDS) & (
+        n_words <= GOPHER_MAX_WORDS
+    )
+    pass_mean_len = (sum_len >= GOPHER_MIN_MEAN_LEN * n_words) & (
+        sum_len <= GOPHER_MAX_MEAN_LEN * n_words
+    )
+    pass_symbol = symbol_hits * sq < n_words * sp
+    pass_alpha = alpha_words * aq > n_words * ap
+    pass_stopwords = stop_hits >= GOPHER_MIN_STOP_HITS
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        scaled_round(sum_len.cast("double") / n_words).alias("mean_word_len"),
+        scaled_round(alpha_words.cast("double") / n_words).alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        pass_word_count.alias("pass_word_count"),
+        pass_mean_len.alias("pass_mean_len"),
+        pass_symbol.alias("pass_symbol"),
+        pass_alpha.alias("pass_alpha"),
+        pass_stopwords.alias("pass_stopwords"),
+        (
+            pass_word_count
+            & pass_mean_len
+            & pass_symbol
+            & pass_alpha
+            & pass_stopwords
+        ).alias("keep"),
+    )
+
+
 def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Unigram-LM quality score: per-document mean token surprisal
     (-ln p(token)) under the corpus's own unigram distribution — the

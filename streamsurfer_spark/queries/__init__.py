@@ -71,8 +71,9 @@ _VERIFY_FIRST = (
     "qt01_asof_last_click",
     "qt02_range_join_errors",
     "qt06_resample_interpolate",
-    # (2) r7 conversions with real value exposure + the new sink row
+    # (2) r7 conversions with real value exposure + the new rows
     "qv10_put_records_roundtrip",  # NEW: batch-sink spool round trip
+    "ql55_gopher_rules",         # NEW: rule-based quality gate (first gate row)
     "ql19_grouped_map_zscore",   # pandas z-score → scaled_round_np
     "ql32_bm25_topk",            # BM25 score scaled
     "ql36_unigram_surprisal",    # avg_surprisal_nats scaled
@@ -97,11 +98,13 @@ _VERIFY_FIRST = (
     "qr59_min_cost_supplier",    # unit-cost ratio scaled
     "qr61_market_share",         # share ratio scaled
     "qr62_product_profit",       # profit sum read scaled
-    "qr64_important_parts",      # part-value read scaled
     "qr72_winsorized_stats",     # winsorized mean scaled
     "qt09_time_weighted_avg",    # time-weighted ratio scaled
-    # --- ~window boundary (22 rotation + 28 conversions = exactly 50) ---
+    # --- ~window boundary (22 rotation + 28 = exactly 50; qr64 ceded its
+    # slot to the new ql55 — its single scaled read is hash-green in
+    # DRIVER_SIM_r7.txt and leads the overflow for the r8 window) ---
     # (3) overflow: remaining r7-changed (value-identical helper twins)
+    "qr64_important_parts",      # part-value read scaled
     "qr54_top_supplier",
     "qr19_case_when",
     "qr01_scan_checksum",

@@ -2900,6 +2900,62 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --- ql55: Gopher-style rule-based quality gate ------------------------------
+
+
+def ql55_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based curation gate (Rae et al. 2021 §A.1.1, the
+    MassiveWeb filter family) — per-document rule booleans + keep flag
+    (operators/text.py gopher_quality_rules). Every threshold compares
+    exact BIGINTs (ratio r=p/q tested as q*hits vs p*n), so the booleans
+    are tie-proof cross-engine; the display ratios go through
+    scaled_round. Pure per-row codegen — no shuffle, linear at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    return text_ops.gopher_quality_rules(docs).orderBy("doc_id")
+
+
+QL55_SQL = f"""
+WITH c AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        w -> len(w))) AS BIGINT) AS sl,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> regexp_matches(w, '[A-Za-z]')))
+                AS BIGINT) AS aw,
+           CAST((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) // 3
+                AS BIGINT) AS sym,
+           CAST({_duck_stop_hits("en")} AS BIGINT) AS sh
+    FROM documents
+)
+SELECT doc_id,
+       nw AS n_words,
+       CAST(round(sl::DOUBLE / nw * 10000) AS BIGINT) / 10000.0 AS mean_word_len,
+       CAST(round(aw::DOUBLE / nw * 10000) AS BIGINT) / 10000.0 AS alpha_ratio,
+       sh AS stop_hits,
+       (nw >= {text_ops.GOPHER_MIN_WORDS} AND nw <= {text_ops.GOPHER_MAX_WORDS})
+           AS pass_word_count,
+       (sl >= {text_ops.GOPHER_MIN_MEAN_LEN} * nw
+        AND sl <= {text_ops.GOPHER_MAX_MEAN_LEN} * nw) AS pass_mean_len,
+       (sym * {text_ops.GOPHER_MAX_SYMBOL_RATIO[1]}
+        < nw * {text_ops.GOPHER_MAX_SYMBOL_RATIO[0]}) AS pass_symbol,
+       (aw * {text_ops.GOPHER_MIN_ALPHA_RATIO[1]}
+        > nw * {text_ops.GOPHER_MIN_ALPHA_RATIO[0]}) AS pass_alpha,
+       (sh >= {text_ops.GOPHER_MIN_STOP_HITS}) AS pass_stopwords,
+       ((nw >= {text_ops.GOPHER_MIN_WORDS} AND nw <= {text_ops.GOPHER_MAX_WORDS})
+        AND (sl >= {text_ops.GOPHER_MIN_MEAN_LEN} * nw
+             AND sl <= {text_ops.GOPHER_MAX_MEAN_LEN} * nw)
+        AND (sym * {text_ops.GOPHER_MAX_SYMBOL_RATIO[1]}
+             < nw * {text_ops.GOPHER_MAX_SYMBOL_RATIO[0]})
+        AND (aw * {text_ops.GOPHER_MIN_ALPHA_RATIO[1]}
+             > nw * {text_ops.GOPHER_MIN_ALPHA_RATIO[0]})
+        AND (sh >= {text_ops.GOPHER_MIN_STOP_HITS})) AS keep
+FROM c
+ORDER BY doc_id
+"""
+
+
 # --- ql49: PageRank centrality of the near-dup graph -------------------------
 
 
@@ -3341,6 +3397,11 @@ QUERIES: dict[str, QuerySpec] = {
         ql54_containment_pairs,
         QL54_SQL,
         "asymmetric containment dedup (embedded-document case)",
+    ),
+    "ql55_gopher_rules": QuerySpec(
+        ql55_gopher_rules,
+        QL55_SQL,
+        "Gopher rule-based quality gate (exact-int thresholds)",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,

@@ -465,3 +465,34 @@ def test_epoch_plan_upsamples_small_domains(spark):
     for r in got.values():
         assert r["planned_tokens"] == r["full_epochs"] * r["n_tokens"] + r["tail_tokens"]
         assert r["target_tokens"] <= (100 + 4) * 100 * 3 // 2
+
+
+def test_gopher_rules_branches(spark):
+    """Each Gopher rule must fail on its own adversarial document while a
+    clean one keeps — the fixture only exercises word-count/stopword
+    failures (all-alpha lowercase words), so the mean-length, symbol, and
+    alpha branches are proven here with constructed inputs."""
+    from streamsurfer_spark.operators.text import gopher_quality_rules
+
+    ok = "the quick brown foxes jumped over " * 5 + "of dogs and cats running fast"
+    docs = spark.createDataFrame(
+        [
+            (1, ok),                                        # keeps
+            (2, "the " + "supercalifragilistic " * 30),     # mean len > 10
+            (3, ("the of " + "# " * 20 + "word " * 10)),    # symbols/words >= 1/10
+            (4, "the of " + "123 456 789 " * 10),           # alpha ratio <= 4/5
+            (5, "word " * 30),                              # < 2 stopword hits
+            (6, "the of word"),                             # word count < 20
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_rules(docs).collect()}
+    assert got[1]["keep"]
+    assert not got[2]["pass_mean_len"] and not got[2]["keep"]
+    assert not got[3]["pass_symbol"] and not got[3]["keep"]
+    assert not got[4]["pass_alpha"] and not got[4]["keep"]
+    assert not got[5]["pass_stopwords"] and not got[5]["keep"]
+    assert not got[6]["pass_word_count"] and not got[6]["keep"]
+    # the non-targeted rules hold on each adversarial doc (isolation)
+    assert got[5]["pass_word_count"] and got[5]["pass_mean_len"]
+    assert got[6]["pass_stopwords"] is True
