@@ -446,3 +446,14 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_gopher_rules_map_only(spark):
+    """ql55: the rule gate is pure per-row codegen — the ONLY exchange is
+    the deterministic output sort, and the scan reads just (doc_id, text),
+    never the metadata columns. This is the shape that makes the filter
+    free at 100 TB: it rides the scan, no shuffle, no Python."""
+    df = REG["ql55_gopher_rules"].spark(spark, SF_DIR)
+    assert exchange_count(df) <= 1
+    for schema in scan_schemas(df):
+        assert "lang" not in schema and "source" not in schema
