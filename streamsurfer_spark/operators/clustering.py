@@ -35,7 +35,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from streamsurfer_spark.operators.similarity import ivf_assign, quantize
+from streamsurfer_spark.operators.similarity import (
+    DIST_SQ_EXPR,
+    ivf_assign,
+    quantize,
+)
 
 KMEANS_K = 8
 KMEANS_ITERS = 2
@@ -43,10 +47,6 @@ KMEANS_ITERS = 2
 PQ_SUBSPACES = 8
 PQ_CODEWORDS = 8
 
-_DIST = (
-    "aggregate(zip_with(qv, cent_qv, (x, y) -> (x - y) * (x - y)),"
-    " cast(0 as bigint), (acc, v) -> acc + v)"
-)
 
 # Knuth's 2^32 golden-ratio multiplier: (id * SEED_SCATTER) % 2^32 is a
 # bijective scatter of any 32-bit id range, so "k smallest scatter values"
@@ -123,10 +123,7 @@ def pq_encode_quantized(
         F.col(id_col).alias("code_id"),
         F.posexplode(F.expr(_sub_slices(m))).alias("sub", "cw"),
     )
-    dist = F.expr(
-        "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)),"
-        " cast(0 as bigint), (acc, v) -> acc + v)"
-    )
+    dist = F.expr(DIST_SQ_EXPR.format(a="sv", b="cw"))
     scored = subs.join(F.broadcast(cb), "sub").withColumn("dist", dist)
     best = scored.groupBy(id_col, "sub").agg(
         F.min_by(
@@ -192,14 +189,29 @@ def kmeans_fit(
 
     assignments: the quantized input plus its final `cent_id`;
     centroids: the final (id, qv) centroid table (≤ k rows, broadcastable).
+
+    The quantized input is persisted (MEMORY_AND_DISK): every round —
+    seeding, each assign, each update — re-references it, and without the
+    cache each action re-scans and re-quantizes the corpus once per
+    reference (the docstring's scale contract promised the cache; the
+    code previously omitted it — r7 review). Safe against the documented
+    persist-hides-AQE-stats trap because every join in the loop is an
+    EXPLICIT F.broadcast (ivf_assign). Like graph.connected_components,
+    the returned frames still reference the cache — callers looping over
+    many fits may unpersist via the returned frames' lineage when done.
     """
-    q = quantize(df, vec_col).select(id_col, "qv")
+    q = quantize(df, vec_col).select(id_col, "qv").persist()
     cents = seed_rows(q, k, id_col)
     assigned = None
-    for _ in range(iters):
+    for it in range(iters):
         if assigned is not None:
             cents = _update(assigned, id_col)
-        assigned = ivf_assign(q, cents, id_col=id_col)
+        # final round carries the winning distance out — kmeans_report's
+        # SSE needs exactly this value and previously re-joined centroids
+        # and recomputed every distance to get it back (r7 review)
+        assigned = ivf_assign(
+            q, cents, id_col=id_col, keep_dist=(it == iters - 1)
+        )
     return assigned, cents
 
 
@@ -215,14 +227,12 @@ def kmeans_report(
     Clusters that lose all members simply drop out of the report (standard
     Lloyd behavior without re-seeding — deterministic on both engines).
     """
-    assigned, cents = kmeans_fit(df, k, iters, id_col, vec_col)
-    final_cents = cents.select(
-        F.col(id_col).alias("cent_id"), F.col("qv").alias("cent_qv")
-    )
+    assigned, _cents = kmeans_fit(df, k, iters, id_col, vec_col)
+    # the final assign carries each vector's winning distance (keep_dist),
+    # so SSE aggregates directly — no centroid re-join, no second O(n·d)
+    # distance pass (r7 review)
     return (
-        assigned.join(F.broadcast(final_cents), "cent_id")
-        .withColumn("dist", F.expr(_DIST))
-        .groupBy("cent_id")
+        assigned.groupBy("cent_id")
         .agg(
             F.count("*").alias("n_vecs"),
             F.sum("dist").alias("sse"),

@@ -92,8 +92,16 @@ def temperature_mixture_sample(
     thresh = F.floor(
         (F.lit(modulus) * F.col("target_n")).cast("double") / F.col("n_stratum")
     ).cast("long")
+    # null-safe stratum join: groupBy COUNTS the NULL stratum, so a plain
+    # equi-join would compute its target and then silently contribute zero
+    # rows (NULL = NULL never matches) — the one stratum that can vanish
+    # with no error (r7 review). eqNullSafe keeps NULL-keyed rows eligible.
     return (
-        df.join(F.broadcast(counts), stratum_col)
+        df.join(
+            F.broadcast(counts.withColumnRenamed(stratum_col, "_stratum")),
+            F.col(stratum_col).eqNullSafe(F.col("_stratum")),
+        )
+        .drop("_stratum")
         .where(_key_hash(id_col) % modulus < thresh)
     )
 
@@ -108,12 +116,24 @@ def assign_split(
     place every document in the SAME split — no leakage when the corpus is
     re-sharded or incrementally extended. Per-row expression, no shuffle.
     """
+    # each percentage must be valid on its own: a negative val_pct with a
+    # compensating train_pct passes the sum check yet silently empties the
+    # val split (the second `when` can never fire) — r7 review
+    if train_pct < 0 or val_pct < 0:
+        raise ValueError("train_pct and val_pct must be non-negative")
     if not 0 < train_pct + val_pct <= 100:
         raise ValueError("train_pct + val_pct must be in (0, 100]")
     bucket = _key_hash(id_col) % 100
     return df.withColumn(
         "split",
-        F.when(bucket < train_pct, "train")
+        # a NULL id hashes to NULL, both bucket comparisons are NULL, and
+        # the row would silently fall through to 'test' — leakage-relevant
+        # for a split contract, so fail loudly instead
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(F.lit("assign_split: NULL id_col value")),
+        )
+        .when(bucket < train_pct, "train")
         .when(bucket < train_pct + val_pct, "val")
         .otherwise("test"),
     )
@@ -169,20 +189,26 @@ def epoch_plan(
     tot = dom.agg(
         F.sum("n_tokens").alias("total_tokens"), F.sum("s6").alias("sum_s6")
     )
-    # integer `div` end-to-end: budget*s6 ≈ 1e17 exceeds double's 2^53 exact
-    # range, so float division would drift between engines. The budget×s6
-    # product itself overflows int64 around a ~1e9-token corpus (s6 grows as
-    # 1e6·sqrt(domain_tokens)), so the multiply runs in DECIMAL(38,0) —
-    # exact to 38 digits, good past a yottatoken corpus — and `div` brings
-    # the per-domain target back to BIGINT (target ≤ budget, always fits).
-    # The DuckDB twin uses HUGEINT (int128) for the same product.
+    # integer floor-division end-to-end: budget*s6 ≈ 1e17 exceeds double's
+    # 2^53 exact range, so float division would drift between engines. The
+    # whole chain stays DECIMAL until the LAST div (r7: total_tokens ×
+    # budget_num in raw BIGINT wrapped silently past ~int64/budget_num
+    # tokens; and a mid-chain `div` — which always returns LONG — put the
+    # × s6 multiply back in overflowing int64). floor(decimal / den) is an
+    # exact floor for budget_den < 2·10^6: the quotient's fractional part
+    # is m/den ≤ 1 − 1/den, strictly below the scale-6 rounding boundary.
+    # Bounds: budget·s6 stays under DECIMAL(38)'s 38 digits to ~1e21
+    # corpus tokens, and the final BIGINT target requires budget < 2^63
+    # (~6e18 corpus tokens at 1.5×) — both orders beyond the 100 TB
+    # north star. The DuckDB twin runs the same chain in HUGEINT (int128).
     plan = (
         dom.crossJoin(F.broadcast(tot))
         .withColumn(
             "target_tokens",
             F.expr(
-                f"cast((cast((total_tokens * {budget_num}) div {budget_den}"
-                " as decimal(38,0)) * s6) div sum_s6 as bigint)"
+                f"cast((floor(cast(total_tokens as decimal(38,0))"
+                f" * {budget_num} / {budget_den})"
+                " * s6) div sum_s6 as bigint)"
             ),
         )
         .withColumn("full_epochs", F.expr("target_tokens div n_tokens"))
@@ -195,9 +221,17 @@ def epoch_plan(
         )
     )
     tail = (
+        # null-safe like the mixture join: a NULL-stratum domain appears in
+        # the plan but a plain equi-join would leave its tail forever 0
         toks.join(
-            F.broadcast(plan.select("stratum", "tail_thresh")), "stratum"
+            F.broadcast(
+                plan.select(
+                    F.col("stratum").alias("_stratum"), "tail_thresh"
+                )
+            ),
+            F.col("stratum").eqNullSafe(F.col("_stratum")),
         )
+        .drop("_stratum")
         .where(_key_hash(id_col) % modulus < F.col("tail_thresh"))
         .groupBy("stratum")
         .agg(
@@ -206,7 +240,12 @@ def epoch_plan(
         )
     )
     return (
-        plan.join(tail, "stratum", "left")
+        plan.join(
+            tail.withColumnRenamed("stratum", "_stratum"),
+            F.col("stratum").eqNullSafe(F.col("_stratum")),
+            "left",
+        )
+        .drop("_stratum")
         .select(
             F.col("stratum").alias(stratum_col),
             "n_docs",

@@ -47,10 +47,43 @@ DOT_EXPR = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
     " cast(0.0 as double), (acc, v) -> acc + v)"
 )
+# Exact integer L2² between two ×1000-quantized vectors — the ONE distance
+# formula shared by ivf_assign / ivf_topk / clustering (a drift between
+# byte-identical copies would silently split the assign and report paths)
+DIST_SQ_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as bigint), (acc, v) -> acc + v)"
+)
 NORM_EXPR = (
     "sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),"
     " cast(0.0 as double), (acc, v) -> acc + v))"
 )
+
+
+def checked_dot(a: str, b: str):
+    """DOT_EXPR with a loud dimension guard for the exact cosine paths.
+
+    ``zip_with`` PADS the shorter array with NULLs (it does not truncate),
+    so a dimension mismatch (a 768-d probe against a 64-d corpus) makes
+    the dot aggregate NULL, the similarity NULL, and every downstream
+    threshold filter silently drop the pair — plausible garbage with no
+    error (r7 review). The guard compares ``size()`` (O(1) metadata, not
+    a scan of the arrays) and raise_error()s with both widths on the
+    first mismatched pair.
+    """
+    return F.when(
+        F.size(F.col(a)) == F.size(F.col(b)),
+        F.expr(DOT_EXPR.format(a=a, b=b)),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cosine: embedding dims differ: "),
+                F.size(F.col(a)).cast("string"),
+                F.lit(" vs "),
+                F.size(F.col(b)).cast("string"),
+            )
+        )
+    )
 
 
 def plane_weights(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[int]]:
@@ -175,7 +208,7 @@ def cosine_topk(
     )
     cond = pair_cond if pair_cond is not None else F.col(id_col) != F.col("probe_id")
     joined = c.join(F.broadcast(p), cond)
-    dot = F.expr(DOT_EXPR.format(a="probe_vec", b=vec_col))
+    dot = checked_dot("probe_vec", vec_col)
     sims = joined.select(
         "probe_id",
         F.col(id_col),
@@ -226,8 +259,6 @@ def cosine_near_dup_pairs(
     BEFORE the pair stage (2/3 less arithmetic in the quadratic part); AQE
     splits residual skew below the cap.
     """
-    from pyspark.sql import Window
-
     w = Window.partitionBy("_blk").orderBy(id_col)
     normed = (
         df.select(
@@ -252,7 +283,7 @@ def cosine_near_dup_pairs(
         F.col(vec_col).alias("_vb"),
         F.col("_nrm").alias("_nb"),
     )
-    dot = F.expr(DOT_EXPR.format(a="_va", b="_vb"))
+    dot = checked_dot("_va", "_vb")
     return (
         a.join(b, (F.col("_blk") == F.col("_blk_b")) & (F.col("id_a") < F.col("id_b")))
         .select(
@@ -291,9 +322,10 @@ def lsh_buckets(
     shuffle, no Python. sign(dot(plane, v)) per plane → bit → packed int.
 
     The plane weights are generated for exactly DIM dimensions; zip_with
-    silently truncates to the shorter array, so a corpus whose embedding
-    width differs from DIM (say a 768-d production model vs the 64-d
-    planes) would hash on the first 64 components only — wrong, silently.
+    pads the SHORTER array with NULLs, so a corpus whose embedding width
+    differs from DIM (say a 768-d production model vs the 64-d planes)
+    would aggregate NULL dots, every sign test would come out false, and
+    all vectors would land in bucket 0 — wrong, silently.
     The bucket expression therefore guards on size(vec) = DIM and
     raise_error()s per row otherwise: a mismatched corpus fails loudly on
     the first batch instead of producing plausible garbage.
@@ -380,7 +412,12 @@ def probe_modulus(n_vectors: int, base_mod: int) -> int:
     return mod
 
 
-def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> DataFrame:
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    keep_dist: bool = False,
+) -> DataFrame:
     """Assign each vector to its nearest centroid by integer L2².
 
     centroids is bounded (≤ IVF_MAX_CENTROIDS by construction — see
@@ -398,24 +435,32 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> D
     cents = centroids.select(
         F.col(id_col).alias("cent_id"), F.col("qv").alias("cent_qv")
     )
-    dist = F.expr(
-        "aggregate(zip_with(qv, cent_qv, (x, y) -> (x - y) * (x - y)),"
-        " cast(0 as bigint), (acc, v) -> acc + v)"
-    )
+    dist = F.expr(DIST_SQ_EXPR.format(a="qv", b="cent_qv"))
     carry = [c for c in df.columns if c != id_col]
     scored = df.join(F.broadcast(cents)).withColumn("dist", dist)
+    # keep_dist carries the winning distance out in the payload — the
+    # argmin already computed it, so a caller that needs it (kmeans SSE
+    # report) avoids a second broadcast join + O(n·d) distance pass.
+    # Default off: the extra column would otherwise leak into every
+    # consumer's schema.
+    payload = [F.col(c) for c in carry] + [F.col("cent_id")]
+    if keep_dist:
+        payload.append(F.col("dist"))
     # ordering key (dist, cent_id) is unique per candidate → deterministic
     best = scored.groupBy(id_col).agg(
         F.min_by(
-            F.struct(*[F.col(c) for c in carry], F.col("cent_id")),
+            F.struct(*payload),
             F.struct(F.col("dist"), F.col("cent_id")),
         ).alias("_best")
     )
-    return best.select(
+    out = [
         F.col(id_col),
         *[F.col(f"_best.{c}").alias(c) for c in carry],
         F.col("_best.cent_id").alias("cent_id"),
-    )
+    ]
+    if keep_dist:
+        out.append(F.col("_best.dist").alias("dist"))
+    return best.select(*out)
 
 
 def ivf_topk(
@@ -460,10 +505,7 @@ def ivf_topk(
         F.col(id_col).alias("probe_id"), F.col("qv").alias("probe_qv")
     )
     cents_p = cents.select(F.col(id_col).alias("cent_id"), F.col("qv").alias("cent_qv"))
-    pdist = F.expr(
-        "aggregate(zip_with(probe_qv, cent_qv, (x, y) -> (x - y) * (x - y)),"
-        " cast(0 as bigint), (acc, v) -> acc + v)"
-    )
+    pdist = F.expr(DIST_SQ_EXPR.format(a="probe_qv", b="cent_qv"))
     # struct sort order (dist, cent_id) reproduces the old window ordering
     probe_clusters = (
         probes.join(F.broadcast(cents_p))
@@ -550,15 +592,17 @@ def lsh_near_pairs(
     b = lsh_buckets(df, vec_col, id_col, n_planes=n_planes)
     w = Window.partitionBy("bucket").orderBy(id_col)
     b = (
-        b.withColumn("_rn", F.row_number().over(w))
+        # norm factored out BEFORE the pair stage, like the exact cosine
+        # siblings: inside a capped bucket each row otherwise recomputes
+        # its O(d) norm once per partner (r7 review)
+        b.withColumn("_nrm", F.expr(NORM_EXPR.format(a=vec_col)))
+        .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= bucket_cap)
         .drop("_rn")
     )
     a, c = b.alias("a"), b.alias("b")
-    dot = F.expr(DOT_EXPR.format(a=f"a.{vec_col}", b=f"b.{vec_col}"))
-    norms = F.expr(NORM_EXPR.format(a=f"a.{vec_col}")) * F.expr(
-        NORM_EXPR.format(a=f"b.{vec_col}")
-    )
+    dot = checked_dot(f"a.{vec_col}", f"b.{vec_col}")
+    norms = F.col("a._nrm") * F.col("b._nrm")
     return (
         a.join(
             c,

@@ -1687,7 +1687,7 @@ t AS (
     FROM c
 )
 SELECT d.doc_id, d.source, t.n_stratum, t.target_n
-FROM documents d JOIN t ON d.source = t.source
+FROM documents d JOIN t ON d.source IS NOT DISTINCT FROM t.source
 WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % {MIX_MODULUS}
       < CAST(floor(({MIX_MODULUS} * target_n)::DOUBLE / n_stratum) AS BIGINT)
 ORDER BY d.doc_id
@@ -2487,8 +2487,8 @@ tot AS (
 ),
 plan AS (
     SELECT stratum, n_docs, n_tokens,
-           CAST((((total_tokens * {sampling.EPOCH_BUDGET_NUM})
-                 // {sampling.EPOCH_BUDGET_DEN})::HUGEINT * s6) // sum_s6
+           CAST((((total_tokens::HUGEINT * {sampling.EPOCH_BUDGET_NUM})
+                 // {sampling.EPOCH_BUDGET_DEN}) * s6) // sum_s6
                 AS BIGINT) AS target_tokens
     FROM dom2 CROSS JOIN tot
 ),
@@ -2506,7 +2506,7 @@ plan3 AS (
 tail AS (
     SELECT t.stratum, count(*) AS tail_docs,
            CAST(sum(t.n_tok) AS BIGINT) AS tail_tokens
-    FROM toks t JOIN plan3 p USING (stratum)
+    FROM toks t JOIN plan3 p ON t.stratum IS NOT DISTINCT FROM p.stratum
     WHERE ('0x' || substr(md5(t.doc_id::VARCHAR), 1, 15))::BIGINT
           % {sampling.EPOCH_MODULUS} < p.tail_thresh
     GROUP BY 1
@@ -2517,7 +2517,7 @@ SELECT p.stratum AS source, p.n_docs, p.n_tokens, p.target_tokens,
        coalesce(tail_tokens, 0) AS tail_tokens,
        CAST(p.full_epochs * p.n_tokens + coalesce(tail_tokens, 0) AS BIGINT)
            AS planned_tokens
-FROM plan3 p LEFT JOIN tail USING (stratum)
+FROM plan3 p LEFT JOIN tail ON p.stratum IS NOT DISTINCT FROM tail.stratum
 ORDER BY source
 """
 

@@ -496,3 +496,63 @@ def test_gopher_rules_branches(spark):
     # the non-targeted rules hold on each adversarial doc (isolation)
     assert got[5]["pass_word_count"] and got[5]["pass_mean_len"]
     assert got[6]["pass_stopwords"] is True
+
+
+def test_cosine_dim_mismatch_fails_loudly(spark):
+    """zip_with PADS the shorter array with NULLs, so a dimension mismatch
+    used to aggregate a NULL dot and silently drop every pair through the
+    threshold filter (r7 review). checked_dot must raise naming both
+    widths instead."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from streamsurfer_spark.operators.similarity import cosine_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 2.0, 3.0]),
+            (2, 0, [1.0, 2.0]),  # 2-d vector in a 3-d corpus
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    with pytest.raises(SparkRuntimeException, match="dims differ: 3 vs 2"):
+        cosine_near_dup_pairs(df, 0.5).collect()
+
+
+def test_mixture_sample_keeps_null_stratum(spark):
+    """A NULL stratum is a real domain (unlabeled docs): groupBy counts it,
+    so the join back must be null-safe or the whole stratum silently
+    contributes zero sampled rows (r7 review)."""
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.operators.sampling import temperature_mixture_sample
+
+    rows = [(i, None if i < 40 else "src1", "t") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = temperature_mixture_sample(df, "source", "doc_id")
+    by_stratum = {
+        r["source"]: r["cnt"]
+        for r in got.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_stratum.get(None, 0) > 0, "NULL stratum silently dropped"
+    assert by_stratum.get("src1", 0) > 0
+
+
+def test_assign_split_validates_and_rejects_null_ids(spark):
+    """Individually invalid percentages must be rejected even when the sum
+    validates (negative val_pct silently emptied the val split), and a
+    NULL id must raise instead of defaulting to 'test' (r7 review)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from streamsurfer_spark.operators.sampling import assign_split
+
+    df = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    with pytest.raises(ValueError, match="non-negative"):
+        assign_split(df, "doc_id", train_pct=95, val_pct=-5)
+    with pytest.raises(ValueError, match="non-negative"):
+        assign_split(df, "doc_id", train_pct=-10, val_pct=50)
+
+    nulls = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with pytest.raises(SparkRuntimeException, match="NULL id_col"):
+        assign_split(nulls, "doc_id").collect()

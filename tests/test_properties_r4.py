@@ -130,13 +130,6 @@ def test_epoch_plan_exact_beyond_int64(spark):
 
     rows = [(i, "web" if i % 3 else "code", "tok " * (5 + i % 7)) for i in range(60)]
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
-    num = 10**12  # budget ≈ 1e14 tokens → budget*s6 ≈ 1e22 >> 2^63
-    plan = {
-        r.source: r
-        for r in sampling.epoch_plan(
-            df, "source", "doc_id", budget_num=num, budget_den=2
-        ).collect()
-    }
 
     # exact recomputation in unbounded Python ints
     toks = {}
@@ -146,11 +139,23 @@ def test_epoch_plan_exact_beyond_int64(spark):
     total = sum(n_tokens.values())
     s6 = {s: round(math.sqrt(n) * 1_000_000) for s, n in n_tokens.items()}
     sum_s6 = sum(s6.values())
-    budget = (total * num) // 2
-    for s, r in plan.items():
-        want = (budget * s6[s]) // sum_s6
-        assert r.target_tokens == want, (s, r.target_tokens, want)
-        assert r.target_tokens > 0  # int64 wraparound would go negative
+
+    # num=1e12: budget*s6 ≈ 1e22 >> 2^63 (the SECOND multiply must be
+    # decimal). num=3e16: ALSO total*num ≈ 1.4e19 > 2^63 — the FIRST
+    # multiply in raw BIGINT wrapped silently before the r7 fix (budget
+    # ≈ 7.2e18 still fits the BIGINT output column).
+    for num in (10**12, 3 * 10**16):
+        plan = {
+            r.source: r
+            for r in sampling.epoch_plan(
+                df, "source", "doc_id", budget_num=num, budget_den=2
+            ).collect()
+        }
+        budget = (total * num) // 2
+        for s, r in plan.items():
+            want = (budget * s6[s]) // sum_s6
+            assert r.target_tokens == want, (num, s, r.target_tokens, want)
+            assert r.target_tokens > 0  # int64 wraparound would go negative
 
 
 def test_tracker_cents_half_away_from_zero():
