@@ -18,8 +18,10 @@ for the 100 TB north star:
   at fixture scale we run it on everything sharing >=1 shingle.
 
 Hashing is the md5-based portable scheme from functions/hashing.py so every
-operator is DuckDB-oracle-checkable; swap `hash_fn`/HASH_SQL to xxhash64 for
-production throughput (≈3× faster, same topology).
+operator is DuckDB-oracle-checkable; for production throughput, replace the
+``md5_long64_expr`` call sites with ``xxhash64`` (≈3× faster, same
+topology — there is no runtime knob, the swap is a one-line edit per
+expression builder in functions/hashing.py).
 """
 
 from __future__ import annotations
@@ -54,6 +56,21 @@ SHINGLE_C2 = md5_long64_py("shingle-c2") % (P31 - 1) + 1
 # token hash times a sub-P31 constant, then one mod, summed over 3 terms —
 # stays within int64 on both engines.
 P61 = 2_305_843_009_213_693_951
+
+# The ONE pair of expressions behind every P61 hashed-shingle consumer
+# (duplicate_span_coverage, hashed_shingle_set → jaccard/containment):
+# one md5 per token into the P31 domain, then a positional 3-term P61
+# composition over a `th_` column. These must stay bit-identical with
+# each other AND with the DuckDB twin (queries/llm_q.py
+# duck_hashed_shingle_set) for the oracle gate to hold — previously two
+# character-identical copies that could silently drift (r7 review).
+_TOKEN_HASH_EXPR = f"transform(toks, t -> {md5_long64_expr('t')} % {P31})"
+_P61_SHINGLE_EXPR = (
+    f"transform(sequence(1, greatest(size(toks) - {SHINGLE_N - 1}, 1)),"
+    f" i -> (try_element_at(th_, i) * {SHINGLE_C1}) % {P61}"
+    f" + (coalesce(try_element_at(th_, i + 1), 0) * {SHINGLE_C2}) % {P61}"
+    f" + coalesce(try_element_at(th_, i + 2), 0))"
+)
 
 
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -119,13 +136,27 @@ def lsh_bands(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     band_key is the comma-joined signature slice — collisions in a band are
     LSH candidate hits. Output is N_BANDS rows per document.
+
+    The band layout assumes exactly N_BANDS × ROWS_PER_BAND signature
+    elements; a shorter sig (minhash_signature with a smaller n_hashes)
+    would make the out-of-range slices EMPTY, giving every document the
+    identical band_key '' — up to cap²/2 spurious candidate pairs per
+    band with no error (r7 review). The expression therefore guards on
+    size(sig) and raise_error()s per row, the same loud-fail pattern as
+    similarity.lsh_buckets.
     """
-    bands = F.expr(
+    n = N_BANDS * ROWS_PER_BAND
+    bands = (
         f"transform(sequence(0, {N_BANDS - 1}),"
         f" b -> concat_ws(',', slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND})))"
     )
+    guarded = (
+        f"CASE WHEN size(sig) = {n} THEN {bands} "
+        f"ELSE raise_error(CONCAT('lsh_bands: signature length ', "
+        f"CAST(size(sig) AS STRING), ' != {n} (N_BANDS*ROWS_PER_BAND)')) END"
+    )
     return df.select(
-        F.col(id_col), F.posexplode(bands).alias("band", "band_key")
+        F.col(id_col), F.posexplode(F.expr(guarded)).alias("band", "band_key")
     )
 
 
@@ -223,20 +254,10 @@ def simhash_oracle_expr() -> str:
     return _simhash_expr("(h >> {b})")
 
 
-# Drop shingles appearing in more than this many documents from the
-# inverted-index join. A stopword-like shingle ("it is the") in d docs
-# fans out to d²/2 intersection rows in ONE join key — quadratic in the
-# worst key. Such shingles carry no discriminative signal (they shrink
-# every Jaccard toward the same baseline), so pruning them bounds the
-# fan-out at cap²/2 per shingle while leaving near-dup pairs (which share
-# many LOW-frequency shingles) intact. 1000 is far above the fixture max
-# document frequency (25 at sf0.1) so fixture hashes are unchanged; at
-# 100 TB set it to your stopword-df knee (and run on LSH candidates).
 def duplicate_span_coverage(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n: int = SHINGLE_N,
 ) -> DataFrame:
     """Per-document fraction of token positions covered by an n-gram span
     that also occurs in ANOTHER document — the signal behind
@@ -279,18 +300,8 @@ def duplicate_span_coverage(
     two passes over the token-hash explode — the df aggregate and the
     semi-join left side; both shuffle 8-byte keys).
     """
-    if n != SHINGLE_N:
-        raise ValueError(
-            "hashed span shingles compose 3-token windows (SHINGLE_N); "
-            "extend the positional constants before passing a different n"
-        )
-    th = f"transform(toks, t -> {md5_long64_expr('t')} % {P31})"
-    sh_hashes = (
-        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)),"
-        f" i -> (try_element_at(th_, i) * {SHINGLE_C1}) % {P61}"
-        f" + (coalesce(try_element_at(th_, i + 1), 0) * {SHINGLE_C2}) % {P61}"
-        f" + coalesce(try_element_at(th_, i + 2), 0))"
-    )
+    th = _TOKEN_HASH_EXPR
+    sh_hashes = _P61_SHINGLE_EXPR
     sh = (
         df.withColumn("toks", F.split(F.col(text_col), " "))
         .withColumn("th_", F.expr(th))
@@ -309,7 +320,7 @@ def duplicate_span_coverage(
     # sorted matched positions per doc; each contributes the part of its
     # n-wide span not already covered by the next span (or the doc end)
     union_len = (
-        f"aggregate(transform(_ps, (p, i) -> cast(least({n},"
+        f"aggregate(transform(_ps, (p, i) -> cast(least({SHINGLE_N},"
         " coalesce(try_element_at(_ps, i + 2), n_tokens) - p) as bigint)),"
         " cast(0 as bigint), (acc, v) -> acc + v)"
     )
@@ -329,6 +340,17 @@ def duplicate_span_coverage(
     )
 
 
+# Drop shingles appearing in more than this many documents from the
+# Jaccard/containment inverted-index join (duplicate_span_coverage applies
+# NO cap — its df aggregate is linear and the ≥2 filter is the semantic).
+# A stopword-like shingle ("it is the") in d docs fans out to d²/2
+# intersection rows in ONE join key — quadratic in the worst key. Such
+# shingles carry no discriminative signal (they shrink every Jaccard
+# toward the same baseline), so pruning them bounds the fan-out at cap²/2
+# per shingle while leaving near-dup pairs (which share many LOW-frequency
+# shingles) intact. 1000 is far above the fixture max document frequency
+# (25 at sf0.1) so fixture hashes are unchanged; at 100 TB set it to your
+# stopword-df knee (and run on LSH candidates).
 NGRAM_SHINGLE_DF_CAP = 1000
 
 
@@ -343,44 +365,36 @@ def hashed_shingle_set(
     distinct, the df-cap window, and the self-join all move 8-byte longs
     instead of materialized shingle strings — the rewrite that took the
     span pass from 43 s to ~11 s at the 10× probe."""
-    th = f"transform(toks, t -> {md5_long64_expr('t')} % {P31})"
-    sh_hashes = (
-        f"transform(sequence(1, greatest(size(toks) - {SHINGLE_N - 1}, 1)),"
-        f" i -> (try_element_at(th_, i) * {SHINGLE_C1}) % {P61}"
-        f" + (coalesce(try_element_at(th_, i + 1), 0) * {SHINGLE_C2}) % {P61}"
-        f" + coalesce(try_element_at(th_, i + 2), 0))"
-    )
     return (
         df.withColumn("toks", F.split(F.col(text_col), " "))
-        .withColumn("th_", F.expr(th))
-        .select(F.col(id_col), F.explode(F.expr(sh_hashes)).alias("shingle"))
+        .withColumn("th_", F.expr(_TOKEN_HASH_EXPR))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(_P61_SHINGLE_EXPR)).alias("shingle"),
+        )
         .distinct()
     )
 
 
-def ngram_jaccard_pairs(
+def _shingle_intersection(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    threshold: float = 0.4,
-    max_shingle_docs: int = NGRAM_SHINGLE_DF_CAP,
+    text_col: str,
+    id_col: str,
+    max_shingle_docs: int,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
-
-    Inverted-index shape: distinct (doc, HASHED shingle — see
-    hashed_shingle_set) → prune shingles with document frequency >
-    max_shingle_docs → self-join on shingle → |A∩B| per pair → join
-    per-doc set sizes → J = |A∩B| / (|A|+|B|-|A∩B|). Emits pairs with
-    J ≥ threshold.
+    """Shared inverted-index intersection behind the Jaccard and
+    containment pair families: distinct hashed shingles → df-cap prune →
+    upper-triangle self-join → (doc_a, doc_b, n_inter, n_a, n_b).
 
     The frequency prune is a count window over the shingle key — one
     exchange that the self-join then reuses (same partitioning), so the
-    cap costs no extra shuffle. Set sizes (the Jaccard denominators) are
-    computed from the FULL shingle sets, so J is exact for pairs whose
-    intersection survives; pairs held together only by >cap-frequency
-    shingles are dropped — by construction those have J ≲ cap/|A∪B| of
-    signal from such shingles, i.e. the prune only suppresses pairs that
-    were never near-duplicates.
+    cap costs no extra shuffle. Set sizes (the score denominators) are
+    computed from the FULL shingle sets, so scores are exact for pairs
+    whose intersection survives; pairs held together only by
+    >cap-frequency shingles are dropped — by construction those have
+    ≲ cap/|A∪B| of signal from such shingles, i.e. the prune only
+    suppresses pairs that were never near-duplicates. (Previously two
+    verbatim copies in the two pair functions — r7 review.)
     """
     sh = hashed_shingle_set(df, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -407,9 +421,26 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.4,
+    max_shingle_docs: int = NGRAM_SHINGLE_DF_CAP,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index shape (_shingle_intersection): distinct (doc, HASHED
+    shingle — see hashed_shingle_set) → prune shingles with document
+    frequency > max_shingle_docs → self-join on shingle → |A∩B| per pair
+    → join per-doc set sizes → J = |A∩B| / (|A|+|B|-|A∩B|). Emits pairs
+    with J ≥ threshold.
+    """
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _shingle_intersection(df, text_col, id_col, max_shingle_docs)
         .withColumn(
             "jaccard",
             scaled_round(
@@ -439,38 +470,12 @@ def ngram_containment_pairs(
     containment reaches ``threshold``, with both directions and the
     contained side named.
 
-    Same inverted-index shape (hashed shingle keys, df cap) as
-    ngram_jaccard_pairs; only the scoring changes, so the scale argument
-    is identical.
+    Same inverted-index shape (_shingle_intersection: hashed shingle
+    keys, df cap) as ngram_jaccard_pairs; only the scoring changes, so
+    the scale argument is identical.
     """
-    sh = hashed_shingle_set(df, text_col, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    from pyspark.sql import Window
-
-    wdf = Window.partitionBy("shingle")
-    sh = (
-        sh.withColumn("_df", F.count("*").over(wdf))
-        .where(F.col("_df") <= max_shingle_docs)
-        .drop("_df")
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     scored = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _shingle_intersection(df, text_col, id_col, max_shingle_docs)
         .withColumn(
             "cont_a_in_b",
             scaled_round(F.col("n_inter").cast("double") / F.col("n_a")),

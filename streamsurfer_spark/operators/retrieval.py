@@ -50,6 +50,11 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("bm25_topk requires at least one query term")
+    if len(set(query_terms)) != len(query_terms):
+        # a dict keyed on the term would silently collapse repeats to one
+        # contribution (BM25 qtf semantics would weight them) and emit
+        # duplicate tf_{term} output columns — reject loudly (r7 review)
+        raise ValueError("bm25_topk query terms must be distinct")
     tf_cols = {t: f"tf_{i}" for i, t in enumerate(query_terms)}
 
     scored = docs.select(
@@ -96,7 +101,15 @@ def bm25_topk(
             # lockstep)
             scaled_round(score).alias("score"),
         )
-        .where(F.col("score") > 0)
+        # keep docs matching ≥1 term — NOT score > 0 on the ROUNDED value,
+        # which silently dropped genuine matches whose score rounds below
+        # 0.00005 (the common case for a term present in nearly every doc
+        # of a large corpus: idf ≈ 0.5/N — r7 review); twins in lockstep
+        .where(
+            F.greatest(*[F.col(f"tf_{t}") for t in tf_cols]) > 0
+            if len(tf_cols) > 1
+            else F.col(f"tf_{next(iter(tf_cols))}") > 0
+        )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )

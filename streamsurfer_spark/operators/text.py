@@ -77,7 +77,14 @@ def predict_language(scores: dict[str, Column]) -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: length, token stats, punct/stopword ratios,
-    and a composite score in [0,1]. Formula is frozen (oracle-replicated)."""
+    and a composite score in [0,1]. Formula is frozen (oracle-replicated).
+
+    Edge contract: an EMPTY text has n_chars = 0, so punct_ratio is 0/0 →
+    NULL (scaled_round's non-finite guard; DuckDB's x/0 is NULL too, so
+    the engines agree). Predicates over punct_ratio should decide NULL
+    handling explicitly — a bare `punct_ratio <= t` silently drops
+    empty documents.
+    """
     tc = token_count(text_col)
     n_chars = F.length(text_col).cast("long")
     punct_chars = (n_chars - F.length(F.regexp_replace(text_col, r"[.,!?;:]", ""))).cast("long")
@@ -254,6 +261,12 @@ def dsir_importance(
     2^53), rounded to integer micro-nats, and all per-document aggregation
     is exact BIGINT summation (order/partitioning independent — the same
     float discipline as unigram_surprisal above).
+
+    Contract note: a document with fewer than 2 tokens has NO bigram
+    features, explodes to zero rows, and is ABSENT from the output (its
+    log-ratio is genuinely undefined, not zero). Consumers that must
+    score every document should left-join the result and decide a policy
+    for the missing rows explicitly.
 
     Distributed shape (100 TB): per-(doc, bucket) tf groupBy collapses
     repeats map-side; both bucket models are ≤ n_buckets rows (CONSTANT,

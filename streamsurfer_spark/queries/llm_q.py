@@ -1549,7 +1549,8 @@ scored AS (
            + {term_scores}) * 10000) AS BIGINT) / 10000.0 AS score
   FROM d, s
 )
-SELECT * FROM scored WHERE score > 0
+SELECT * FROM scored
+WHERE greatest({", ".join(f"tf_{t}" for t in BM25_TERMS)}) > 0
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
@@ -1802,7 +1803,7 @@ lex0 AS (
            CAST(round((0.0
            + {term_scores}) * 10000) AS BIGINT) / 10000.0 AS ls
     FROM tf CROSS JOIN stats
-    WHERE ls > 0
+    WHERE greatest({", ".join(f"tf_{t}" for t in BM25_TERMS)}) > 0
     ORDER BY ls DESC, item_id LIMIT {RRF_CANDIDATES}
 ),
 lex AS (

@@ -556,3 +556,51 @@ def test_assign_split_validates_and_rejects_null_ids(spark):
     nulls = spark.createDataFrame([(1,), (None,)], "doc_id long")
     with pytest.raises(SparkRuntimeException, match="NULL id_col"):
         assign_split(nulls, "doc_id").collect()
+
+
+def test_lsh_bands_rejects_short_signature(spark):
+    """A signature shorter than N_BANDS*ROWS_PER_BAND used to make the
+    out-of-range band slices EMPTY — every document got band_key '' and
+    collided (r7 review). The band expression must raise instead."""
+    import pyspark.sql.functions as F
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l")], "doc_id long, text string"
+    )
+    sig = dedup.minhash_signature(
+        df.withColumn("toks", F.split(F.col("text"), " "))
+    )
+    assert dedup.lsh_bands(sig).count() == 2 * dedup.N_BANDS
+
+    short = sig.withColumn("sig", F.slice("sig", 1, 4))
+    with pytest.raises(SparkRuntimeException, match="signature length 4"):
+        dedup.lsh_bands(short).collect()
+
+
+def test_bm25_rejects_duplicate_terms(spark):
+    """Repeated query terms silently collapsed to one contribution (and
+    duplicate tf_{term} output columns) — reject loudly (r7 review)."""
+    import pytest
+
+    from streamsurfer_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame([(1, "data spark")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="distinct"):
+        bm25_topk(df, ["data", "data"])
+
+
+def test_bm25_match_filter_is_round_independent(spark):
+    """The top-k filter keeps docs matching >=1 term, NOT score>0 on the
+    ROUNDED score: a term present in nearly every doc has idf ~ 0.5/N, so
+    genuine matches rounded to 0.0000 were silently dropped (r7 review)."""
+    from streamsurfer_spark.operators.retrieval import bm25_topk
+
+    # 3000 docs all containing 'common': idf = ln(1+0.5/3000.5) ~ 1.7e-4,
+    # every per-doc score rounds to 0.0000 at 4 decimals
+    rows = [(i, "common filler words here") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(df, ["common"], k=5).collect()
+    assert len(got) == 5, "matching docs were dropped by the rounded filter"
+    assert all(r.tf_common == 1 for r in got)
