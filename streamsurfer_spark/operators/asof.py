@@ -41,21 +41,29 @@ def asof_join(
     Returns all left columns plus `payload` columns from the right side
     (null when no right row precedes the left row). Ties on equal
     timestamps resolve to the right row (sort places right rows first).
+
+    The payload is carried as ONE struct per right row (the asof_nearest
+    pattern), not per-column: carrying each column independently with
+    last(ignorenulls) skips a genuinely-NULL field in the latest right
+    row back to a STALE older row's value, and a multi-column payload
+    could mix fields from different right rows (r7 review).
     """
     lt = F.col(left_time)
+    r_struct = F.struct(*[F.col(c) for c in payload])
+    r_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
     l_tag = left.select(
         F.col(key).alias("_k"),
         lt.alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(r_type).alias("_r"),
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
-        *payload,
+        r_struct.alias("_r"),
     )
     # right rows sort before left rows at equal (_k, _t): an order placed
     # exactly at the event time IS visible to the event
@@ -67,9 +75,11 @@ def asof_join(
     carried = l_tag.unionByName(r_tag).select(
         "_side",
         "_l",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    return carried.where(F.col("_side") == 1).select("_l.*", *payload)
+    return carried.where(F.col("_side") == 1).select(
+        "_l.*", *[F.col(f"_r.{c}").alias(c) for c in payload]
+    )
 
 
 def range_join(
@@ -96,13 +106,25 @@ def range_join(
     b0 = F.floor((l_sec + lower_seconds) / span)
     l_b = left.withColumn("_b", F.explode(F.array(b0, b0 + 1)))
     r_b = right.withColumn("_b", F.floor(r_sec / span))
-    ql_sec = F.unix_timestamp(F.col(f"l.{left_time}"))
-    qr_sec = F.unix_timestamp(F.col(f"r.{right_time}"))
+    # the EXACT filter compares full-precision timestamps via INTERVAL
+    # arithmetic — unix_timestamp() truncates to whole seconds, which made
+    # the bound wrong by up to ~1 s for sub-second event times and broke
+    # parity with the exact-semantics oracle and the streaming
+    # interval_join (r7 review). The truncated-second BUCKETS still cover
+    # the exact window: truncation moves values down by < 1 s, and the
+    # window end r ≤ l+upper gives r_sec ≤ l_sec+upper, landing every
+    # true match in b0 or b0+1.
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (F.col("l._b") == F.col("r._b"))
-        & (qr_sec >= ql_sec + lower_seconds)
-        & (qr_sec <= ql_sec + upper_seconds)
+        & (
+            F.col(f"r.{right_time}")
+            >= F.col(f"l.{left_time}") + F.expr(f"INTERVAL {lower_seconds} SECOND")
+        )
+        & (
+            F.col(f"r.{right_time}")
+            <= F.col(f"l.{left_time}") + F.expr(f"INTERVAL {upper_seconds} SECOND")
+        )
     )
     joined = l_b.alias("l").join(r_b.alias("r"), cond)
     l_cols = [F.col(f"l.{c}") for c in left.columns]

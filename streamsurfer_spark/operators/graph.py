@@ -10,9 +10,11 @@ labeling each document with its cluster's minimum id (the canonical
 Algorithm: min-label propagation to fixpoint — per iteration every node
 takes the min label among itself and its neighbors. Each iteration is one
 equi-join + one groupBy (both shuffle on the node id, so the partitioning
-is reused); iterations = graph diameter. Labels decrease monotonically, so
-convergence is detected by comparing sum(label) between iterations — a
-1-row aggregate, no extra join.
+is reused); iterations = graph diameter. Convergence is detected by the
+same set checksum both algorithms use (count + decimal sum of
+xxhash64(id, label) — type-generic, overflow-proof): an unchanged
+checksum means an unchanged label set, i.e. the fixpoint. One 1-row
+aggregate per round, no extra join.
 
 Scale notes (100 TB): near-dup graphs are overwhelmingly tiny components
 (pairs/triples), so diameter — and the iteration count — stays single-digit
@@ -65,7 +67,21 @@ def connected_components(
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
     ).persist()
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+
+    # The star variant's set checksum (count + decimal sum of
+    # xxhash64(id, lbl)): an unchanged checksum means an unchanged label
+    # SET — exactly the fixpoint. The previous raw F.sum(lbl) both
+    # overflowed int64 under Spark 4 ANSI for 64-bit hash/snowflake-style
+    # ids and hard-required numeric ids, failing string id columns with a
+    # cast error (r7 review).
+    def _checksum(d):
+        row = d.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("id", "lbl").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    prev_sum = _checksum(labels)
 
     for it in range(max_iter):
         # candidate labels: own label ∪ every neighbor's label, then min.
@@ -82,10 +98,10 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint(eager=False)
-        cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        cur_sum = _checksum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if cur_sum == prev_sum:  # labels are monotone non-increasing
+        if cur_sum == prev_sum:  # unchanged label set == fixpoint
             sym.unpersist()
             return labels.select("id", F.col("lbl").alias("cluster_id"))
         prev_sum = cur_sum
@@ -124,6 +140,17 @@ def _connected_components_star(
     (hash-sum collisions on a changed set are ~2^-64). One 1-row
     aggregate per round — no extra join.
     """
+    # nodes whose ONLY edges are self-loops are filtered out of `e` below
+    # and would VANISH from the output while the label algorithm keeps
+    # them (r7 review) — collect them as singleton clusters and re-attach
+    # at the end. Near-dup pair generators emit id_a < id_b (no
+    # self-loops), so this side is typically empty and the anti-join
+    # below is over an empty build side.
+    selfers = (
+        edges.where(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("id"))
+        .distinct()
+    )
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("a"),
@@ -177,9 +204,13 @@ def _connected_components_star(
             roots = e.select("b").distinct().select(
                 F.col("b").alias("id"), F.col("b").alias("cluster_id")
             )
-            return e.select(
+            labeled = e.select(
                 F.col("a").alias("id"), F.col("b").alias("cluster_id")
             ).union(roots)
+            singles = selfers.join(labeled, "id", "left_anti").select(
+                F.col("id"), F.col("id").alias("cluster_id")
+            )
+            return labeled.union(singles)
         prev = cur
 
     raise RuntimeError(
@@ -300,10 +331,15 @@ def cluster_representatives(
     members = cc.join(scores, cc["id"] == scores[id_col]).select(
         F.col("cluster_id"), F.col(id_col), F.col(score_col)
     )
+    # min_by over (-score, id): largest score, ties toward the smallest
+    # id. Negating the SCORE (numeric by contract) instead of the ID keeps
+    # the tiebreak valid for string/any orderable id types — unary minus
+    # on a string id was an ANSI analysis error (r7 review).
     return members.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),
-        F.max_by(
-            F.col(id_col), F.struct(F.col(score_col), (-F.col(id_col)).alias("nid"))
+        F.min_by(
+            F.col(id_col),
+            F.struct((-F.col(score_col)).alias("ns"), F.col(id_col)),
         ).alias("rep_id"),
         F.max(score_col).alias("rep_score"),
     )

@@ -46,7 +46,13 @@ def upsert(target: DataFrame, source: DataFrame, keys: str | Sequence[str]) -> D
             f"{sorted(set(target.columns) - set(source.columns))} "
             f"source-only={sorted(set(source.columns) - set(target.columns))}"
         )
-    kept = target.join(source.select(*keys), keys, "left_anti")
+    # null-safe anti join: a NULL key in both sides must REPLACE, not
+    # duplicate — plain equality never matches NULL = NULL, so the stale
+    # target row survived alongside the new source row (r7 review;
+    # merge_columns below always used eqNullSafe)
+    t, s = target.alias("t"), source.select(*keys).alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    kept = t.join(s, cond, "left_anti")
     return kept.unionByName(source)
 
 
@@ -106,13 +112,25 @@ def apply_cdc(
         )
         .select(*keys, "_latest.*")
     )
-    survivors = latest.where(F.col(op_col) != delete_op).drop(op_col, *[
-        c for c in order_cols if c not in target.columns and c not in keys
-    ])
-    deletes = latest.where(F.col(op_col) == delete_op).select(*keys)
-    kept = target.join(
-        latest.select(*keys), keys, "left_anti"
+    # a NULL op is ambiguous (delete or upsert?) — both the `!= delete_op`
+    # and `== delete_op` filters evaluate NULL and silently DROP the row
+    # from snapshot AND tombstones, vanishing the key with no trace (r7
+    # review). Fail loudly instead.
+    survivors = latest.where(
+        F.when(
+            F.col(op_col).isNotNull(), F.col(op_col) != delete_op
+        ).otherwise(
+            F.raise_error(
+                F.lit(f"apply_cdc: NULL {op_col} — delete vs upsert ambiguous")
+            )
+        )
     )
+    deletes = latest.where(F.col(op_col) == delete_op).select(*keys)
+    # null-safe anti join, same reasoning as upsert above
+    t = target.alias("t")
+    lk = latest.select(*keys).alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    kept = t.join(lk, cond, "left_anti")
     return kept.unionByName(survivors.select(*target.columns)), deletes
 
 

@@ -100,10 +100,17 @@ def gapfill_daily(
         F.coalesce(F.col(n), fill.get(n, F.lit(0).cast("bigint"))).alias(n)
         for n in agg_names
     ]
+    # null-safe on the series key: a NULL series is a real group (groupBy
+    # counts it), and plain equality would zero-fill ALL its days while its
+    # true aggregates silently vanish (r7 review). No forced broadcast:
+    # rolled is O(series × days) — small relative to the facts but NOT
+    # absolutely bounded (1e6 series × 1000 days ≈ 1e9 rows would blow the
+    # broadcast limit); AQE still broadcasts it when it is actually small.
     return (
         axis.join(
-            F.broadcast(rolled),
-            (axis["_series"] == rolled[series_col]) & (axis["day"] == rolled["_day"]),
+            rolled,
+            axis["_series"].eqNullSafe(rolled[series_col])
+            & (axis["day"] == rolled["_day"]),
             "left",
         )
         .select(*out_cols)

@@ -1725,7 +1725,8 @@ WITH source AS (
   FROM orders WHERE o_orderstatus = 'O'
 ), merged AS (
   SELECT * FROM orders o
-  WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = o.o_orderkey)
+  WHERE NOT EXISTS (SELECT 1 FROM source s
+                    WHERE s.o_orderkey IS NOT DISTINCT FROM o.o_orderkey)
   UNION ALL
   SELECT * FROM source
 )
@@ -1791,7 +1792,8 @@ WITH changes AS (
   ) WHERE rn = 1
 ), merged AS (
   SELECT o.* FROM orders o
-  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = o.o_orderkey)
+  WHERE NOT EXISTS (SELECT 1 FROM latest l
+                    WHERE l.o_orderkey IS NOT DISTINCT FROM o.o_orderkey)
   UNION ALL
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
          o_orderpriority

@@ -214,7 +214,8 @@ SELECT axis.event_type,
        coalesce(rolled.n_events, 0) AS n_events,
        coalesce(rolled.sum_value, 0.0) AS sum_value
 FROM axis
-LEFT JOIN rolled ON rolled.event_type = axis.event_type AND rolled.day = axis.day
+LEFT JOIN rolled ON rolled.event_type IS NOT DISTINCT FROM axis.event_type
+    AND rolled.day = axis.day
 ORDER BY axis.event_type, axis.day
 """
 

@@ -134,3 +134,37 @@ def test_asof_nearest_single_shuffle_single_window(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") - plan.count("WindowGroupLimit") == 1
+
+
+def test_asof_join_null_payload_no_stale_leak(spark):
+    """The payload rides as ONE struct per right row: a NULL field in the
+    latest right row must stay NULL, not be back-filled from a stale older
+    row (per-column last(ignorenulls) built franken-rows — r7 review)."""
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    right = spark.createDataFrame(
+        [(1, t0, 5, 7), (1, t0.replace(hour=11), None, 9)],
+        "k long, rt timestamp, x int, y int",
+    )
+    left = spark.createDataFrame(
+        [(1, t0.replace(hour=12))], "k long, lt timestamp"
+    )
+    row = asof_join(left, right, "k", "lt", "rt", ["x", "y"]).collect()[0]
+    # both fields come from the 11:00 row — x genuinely NULL, y=9
+    assert row.x is None and row.y == 9
+
+
+def test_range_join_subsecond_exact(spark):
+    """The exact bound compares full-precision timestamps: a right event
+    0.2s past left+upper must be excluded (whole-second unix_timestamp
+    truncation used to let it through — r7 review)."""
+    base = dt.datetime(2024, 1, 1, 10, 0, 0, 700000)
+    left = spark.createDataFrame([(1, base)], "k long, lt timestamp")
+    right = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 11, 0, 0, 900000), "late"),
+            (1, dt.datetime(2024, 1, 1, 11, 0, 0, 600000), "in"),
+        ],
+        "k long, rt timestamp, tag string",
+    )
+    got = {r.tag for r in range_join(left, right, "k", "lt", "rt", 0, 3600).collect()}
+    assert got == {"in"}

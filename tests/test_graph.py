@@ -70,3 +70,51 @@ def test_unknown_algorithm_rejected(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="unknown algorithm"):
         connected_components(df, algorithm="bogus")
+
+
+def test_star_keeps_selfloop_only_nodes(spark):
+    """Both algorithms must return the same node set: a node whose only
+    edge is a self-loop used to vanish from the star path while label
+    propagation kept it (r7 review)."""
+    edges = spark.createDataFrame(
+        [(7, 7), (1, 2)], "src long, dst long"
+    )
+    for alg in ("label", "star"):
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components(edges, algorithm=alg).collect()
+        }
+        assert got == {7: 7, 1: 1, 2: 1}, alg
+
+
+def test_label_checksum_survives_huge_ids(spark):
+    """Convergence sums run in DECIMAL(38,0): raw long sums of 64-bit
+    hash-style ids overflow under ANSI after a handful of rows (r7
+    review; the star path always guarded this)."""
+    big = 9_100_000_000_000_000_000
+    edges = spark.createDataFrame(
+        [(big, big - 1), (big - 1, big - 2)], "src long, dst long"
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(edges, algorithm="label").collect()
+    }
+    assert got == {big: big - 2, big - 1: big - 2, big - 2: big - 2}
+
+
+def test_cluster_representatives_string_ids(spark):
+    """The max-score/min-id tiebreak negates the SCORE, not the id, so
+    string ids work (unary minus on a string id was an ANSI analysis
+    error — r7 review)."""
+    from streamsurfer_spark.operators.graph import cluster_representatives
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "doc_a string, doc_b string"
+    )
+    scores = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.9), ("c", 0.9)], "doc_id string, quality_score double"
+    )
+    got = cluster_representatives(pairs, scores).collect()
+    assert len(got) == 1
+    # max score 0.9 tied between b and c -> smallest id 'b'
+    assert got[0].rep_id == "b" and got[0].n_members == 3

@@ -107,3 +107,27 @@ def test_apply_cdc_no_window_in_plan(spark, target):
     snap = apply_cdc_snapshot(target, changes, keys="k", order_by="seq")
     plan = snap._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_upsert_replaces_null_keyed_row(spark):
+    """NULL keys join null-safely: the source row must REPLACE the target's
+    NULL-keyed row, not duplicate it (r7 review; merge_columns always
+    used eqNullSafe)."""
+    target = spark.createDataFrame([(None, "old")], "k string, v string")
+    source = spark.createDataFrame([(None, "new")], "k string, v string")
+    got = upsert(target, source, "k").collect()
+    assert len(got) == 1 and got[0].v == "new"
+
+
+def test_apply_cdc_null_op_raises(spark):
+    """A NULL op is ambiguous (delete or upsert?) and used to vanish the
+    key from snapshot AND tombstones with no trace — must raise."""
+    from pyspark.errors import SparkRuntimeException
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "b", None, 5)], "k long, v string, op string, seq long"
+    )
+    merged, _deletes = apply_cdc(target, changes, "k", "seq")
+    with pytest.raises(SparkRuntimeException, match="NULL op"):
+        merged.collect()

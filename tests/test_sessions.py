@@ -157,3 +157,21 @@ def test_time_weighted_avg_staleness_cap(spark):
         got = qt09_time_weighted_avg(spark, d).collect()
     assert got[0]["total_dur_us"] == TWA_CAP_US
     assert got[0]["twa_value"] == 100.0
+
+
+def test_gapfill_keeps_null_series_aggregates(spark):
+    """A NULL series key is a real group: its true aggregates must land on
+    its days instead of being zero-filled (null-unsafe join dropped them
+    — r7 review)."""
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    df = spark.createDataFrame(
+        [(None, t0), (None, t0), ("a", t0)], "series string, ts timestamp"
+    )
+    got = {
+        (r.series, str(r.day)): r.n
+        for r in gapfill_daily(
+            df, "series", F.to_date("ts"), [F.count("*").alias("n")]
+        ).collect()
+    }
+    assert got[(None, "2024-01-01")] == 2
+    assert got[("a", "2024-01-01")] == 1
