@@ -65,6 +65,11 @@ def read_stream(
     reader = spark.readStream.format(fmt).schema(schema)
     if fmt == "csv":
         reader = reader.option("header", "true")
+    if fmt == "xml":
+        # same default as read_table/write_table — without it Spark
+        # raises XML_ROW_TAG_MISSING on a directory the batch twin of
+        # this API reads fine (r7 review)
+        reader = reader.option("rowTag", options.pop("rowTag", XML_ROW_TAG))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     for k, v in options.items():

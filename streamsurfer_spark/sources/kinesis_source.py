@@ -197,25 +197,42 @@ class _SpoolStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch replay over the spool: offset = files consumed (sorted
     order), ``batch_files`` per trigger — the consume twin of the sink's
     per-chunk records, with real offset/commit bookkeeping so
-    checkpoint-recovery replays the exact same batches."""
+    checkpoint-recovery replays the exact same batches.
+
+    The listing is PINNED at first use: spool filenames are uuid-hex (not
+    monotonic), so re-listing per trigger would let a file written after
+    consumption began sort BELOW the committed index — shifting the slice
+    to re-emit an already-consumed file (duplicate) while the new file
+    sits under the offset forever (loss), and re-listing inside one
+    trigger could even disagree with the committed `hi` (r7 review).
+    Contract: this is a REPLAY source — the spool must be quiescent for
+    the lifetime of the stream (including checkpoint recovery, which
+    re-pins from the directory); files added later are picked up only by
+    a fresh stream start.
+    """
 
     def __init__(self, options: dict) -> None:
         self.spool_dir = options["spool_dir"]
         self.batch_files = int(options.get("batch_files", 10))
+        self._files: list[str] | None = None
+
+    def _listing(self) -> list[str]:
+        if self._files is None:
+            self._files = _spool_files(self.spool_dir)
+        return self._files
 
     def initialOffset(self):  # noqa: D102 — API hook
         return {"next_file": 0}
 
     def _rows_between(self, lo: int, hi: int):
-        files = _spool_files(self.spool_dir)[lo:hi]
         rows = []
-        for i, fname in enumerate(files):
+        for i, fname in enumerate(self._listing()[lo:hi]):
             rows.extend(_read_spool_file(self.spool_dir, fname, lo + i))
         return rows
 
     def read(self, start):  # noqa: D102 — API hook
         lo = start["next_file"]
-        hi = min(lo + self.batch_files, len(_spool_files(self.spool_dir)))
+        hi = min(lo + self.batch_files, len(self._listing()))
         return iter(self._rows_between(lo, hi)), {"next_file": hi}
 
     def readBetweenOffsets(self, start, end):  # noqa: D102 — replay hook
@@ -299,7 +316,8 @@ def spool_items(spark, spool_dir: str):
     )
     recs = (
         spark.read.schema(
-            "Data string, PartitionKey string, StreamName string, StreamARN string"
+            "Data string, PartitionKey string, StreamName string,"
+            " StreamARN string, ShardId string"
         )
         .json(os.path.join(spool_dir, "*.json"))
         .withColumn(
@@ -317,7 +335,11 @@ def spool_items(spark, spool_dir: str):
     return (
         recs.select(
             F.coalesce("StreamName", "StreamARN", F.lit("")).alias("stream"),
-            F.lit("shardId-0").alias("shard_id"),
+            # honor a record's ShardId like the Python path's
+            # rec.get('ShardId', 'shardId-0') — a hardcoded literal broke
+            # row-for-row parity on spools from non-FileKinesisClient
+            # producers (r7 review)
+            F.coalesce("ShardId", F.lit("shardId-0")).alias("shard_id"),
             F.coalesce("PartitionKey", F.lit("")).alias("partition_key"),
             "record_seq",
             F.posexplode(parsed).alias("item_index", "_v"),

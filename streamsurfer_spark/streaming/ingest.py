@@ -40,11 +40,25 @@ def read_events_stream(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    # Pin UTC for EVERY layout, not just NTZ: the nanos-as-long and plain
+    # TIMESTAMP paths render event time through date_format downstream
+    # (transforms.py), which uses the session timezone — a caller-built
+    # session in another zone would shift every window/session start
+    # string away from the UTC-rendered oracle (r7 review; previously
+    # only the NTZ branch pinned it).
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if os.path.isfile(path):
         # FileStreamSource requires a directory; wrap a bare file in an
         # ephemeral symlink dir (same lifecycle as Spark's temp checkpoints).
+        # abspath: a RELATIVE target would be stored relative to the
+        # scratch dir and dangle (r7 review).
         d = scratch_dir("events_stream_")
-        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        os.symlink(
+            os.path.abspath(path), os.path.join(d, os.path.basename(path))
+        )
         path = d
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
@@ -56,15 +70,23 @@ def read_events_stream(
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(schema["ts"].dataType, TimestampNTZType):
         # withWatermark requires TIMESTAMP. NTZ → TIMESTAMP interprets the
-        # wall clock in the session timezone; pin UTC so window boundaries
-        # and rendered output agree with the wall-clock semantics a batch
-        # NTZ read (and the DuckDB oracle) produce, whatever session built us.
-        try:
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-        except Exception:
-            pass
+        # wall clock in the session timezone (pinned UTC above) so window
+        # boundaries and rendered output agree with the wall-clock
+        # semantics a batch NTZ read (and the DuckDB oracle) produce.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+# run_to_memory keeps at most this many memory-sink tables registered;
+# older ones are dropped LRU. Each memory sink pins its full materialized
+# result in the driver JVM, and the gate/bench drivers call this ~150×
+# per long-lived process — unbounded growth otherwise (r7 review). The
+# cap is safe because consumers (gate hash, bench noop write) evaluate
+# each returned frame before constructing the next query; only code
+# holding a frame across >MEM_TABLE_CAP newer calls would see a
+# TABLE_OR_VIEW_NOT_FOUND on re-evaluation.
+MEM_TABLE_CAP = 16
+_mem_tables: list[str] = []
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
@@ -72,7 +94,8 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFr
 
     availableNow processes everything currently in the source then stops —
     the streaming twin of the reference's Flush (main.go:254-264: drain all,
-    then return). Returns the result as a batch DataFrame.
+    then return). Returns the result as a batch DataFrame. The backing
+    in-memory table is dropped after MEM_TABLE_CAP newer calls (see above).
     """
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
@@ -83,4 +106,8 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFr
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    _mem_tables.append(name)
+    while len(_mem_tables) > MEM_TABLE_CAP:
+        spark.catalog.dropTempView(_mem_tables.pop(0))
+    return spark.table(name)

@@ -36,6 +36,11 @@ def _cents_half_up(values: pd.Series) -> int:
     diverge from the QS11 oracle on a value*100 that lands exactly on .5
     (pandas .round() is half-to-even and rounds 2.5 → 2)."""
     v = values.to_numpy(dtype="float64") * 100
+    # non-finite (NULL→NaN in the Arrow slice, ±Inf) contributes 0, like
+    # the batch oracle's F.sum skipping NULLs — NaN.astype('int64') is
+    # INT64_MIN and would silently wreck the running total forever
+    # (r7 review)
+    v = np.where(np.isfinite(v), v, 0.0)
     return int((np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum())
 
 
@@ -145,11 +150,20 @@ def event_type_counter(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    # transformWithState requires the RocksDB provider, and the provider
+    # class is session-global (no per-query override exists). Only set it
+    # when the session has no EXPLICIT provider choice: silently rewriting
+    # an existing setting would break checkpoint recovery of unrelated
+    # streaming queries started under the old provider (state format
+    # incompatibility — r7 review). A caller who pinned a different
+    # provider gets Spark's own loud unsupported-provider error instead.
+    conf = events.sparkSession.conf
     try:
-        events.sparkSession.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        )
+        if conf.get("spark.sql.streaming.stateStore.providerClass", None) is None:
+            conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            )
     except Exception:
         pass
     return events.groupBy("user_id").transformWithStateInPandas(

@@ -156,23 +156,13 @@ def watermarked_sessions(
     operator. A session stays open in state while events keep arriving
     within `gap`; it finalizes (append mode) once the watermark passes its
     end. State per key is one open session — the gap bounds its lifetime,
-    the watermark bounds total state."""
-    return (
-        df.withWatermark("ts", watermark)
-        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.min("event_id").alias("first_event_id"),
-        )
-        .select(
-            "user_id",
-            F.date_format("w.start", TS_FMT).alias("session_start"),
-            "n_events",
-            "sum_value",
-            "first_event_id",
-        )
-    )
+    the watermark bounds total state.
+
+    Delegates to ``session_counts`` after applying the watermark — the
+    batch/stream parity pair shares ONE agg/select block by construction
+    (previously a verbatim copy that had to be edited in lockstep — r7
+    review)."""
+    return session_counts(df.withWatermark("ts", watermark), gap)
 
 
 def watermarked_tumbling(

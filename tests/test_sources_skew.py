@@ -309,3 +309,34 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_xml_stream_read_gets_row_tag_default(spark, tmp_path):
+    """read_stream must apply the same rowTag default as read_table —
+    without it Spark raises XML_ROW_TAG_MISSING on a directory the batch
+    twin of the same API reads fine (r7 review)."""
+    from streamsurfer_spark.sources.files import read_stream, write_table
+    from streamsurfer_spark.streaming.ingest import run_to_memory
+
+    d = str(tmp_path / "xmlstream")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_table(df, d, fmt="xml")
+
+    stream = read_stream(spark, d, "id long, v string", fmt="xml")
+    got = run_to_memory(
+        stream.groupBy().count(), output_mode="complete"
+    ).collect()
+    assert got[0]["count"] == 2
+
+
+def test_cents_tracker_ignores_non_finite(spark):
+    """A NULL value (NaN in the Arrow slice) must contribute 0 to the
+    running cent total like the batch F.sum skipping NULLs —
+    NaN.astype(int64) is INT64_MIN and silently wrecked the state
+    (r7 review)."""
+    import pandas as pd
+
+    from streamsurfer_spark.streaming.stateful import _cents_half_up
+
+    assert _cents_half_up(pd.Series([1.0, None, 2.5])) == 350
+    assert _cents_half_up(pd.Series([float("nan"), float("inf")])) == 0
