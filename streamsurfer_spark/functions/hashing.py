@@ -48,7 +48,12 @@ def md5_long64_py(s: str) -> int:
 
 
 def seeded(sql_expr: str, seed_expr: str) -> str:
-    """Seed-suffix an input expression (portable: plain string concat)."""
+    """Seed-suffix an input expression for per-seed hashing.
+
+    Portability caveat: on NON-NULL inputs the concat is byte-identical
+    across engines, but Spark's concat NULL-propagates while DuckDB's
+    skips NULLs — only feed non-null expressions (every call site hashes
+    md5 output, which is non-null by construction)."""
     return f"concat({sql_expr}, '#', cast({seed_expr} as string))"
 
 

@@ -65,20 +65,35 @@ def decode_stub(payload: bytes, modality: str) -> bytes:
     return payload
 
 
-def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def _payload_bytes(doc_id, payload) -> bytes:
+    """Loud NULL guard shared by every extractor: as_media yields a NULL
+    payload whenever the source text is NULL, and ``bytes(None)`` dies
+    with an opaque TypeError mid-task (r7 review). Name the document
+    instead."""
+    if payload is None:
+        raise ValueError(
+            f"multimodal: NULL payload for doc_id {doc_id} — filter NULL"
+            " media rows before extraction"
+        )
+    return bytes(payload)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the media envelope.
 
     mapInPandas: each Arrow batch arrives as a pandas DataFrame; we decode
     (stubbed) and emit fixed-schema features. feat_checksum is a
     deterministic stand-in for an embedding (sum of payload bytes) so tests
-    can assert the batch plumbing moved the right bytes.
+    can assert the batch plumbing moved the right bytes. (Arrow batch size
+    is governed by spark.sql.execution.arrow.maxRecordsPerBatch — the old
+    batch_hint parameter was dead and is gone, r7 review.)
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [
-                decode_stub(bytes(p), m)
-                for p, m in zip(pdf["payload"], pdf["modality"])
+                decode_stub(_payload_bytes(d, p), m)
+                for d, p, m in zip(pdf["doc_id"], pdf["payload"], pdf["modality"])
             ]
             yield pd.DataFrame(
                 {
@@ -111,7 +126,7 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
         for pdf in batches:
             out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = decode_stub(bytes(payload), "video")
+                data = decode_stub(_payload_bytes(doc_id, payload), "video")
                 step = max(len(data) // n_frames, 1)
                 for i in range(n_frames):
                     chunk = data[i * step : (i + 1) * step]
@@ -154,7 +169,7 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
                 "n_bytes_in": [], "n_bytes_out": [], "resized_md5": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = decode_stub(bytes(payload), "image")
+                data = decode_stub(_payload_bytes(doc_id, payload), "image")
                 # zero-length payloads tile a single zero byte so the
                 # fixed byte-budget contract holds for every output row
                 if not data:
@@ -205,7 +220,7 @@ def chunk_audio(df: DataFrame, segment_ms: int = 2, min_ms: int = 1) -> DataFram
                 "seg_ms": [], "seg_bytes": [], "seg_md5": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = decode_stub(bytes(payload), "audio")
+                data = decode_stub(_payload_bytes(doc_id, payload), "audio")
                 for i in range(0, -(-len(data) // seg_bytes)):
                     chunk = data[i * seg_bytes : (i + 1) * seg_bytes]
                     if len(chunk) < min_bytes:

@@ -51,6 +51,16 @@ def pack_sequences(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        if pdf["n_tokens"].isna().any():
+            # a NULL text yields a NULL token count (NaN here); packing it
+            # would poison every later offset in the domain with NaN and
+            # die on the int64 cast with an opaque error — or worse,
+            # silently mispack (r7 review, verified). Fail naming the doc.
+            bad = pdf.loc[pdf["n_tokens"].isna(), "doc_id"].iloc[0]
+            raise ValueError(
+                f"pack_sequences: NULL token count for doc_id {bad} "
+                "(NULL text?) — filter or impute before packing"
+            )
         bins, offsets = [], []
         bin_id, fill = 1, 0
         for n in pdf["n_tokens"]:

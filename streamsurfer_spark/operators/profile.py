@@ -22,15 +22,24 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-PAD = 18
+# 19 = max int64 digit count: lpad TRUNCATES beyond the pad width, so 18
+# silently collapsed distinct 19-digit scaled values to one rendering
+# (corrupting min/max/n_distinct — r7 review, verified by execution)
+PAD = 19
 
 
 def render_number(col: Column | str, nd: int = 2) -> Column:
     """Non-negative numeric → fixed-width decimal string (lexicographic ==
-    numeric). nd decimal places survive the rounding."""
+    numeric). nd decimal places survive the rounding. Non-finite values
+    (NaN/±Inf) render NULL — the bigint cast would otherwise abort the
+    whole profile job under ANSI (r7 review; same guard as
+    rounding.scaled_round)."""
     c = F.col(col) if isinstance(col, str) else col
+    finite = c.isNotNull() & ~F.isnan(c.cast("double")) & (
+        F.abs(c.cast("double")) != float("inf")
+    )
     scaled = F.round(c * (10**nd)).cast("bigint").cast("string")
-    return F.when(c.isNotNull(), F.lpad(scaled, PAD, "0"))
+    return F.when(finite, F.lpad(scaled, PAD, "0"))
 
 
 def render_timestamp(col: Column | str, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:

@@ -35,17 +35,34 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the probe side salted and the build side replicated.
 
-    - probe rows get a uniform deterministic salt in [0, n_salt) derived
-      from xxhash64 of the whole row (no RNG → retries/speculative tasks
-      produce identical output);
+    - probe rows get a uniform salt in [0, n_salt) from a per-row counter
+      (monotonically_increasing_id), so even BYTE-IDENTICAL probe rows —
+      the null-ish-defaults hot-key case this module exists for — scatter
+      across salts (a whole-row hash sent all identical rows to ONE salt,
+      defeating the mitigation — r7 review). The salt only routes rows to
+      partitions, so its nondeterminism across retries cannot change the
+      join RESULT (build carries every salt for a key);
     - build rows are exploded n_salt times so every (key, salt) probe
       partition finds its match locally.
+
+    Only probe-preserving joins are valid: with the build side exploded,
+    a build-preserving join (right/full) would return each unmatched
+    build row n_salt times (verified: right-join duplication — r7
+    review), so those `how` values are rejected.
 
     With ``hot_keys``, only those keys are salted/replicated and the rest
     join on salt 0 — bounding duplication to the skewed slice.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports probe-preserving joins only ({sorted(allowed)}); "
+            f"a build-preserving {how!r} would duplicate unmatched build rows "
+            f"n_salt times"
+        )
     salts = F.array(*[F.lit(i) for i in range(n_salt)])
-    probe_salt = F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(n_salt))
+    probe_salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
     if hot_keys is not None:
         is_hot_p = F.col(on).isin(hot_keys)
         probe_salt = F.when(is_hot_p, probe_salt).otherwise(F.lit(0))

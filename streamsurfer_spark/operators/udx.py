@@ -69,5 +69,11 @@ class TokenizeUDTF:
     """
 
     def eval(self, text: str) -> Iterator[tuple[int, str]]:
-        for i, tok in enumerate((text or "").split(" ")):
+        if text is None:
+            # posexplode(split(NULL)) emits ZERO rows — the claimed
+            # equivalence (and the ql20 oracle's unnest) requires the
+            # UDTF to match; `(text or '')` emitted a spurious (0, '')
+            # row for NULL input (r7 review)
+            return
+        for i, tok in enumerate(text.split(" ")):
             yield i, tok

@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from streamsurfer_spark.functions import hashing
 from streamsurfer_spark.functions.hashing import (
     MOD_PRIME,
     P31,
@@ -2706,7 +2707,7 @@ def ql52_multimodal_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     media = multimodal.as_media(docs)
-    seeded_digest = "concat(md5(payload), '#', cast(j as string))"
+    seeded_digest = hashing.seeded("md5(payload)", "j")
     dim_expr = (
         f"transform(sequence(0, {MM_EMBED_DIM - 1}),"
         f" j -> {md5_long64_expr(seeded_digest)}"

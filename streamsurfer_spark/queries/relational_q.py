@@ -1845,9 +1845,10 @@ FROM (SELECT {render} AS val FROM orders)
 
 
 def _duck_render_number(col: str, nd: int) -> str:
+    # PAD=19 + isfinite in lockstep with operators/profile.render_number
     return (
-        f"CASE WHEN {col} IS NOT NULL THEN "
-        f"lpad(CAST(CAST(round({col} * {10**nd}) AS BIGINT) AS VARCHAR), 18, '0') END"
+        f"CASE WHEN {col} IS NOT NULL AND isfinite({col}::DOUBLE) THEN "
+        f"lpad(CAST(CAST(round({col} * {10**nd}) AS BIGINT) AS VARCHAR), 19, '0') END"
     )
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -73,7 +73,7 @@ def get_spark(app_name: str = "streamsurfer-spark", *, shuffle_partitions: int |
     return builder.getOrCreate()
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "SparkSession"]:
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read every fixture table and register it as a temp view.
 
     Plain `spark.read.parquet` so Catalyst sees a pruneable file scan:

@@ -604,3 +604,66 @@ def test_bm25_match_filter_is_round_independent(spark):
     got = bm25_topk(df, ["common"], k=5).collect()
     assert len(got) == 5, "matching docs were dropped by the rounded filter"
     assert all(r.tf_common == 1 for r in got)
+
+
+def test_profile_render_number_non_finite_and_width(spark):
+    """render_number NULLs non-finite values (the bigint cast aborted the
+    whole profile under ANSI) and pads to 19 digits (lpad TRUNCATES past
+    the pad width, collapsing distinct 19-digit scaled values) — r7
+    review, both verified by execution."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.operators.profile import profile, render_number
+
+    df = spark.createDataFrame(
+        [(1.0,), (math.nan,), (math.inf,), (9.1e16,), (9.1e15,)], "x double"
+    )
+    got = profile(df, {"x": render_number("x")}).collect()[0]
+    assert got.n_rows == 5 and got.n_nulls == 2  # NaN/Inf render NULL
+    # 9.1e16*100 and 9.1e15*100 are 19 and 18 digits — distinct renderings
+    assert got.n_distinct == 3
+
+
+def test_pack_sequences_null_text_raises(spark):
+    """A NULL text poisons every later offset in its packing domain with
+    NaN (r7 review, verified) — fail naming the document."""
+    import pytest
+    from pyspark.errors import PythonException
+
+    from streamsurfer_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b"), (2, "en", None)], "doc_id long, lang string, text string"
+    )
+    with pytest.raises(PythonException, match="NULL token count for doc_id 2"):
+        pack_sequences(docs).collect()
+
+
+def test_udtf_tokenize_null_matches_posexplode(spark):
+    """The UDTF's documented equivalence to posexplode(split(...)) must
+    hold on NULL text: zero rows, not a spurious (0, '') row (r7
+    review)."""
+    from streamsurfer_spark.operators.udx import TokenizeUDTF
+
+    spark.udtf.register("tokenize_udtf", TokenizeUDTF)
+    df = spark.createDataFrame([(1, "a b"), (2, None)], "doc_id long, text string")
+    df.createOrReplaceTempView("udtf_null_docs")
+    got = spark.sql(
+        "SELECT d.doc_id, t.pos, t.token FROM udtf_null_docs d,"
+        " LATERAL tokenize_udtf(d.text) t"
+    ).collect()
+    assert {r.doc_id for r in got} == {1}
+    assert len(got) == 2
+
+
+def test_multimodal_null_payload_raises_with_doc_id(spark):
+    """bytes(None) died with an opaque TypeError mid-task; the guard names
+    the offending document (r7 review)."""
+    import pytest
+    from pyspark.errors import PythonException
+
+    df = spark.createDataFrame([(3, None)], "doc_id long, text string")
+    with pytest.raises(PythonException, match="NULL payload for doc_id 3"):
+        multimodal.extract_features(multimodal.as_media(df)).collect()

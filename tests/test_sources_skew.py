@@ -340,3 +340,36 @@ def test_cents_tracker_ignores_non_finite(spark):
 
     assert _cents_half_up(pd.Series([1.0, None, 2.5])) == 350
     assert _cents_half_up(pd.Series([float("nan"), float("inf")])) == 0
+
+
+def test_salted_join_rejects_build_preserving_how(spark):
+    """With the build side exploded across salts, a right/full join would
+    return each unmatched build row n_salt times (r7 review, verified by
+    execution) — those join types must be rejected."""
+    import pytest
+
+    from streamsurfer_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame([(1, "p1")], "k long, pv string")
+    build = spark.createDataFrame([(1, "b1"), (2, "b2")], "k long, bv string")
+    with pytest.raises(ValueError, match="probe-preserving"):
+        salted_join(probe, build, "k", n_salt=4, how="right")
+    # probe-preserving joins stay correct
+    assert salted_join(probe, build, "k", n_salt=4).count() == 1
+    assert salted_join(probe, build, "k", n_salt=4, how="left").count() == 1
+
+
+def test_salted_join_scatters_identical_probe_rows(spark):
+    """Byte-identical probe rows (the null-ish-defaults hot key) must
+    spread across salts — a whole-row hash sent them all to ONE salt,
+    defeating the mitigation (r7 review)."""
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.operators.skew import SALT_COL
+
+    probe = spark.createDataFrame([(1, "same")] * 64, "k long, v string")
+    salts = probe.repartition(8).withColumn(
+        SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(16))
+    )
+    n_salts = salts.select(SALT_COL).distinct().count()
+    assert n_salts > 1
