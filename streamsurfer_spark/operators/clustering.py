@@ -184,11 +184,13 @@ def kmeans_fit(
     iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """Run `iters` Lloyd iterations; return (assignments, centroids).
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Run `iters` Lloyd iterations; return (assignments, centroids, cached).
 
     assignments: the quantized input plus its final `cent_id`;
-    centroids: the final (id, qv) centroid table (≤ k rows, broadcastable).
+    centroids: the final (id, qv) centroid table (≤ k rows, broadcastable);
+    cached: the persisted quantized input — call ``cached.unpersist()``
+    once the assignment/centroid results are materialized.
 
     The quantized input is persisted (MEMORY_AND_DISK): every round —
     seeding, each assign, each update — re-references it, and without the
@@ -196,9 +198,12 @@ def kmeans_fit(
     reference (the docstring's scale contract promised the cache; the
     code previously omitted it — r7 review). Safe against the documented
     persist-hides-AQE-stats trap because every join in the loop is an
-    EXPLICIT F.broadcast (ivf_assign). Like graph.connected_components,
-    the returned frames still reference the cache — callers looping over
-    many fits may unpersist via the returned frames' lineage when done.
+    EXPLICIT F.broadcast (ivf_assign). The cache handle is RETURNED (r8
+    advice): "unpersist via the returned frames' lineage" is not a real
+    DataFrame API, so callers looping over many fits previously
+    accumulated MEMORY_AND_DISK entries with no supported release path.
+    One-shot callers (the registry queries) may ignore it — the cache
+    dies with the session.
     """
     q = quantize(df, vec_col).select(id_col, "qv").persist()
     cents = seed_rows(q, k, id_col)
@@ -212,7 +217,7 @@ def kmeans_fit(
         assigned = ivf_assign(
             q, cents, id_col=id_col, keep_dist=(it == iters - 1)
         )
-    return assigned, cents
+    return assigned, cents, q
 
 
 def kmeans_report(
@@ -227,7 +232,7 @@ def kmeans_report(
     Clusters that lose all members simply drop out of the report (standard
     Lloyd behavior without re-seeding — deterministic on both engines).
     """
-    assigned, _cents = kmeans_fit(df, k, iters, id_col, vec_col)
+    assigned, _cents, _cached = kmeans_fit(df, k, iters, id_col, vec_col)
     # the final assign carries each vector's winning distance (keep_dist),
     # so SSE aggregates directly — no centroid re-join, no second O(n·d)
     # distance pass (r7 review)

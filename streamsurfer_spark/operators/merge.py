@@ -115,16 +115,19 @@ def apply_cdc(
     # a NULL op is ambiguous (delete or upsert?) — both the `!= delete_op`
     # and `== delete_op` filters evaluate NULL and silently DROP the row
     # from snapshot AND tombstones, vanishing the key with no trace (r7
-    # review). Fail loudly instead.
-    survivors = latest.where(
-        F.when(
-            F.col(op_col).isNotNull(), F.col(op_col) != delete_op
-        ).otherwise(
+    # review). Fail loudly instead — and guard ONCE on `latest` before
+    # branching, so a consumer acting on the tombstone frame ALONE also
+    # fails loudly instead of silently losing the key (the survivors-only
+    # guard left the deletes branch exposed; r8 advice).
+    latest = latest.withColumn(
+        op_col,
+        F.when(F.col(op_col).isNotNull(), F.col(op_col)).otherwise(
             F.raise_error(
                 F.lit(f"apply_cdc: NULL {op_col} — delete vs upsert ambiguous")
             )
-        )
+        ),
     )
+    survivors = latest.where(F.col(op_col) != delete_op)
     deletes = latest.where(F.col(op_col) == delete_op).select(*keys)
     # null-safe anti join, same reasoning as upsert above
     t = target.alias("t")

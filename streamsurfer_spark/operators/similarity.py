@@ -70,17 +70,27 @@ def checked_dot(a: str, b: str):
     error (r7 review). The guard compares ``size()`` (O(1) metadata, not
     a scan of the arrays) and raise_error()s with both widths on the
     first mismatched pair.
+
+    A NULL vector also lands in the error branch — but ``size(NULL)`` is
+    NULL, so the naive guard both mis-routed on a NULL condition and
+    rendered a NULL concat message: the job died with an opaque
+    null-message error that looked like a dim mismatch (r8 advice). The
+    sizes are coalesced in the condition (NULL ≠ any size) and rendered
+    as the literal string ``NULL`` in the message, so a NULL embedding
+    fails loudly AND self-explanatorily.
     """
+    size_a = F.size(F.col(a))
+    size_b = F.size(F.col(b))
     return F.when(
-        F.size(F.col(a)) == F.size(F.col(b)),
+        F.col(a).isNotNull() & F.col(b).isNotNull() & (size_a == size_b),
         F.expr(DOT_EXPR.format(a=a, b=b)),
     ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("cosine: embedding dims differ: "),
-                F.size(F.col(a)).cast("string"),
+                F.lit("cosine: embedding dims differ (NULL = missing vector): "),
+                F.coalesce(size_a.cast("string"), F.lit("NULL")),
                 F.lit(" vs "),
-                F.size(F.col(b)).cast("string"),
+                F.coalesce(size_b.cast("string"), F.lit("NULL")),
             )
         )
     )

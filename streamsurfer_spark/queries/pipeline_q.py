@@ -178,7 +178,7 @@ def qp03_ivfpq_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamsurfer_spark.operators import clustering
 
     emb = table(spark, sf_dir, "embeddings")
-    assigned, cents = clustering.kmeans_fit(emb)
+    assigned, cents, _cached = clustering.kmeans_fit(emb)
     cent_vecs = cents.select(
         F.col("vec_id").alias("cent_id"), F.col("qv").alias("cent_qv")
     )
@@ -628,7 +628,7 @@ def qp06_semdedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamsurfer_spark.operators import clustering, graph, similarity
 
     emb = table(spark, sf_dir, "embeddings")
-    assigned, _cents = clustering.kmeans_fit(emb)
+    assigned, _cents, _cached = clustering.kmeans_fit(emb)
     blocked = emb.join(assigned.select("vec_id", "cent_id"), "vec_id")
     pairs = similarity.cosine_near_dup_pairs(
         blocked, SEMDEDUP_TAU, block_col="cent_id"

@@ -209,6 +209,15 @@ class _SpoolStreamReader(SimpleDataSourceStreamReader):
     the lifetime of the stream (including checkpoint recovery, which
     re-pins from the directory); files added later are picked up only by
     a fresh stream start.
+
+    The quiescence contract is ENFORCED, not just documented (r8 advice):
+    every emitted offset carries a digest of the pinned listing, and both
+    read() and readBetweenOffsets() verify a committed digest against the
+    current pin — a checkpoint recovery whose re-pinned directory listing
+    differs from the one the offsets were committed against fails loudly
+    instead of silently sliding committed offsets onto different files
+    (duplicate/loss). Offsets from pre-digest checkpoints (no ``listing``
+    key) are accepted unchecked for compatibility.
     """
 
     def __init__(self, options: dict) -> None:
@@ -221,8 +230,27 @@ class _SpoolStreamReader(SimpleDataSourceStreamReader):
             self._files = _spool_files(self.spool_dir)
         return self._files
 
+    def _digest(self) -> str:
+        import hashlib
+
+        return hashlib.sha256(
+            "\n".join(self._listing()).encode("utf-8")
+        ).hexdigest()[:16]
+
+    def _check_offset(self, off: dict) -> None:
+        committed = off.get("listing")
+        if committed is not None and committed != self._digest():
+            raise ValueError(
+                "kinesis_replay stream: the spool directory listing changed"
+                f" since offsets were committed (committed digest {committed},"
+                f" current {self._digest()}, {len(self._listing())} files now"
+                " pinned). The spool must be quiescent for the lifetime of a"
+                " stream including checkpoint recovery; start a fresh stream"
+                " (new checkpoint) to pick up the changed spool."
+            )
+
     def initialOffset(self):  # noqa: D102 — API hook
-        return {"next_file": 0}
+        return {"next_file": 0, "listing": self._digest()}
 
     def _rows_between(self, lo: int, hi: int):
         rows = []
@@ -231,11 +259,17 @@ class _SpoolStreamReader(SimpleDataSourceStreamReader):
         return rows
 
     def read(self, start):  # noqa: D102 — API hook
+        self._check_offset(start)
         lo = start["next_file"]
         hi = min(lo + self.batch_files, len(self._listing()))
-        return iter(self._rows_between(lo, hi)), {"next_file": hi}
+        return (
+            iter(self._rows_between(lo, hi)),
+            {"next_file": hi, "listing": self._digest()},
+        )
 
     def readBetweenOffsets(self, start, end):  # noqa: D102 — replay hook
+        self._check_offset(start)
+        self._check_offset(end)
         return iter(self._rows_between(start["next_file"], end["next_file"]))
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 from streamsurfer_spark.scratch import scratch_dir
 import uuid
+import weakref
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -77,16 +78,24 @@ def read_events_stream(
     return df
 
 
-# run_to_memory keeps at most this many memory-sink tables registered;
-# older ones are dropped LRU. Each memory sink pins its full materialized
-# result in the driver JVM, and the gate/bench drivers call this ~150×
-# per long-lived process — unbounded growth otherwise (r7 review). The
-# cap is safe because consumers (gate hash, bench noop write) evaluate
-# each returned frame before constructing the next query; only code
-# holding a frame across >MEM_TABLE_CAP newer calls would see a
-# TABLE_OR_VIEW_NOT_FOUND on re-evaluation.
+# run_to_memory keeps at most this many memory-sink tables registered
+# PER SparkSession; older ones are dropped LRU. Each memory sink pins its
+# full materialized result in the driver JVM, and the gate/bench drivers
+# call this ~150× per long-lived process — unbounded growth otherwise
+# (r7 review). The LRU is keyed by the owning session (r8 advice): a
+# module-global list mixed sessions, so an eviction triggered from
+# session B called dropTempView on a name registered in session A's
+# catalog — a no-op there that leaked A's sink while evicting the name
+# from the shared list. WeakKeyDictionary so a stopped/collected session
+# releases its name list instead of pinning the session object forever.
+# The cap is safe because consumers (gate hash, bench noop write)
+# evaluate each returned frame before constructing the next query; only
+# code holding a frame across >MEM_TABLE_CAP newer same-session calls
+# would see a TABLE_OR_VIEW_NOT_FOUND on re-evaluation.
 MEM_TABLE_CAP = 16
-_mem_tables: list[str] = []
+_mem_tables: "weakref.WeakKeyDictionary[SparkSession, list[str]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
@@ -107,7 +116,8 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFr
     )
     q.awaitTermination()
     spark = stream_df.sparkSession
-    _mem_tables.append(name)
-    while len(_mem_tables) > MEM_TABLE_CAP:
-        spark.catalog.dropTempView(_mem_tables.pop(0))
+    owned = _mem_tables.setdefault(spark, [])
+    owned.append(name)
+    while len(owned) > MEM_TABLE_CAP:
+        spark.catalog.dropTempView(owned.pop(0))
     return spark.table(name)

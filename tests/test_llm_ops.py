@@ -515,7 +515,7 @@ def test_cosine_dim_mismatch_fails_loudly(spark):
         ],
         "vec_id long, label int, embedding array<double>",
     )
-    with pytest.raises(SparkRuntimeException, match="dims differ: 3 vs 2"):
+    with pytest.raises(SparkRuntimeException, match="dims differ.*3 vs 2"):
         cosine_near_dup_pairs(df, 0.5).collect()
 
 

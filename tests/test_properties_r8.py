@@ -1,0 +1,156 @@
+"""Round-8 advice-fix pins.
+
+Each test pins one of the five round-7 ADVICE findings closed in round 8:
+NULL-vector cosine messaging, the apply_cdc tombstone-branch NULL guard,
+the kmeans_fit cache release handle, the spool stream reader's enforced
+quiescence contract, and the per-session memory-sink LRU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.errors import SparkRuntimeException
+
+
+def test_cosine_null_vector_fails_with_named_null(spark):
+    """size(NULL) is NULL, so the r7 dim guard mis-routed NULL vectors into
+    the raise branch with a NULL concat message — the job died with an
+    opaque null-message error (r8 advice). A NULL embedding reaching
+    checked_dot must fail loudly AND say NULL, not look like a dim
+    mismatch. (In the pair pipelines a NULL vector usually never reaches
+    the dot: Catalyst infers isNotNull from the null-intolerant norm
+    product under the threshold filter and prunes the row at the scan —
+    the guard is the backstop for plans without that inference.)"""
+    from streamsurfer_spark.operators.similarity import checked_dot
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0], None)], "a array<double>, b array<double>"
+    )
+    with pytest.raises(SparkRuntimeException, match="2 vs NULL"):
+        df.select(checked_dot("a", "b").alias("d")).collect()
+    # and the dim-mismatch message still names both real widths
+    df2 = spark.createDataFrame(
+        [([1.0, 2.0], [1.0, 2.0, 3.0])], "a array<double>, b array<double>"
+    )
+    with pytest.raises(SparkRuntimeException, match="2 vs 3"):
+        df2.select(checked_dot("a", "b").alias("d")).collect()
+
+
+def test_apply_cdc_null_op_raises_from_deletes_alone(spark):
+    """The r7 NULL-op guard lived only on the survivors branch; the deletes
+    frame filtered op == delete_op, which evaluates NULL for a NULL op —
+    a consumer acting on the tombstone frame ALONE still silently lost
+    the key (r8 advice). Collecting just the deletes must now raise."""
+    from streamsurfer_spark.operators.merge import apply_cdc
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "b", None, 5)], "k long, v string, op string, seq long"
+    )
+    _merged, deletes = apply_cdc(target, changes, "k", "seq")
+    with pytest.raises(SparkRuntimeException, match="NULL op"):
+        deletes.collect()
+
+
+def test_kmeans_fit_returns_releasable_cache(spark):
+    """kmeans_fit persists the quantized input; 'unpersist via the returned
+    frames' lineage' is not a real API, so loops over many fits
+    accumulated cache entries forever (r8 advice). The cache handle is
+    now returned and releasable."""
+    from streamsurfer_spark.operators.clustering import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, cents, cached = kmeans_fit(df, k=2, iters=2)
+    assert cached.is_cached
+    n = assigned.count()
+    assert n == 30 and cents.count() <= 2
+    cached.unpersist()
+    assert not cached.is_cached
+    # results still evaluable after release (recompute, not breakage)
+    assert assigned.count() == 30
+
+
+def _write_spool_record(spool: str, fname: str) -> None:
+    with open(os.path.join(spool, fname), "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "Data": json.dumps([{"event": "e"}]),
+                "PartitionKey": "pk",
+                "StreamName": "s",
+            },
+            f,
+        )
+
+
+def test_spool_stream_offsets_pin_listing_digest(tmp_path):
+    """The spool stream reader pins its listing per instance, but checkpoint
+    recovery builds a NEW instance that re-pins from the directory — if
+    files were added meanwhile, uuid-hex sorting shifts committed offsets
+    onto different files (duplicate/loss). The quiescence contract is now
+    ENFORCED: offsets carry a listing digest and a recovered reader whose
+    re-pinned listing disagrees fails loudly (r8 advice)."""
+    from streamsurfer_spark.sources.kinesis_source import _SpoolStreamReader
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    # uuid-hex-ish names; the adversarial add sorts BELOW the committed ones
+    _write_spool_record(spool, "bbbb.json")
+    _write_spool_record(spool, "cccc.json")
+
+    r1 = _SpoolStreamReader({"spool_dir": spool, "batch_files": 1})
+    start = r1.initialOffset()
+    rows, end = r1.read(start)
+    assert len(list(rows)) == 1 and end["next_file"] == 1
+    assert "listing" in start and start["listing"] == end["listing"]
+
+    # quiescent recovery: a fresh instance replays the committed range
+    r2 = _SpoolStreamReader({"spool_dir": spool, "batch_files": 1})
+    assert len(list(r2.readBetweenOffsets(start, end))) == 1
+
+    # non-quiescent recovery: a file added after commit sorts FIRST —
+    # without the digest the committed [0,1) slice would silently re-emit
+    # the wrong file; with it, recovery fails loudly
+    _write_spool_record(spool, "aaaa.json")
+    r3 = _SpoolStreamReader({"spool_dir": spool, "batch_files": 1})
+    with pytest.raises(ValueError, match="listing changed"):
+        r3.readBetweenOffsets(start, end)
+    with pytest.raises(ValueError, match="listing changed"):
+        r3.read(end)
+
+    # pre-digest checkpoints (no listing key) stay accepted — compat path
+    rows, _ = r3.read({"next_file": 0})
+    assert len(list(rows)) == 1
+
+
+def test_run_to_memory_lru_is_keyed_per_session(spark, monkeypatch):
+    """The memory-sink LRU was module-global across SparkSessions: an
+    eviction from session B dropTempView'd a name owned by session A (a
+    no-op in B's catalog) — leaking A's sink while evicting the name
+    (r8 advice). The LRU is now keyed by the owning session."""
+    from streamsurfer_spark.streaming import ingest
+
+    monkeypatch.setattr(ingest, "MEM_TABLE_CAP", 2)
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1000")
+        .option("numPartitions", "1")
+        .load()
+        .select("value")
+    )
+    frames = [ingest.run_to_memory(rate, "append") for _ in range(3)]
+    owned = ingest._mem_tables[spark]
+    # cap enforced within the owning session's list
+    assert len(owned) == 2
+    # the evicted name is gone from THIS session's catalog; survivors remain
+    live = {t.name for t in spark.catalog.listTables()}
+    assert set(owned) <= live
+    # the two youngest frames still evaluate
+    for f in frames[-2:]:
+        f.count()
