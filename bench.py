@@ -93,6 +93,11 @@ BENCH_QUERIES = (
     "ql10_lsh_ann_pairs",
     "qp07b_training_mix_manifest",
     "qs15_stream_lsh_dedup",
+    # round-8 extensions: the SCD2 dimension build (two same-key windows,
+    # one exchange) and the embedding-dimension correlation diagnostic
+    # (exact-int moments + 28-pair broadcast crossJoin)
+    "qt15_scd2_user_state",
+    "ql57_embedding_corr",
 )
 
 

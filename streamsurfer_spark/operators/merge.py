@@ -28,7 +28,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def _key_list(keys: str | Sequence[str]) -> list[str]:
@@ -135,6 +135,72 @@ def apply_cdc(
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     kept = t.join(lk, cond, "left_anti")
     return kept.unionByName(survivors.select(*target.columns)), deletes
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: str | Sequence[str],
+    time_col: str,
+    tiebreak: str | Sequence[str] = (),
+    attrs: Sequence[str] | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change log.
+
+    ``changes`` carries one row per observed state (key columns, the
+    ``time_col`` effective time, and attribute columns). Consecutive rows
+    whose attributes are identical (null-safely) COLLAPSE into one
+    version — a re-observation is not a change — and each surviving
+    change opens a version:
+
+    - ``valid_from``: the opening row's ``time_col``
+    - ``valid_to``: the next version's ``valid_from`` (NULL while current)
+    - ``version``: 1-based per key, in effective-time order
+    - ``is_current``: exactly one per key
+
+    ``attrs`` defaults to every column that is neither a key, the time,
+    nor a tiebreak. ``(time_col, *tiebreak)`` must totally order each
+    key's rows — pass a tiebreak when times can collide, or the lag
+    comparison is non-deterministic.
+
+    Scale notes (100 TB): both windows partition on the SAME key set, so
+    the plan is one exchange (windows reuse the sort); the change filter
+    runs before the second window, so lead/row_number see only version
+    opens. Skew follows hot keys, the usual dimension-build profile. The
+    reference has no dimension surface (main.go:1-312 is append-only
+    shipping); this is the warehouse-side twin of apply_cdc above.
+    """
+    keys = _key_list(keys)
+    tiebreak = _key_list(tiebreak) if tiebreak else []
+    order_cols = [time_col, *tiebreak]
+    if attrs is None:
+        attrs = [
+            c
+            for c in changes.columns
+            if c not in keys and c not in order_cols
+        ]
+    if not attrs:
+        raise ValueError("scd2_history needs at least one attribute column")
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    cur = F.struct(*[F.col(c) for c in attrs])
+    # first-row detection via lag(lit) — NOT prev.isNull(): a struct of
+    # all-NULL attrs is itself non-null in Spark but an all-NULL tuple
+    # compares not-distinct in SQL engines; the explicit marker makes
+    # "first observation always opens" hold for NULL attribute states too
+    opens = (
+        changes.withColumn("_prev", F.lag(cur).over(w))
+        .withColumn("_first", F.lag(F.lit(1)).over(w).isNull())
+        .where(F.col("_first") | ~cur.eqNullSafe(F.col("_prev")))
+        .drop("_prev", "_first")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order_cols)
+    return opens.select(
+        *keys,
+        *attrs,
+        F.col(time_col).alias("valid_from"),
+        F.lead(time_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead(time_col).over(w2).isNull().alias("is_current"),
+    )
 
 
 def apply_cdc_snapshot(

@@ -106,6 +106,64 @@ def temperature_mixture_sample(
     )
 
 
+WEIGHTED_MOD = 1_000_000_007  # pseudo-uniform modulus for weighted_sample
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: k rows, inclusion probability
+    proportional to ``weight_col`` — the Efraimidis–Spirakis A-ES scheme
+    with content-hash uniforms instead of RNG state.
+
+    A-ES ranks every row by u^(1/w) (u uniform) and keeps the top k;
+    equivalently by ln(u)/w, which is what we compute. The uniform is
+    derived from the row key: u = (h+1)/(P+1) with h = md5_60(key#seed)
+    mod P, so membership is a pure function of (key, seed) — stable
+    across partitioning, retries, and engines, like every sampler here.
+
+    Numerics (cross-engine, FIXTURES.md §3): ln runs ONLY on the
+    integer-valued doubles h+1 and P+1 (≤ 2^30 ≪ 2^53 — bit-identical
+    libm across engines); the subtraction and the division by the weight
+    are single IEEE ops; the rank key is compared, never emitted. Ties are
+    impossible off equal (h, w) pairs and broken by key.
+
+    Scale (100 TB): per-row codegen expressions + a global top-k —
+    Spark's TakeOrdered: per-partition heap of k, driver merge of
+    partitions×k rows, NO shuffle. A non-positive or NULL weight is
+    ambiguous (excluded? error?) and fails loudly.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    p = WEIGHTED_MOD
+    h = (
+        md5_long64(F.concat(F.col(id_col).cast("string"), F.lit(f"#ws{seed}")))
+        % p
+    )
+    w = F.col(weight_col).cast("double")
+    rank_key = F.when(
+        w > 0,
+        (F.log((h + 1).cast("double")) - F.log(F.lit(p + 1).cast("double"))) / w,
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"weighted_sample: non-positive or NULL {weight_col}: "),
+                F.coalesce(w.cast("string"), F.lit("NULL")),
+            )
+        )
+    )
+    return (
+        df.withColumn("_wkey", rank_key)
+        .orderBy(F.desc("_wkey"), F.col(id_col))
+        .limit(k)
+        .drop("_wkey")
+    )
+
+
 def assign_split(
     df: DataFrame, id_col: str, train_pct: int = 80, val_pct: int = 10
 ) -> DataFrame:

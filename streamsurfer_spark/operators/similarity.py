@@ -383,6 +383,102 @@ def quantize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def embedding_corr_pairs(
+    df: DataFrame,
+    top_dims: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pairwise Pearson correlation between the highest-variance embedding
+    dimensions — the drift/collapse diagnostic a training pipeline runs
+    over an embedding column (two near-duplicate dimensions ⇒ wasted
+    capacity; a dimension suddenly correlated with everything ⇒ collapse).
+
+    Two-pass shape, both passes corpus-linear:
+
+    1. per-dimension moments over the ×1000-quantized vectors (posexplode
+       → partial-aggregating groupBy on ≤ dim groups); the ``top_dims``
+       dimensions by exact integer variance numerator n·Σq² − (Σq)²
+       (deterministic tiebreak on dim) form the report set.
+    2. the pair products: the corpus crossJoins the ≤ C(top_dims, 2)-row
+       broadcast pair frame and partial-aggregates Σ qᵢ·qⱼ per pair — a
+       map-only pass whose shuffle is 28 rows per partition, NO join on
+       the row id (the naive formulation shuffles 8n rows on doc id).
+
+    Numerics: all sums are exact integers promoted to DECIMAL(38,0), so
+    the correlation numerator n·Σqᵢqⱼ − Σqᵢ·Σqⱼ is exact at any corpus
+    size; the only float ops are two sqrts, one multiply, one division.
+    Cross-engine bit-parity additionally needs the sqrt arguments
+    integer-exact in double (≤ 2^53) — true through n ≈ 3·10⁶ rows at
+    QUANT_SCALE=1000, far past every gate SF. A constant dimension makes
+    the denominator 0 → NULL corr on both engines: try_divide, because
+    ANSI mode raises DIVIDE_BY_ZERO even for double division (the error
+    fires before scaled_round's non-finite guard could null a NaN), and
+    DuckDB 1.0's x/0 is NULL — which try_divide mirrors exactly.
+
+    Returns (dim_i, dim_j, n_rows, corr), dim_i < dim_j, 0-based dims.
+    """
+    q = quantize(df, vec_col).select(id_col, "qv")
+    ex = q.select(F.posexplode("qv").alias("dim", "qd"))
+    dec = "decimal(38,0)"
+    stats = ex.groupBy("dim").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("qd").cast(dec).alias("s"),
+        F.sum(F.col("qd") * F.col("qd")).cast(dec).alias("ss"),
+    )
+    stats = stats.withColumn(
+        "var_num", F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    )
+    top = stats.orderBy(F.desc("var_num"), "dim").limit(top_dims)
+    # the ≤ top_dims-row frame feeds FOUR plan references (two self-join
+    # legs × two consumers); without materialization each reference
+    # re-executes the full corpus explode+aggregate (4 scans, measured in
+    # the executed plan). Eager localCheckpoint runs the moments pass
+    # ONCE; both downstream joins stay explicit broadcasts, so the
+    # persist-hides-AQE-stats trap does not apply.
+    top = top.localCheckpoint(eager=True)
+    a = top.select(
+        F.col("dim").alias("dim_i"),
+        F.col("s").alias("s_i"),
+        F.col("var_num").alias("vn_i"),
+    )
+    b = top.select(
+        F.col("dim").alias("dim_j"),
+        F.col("s").alias("s_j"),
+        F.col("var_num").alias("vn_j"),
+    )
+    pairs = a.crossJoin(b).where(F.col("dim_i") < F.col("dim_j"))
+    prod = (
+        q.crossJoin(F.broadcast(pairs.select("dim_i", "dim_j")))
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.count("*").cast(dec).alias("n"),
+            F.sum(
+                F.element_at("qv", F.col("dim_i") + 1)
+                * F.element_at("qv", F.col("dim_j") + 1)
+            )
+            .cast(dec)
+            .alias("s_ij"),
+        )
+    )
+    num = (F.col("n") * F.col("s_ij") - F.col("s_i") * F.col("s_j")).cast(
+        "double"
+    )
+    den = F.sqrt(F.col("vn_i").cast("double")) * F.sqrt(
+        F.col("vn_j").cast("double")
+    )
+    return (
+        prod.join(F.broadcast(pairs), ["dim_i", "dim_j"])
+        .select(
+            "dim_i",
+            "dim_j",
+            F.col("n").cast("bigint").alias("n_rows"),
+            scaled_round(F.try_divide(num, den)).alias("corr"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )
+
+
 def centroid_modulus(n_vectors: int) -> int:
     """Sampling modulus for "every mod-th vector is a centroid".
 

@@ -29,103 +29,90 @@ class QuerySpec:
 
 
 # Ordering is load-bearing: the driver's correctness gate evaluates a
-# prefix of this dict (50 entries in every round so far). Round-7 window
-# policy:
-# (1) the 22 entries whose latest driver gate row is ROUND 2 — the
-#     oldest gate evidence left after r6 consumed the r1 band (histogram
-#     going into r7, recomputed from CORRECTNESS_r01..r06: r2=22, r3=39,
-#     r4=29, r5=43, r6=50; sums to 183 = the pre-qv10 registry). Three of them (qt04/qt05/qt07) also changed
-#     in r7, so they lead. This completes the rotation: after r7 no
-#     entry's gate row is older than r3.
-# (2) the round-7 scaled-round conversions whose VALUES could move in
-#     the retired tie class (FIXTURES.md §3): the surprisal/DSIR/BM25/
-#     z-score/novelty families, the qr statistic and ratio packs, qt09,
-#     and the NEW qv10 PutRecords wire row. 28 entries; 22 + 28 = 50.
-# (3) overflow tail: the remaining r7-changed entries — helper-twin
-#     rewrites (_sum6/_duck_sum6) over cent-grid sums whose values are
-#     identical off the tie class — ordered before the r3-verified band
-#     so a wider window or the r8 rotation picks them up. Every entry
-#     regardless of window is covered by the standing full-registry sim
-#     (tools/driver_sim.py → DRIVER_SIM_r7.txt, ALL PASS).
+# prefix of this dict (50 entries in every round so far). Round-8 window
+# policy (continuing the standing rotation):
+# (1) the 3 NEW round-8 entries (qt15/ql56/ql57 — no gate row yet) and
+#     the 5 entries whose Spark plan changed in round 8 (the advice
+#     fixes: apply_cdc's shared NULL-op guard → qs14; kmeans_fit's
+#     3-tuple + returned cache → ql38/qp03/qp06; checked_dot's NULL-safe
+#     guard → ql21). Values are expected unchanged — the gate proves it.
+# (2) the ENTIRE 30-entry band whose latest gate row is ROUND 3 — the
+#     oldest evidence left after r7 retired the r2 band (histogram going
+#     into r8, recomputed from CORRECTNESS_r01..r07: r3=30, r4=24,
+#     r5=33, r6=48, r7=50; sums to 185 = the pre-r8 registry). After r8
+#     no entry's gate row is older than r4.
+# (3) 14 of the 24 r4-latest entries (led by the r8-touched ql38/qp03),
+#     filling the window to exactly 50. The 10 leftover r4 rows
+#     (qr68/qr69/qr71, qs01/qs02/qs11/qs12, qt10/qt11/qt13) are the r9
+#     rotation head. Every entry regardless of window is covered by the
+#     standing full-registry sim (tools/driver_sim.py →
+#     DRIVER_SIM_r8.txt, ALL PASS).
 _VERIFY_FIRST = (
-    # (1) r2-stale rotation — changed-in-r7 members first
-    "qt04_gapfill_daily",        # twin via _duck_sum6 rewrite
-    "qt05_ohlc_bars",
-    "qt07_ewma_smoothing",       # ewma ratio scaled (r7)
-    "qv04_ts_render",
-    "qv05_envelope_json",
-    "qv08_batch_wire_format",
-    "ql01_exact_dedup",
-    "ql02_minhash_lsh_pairs",
-    "ql05_top_terms",
-    "ql07_multimodal_envelope",
-    "ql08_simhash",
-    "ql12_language_id",
-    "ql16_hash_sample",
-    "ql17_stratified_sample",
-    "ql20_udtf_tokenize",
-    "qs02b_sliding_window",
-    "qs03_session_window",
-    "qs05_dedup_earliest",
-    "qs06_stream_static_join",
-    "qt01_asof_last_click",
-    "qt02_range_join_errors",
-    "qt06_resample_interpolate",
-    # (2) r7 conversions with real value exposure + the new rows
-    "qv10_put_records_roundtrip",  # NEW: batch-sink spool round trip
-    "ql55_gopher_rules",         # NEW: rule-based quality gate (first gate row)
-    "ql19_grouped_map_zscore",   # pandas z-score → scaled_round_np
-    "ql32_bm25_topk",            # BM25 score scaled
-    "ql36_unigram_surprisal",    # avg_surprisal_nats scaled
-    "ql42_hybrid_rrf",           # BM25 + cosine retriever scores scaled
-    "ql46_dsir_importance",      # avg_logratio_nats scaled
-    "ql47_perplexity_buckets",   # surprisal + min/max reads scaled
-    "ql50_snapshot_novelty",     # novelty count-ratio scaled
-    "qp07_training_mix",         # surprisal stage scaled (shared twin)
-    "qp07b_training_mix_manifest",
-    "qr06_hash_agg_q1",          # product sums + averages scaled
-    "qr10b_window_analytics",    # percent_rank/cume_dist scaled
-    "qr16_math_decimal",         # avg/min-dev/sqrt scaled
-    "qr17_array_fns",            # array float reads scaled
-    "qr18_subqueries",           # avg subquery bound scaled (both SQLs)
-    "qr21_percentiles",          # interpolated percentiles scaled
-    "qr26_stats_pack",           # stddev/var/corr/covar/regr scaled
-    "qr28_filtered_agg",         # filtered avg + count-share scaled
-    "qr35_lambda_pack",          # lambda float sums scaled
-    "qr38_shipping_priority",    # revenue product sums via _sum6
-    "qr47_promo_share",          # promo ratio + revenue reads scaled
-    "qr53_small_quantity_revenue",  # /7 average scaled
-    "qr59_min_cost_supplier",    # unit-cost ratio scaled
-    "qr61_market_share",         # share ratio scaled
-    "qr62_product_profit",       # profit sum read scaled
-    "qr72_winsorized_stats",     # winsorized mean scaled
-    "qt09_time_weighted_avg",    # time-weighted ratio scaled
-    # --- ~window boundary (22 rotation + 28 = exactly 50; qr64 ceded its
-    # slot to the new ql55 — its single scaled read is hash-green in
-    # DRIVER_SIM_r7.txt and leads the overflow for the r8 window) ---
-    # (3) overflow: remaining r7-changed (value-identical helper twins)
-    "qr64_important_parts",      # part-value read scaled
-    "qr54_top_supplier",
-    "qr19_case_when",
-    "qr01_scan_checksum",
-    "qr02_filter_agg",
-    "qr03_join_orders_customer",
-    "qr04_multiway_join",
-    "qr05_anti_join",
-    "qr09_rollup",
-    "qr25_full_outer_join",
-    "qr32_unpivot",
-    "qr37_salted_join",
-    "qr41_dormant_customers",
-    "qr42_upsert_snapshot",
-    "qr43_cdc_apply",
+    # (1) new in r8 + r8-changed plans
+    "qt15_scd2_user_state",      # NEW: SCD2 history build
+    "ql56_weighted_sample",      # NEW: A-ES weighted sampling
+    "ql57_embedding_corr",       # NEW: top-variance dim correlations
+    "qs14_stream_cdc_apply",     # apply_cdc guard moved before branching
+    "qp06_semdedup_report",      # kmeans_fit 3-tuple caller
+    "ql21_cosine_near_dup",      # checked_dot NULL-safe guard
+    # (2) the r3-latest band — oldest gate evidence
+    "ql07b_multimodal_features",  # rows-only spec (pytest + ql07c twin)
+    "ql13_fingerprint",
+    "ql24_chunk_windows",
+    "ql25_pii_redaction",
+    "ql26_export_shards",
+    "ql28_quantization_error",
+    "ql29_split_manifest",
+    "ql33_sequence_packing",
+    "ql35_domain_mixture",
+    "ql41_binary_header",
+    "qr45_window_value_fns",
     "qr46_disjunctive_join",
     "qr48_nation_volume",
+    "qr49_except_all",
+    "qr49_intersect_all",
+    "qr50_expectations_orders",
+    "qr51_grouping_sets",
+    "qr52_variant_props",
+    "qr54_top_supplier",
     "qr55_empty_result",
-    "qr63_returned_items",
+    "qr56_inventory_drawdown",
+    "qr57_try_arithmetic",
+    "qr58_collated_grouping",
+    "qr60_priority_lateness",
+    "qs04_watermarked_append",
+    "qs08_stream_sessions",
+    "qs09_chained_windows",
+    "qs10_interval_join",
     "qt03_sessionize",
-    # rows-only spec (weaker check by design; pytest + ql07c twin cover it)
-    "ql07b_multimodal_features",
+    "qt08_rolling_anomaly",
+    # (3) r4-band fill to 50 (r8-touched members lead)
+    "ql38_kmeans_clusters",      # kmeans_fit 3-tuple caller
+    "qp03_ivfpq_build_report",   # kmeans_fit 3-tuple caller
+    "ql07c_features_parity",
+    "ql39_pq_encode",
+    "ql40_epoch_plan",
+    "ql44_split_leakage",
+    "ql48_bpe_pair_stats",
+    "ql49_pagerank",
+    "qr08_approx_count_distinct",
+    "qr63_returned_items",
+    "qr64_important_parts",
+    "qr65_shipping_speed",
+    "qr66_customer_distribution",
+    "qr67_supplier_part_counts",
+    # --- window boundary: 6 + 30 + 14 = exactly 50 ---
+    # overflow head for r9: the leftover r4 band
+    "qr68_promotable_suppliers",
+    "qr69_waiting_suppliers",
+    "qr71_approx_quantile_gate",
+    "qs01_stream_ingest_counts",
+    "qs02_tumbling_window",
+    "qs11_stateful_tracker",
+    "qs12_stream_temporal_dim",
+    "qt10_nearest_error",
+    "qt11_seasonal_profile",
+    "qt13_cohort_retention",
 )
 
 

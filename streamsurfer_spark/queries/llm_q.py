@@ -35,7 +35,7 @@ from streamsurfer_spark.operators import (
     similarity,
 )
 from streamsurfer_spark.functions import rounding
-from streamsurfer_spark.functions.rounding import scaled_round
+from streamsurfer_spark.functions.rounding import scaled_round, scaled_round_sql
 from streamsurfer_spark.operators import text as text_ops
 from streamsurfer_spark.queries import QuerySpec
 from streamsurfer_spark.session import table
@@ -3246,6 +3246,102 @@ LIMIT 20
 """
 
 
+# --- ql56: deterministic weighted sampling (A-ES) ----------------------------
+
+
+def ql56_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50 documents sampled WITHOUT replacement with probability ∝ n_chars
+    (Efraimidis–Spirakis over content-hash uniforms — operators/sampling.
+    weighted_sample). Length-weighted document sampling is the standard
+    way to draw a token-budget-representative audit/eval slice; hash
+    uniforms make the draw replayable across engines and re-shards.
+    """
+    from streamsurfer_spark.operators.sampling import weighted_sample
+
+    docs = table(spark, sf_dir, "documents")
+    picked = weighted_sample(docs, "doc_id", "n_chars", 50, seed=1)
+    return picked.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+# ln only ever runs on integer-valued doubles (h+1 ≤ P, P+1) — the
+# FIXTURES.md §3 ln discipline — so the rank key is bit-identical across
+# engines; it is compared, never emitted.
+QL56_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, lang, source, n_chars,
+           ({DUCK_HASH.format(x="doc_id::VARCHAR || '#ws1'")}
+            % 1000000007) AS hm
+    FROM documents
+),
+picked AS (
+    SELECT doc_id, lang, source, n_chars
+    FROM keyed
+    ORDER BY (ln(CAST(hm + 1 AS DOUBLE)) - ln(CAST(1000000008 AS DOUBLE)))
+             / CAST(n_chars AS DOUBLE) DESC, doc_id
+    LIMIT 50
+)
+SELECT doc_id, lang, source, n_chars FROM picked ORDER BY doc_id
+"""
+
+
+# --- ql57: embedding dimension correlation diagnostic ------------------------
+
+
+def ql57_embedding_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between the 8 highest-variance
+    embedding dimensions (operators/similarity.embedding_corr_pairs) —
+    the drift/collapse diagnostic over an embedding column. Exact-integer
+    moments over ×1000-quantized values; the pair pass crossJoins the
+    28-row broadcast pair frame (map-only, no row-id shuffle).
+    """
+    from streamsurfer_spark.operators.similarity import embedding_corr_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_corr_pairs(emb, top_dims=8)
+
+
+QL57_SQL = f"""
+WITH ex AS (
+    SELECT vec_id, unnest(range(len(embedding))) AS dim,
+           CAST(round(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS qd
+    FROM embeddings
+),
+stats AS (
+    SELECT dim,
+           CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(qd) AS HUGEINT) AS s,
+           CAST(sum(qd * qd) AS HUGEINT) AS ss
+    FROM ex GROUP BY 1
+),
+vx AS (SELECT dim, s, n * ss - s * s AS var_num FROM stats),
+top AS (SELECT dim, s, var_num FROM vx ORDER BY var_num DESC, dim LIMIT 8),
+pairs AS (
+    SELECT a.dim AS dim_i, b.dim AS dim_j, a.s AS s_i, b.s AS s_j,
+           a.var_num AS vn_i, b.var_num AS vn_j
+    FROM top a, top b WHERE a.dim < b.dim
+),
+prod AS (
+    SELECT p.dim_i, p.dim_j,
+           CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(
+               CAST(round(embedding[CAST(p.dim_i AS INTEGER) + 1]::DOUBLE
+                          * 1000) AS BIGINT)
+             * CAST(round(embedding[CAST(p.dim_j AS INTEGER) + 1]::DOUBLE
+                          * 1000) AS BIGINT)
+           ) AS HUGEINT) AS s_ij
+    FROM embeddings, pairs p
+    GROUP BY 1, 2
+)
+SELECT dim_i, dim_j, CAST(n AS BIGINT) AS n_rows,
+       {scaled_round_sql(
+           "(n * s_ij - s_i * s_j)::DOUBLE"
+           " / (sqrt(vn_i::DOUBLE) * sqrt(vn_j::DOUBLE))"
+       )} AS corr
+FROM prod JOIN pairs USING (dim_i, dim_j)
+ORDER BY dim_i, dim_j
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -3404,6 +3500,16 @@ QUERIES: dict[str, QuerySpec] = {
         ql55_gopher_rules,
         QL55_SQL,
         "Gopher rule-based quality gate (exact-int thresholds)",
+    ),
+    "ql56_weighted_sample": QuerySpec(
+        ql56_weighted_sample,
+        QL56_SQL,
+        "A-ES weighted sampling without replacement (hash uniforms)",
+    ),
+    "ql57_embedding_corr": QuerySpec(
+        ql57_embedding_corr,
+        QL57_SQL,
+        "top-variance embedding dimension correlation diagnostic",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,

@@ -967,6 +967,63 @@ ORDER BY 1, 2
 """
 
 
+def qt15_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history of each user's event-type
+    state: consecutive re-observations of the same type collapse into one
+    version; each change opens a version with [valid_from, valid_to)
+    bounds, a per-user version number, and a single is_current row — the
+    dimension-build twin of apply_cdc (operators/merge.scd2_history).
+
+    Shape: both windows partition on user_id, so the plan is one exchange;
+    the collapse filter runs between them (lead/row_number see only
+    version opens).
+    """
+    from streamsurfer_spark.operators.merge import scd2_history
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist = scd2_history(
+        ev, keys="user_id", time_col="ts", tiebreak="event_id",
+        attrs=["event_type"],
+    )
+    return hist.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("valid_from", TS_FMT).alias("valid_from"),
+        F.date_format("valid_to", TS_FMT).alias("valid_to"),
+        "version",
+        "is_current",
+    ).orderBy("user_id", "version")
+
+
+QT15_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER w AS prev_type,
+           lag(1) OVER w AS prev_mark
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+opens AS (
+    SELECT user_id, event_type, ts, event_id FROM ordered
+    WHERE prev_mark IS NULL OR prev_type IS DISTINCT FROM event_type
+),
+v AS (
+    SELECT user_id, event_type AS state, ts AS vf,
+           lead(ts) OVER w2 AS vt,
+           row_number() OVER w2 AS version
+    FROM opens
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, state,
+       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       version, vt IS NULL AS is_current
+FROM v ORDER BY user_id, version
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qt01_asof_last_click": QuerySpec(
         qt01_asof_last_click, QT01_SQL, "as-of join (union-sort) vs native DuckDB ASOF"
@@ -1023,5 +1080,10 @@ QUERIES: dict[str, QuerySpec] = {
         qt14_transition_matrix,
         QT14_SQL,
         "event-type transition matrix per user stream (Markov paths)",
+    ),
+    "qt15_scd2_user_state": QuerySpec(
+        qt15_scd2_user_state,
+        QT15_SQL,
+        "type-2 SCD history build with no-op-change collapse",
     ),
 }

@@ -314,16 +314,15 @@ def test_asof_nearest_matches_bruteforce_random(spark):
             ), lid
 
 
-def test_verify_window_follows_round7_rotation_policy():
+def test_verify_window_follows_rotation_policy():
     """The driver's correctness gate evaluates the FIRST ~50 registry
-    entries. Round-7 policy (r6 verdict items 1+2): the window must
-    contain (a) the ENTIRE r2-or-older-latest band — after round 6's
-    window consumed the 13 r1 rows, the ~22 r2-latest entries are the
-    oldest gate evidence left, and the verdict's done-bar is "no entry's
-    gate row older than r3" — and (b) every query whose Spark path or
-    oracle string changed in round 7 with real VALUE exposure (the
-    scaled-round conversion tranche + the new qv10 sink row). A registry
-    edit that breaks either half silently forfeits independent
+    entries. Standing rotation policy (r6 verdict items 1+2, generalized
+    in r8): the window must contain (a) the ENTIRE oldest-gate-evidence
+    band — every entry whose latest CORRECTNESS_r* row is the minimum
+    across the registry (brand-new entries count as round +inf until
+    their first gate row lands) — and (b) every query whose Spark path
+    or oracle string changed this round, plus the round's new entries. A
+    registry edit that breaks either half silently forfeits independent
     verification."""
     from streamsurfer_spark.queries import registry
 
@@ -337,47 +336,38 @@ def test_verify_window_follows_round7_rotation_policy():
     unknown = [n for n in _VERIFY_FIRST if n not in names]
     assert not unknown, f"_VERIFY_FIRST names not in registry: {unknown}"
 
-    changed_r7 = {
-        # scaled-round conversion tranche with value exposure
-        # (FIXTURES.md §3 round-7 completion, commit 70d33f5)
-        "ql19_grouped_map_zscore", "ql32_bm25_topk",
-        "ql36_unigram_surprisal", "ql42_hybrid_rrf",
-        "ql46_dsir_importance", "ql47_perplexity_buckets",
-        "ql50_snapshot_novelty", "qp07_training_mix",
-        "qp07b_training_mix_manifest", "qr06_hash_agg_q1",
-        "qr10b_window_analytics", "qr16_math_decimal", "qr17_array_fns",
-        "qr18_subqueries", "qr21_percentiles", "qr26_stats_pack",
-        "qr28_filtered_agg", "qr35_lambda_pack", "qr38_shipping_priority",
-        "qr47_promo_share", "qr53_small_quantity_revenue",
-        "qr59_min_cost_supplier", "qr61_market_share",
-        "qr62_product_profit",
-        # qr64_important_parts ceded its slot to the NEW ql55 entry (its
-        # single scaled read is hash-green in DRIVER_SIM_r7.txt and leads
-        # the overflow for the r8 window)
-        "qr72_winsorized_stats", "qt09_time_weighted_avg",
-        # the new PutRecords + JVM-scan wire loop (commit 7b97dd2)
-        "qv10_put_records_roundtrip",
-        # the new Gopher rule gate (r7) — first gate row
-        "ql55_gopher_rules",
+    changed_this_round = {
+        # round 8: the new operators (first gate row)
+        "qt15_scd2_user_state", "ql56_weighted_sample",
+        "ql57_embedding_corr",
+        # round 8: plan-changed by the advice fixes (values expected
+        # unchanged; the gate proves it)
+        "qs14_stream_cdc_apply",      # apply_cdc shared NULL-op guard
+        "qp06_semdedup_report",       # kmeans_fit 3-tuple caller
+        "ql38_kmeans_clusters",       # kmeans_fit 3-tuple caller
+        "qp03_ivfpq_build_report",    # kmeans_fit 3-tuple caller
+        "ql21_cosine_near_dup",       # checked_dot NULL-safe guard
     }
-    missing = changed_r7 - window
-    assert not missing, f"round-7-changed queries outside the gate window: {missing}"
+    missing = changed_this_round - window
+    assert not missing, f"round-changed queries outside the gate window: {missing}"
 
-    # rotation debt going into round 7: entries whose latest driver row is
-    # round ≤ 2, recomputed from CORRECTNESS_r01..r06
+    # rotation debt: entries whose latest driver gate row is the OLDEST
+    # round present, recomputed from every CORRECTNESS artifact on disk
+    import glob
     import json
-    import os
 
     rounds = {}
-    for n in (1, 2, 3, 4, 5, 6):
-        path = f"/root/repo/CORRECTNESS_r0{n}.json"
-        if not os.path.exists(path):
-            return  # artifacts absent (fresh clone) — policy unverifiable
+    paths = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    if not paths:
+        return  # artifacts absent (fresh clone) — policy unverifiable
+    for path in paths:
+        n = int(path.rsplit("_r", 1)[1].split(".")[0])
         for k in json.load(open(path)):
-            rounds[k] = n
-    stale = {k for k, v in rounds.items() if v <= 2}
+            rounds[k] = max(n, rounds.get(k, 0))
+    oldest = min(rounds.values())
+    stale = {k for k, v in rounds.items() if v == oldest and k in names}
 
-    # the WHOLE r2-or-older band must fit in the window this round —
-    # that is the verdict's "no gate row older than r3" done-bar
+    # the WHOLE oldest band must fit in the window this round — the
+    # verdict's "no gate row older than <oldest+1>" done-bar
     missing_stale = stale - window
-    assert not missing_stale, f"r2-stale entries outside the window: {missing_stale}"
+    assert not missing_stale, f"oldest-band entries outside the window: {missing_stale}"

@@ -128,6 +128,94 @@ def test_spool_stream_offsets_pin_listing_digest(tmp_path):
     assert len(list(rows)) == 1
 
 
+def test_scd2_history_collapses_and_versions(spark):
+    """Re-observations of the same state must NOT open a version; each
+    change carries [valid_from, valid_to) bounds chaining exactly, one
+    is_current row per key."""
+    from streamsurfer_spark.operators.merge import scd2_history
+
+    rows = [
+        # key, t, state
+        ("u1", 1, "a"),
+        ("u1", 2, "a"),  # no-op: collapses into version 1
+        ("u1", 3, "b"),
+        ("u1", 4, "a"),  # returning to a prior state IS a change
+        ("u2", 1, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, state string")
+    hist = {
+        (r.k, r.version): r
+        for r in scd2_history(df, "k", "t").collect()
+    }
+    assert len(hist) == 4
+    assert hist[("u1", 1)].state == "a" and hist[("u1", 1)].valid_from == 1
+    assert hist[("u1", 1)].valid_to == 3  # no-op at t=2 did not close it
+    assert hist[("u1", 2)].state == "b" and hist[("u1", 2)].valid_to == 4
+    assert hist[("u1", 3)].state == "a" and hist[("u1", 3)].is_current
+    assert hist[("u2", 1)].is_current and hist[("u2", 1)].valid_to is None
+    currents = [r for r in hist.values() if r.is_current]
+    assert len(currents) == 2
+
+
+def test_scd2_history_null_attribute_states(spark):
+    """A NULL attribute state must open the FIRST version (the naive
+    prev-is-distinct filter drops a leading NULL state) and consecutive
+    NULL states must collapse null-safely."""
+    from streamsurfer_spark.operators.merge import scd2_history
+
+    rows = [("u1", 1, None), ("u1", 2, None), ("u1", 3, "a")]
+    df = spark.createDataFrame(rows, "k string, t long, state string")
+    got = sorted(
+        scd2_history(df, "k", "t").collect(), key=lambda r: r.version
+    )
+    assert len(got) == 2
+    assert got[0].state is None and got[0].valid_from == 1
+    assert got[0].valid_to == 3
+    assert got[1].state == "a" and got[1].is_current
+
+
+def test_weighted_sample_properties(spark):
+    """A-ES weighted sampling: deterministic, exhaustive at k >= n,
+    weight-biased, and loud on non-positive weights."""
+    from streamsurfer_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10_000 if i < 100 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w long")
+
+    s1 = sorted(r.id for r in weighted_sample(df, "id", "w", 50).collect())
+    s2 = sorted(r.id for r in weighted_sample(df, "id", "w", 50).collect())
+    assert s1 == s2 and len(s1) == 50
+    # 10000:1 weights: the heavy half must dominate the draw
+    assert sum(1 for i in s1 if i < 100) >= 45
+    # different seed, different draw (overwhelmingly)
+    s3 = sorted(
+        r.id for r in weighted_sample(df, "id", "w", 50, seed=7).collect()
+    )
+    assert s1 != s3
+    # k >= n returns everything
+    assert len(weighted_sample(df, "id", "w", 500).collect()) == 200
+
+    bad = spark.createDataFrame([(1, 0)], "id long, w long")
+    with pytest.raises(SparkRuntimeException, match="non-positive"):
+        weighted_sample(bad, "id", "w", 1).collect()
+
+
+def test_embedding_corr_pairs_known_correlations(spark):
+    """dim1 == dim0 → corr 1.0; dim2 == -dim0 → corr -1.0; a constant
+    dimension has zero variance → NULL corr (scaled_round's non-finite
+    guard), and sorts BELOW the varying dims in the top-variance pick."""
+    from streamsurfer_spark.operators.similarity import embedding_corr_pairs
+
+    rows = [(i, [float(x), float(x), float(-x), 0.0]) for i, x in enumerate([0.1, 0.5, -0.3, 0.9, -0.7])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.dim_i, r.dim_j): r.corr for r in embedding_corr_pairs(df, top_dims=4).collect()}
+    assert len(got) == 6
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == -1.0
+    assert got[(1, 2)] == -1.0
+    assert got[(0, 3)] is None and got[(1, 3)] is None and got[(2, 3)] is None
+
+
 def test_run_to_memory_lru_is_keyed_per_session(spark, monkeypatch):
     """The memory-sink LRU was module-global across SparkSessions: an
     eviction from session B dropTempView'd a name owned by session A (a
