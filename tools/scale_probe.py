@@ -64,6 +64,11 @@ PROBES = (
     # envelope + chunking + spool + unbatch + parse + aggregate.
     "qv09_consume_roundtrip",
     "qv10_put_records_roundtrip",
+    # round-8 additions: the SCD2 dimension build (hot-key window profile)
+    # and the embedding-dimension correlation diagnostic (the pair pass
+    # must stay a 28-row broadcast crossJoin as the corpus grows)
+    "qt15_scd2_user_state",
+    "ql57_embedding_corr",
 )
 
 # allow probing a subset: python tools/scale_probe.py [replicas] [name...]
