@@ -84,3 +84,51 @@ def profile(df: DataFrame, renders: dict[str, Column]) -> DataFrame:
         "min_val",
         "max_val",
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Median/MAD robust outlier flags per group: a row is an outlier
+    when |value − median(group)| > k · MAD(group) — the scale-in-use
+    anomaly screen for corpus intake (document lengths, per-source token
+    counts), robust where mean/stddev is dragged by the very outliers it
+    is supposed to find.
+
+    Exactness: medians are DISCRETE percentiles (``percentile_disc`` —
+    actual data values, bit-identical to DuckDB's ``quantile_disc``,
+    never interpolated), so with an integer ``value_col`` every quantity
+    here (median, absolute deviation, MAD, the k·MAD threshold) is exact
+    BIGINT and the flag is an integer comparison — no float appears at
+    all.
+
+    Distributed shape (100 TB): two grouped aggregations over the corpus
+    (median, then MAD of deviations) keyed by ``group_col``, each
+    result a |groups|-row frame broadcast back — the corpus itself never
+    shuffles. A hot group makes a hot SORT inside percentile_disc's
+    aggregation buffer, not a hot join. Groups are assumed ≪ corpus
+    (sources, languages); for a high-cardinality group key, the same
+    shape degrades gracefully to hash exchanges on a uniform key.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(
+            f"cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY {value_col})"
+            " as bigint)"
+        ).alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "abs_dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr(
+            "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs_dev)"
+            " as bigint)"
+        ).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .withColumn("is_outlier", F.col("abs_dev") > F.lit(k) * F.col("mad"))
+    )

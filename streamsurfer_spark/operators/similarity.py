@@ -75,9 +75,11 @@ def checked_dot(a: str, b: str):
     NULL, so the naive guard both mis-routed on a NULL condition and
     rendered a NULL concat message: the job died with an opaque
     null-message error that looked like a dim mismatch (r8 advice). The
-    sizes are coalesced in the condition (NULL ≠ any size) and rendered
-    as the literal string ``NULL`` in the message, so a NULL embedding
-    fails loudly AND self-explanatorily.
+    dot branch therefore requires explicit ``isNotNull`` on BOTH columns
+    (never a coalesced-size equality, which would route two NULLs into
+    the dot branch as "equal"), and the message coalesces each size to
+    the literal string ``NULL``, so a NULL embedding fails loudly AND
+    self-explanatorily.
     """
     size_a = F.size(F.col(a))
     size_b = F.size(F.col(b))
@@ -405,7 +407,10 @@ def embedding_corr_pairs(
        map-only pass whose shuffle is 28 rows per partition, NO join on
        the row id (the naive formulation shuffles 8n rows on doc id).
 
-    Numerics: all sums are exact integers promoted to DECIMAL(38,0), so
+    Numerics: every quantized value is cast to DECIMAL(38,0) BEFORE the
+    sums (the aggregation buffers themselves are decimal — a BIGINT
+    buffer would hit ANSI ARITHMETIC_OVERFLOW once Σqd² passes 2^63,
+    i.e. exactly the large-corpus regime this diagnostic targets), so
     the correlation numerator n·Σqᵢqⱼ − Σqᵢ·Σqⱼ is exact at any corpus
     size; the only float ops are two sqrts, one multiply, one division.
     Cross-engine bit-parity additionally needs the sqrt arguments
@@ -416,15 +421,36 @@ def embedding_corr_pairs(
     fires before scaled_round's non-finite guard could null a NaN), and
     DuckDB 1.0's x/0 is NULL — which try_divide mirrors exactly.
 
+    NULL embeddings loud-fail (Spark side): the moments pass (posexplode
+    drops NULL arrays) and the pair pass (count(*) counts every row)
+    would otherwise disagree on n and bias EVERY correlation with no
+    error — and the DuckDB twin shares the bias, so the cross-engine
+    gate could never catch it. Ragged dims likewise fail loudly via
+    ANSI element_at bounds. The twin does not replicate the raise (the
+    gate fixture has no NULL embeddings; error behavior is not hashed).
+
     Returns (dim_i, dim_j, n_rows, corr), dim_i < dim_j, 0-based dims.
     """
-    q = quantize(df, vec_col).select(id_col, "qv")
-    ex = q.select(F.posexplode("qv").alias("dim", "qd"))
+    q = quantize(df, vec_col).select(
+        id_col,
+        F.when(F.col("qv").isNotNull(), F.col("qv"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("embedding_corr: NULL embedding at id="),
+                    F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                )
+            )
+        )
+        .alias("qv"),
+    )
     dec = "decimal(38,0)"
+    ex = q.select(F.posexplode("qv").alias("dim", "qd"))
+    qd_dec = F.col("qd").cast(dec)
     stats = ex.groupBy("dim").agg(
         F.count("*").cast(dec).alias("n"),
-        F.sum("qd").cast(dec).alias("s"),
-        F.sum(F.col("qd") * F.col("qd")).cast(dec).alias("ss"),
+        F.sum(qd_dec).alias("s"),
+        F.sum(qd_dec * qd_dec).alias("ss"),
     )
     stats = stats.withColumn(
         "var_num", F.col("n") * F.col("ss") - F.col("s") * F.col("s")
@@ -433,10 +459,15 @@ def embedding_corr_pairs(
     # the ≤ top_dims-row frame feeds FOUR plan references (two self-join
     # legs × two consumers); without materialization each reference
     # re-executes the full corpus explode+aggregate (4 scans, measured in
-    # the executed plan). Eager localCheckpoint runs the moments pass
-    # ONCE; both downstream joins stay explicit broadcasts, so the
-    # persist-hides-AQE-stats trap does not apply.
-    top = top.localCheckpoint(eager=True)
+    # the executed plan). A LAZY localCheckpoint runs the moments pass
+    # once at the first consuming job and persists the blocks for the
+    # rest (measured: same single scan as eager) — lazy so that merely
+    # BUILDING this frame (plan audits, drivers constructing all frames
+    # up front) runs no corpus job; the checkpoint RDD is released by the
+    # ContextCleaner when the frame is garbage-collected. Both downstream
+    # joins stay explicit broadcasts, so the persist-hides-AQE-stats trap
+    # does not apply.
+    top = top.localCheckpoint(eager=False)
     a = top.select(
         F.col("dim").alias("dim_i"),
         F.col("s").alias("s_i"),
@@ -454,11 +485,9 @@ def embedding_corr_pairs(
         .agg(
             F.count("*").cast(dec).alias("n"),
             F.sum(
-                F.element_at("qv", F.col("dim_i") + 1)
-                * F.element_at("qv", F.col("dim_j") + 1)
-            )
-            .cast(dec)
-            .alias("s_ij"),
+                F.element_at("qv", F.col("dim_i") + 1).cast(dec)
+                * F.element_at("qv", F.col("dim_j") + 1).cast(dec)
+            ).alias("s_ij"),
         )
     )
     num = (F.col("n") * F.col("s_ij") - F.col("s_i") * F.col("s_j")).cast(

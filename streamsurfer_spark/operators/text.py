@@ -350,3 +350,52 @@ def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         toks.groupBy("doc_id")
         .agg((F.sum(term) % MOD_PRIME).alias("fingerprint"))
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-level unigram entropy per document, in nats — the
+    cheapest boilerplate/noise detector in the standard quality-filter
+    stack (near-zero entropy = one repeated character/pattern, e.g.
+    separator runs or padding; unusually high = binary-ish noise).
+
+    H = ln(n) − (Σ_c cnt_c · ln(cnt_c)) / n over the document's
+    character histogram.
+
+    Float discipline (the ql36 surprisal recipe): ln() is evaluated only
+    on INTEGER-VALUED doubles (per-char counts and the total) and each
+    result is immediately rounded to integer micro-nats, so the per-doc
+    sums are exact BIGINT — order- and partitioning-independent, and
+    bit-identical in the DuckDB twin. The single float division at the
+    end goes through scaled_round.
+
+    Distributed shape (100 TB): the char explode never crosses the wire
+    raw — groupBy(doc, char) map-side-combines to at most
+    |alphabet| ≈ 100 rows per document before the exchange, and the
+    final groupBy(doc) partial-aggregates on a unique key. No join, no
+    skew key (doc_id is unique), two bounded shuffles.
+    """
+    chars = df.where(F.length(text_col) > 0).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    )
+    cf = chars.groupBy(id_col, "ch").agg(F.count("*").alias("cf"))
+    lnc_micro = F.round(F.log(F.col("cf")) * 1_000_000).cast("bigint")
+    per = cf.groupBy(id_col).agg(
+        F.sum("cf").alias("n_chars_counted"),
+        F.count("*").alias("distinct_chars"),
+        F.sum(F.col("cf") * lnc_micro).alias("clnc_micro"),
+    )
+    lnn_micro = F.round(F.log(F.col("n_chars_counted")) * 1_000_000).cast(
+        "bigint"
+    )
+    return per.select(
+        F.col(id_col),
+        "n_chars_counted",
+        "distinct_chars",
+        scaled_round(
+            (lnn_micro * F.col("n_chars_counted") - F.col("clnc_micro"))
+            / F.col("n_chars_counted")
+            / 1e6
+        ).alias("entropy_nats"),
+    )

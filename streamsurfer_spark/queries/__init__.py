@@ -31,30 +31,43 @@ class QuerySpec:
 # Ordering is load-bearing: the driver's correctness gate evaluates a
 # prefix of this dict (50 entries in every round so far). Round-8 window
 # policy (continuing the standing rotation):
-# (1) the 3 NEW round-8 entries (qt15/ql56/ql57 — no gate row yet) and
-#     the 5 entries whose Spark plan changed in round 8 (the advice
-#     fixes: apply_cdc's shared NULL-op guard → qs14; kmeans_fit's
-#     3-tuple + returned cache → ql38/qp03/qp06; checked_dot's NULL-safe
-#     guard → ql21). Values are expected unchanged — the gate proves it.
+# (1) the 5 NEW round-8 entries (qt15/ql56/ql57/ql58/ql59 — no gate
+#     row yet) and
+#     the 9 entries whose Spark plan changed in round 8: apply_cdc's
+#     shared NULL-op guard → qr43 (its ONE registry consumer,
+#     relational_q.py:1752 — qs14 reimplements CDC inline and is NOT
+#     affected); kmeans_fit's 3-tuple + returned cache → qp06 (ql38/qp03
+#     lead band 3); checked_dot's NULL-safe guard → every transitive
+#     consumer: cosine_topk (ql03/ql43/ql51/ql52), lsh_ann_pairs (ql10),
+#     cosine_near_dup_pairs (ql21/ql23/qp06). Values are expected
+#     unchanged — the gate proves it.
 # (2) the ENTIRE 30-entry band whose latest gate row is ROUND 3 — the
 #     oldest evidence left after r7 retired the r2 band (histogram going
 #     into r8, recomputed from CORRECTNESS_r01..r07: r3=30, r4=24,
 #     r5=33, r6=48, r7=50; sums to 185 = the pre-r8 registry). After r8
 #     no entry's gate row is older than r4.
-# (3) 14 of the 24 r4-latest entries (led by the r8-touched ql38/qp03),
-#     filling the window to exactly 50. The 10 leftover r4 rows
-#     (qr68/qr69/qr71, qs01/qs02/qs11/qs12, qt10/qt11/qt13) are the r9
-#     rotation head. Every entry regardless of window is covered by the
-#     standing full-registry sim (tools/driver_sim.py →
-#     DRIVER_SIM_r8.txt, ALL PASS).
+# (3) 6 of the 24 r4-latest entries (led by the r8-touched ql38/qp03),
+#     filling the window to exactly 50. The 18 leftover r4 rows
+#     (ql48/ql49, qr08/qr63-qr67, qr68/qr69/qr71, qs01/qs02/qs11/qs12,
+#     qt10/qt11/qt13) are the r9 rotation head. Every entry regardless
+#     of window is covered by the standing full-registry sim
+#     (tools/driver_sim.py → DRIVER_SIM_r8.txt, ALL PASS).
 _VERIFY_FIRST = (
     # (1) new in r8 + r8-changed plans
     "qt15_scd2_user_state",      # NEW: SCD2 history build
     "ql56_weighted_sample",      # NEW: A-ES weighted sampling
     "ql57_embedding_corr",       # NEW: top-variance dim correlations
-    "qs14_stream_cdc_apply",     # apply_cdc guard moved before branching
-    "qp06_semdedup_report",      # kmeans_fit 3-tuple caller
+    "ql58_char_entropy",         # NEW: character-entropy quality signal
+    "ql59_robust_outliers",      # NEW: median/MAD length outliers
+    "qr43_cdc_apply",            # apply_cdc guard moved before branching
+    "qp06_semdedup_report",      # kmeans_fit 3-tuple + cosine pair path
     "ql21_cosine_near_dup",      # checked_dot NULL-safe guard
+    "ql03_cosine_topk",          # checked_dot consumer
+    "ql10_lsh_ann_pairs",        # checked_dot consumer
+    "ql23_dedup_clusters",       # checked_dot consumer (pair graph)
+    "ql43_ann_recall",           # checked_dot consumer (exact leg)
+    "ql51_hard_negatives",       # checked_dot consumer
+    "ql52_multimodal_ann",       # checked_dot consumer (mm_vec leg)
     # (2) the r3-latest band — oldest gate evidence
     "ql07b_multimodal_features",  # rows-only spec (pytest + ql07c twin)
     "ql13_fingerprint",
@@ -93,6 +106,8 @@ _VERIFY_FIRST = (
     "ql39_pq_encode",
     "ql40_epoch_plan",
     "ql44_split_leakage",
+    # --- window boundary: 14 + 30 + 6 = exactly 50 ---
+    # overflow head for r9: the leftover r4 band
     "ql48_bpe_pair_stats",
     "ql49_pagerank",
     "qr08_approx_count_distinct",
@@ -101,8 +116,6 @@ _VERIFY_FIRST = (
     "qr65_shipping_speed",
     "qr66_customer_distribution",
     "qr67_supplier_part_counts",
-    # --- window boundary: 6 + 30 + 14 = exactly 50 ---
-    # overflow head for r9: the leftover r4 band
     "qr68_promotable_suppliers",
     "qr69_waiting_suppliers",
     "qr71_approx_quantile_gate",

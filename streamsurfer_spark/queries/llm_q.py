@@ -3309,8 +3309,8 @@ WITH ex AS (
 stats AS (
     SELECT dim,
            CAST(count(*) AS HUGEINT) AS n,
-           CAST(sum(qd) AS HUGEINT) AS s,
-           CAST(sum(qd * qd) AS HUGEINT) AS ss
+           sum(CAST(qd AS HUGEINT)) AS s,
+           sum(CAST(qd AS HUGEINT) * CAST(qd AS HUGEINT)) AS ss
     FROM ex GROUP BY 1
 ),
 vx AS (SELECT dim, s, n * ss - s * s AS var_num FROM stats),
@@ -3323,12 +3323,12 @@ pairs AS (
 prod AS (
     SELECT p.dim_i, p.dim_j,
            CAST(count(*) AS HUGEINT) AS n,
-           CAST(sum(
+           sum(
                CAST(round(embedding[CAST(p.dim_i AS INTEGER) + 1]::DOUBLE
-                          * 1000) AS BIGINT)
+                          * 1000) AS HUGEINT)
              * CAST(round(embedding[CAST(p.dim_j AS INTEGER) + 1]::DOUBLE
-                          * 1000) AS BIGINT)
-           ) AS HUGEINT) AS s_ij
+                          * 1000) AS HUGEINT)
+           ) AS s_ij
     FROM embeddings, pairs p
     GROUP BY 1, 2
 )
@@ -3339,6 +3339,84 @@ SELECT dim_i, dim_j, CAST(n AS BIGINT) AS n_rows,
        )} AS corr
 FROM prod JOIN pairs USING (dim_i, dim_j)
 ORDER BY dim_i, dim_j
+"""
+
+
+# --- ql58: character-entropy quality signal ----------------------------------
+
+
+def ql58_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level unigram entropy per document
+    (operators/text.char_entropy — see its float-discipline and 100 TB
+    notes: ln() only on integer-valued counts, immediately rounded to
+    micro-nats, per-doc aggregation exact BIGINT; the char explode
+    map-side-combines to ≤ |alphabet| rows per doc before the wire)."""
+    docs = table(spark, sf_dir, "documents")
+    return text_ops.char_entropy(docs).orderBy("doc_id")
+
+
+QL58_SQL = f"""
+WITH chars AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch
+    FROM documents WHERE length(text) > 0
+),
+cf AS (SELECT doc_id, ch, count(*) AS cf FROM chars GROUP BY 1, 2),
+per AS (
+    SELECT doc_id,
+           CAST(sum(cf) AS BIGINT) AS n_chars_counted,
+           CAST(count(*) AS BIGINT) AS distinct_chars,
+           CAST(sum(cf * CAST(round(ln(cf::DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS clnc_micro
+    FROM cf GROUP BY 1
+)
+SELECT doc_id, n_chars_counted, distinct_chars,
+       {scaled_round_sql(
+           "(CAST(round(ln(n_chars_counted::DOUBLE) * 1000000) AS BIGINT)"
+           " * n_chars_counted - clnc_micro)"
+           " / n_chars_counted::DOUBLE / 1000000.0"
+       )} AS entropy_nats
+FROM per
+ORDER BY doc_id
+"""
+
+
+# --- ql59: median/MAD robust length outliers ---------------------------------
+
+
+def ql59_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source median/MAD outlier screen over document lengths
+    (operators/profile.robust_outliers — discrete percentiles, exact
+    BIGINT throughout, corpus never shuffles: two |sources|-row
+    aggregates broadcast back). Returns the flagged rows."""
+    from streamsurfer_spark.operators.profile import robust_outliers
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        robust_outliers(docs, "n_chars", "source", k=2)
+        .where(F.col("is_outlier"))
+        .select("doc_id", "source", "n_chars", "med", "mad", "abs_dev")
+        .orderBy("doc_id")
+    )
+
+
+QL59_SQL = """
+WITH med AS (
+    SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+    FROM documents GROUP BY 1
+),
+dev AS (
+    SELECT d.doc_id, d.source, d.n_chars, m.med,
+           abs(d.n_chars - m.med) AS abs_dev
+    FROM documents d JOIN med m USING (source)
+),
+mad AS (
+    SELECT source, CAST(quantile_disc(abs_dev, 0.5) AS BIGINT) AS mad
+    FROM dev GROUP BY 1
+)
+SELECT dev.doc_id, dev.source, dev.n_chars, dev.med, mad.mad, dev.abs_dev
+FROM dev JOIN mad USING (source)
+WHERE dev.abs_dev > 2 * mad.mad
+ORDER BY dev.doc_id
 """
 
 
@@ -3510,6 +3588,16 @@ QUERIES: dict[str, QuerySpec] = {
         ql57_embedding_corr,
         QL57_SQL,
         "top-variance embedding dimension correlation diagnostic",
+    ),
+    "ql58_char_entropy": QuerySpec(
+        ql58_char_entropy,
+        QL58_SQL,
+        "character-entropy boilerplate/noise quality signal",
+    ),
+    "ql59_robust_outliers": QuerySpec(
+        ql59_robust_outliers,
+        QL59_SQL,
+        "median/MAD robust document-length outlier screen",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,

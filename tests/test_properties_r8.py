@@ -242,3 +242,87 @@ def test_run_to_memory_lru_is_keyed_per_session(spark, monkeypatch):
     # the two youngest frames still evaluate
     for f in frames[-2:]:
         f.count()
+
+
+def test_embedding_corr_null_embedding_fails_loudly(spark):
+    """A NULL embedding must ABORT embedding_corr_pairs, not bias it: the
+    moments pass (posexplode drops NULL arrays) and the pair pass
+    (count(*) counts every row) would otherwise disagree on n and skew
+    EVERY correlation with no error — and the DuckDB twin shares the
+    bias, so the cross-engine gate can never catch this class (r8
+    self-review). The guard names the offending id."""
+    from streamsurfer_spark.operators.similarity import embedding_corr_pairs
+
+    rows = [(0, [1.0, 2.0]), (1, None), (2, [3.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(SparkRuntimeException, match="NULL embedding at id=1"):
+        embedding_corr_pairs(df, top_dims=2).collect()
+
+
+def test_embedding_corr_sums_use_decimal_buffers(spark):
+    """The moment sums must aggregate in DECIMAL(38,0), not BIGINT: with
+    a LongType buffer, sum(qd**2) past 2**63 hits ANSI
+    ARITHMETIC_OVERFLOW exactly in the large-corpus regime the
+    diagnostic targets (r8 self-review). Pin the aggregation buffer
+    types in the analyzed plan."""
+    from streamsurfer_spark.operators.similarity import embedding_corr_pairs
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [2.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = embedding_corr_pairs(df, top_dims=2)
+    # the sum must consume decimal(38,0) inputs — the cast sits INSIDE
+    # the sum (decimal buffer), never outside (long buffer, cast applied
+    # after the overflow already happened). The moments-pass aggregate
+    # hides behind the checkpoint RDD, so the analyzed plan shows only
+    # the pair-pass sum — the big-values run below exercises both.
+    import re
+
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert re.search(r"sum\(+cast\(.* as decimal\(38,0\)\)", analyzed)
+    assert "cast(sum(" not in analyzed
+    # and the job actually runs without overflow on values near the
+    # bigint-per-element edge: |qd| = 3e9 → qd^2 = 9e18 > 2^63
+    big = spark.createDataFrame(
+        [(0, [3.0e6, 1.0]), (1, [-3.0e6, 2.0]), (2, [2.9e6, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = embedding_corr_pairs(big, top_dims=2).collect()
+    assert len(got) == 1 and got[0].n_rows == 3
+
+
+def test_char_entropy_known_values(spark):
+    """Known entropies on tiny docs: uniform alphabet → ln(k), single
+    repeated char → 0; empty and NULL text drop out (both engines'
+    char-split of '' disagrees, so the operator filters length > 0)."""
+    import math
+
+    from streamsurfer_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "ab"), (2, "abcd"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0].entropy_nats == 0.0 and got[0].distinct_chars == 1
+    assert got[1].entropy_nats == round(math.log(2), 4)
+    assert got[2].entropy_nats == round(math.log(4), 4)
+    assert got[2].n_chars_counted == 4
+
+
+def test_robust_outliers_known_values(spark):
+    """Median/MAD flags: a zero-MAD group flags any deviation at all; a
+    spread group flags nothing within k·MAD. All-integer comparisons."""
+    from streamsurfer_spark.operators.profile import robust_outliers
+
+    rows = [("a", i, v) for i, v in enumerate([10, 10, 10, 10, 100])] + [
+        ("b", 10 + i, v) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7])
+    ]
+    df = spark.createDataFrame(rows, "src string, rid long, val long")
+    out = robust_outliers(df, "val", "src", k=2)
+    flagged = {r.rid for r in out.where("is_outlier").collect()}
+    assert flagged == {4}
+    byrid = {r.rid: r for r in out.collect()}
+    assert byrid[4].med == 10 and byrid[4].mad == 0 and byrid[4].abs_dev == 90
+    assert byrid[13].med == 4 and byrid[13].mad == 2
