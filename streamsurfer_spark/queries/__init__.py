@@ -33,23 +33,27 @@ class QuerySpec:
 # policy (continuing the standing rotation):
 # (1) the 5 NEW round-8 entries (qt15/ql56/ql57/ql58/ql59 — no gate
 #     row yet) and
-#     the 9 entries whose Spark plan changed in round 8: apply_cdc's
+#     the 15 entries whose Spark plan changed in round 8: apply_cdc's
 #     shared NULL-op guard → qr43 (its ONE registry consumer,
 #     relational_q.py:1752 — qs14 reimplements CDC inline and is NOT
 #     affected); kmeans_fit's 3-tuple + returned cache → qp06 (ql38/qp03
 #     lead band 3); checked_dot's NULL-safe guard → every transitive
 #     consumer: cosine_topk (ql03/ql43/ql51/ql52), lsh_ann_pairs (ql10),
-#     cosine_near_dup_pairs (ql21/ql23/qp06). Values are expected
-#     unchanged — the gate proves it.
+#     cosine_near_dup_pairs (ql21/ql23/qp06); the area-review fixes —
+#     exact-cents qr18 threshold, validated-input envelope
+#     serialization (qv03/qv05/qv08), and the try_*/string-route variant
+#     reads + exact half-up sum_div (qr52/qr57, already in the r3 band
+#     below). Values are expected unchanged on the shipped fixtures —
+#     the gate proves it.
 # (2) the ENTIRE 30-entry band whose latest gate row is ROUND 3 — the
 #     oldest evidence left after r7 retired the r2 band (histogram going
 #     into r8, recomputed from CORRECTNESS_r01..r07: r3=30, r4=24,
 #     r5=33, r6=48, r7=50; sums to 185 = the pre-r8 registry). After r8
 #     no entry's gate row is older than r4.
-# (3) 6 of the 24 r4-latest entries (led by the r8-touched ql38/qp03),
-#     filling the window to exactly 50. The 18 leftover r4 rows
-#     (ql48/ql49, qr08/qr63-qr67, qr68/qr69/qr71, qs01/qs02/qs11/qs12,
-#     qt10/qt11/qt13) are the r9 rotation head. Every entry regardless
+# (3) the 2 r8-touched members of the 24-entry r4 band (ql38/qp03),
+#     filling the window to exactly 50. The 22 leftover r4 rows
+#     (ql07c/ql39/ql40/ql44/ql48/ql49, qr08/qr63-qr67, qr68/qr69/qr71,
+#     qs01/qs02/qs11/qs12, qt10/qt11/qt13) are the r9 rotation head. Every entry regardless
 #     of window is covered by the standing full-registry sim
 #     (tools/driver_sim.py → DRIVER_SIM_r8.txt, ALL PASS).
 _VERIFY_FIRST = (
@@ -68,6 +72,13 @@ _VERIFY_FIRST = (
     "ql43_ann_recall",           # checked_dot consumer (exact leg)
     "ql51_hard_negatives",       # checked_dot consumer
     "ql52_multimodal_ann",       # checked_dot consumer (mm_vec leg)
+    # r8 area-review plan changes (qr52/qr57 also changed — they are
+    # already in the r3 band below): exact-cents qr18 threshold,
+    # validated-input envelope serialization
+    "qr18_subqueries",
+    "qv03_origin_stamp",
+    "qv05_envelope_json",
+    "qv08_batch_wire_format",
     # (2) the r3-latest band — oldest gate evidence
     "ql07b_multimodal_features",  # rows-only spec (pytest + ql07c twin)
     "ql13_fingerprint",
@@ -99,15 +110,17 @@ _VERIFY_FIRST = (
     "qs10_interval_join",
     "qt03_sessionize",
     "qt08_rolling_anomaly",
-    # (3) r4-band fill to 50 (r8-touched members lead)
+    # (3) r4-band fill to 50 (the two r8-touched members; the other r4
+    # rows moved to the overflow head when the area-review changes took
+    # their slots)
     "ql38_kmeans_clusters",      # kmeans_fit 3-tuple caller
     "qp03_ivfpq_build_report",   # kmeans_fit 3-tuple caller
+    # --- window boundary: 18 + 30 + 2 = exactly 50 ---
+    # overflow head for r9: the leftover r4 band
     "ql07c_features_parity",
     "ql39_pq_encode",
     "ql40_epoch_plan",
     "ql44_split_leakage",
-    # --- window boundary: 14 + 30 + 6 = exactly 50 ---
-    # overflow head for r9: the leftover r4 band
     "ql48_bpe_pair_stats",
     "ql49_pagerank",
     "qr08_approx_count_distinct",

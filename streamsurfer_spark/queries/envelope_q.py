@@ -21,6 +21,36 @@ from streamsurfer_spark.queries import QuerySpec
 from streamsurfer_spark.session import table
 
 
+def _validated(ev: DataFrame) -> DataFrame:
+    """Validated-event precondition for the serialization queries.
+
+    The reference validates BEFORE it serializes (enrichAndValidate,
+    main.go:175-177, runs ahead of json.Marshal in the flush path), and
+    its typed Go struct makes the int fields non-nullable by
+    construction — so the envelope-rendering queries (qv03/qv05/qv08)
+    declare the same input contract. Without the filter the twins
+    diverge on the first NULL-required-field row (Spark's to_json omits
+    NULL keys while DuckDB's '||' concat nulls the whole envelope, and
+    string_agg then silently DROPS it from the batch array; qv03's
+    ascending sort puts a NULL group first on Spark, last on DuckDB) —
+    the latent class the r5 qv02 NULL-symmetry fix closed elsewhere
+    (r8 area review). qv01 counts the invalid rows; qv09 filters them
+    the same way before the wire.
+    """
+    return ev.where(
+        F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+
+
+# the twins' identical precondition (see _validated)
+_VALIDATED_WHERE = (
+    "WHERE event_type IS NOT NULL AND event_id IS NOT NULL"
+    " AND user_id IS NOT NULL"
+)
+
+
 # --- Q-V1: required-field validation -----------------------------------------
 
 def qv01_validate_required(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,16 +115,16 @@ FROM events
 def qv03_origin_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamsurfer_spark.envelope import stamp_origin
 
-    ev = table(spark, sf_dir, "events")
+    ev = _validated(table(spark, sf_dir, "events"))
     stamped = stamp_origin(ev.select("event_id", "event_type"), "test-app")
     return stamped.groupBy("origin", "event_type").agg(
         F.count("*").alias("n_events")
     ).orderBy("origin", "event_type")
 
 
-QV03_SQL = """
+QV03_SQL = f"""
 SELECT 'test-app' AS origin, event_type, count(*) AS n_events
-FROM events
+FROM events {_VALIDATED_WHERE}
 GROUP BY event_type
 ORDER BY origin, event_type
 """
@@ -125,7 +155,7 @@ ORDER BY event_id
 # --- Q-V5: JSON envelope serialization ------------------------------------------
 
 def qv05_envelope_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = _validated(table(spark, sf_dir, "events"))
     # Canonical wire format: sorted keys, no whitespace — matches Go
     # json.Marshal (main.go:202). Struct fields listed alphabetically =
     # sorted-key JSON from to_json.
@@ -135,11 +165,11 @@ def qv05_envelope_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-QV05_SQL = """
+QV05_SQL = f"""
 SELECT event_id,
-       '{"event_id":' || event_id || ',"event_type":"' || event_type ||
-       '","user_id":' || user_id || '}' AS envelope
-FROM events
+       '{{"event_id":' || event_id || ',"event_type":"' || event_type ||
+       '","user_id":' || user_id || '}}' AS envelope
+FROM events {_VALIDATED_WHERE}
 ORDER BY event_id
 """
 
@@ -223,7 +253,7 @@ def qv08_batch_wire_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     by byte budget (property-tested); here the ARRAY RENDERING itself is
     oracle-checked, so the exact bytes Kinesis would receive are pinned.
     """
-    ev = table(spark, sf_dir, "events")
+    ev = _validated(table(spark, sf_dir, "events"))
     env = F.to_json(F.struct("event_id", "event_type", "user_id"))
     per_user = (
         ev.groupBy("user_id")
@@ -254,12 +284,12 @@ def qv08_batch_wire_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.orderBy("user_id")
 
 
-QV08_SQL = """
+QV08_SQL = f"""
 WITH env AS (
   SELECT user_id, event_id,
-         '{"event_id":' || event_id || ',"event_type":"' || event_type ||
-         '","user_id":' || user_id || '}' AS e
-  FROM events
+         '{{"event_id":' || event_id || ',"event_type":"' || event_type ||
+         '","user_id":' || user_id || '}}' AS e
+  FROM events {_VALIDATED_WHERE}
 ),
 arr AS (
   SELECT user_id,

@@ -659,13 +659,21 @@ ORDER BY vec_id
 
 def qr18_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
+    # the "above average balance" scalar subquery compares in EXACT
+    # cross-multiplied cents (bal_cents * count > sum_cents, the qr41
+    # recipe): a raw double avg() is partition-order-dependent on Spark
+    # and sequential on DuckDB, so a boundary-cent customer could flip
+    # between engines (r8 area review). c_acctbal is a stored 2-dp
+    # column, so the cents cast is exact.
     return spark.sql(
         """
         SELECT count(*) AS n_above,
                CAST(min(c_custkey) AS BIGINT) AS min_key,
                CAST(max(c_custkey) AS BIGINT) AS max_key
         FROM customer
-        WHERE c_acctbal > (SELECT CAST(round(avg(c_acctbal) * 100) AS BIGINT) / 100.0 FROM customer)
+        WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+                * (SELECT count(c_acctbal) FROM customer)
+              > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) FROM customer)
           AND c_custkey IN (SELECT o_custkey FROM orders)
           AND EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c_custkey AND o.o_totalprice > 1000)
@@ -678,7 +686,9 @@ SELECT count(*) AS n_above,
        CAST(min(c_custkey) AS BIGINT) AS min_key,
        CAST(max(c_custkey) AS BIGINT) AS max_key
 FROM customer
-WHERE c_acctbal > (SELECT CAST(round(avg(c_acctbal) * 100) AS BIGINT) / 100.0 FROM customer)
+WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+                * (SELECT count(c_acctbal) FROM customer)
+              > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) FROM customer)
   AND c_custkey IN (SELECT o_custkey FROM orders)
   AND EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c_custkey AND o.o_totalprice > 1000)
@@ -2258,10 +2268,24 @@ def qr52_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces per-access get_json_object re-parsing (qv06). The variant
     binary encoding is the engine-side representation; results must still
     equal the oracle's plain-JSON extraction.
+
+    try_* forms throughout (r8 area review): the envelope contract
+    itself declares malformed props and non-integral k legal producer
+    output (qv02/qv06 degrade to NULL by design), so the strict
+    parse_json/variant_get would make qr52 the one query on this table
+    that ABORTS on a payload its siblings accept. n_missing counts
+    missing-or-untypeable identically on both engines. BOTH typed reads
+    go through the STRING form then try_cast to int (the qv06 recipe):
+    a direct numeric cast diverges on fractional k — Spark's variant
+    int cast truncates 1.5 → 1 while DuckDB's JSON → INTEGER rounds
+    1.5 → 2 (caught by the adversarial-fixture differential test) —
+    whereas the string route makes '1.5' untypeable → NULL on both.
+    The twin guards json_extract with json_valid (DuckDB's json_extract
+    throws on malformed input).
     """
     ev = _t(spark, sf_dir, "events")
-    v = ev.withColumn("pv", F.parse_json("props"))
-    k = F.variant_get(F.col("pv"), "$.k", "int")
+    v = ev.withColumn("pv", F.try_parse_json("props"))
+    k = F.try_variant_get(F.col("pv"), "$.k", "string").try_cast("int")
     return (
         v.groupBy("event_type")
         .agg(
@@ -2276,13 +2300,26 @@ def qr52_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QR52_SQL = """
+WITH kx AS (
+  -- the regexp guard mirrors Spark's string->int try_cast, which nulls
+  -- non-integral text; DuckDB's own VARCHAR->INTEGER cast ROUNDS '1.5'
+  -- to 2, so TRY_CAST alone is not the symmetric form
+  SELECT event_type,
+         CASE WHEN regexp_matches(
+                  CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END,
+                  '^-?[0-9]+$')
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+         END AS k
+  FROM events
+)
 SELECT event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-       min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
-       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
-       count(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END) AS n_missing
-FROM events GROUP BY 1 ORDER BY 1
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       count(CASE WHEN k IS NULL THEN 1 END) AS n_missing
+FROM kx GROUP BY 1 ORDER BY 1
 """
 
 
@@ -2507,6 +2544,12 @@ def qr57_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = _t(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("qr57_orders")
+    # the 2-dp sum_div read is EXACT integer half-up on the micro-sum
+    # ((x + 5000) div 10000), not a float ROUND: d's micro-sums live on a
+    # 5000-grain grid, so the fixture's own group sums land exactly on
+    # .xx5 midpoints where Spark (shortest-repr half-up) and DuckDB
+    # (exact-binary) round() diverge (r8 area review — the one ROUND-tie
+    # site the r7 conversion missed).
     return spark.sql(
         """
         FROM qr57_orders
@@ -2517,8 +2560,8 @@ def qr57_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> AGGREGATE
              count(*) AS n,
              count(d) AS n_div_ok,
-             round(sum(CAST(round(d * 1000000) AS BIGINT)) / CAST(1000000 AS DOUBLE), 2)
-               AS sum_div,
+             (sum(CAST(round(d * 1000000) AS BIGINT)) + 5000) div 10000
+               / CAST(100 AS DOUBLE) AS sum_div,
              count(bad_cast) AS n_cast_ok,
              count(overflowed) AS n_add_ok
            GROUP BY o_orderstatus
@@ -2540,7 +2583,7 @@ WITH t AS (
 SELECT o_orderstatus,
        count(*) AS n,
        count(d) AS n_div_ok,
-       round(sum(CAST(round(d * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_div,
+       ((sum(CAST(round(d * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0 AS sum_div,
        count(bad_cast) AS n_cast_ok,
        count(overflowed) AS n_add_ok
 FROM t GROUP BY 1 ORDER BY 1

@@ -358,6 +358,15 @@ def test_verify_window_follows_rotation_policy():
         "ql43_ann_recall",
         "ql51_hard_negatives",
         "ql52_multimodal_ann",
+        # round 8 area review: exact-cents qr18 threshold; try_*/string
+        # -route variant reads (qr52); exact half-up sum_div (qr57);
+        # validated-input envelope serialization (qv03/qv05/qv08)
+        "qr18_subqueries",
+        "qr52_variant_props",
+        "qr57_try_arithmetic",
+        "qv03_origin_stamp",
+        "qv05_envelope_json",
+        "qv08_batch_wire_format",
     }
     missing = changed_this_round - window
     assert not missing, f"round-changed queries outside the gate window: {missing}"

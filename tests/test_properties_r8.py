@@ -326,3 +326,105 @@ def test_robust_outliers_known_values(spark):
     byrid = {r.rid: r for r in out.collect()}
     assert byrid[4].med == 10 and byrid[4].mad == 0 and byrid[4].abs_dev == 90
     assert byrid[13].med == 4 and byrid[13].mad == 2
+
+
+def _adversarial_events(spark, tmp_path):
+    """An events fixture exercising the payload/NULL classes the envelope
+    contract declares legal but the shipped fixtures never contain."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, ts, 10, "click", 1.0, '{"k": 7}'),
+        (2, ts, 11, None, 2.0, '{"k": 8}'),          # invalid: NULL type
+        (3, ts, 12, "view", 3.0, "{not json"),        # malformed props
+        (4, ts, 13, "view", 4.0, '{"k": "x"}'),      # non-integral k
+        (5, ts, 14, "buy", 5.0, '{"k": 1.5}'),       # fractional k
+        (6, ts, 15, "buy", 6.0, "{}"),                # missing k
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = str(tmp_path / "adv")
+    df.coalesce(1).write.parquet(out)
+    return out
+
+
+def _differential(spark, sf_dir, query, sql):
+    """driver_sim's rows+schema+values compare, inline."""
+    import glob as g
+
+    import duckdb
+
+    con = duckdb.connect()
+    pq = g.glob(os.path.join(sf_dir, "*.parquet")) + g.glob(
+        os.path.join(sf_dir, "*", "*.parquet")
+    )
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet({pq!r})"
+    )
+    sdf = query(spark, sf_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    rel = con.sql(sql)
+    d_rows = [tuple(r) for r in rel.fetchall()]
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    s_idx = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    d_idx = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
+    canon = lambda v: "NULL" if v is None else repr(v)  # noqa: E731
+    s_canon = sorted(tuple(canon(r[i]) for i in s_idx) for r in s_rows)
+    d_canon = sorted(tuple(canon(r[i]) for i in d_idx) for r in d_rows)
+    assert s_canon == d_canon, f"{s_canon[:4]} != {d_canon[:4]}"
+
+
+def test_envelope_twins_agree_on_adversarial_events(spark, tmp_path):
+    """qv03/qv05/qv08 diverged from their twins the moment an invalid
+    (NULL event_type) row existed: Spark's to_json omits NULL keys while
+    DuckDB's || concat nulls the envelope, string_agg silently drops it
+    from the batch array, and the NULL sort group lands first vs last
+    (r8 area review). Both sides now declare the reference's
+    validate-before-serialize precondition — proven by running the REAL
+    query and the REAL oracle twin over an adversarial fixture."""
+    from streamsurfer_spark.queries.envelope_q import (
+        QV03_SQL,
+        QV05_SQL,
+        QV08_SQL,
+        qv03_origin_stamp,
+        qv05_envelope_json,
+        qv08_batch_wire_format,
+    )
+
+    # events is read via session.table(sf_dir, ...) which expects
+    # <sf_dir>/events.parquet — write the fixture under that name
+    import shutil
+
+    src = _adversarial_events(spark, tmp_path)
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    part = [p for p in os.listdir(src) if p.endswith(".parquet")][0]
+    shutil.copy(os.path.join(src, part), os.path.join(sf_dir, "events.parquet"))
+
+    _differential(spark, sf_dir, qv03_origin_stamp, QV03_SQL)
+    _differential(spark, sf_dir, qv05_envelope_json, QV05_SQL)
+    _differential(spark, sf_dir, qv08_batch_wire_format, QV08_SQL)
+    # and the invalid row really is excluded, not silently serialized
+    assert qv05_envelope_json(spark, sf_dir).count() == 5
+
+
+def test_qr52_degrades_on_bad_payloads(spark, tmp_path):
+    """qr52's strict parse_json/variant_get ABORTED on payloads qv02/qv06
+    declare legal producer output (malformed JSON, non-integral k). The
+    try_* forms degrade to NULL identically to the guarded twin — proven
+    differentially on the adversarial fixture (r8 area review)."""
+    import shutil
+
+    from streamsurfer_spark.queries.relational_q import QR52_SQL, qr52_variant_props
+
+    src = _adversarial_events(spark, tmp_path)
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    part = [p for p in os.listdir(src) if p.endswith(".parquet")][0]
+    shutil.copy(os.path.join(src, part), os.path.join(sf_dir, "events.parquet"))
+
+    _differential(spark, sf_dir, qr52_variant_props, QR52_SQL)
