@@ -98,6 +98,10 @@ BENCH_QUERIES = (
     # (exact-int moments + 28-pair broadcast crossJoin)
     "qt15_scd2_user_state",
     "ql57_embedding_corr",
+    # round-8 extensions (2nd batch): the character-entropy quality
+    # signal (the per-char explode is the cost driver — it must stay
+    # bounded by map-side combine to |alphabet| rows/doc)
+    "ql58_char_entropy",
 )
 
 

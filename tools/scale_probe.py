@@ -69,6 +69,9 @@ PROBES = (
     # must stay a 28-row broadcast crossJoin as the corpus grows)
     "qt15_scd2_user_state",
     "ql57_embedding_corr",
+    # the char-entropy explode: growth must track documents linearly
+    # (map-side combine caps the exchange at |alphabet| rows per doc)
+    "ql58_char_entropy",
 )
 
 # allow probing a subset: python tools/scale_probe.py [replicas] [name...]
