@@ -31,8 +31,8 @@ class QuerySpec:
 # Ordering is load-bearing: the driver's correctness gate evaluates a
 # prefix of this dict (50 entries in every round so far). Round-8 window
 # policy (continuing the standing rotation):
-# (1) the 5 NEW round-8 entries (qt15/ql56/ql57/ql58/ql59 — no gate
-#     row yet) and
+# (1) the 6 NEW round-8 entries (qt15/ql56/ql57/ql58/ql59/qr73 — no
+#     gate row yet) and
 #     the 15 entries whose Spark plan changed in round 8: apply_cdc's
 #     shared NULL-op guard → qr43 (its ONE registry consumer,
 #     relational_q.py:1752 — qs14 reimplements CDC inline and is NOT
@@ -74,11 +74,15 @@ _VERIFY_FIRST = (
     "ql52_multimodal_ann",       # checked_dot consumer (mm_vec leg)
     # r8 area-review plan changes (qr52/qr57 also changed — they are
     # already in the r3 band below): exact-cents qr18 threshold,
-    # validated-input envelope serialization
+    # validated-input envelope serialization. qv08 shares qv05's exact
+    # _validated/_VALIDATED_WHERE mechanism, has an r7-fresh gate row,
+    # and is differentially tested over the adversarial fixture this
+    # round — it yields its slot to the brand-new qr73 (zero evidence
+    # beats re-proving a mechanism twice) and leads the r9 head.
     "qr18_subqueries",
     "qv03_origin_stamp",
     "qv05_envelope_json",
-    "qv08_batch_wire_format",
+    "qr73_hierarchy_rollup",     # NEW: Spark 4 WITH RECURSIVE rollup
     # (2) the r3-latest band — oldest gate evidence
     "ql07b_multimodal_features",  # rows-only spec (pytest + ql07c twin)
     "ql13_fingerprint",
@@ -116,7 +120,9 @@ _VERIFY_FIRST = (
     "ql38_kmeans_clusters",      # kmeans_fit 3-tuple caller
     "qp03_ivfpq_build_report",   # kmeans_fit 3-tuple caller
     # --- window boundary: 18 + 30 + 2 = exactly 50 ---
-    # overflow head for r9: the leftover r4 band
+    # overflow head for r9: qv08 (see band-1 note), then the leftover
+    # r4 band
+    "qv08_batch_wire_format",
     "ql07c_features_parity",
     "ql39_pq_encode",
     "ql40_epoch_plan",

@@ -3500,6 +3500,52 @@ ORDER BY 1
 """
 
 
+# --- Q-R73: recursive CTE hierarchy rollup (Spark 4 WITH RECURSIVE) ----------
+
+def qr73_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree rollup over a synthetic decimal-digit hierarchy
+    (parent(key) = key div 10, root 0) — the transitive-closure shape
+    (org charts, category trees, bill-of-materials) expressed with
+    Spark 4's native WITH RECURSIVE instead of a hand-rolled driver
+    loop. Each customer contributes its exact-cents balance to every
+    ancestor node; nodes with ≥ 5 descendants are reported.
+
+    Scale shape (100 TB): the recursion depth is log10(max key) — ~10
+    map-only iterations each a projection + union, never a join; the
+    ancestor fan-out is depth ≤ 10 rows per customer. The rollup
+    groupBy's hot key (node 0 holds EVERY customer) is an AGGREGATION
+    hot key, absorbed by map-side partial aggregation — not a join hot
+    key, so no salting is needed. Balance math is exact cents (stored
+    2-dp column), never a float sum.
+    """
+    load_tables(spark, sf_dir)
+    return spark.sql(QR73_SQL.replace(" // ", " div "))
+
+
+# one string, two engines: DuckDB runs it verbatim (// integer div);
+# Spark runs it with div substituted — the recursion, cents math, and
+# HAVING threshold are otherwise identical ANSI SQL on both.
+QR73_SQL = """
+WITH RECURSIVE anc(custkey, node, depth) AS (
+    SELECT c_custkey, c_custkey, 0 FROM customer
+    UNION ALL
+    SELECT custkey, node // 10, depth + 1 FROM anc WHERE node > 0
+)
+SELECT node,
+       CAST(count(*) AS BIGINT) AS n_desc,
+       CAST(max(depth) AS INT) AS max_depth,
+       CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+FROM anc JOIN (
+    SELECT c_custkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+    FROM customer
+) c ON c.c_custkey = anc.custkey
+GROUP BY node
+HAVING count(*) >= 5
+ORDER BY node
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qr01_scan_checksum": QuerySpec(qr01_scan_checksum, QR01_SQL, "Q-R1 parquet scan checksum"),
     "qr02_filter_agg": QuerySpec(qr02_filter_agg, QR02_SQL, "Q-R2 filter+project+agg (Q6 shape)"),
@@ -3687,5 +3733,10 @@ QUERIES: dict[str, QuerySpec] = {
         qr72_winsorized_stats,
         QR72_SQL,
         "winsorized robust stats: discrete p05/p95 clamp, exact-int mean",
+    ),
+    "qr73_hierarchy_rollup": QuerySpec(
+        qr73_hierarchy_rollup,
+        QR73_SQL,
+        "Spark 4 WITH RECURSIVE subtree rollup, exact-cents",
     ),
 }

@@ -457,3 +457,49 @@ def test_gopher_rules_map_only(spark):
     assert exchange_count(df) <= 1
     for schema in scan_schemas(df):
         assert "lang" not in schema and "source" not in schema
+
+
+def test_char_entropy_bounded_exchanges_and_pruning(spark):
+    """ql58: the per-char explode must NEVER cross the wire raw — a
+    partial (doc, char) HashAggregate sits between Generate and the
+    first Exchange (map-side combine to ≤ |alphabet| rows per doc), the
+    scan reads only (doc_id, text), and the whole query is two hash
+    exchanges plus the output sort."""
+    from streamsurfer_spark.plans.inspect import formatted_plan
+
+    df = REG["ql58_char_entropy"].spark(spark, SF_DIR)
+    assert exchange_count(df) <= 3
+    (schema,) = scan_schemas(df)
+    assert sorted(schema) == ["doc_id", "text"]
+    plan = formatted_plan(df)
+    import re
+
+    # numbered sections run leaf-to-root: the partial (doc, char) count
+    # must sit in an EARLIER section than the first shuffle Exchange
+    first_ex = int(re.search(r"\((\d+)\) Exchange\b", plan).group(1))
+    partial = min(
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) HashAggregate", plan)
+        if "partial_count" in plan.split(f"({m.group(1)}) HashAggregate")[1][:400]
+    )
+    assert partial < first_ex
+
+
+def test_recursive_rollup_is_engine_native(spark):
+    """qr73: the transitive closure runs as Spark 4's native recursion
+    (UnionLoop / CTERelation in the plan), not a collected driver loop,
+    and the rollup on the fixture satisfies the subtree invariants:
+    node 0 holds every customer; child subtree counts never exceed the
+    parent's."""
+    df = REG["qr73_hierarchy_rollup"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "UnionLoop" in plan or "CTERelationDef" in plan
+    rows = {r.node: r for r in df.collect()}
+    from streamsurfer_spark.session import table
+
+    n_cust = table(spark, SF_DIR, "customer").count()
+    assert rows[0].n_desc == n_cust
+    for node, r in rows.items():
+        parent = node // 10
+        if node > 0 and parent in rows:
+            assert r.n_desc <= rows[parent].n_desc

