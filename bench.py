@@ -100,8 +100,10 @@ BENCH_QUERIES = (
     "ql57_embedding_corr",
     # round-8 extensions (2nd batch): the character-entropy quality
     # signal (the per-char explode is the cost driver — it must stay
-    # bounded by map-side combine to |alphabet| rows/doc)
+    # bounded by map-side combine to |alphabet| rows/doc) and the
+    # SimHash pigeonhole pair search (capped band-bucket self-join)
     "ql58_char_entropy",
+    "ql60_simhash_hamming",
 )
 
 

@@ -497,3 +497,79 @@ def ngram_containment_pairs(
         .otherwise(F.col("doc_b"))
         .alias("contained_id"),
     )
+
+
+# Manku-et-al pigeonhole banding for SimHash hamming search (WWW 2007,
+# "Detecting Near-Duplicates for Web Crawling"): to find all pairs within
+# hamming distance k over b-bit signatures, split the signature into k+1
+# disjoint bands — any pair with ≤ k differing bits must agree EXACTLY on
+# at least one band (pigeonhole), so candidate generation is k+1 cheap
+# equality self-joins instead of an O(n²) scan.
+SIMHAM_K = 3
+SIMHAM_BANDS = SIMHAM_K + 1            # 4 bands × 12 bits over the 48
+SIMHAM_BAND_BITS = SIMHASH_BITS // SIMHAM_BANDS
+# per-(band, value) membership cap — same structural bound as the MinHash
+# and cosine paths: an adversarial band value (e.g. mega-duplicated or
+# near-empty documents sharing a signature) cannot go quadratic. Smallest
+# ids are kept, pruned by WindowGroupLimit BEFORE the exchange.
+SIMHAM_BAND_CAP = 1000
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    k: int = SIMHAM_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All document pairs whose SimHash signatures differ in ≤ k bits:
+    (doc_a, doc_b, hamming) — the Manku near-dup formulation, the THIRD
+    signature family next to MinHash-LSH (set resemblance) and exact
+    cosine (embeddings): SimHash hamming tracks weighted-feature cosine,
+    catches small in-place edits, and its candidate stage is pure
+    equality joins.
+
+    Distributed shape (100 TB): signatures are one 48-counter row per
+    doc (map-side combined); banding fans out k+1 rows per doc; the
+    self-join keys are (band, 12-bit value) — 4×4096 uniform-ish
+    buckets, membership capped at SIMHAM_BAND_CAP pre-exchange; the
+    exact hamming check (bit_count(xor)) runs only on candidates. No
+    row ever carries text past the signature stage.
+    """
+    from pyspark.sql import Window
+
+    bands = F.array(*[F.lit(i) for i in range(k + 1)])
+    sigs = simhash(df, text_col=text_col, id_col=id_col)
+    banded = (
+        sigs.select(F.col(id_col), "simhash", F.explode(bands).alias("band"))
+        .withColumn(
+            "bv",
+            F.expr(
+                f"shiftright(simhash, {SIMHAM_BAND_BITS} * band)"
+                f" & {(1 << SIMHAM_BAND_BITS) - 1}"
+            ),
+        )
+    )
+    w = Window.partitionBy("band", "bv").orderBy(id_col)
+    capped = (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= SIMHAM_BAND_CAP)
+        .drop("_rn")
+    )
+    a = capped.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "band", "bv",
+    )
+    b = capped.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"),
+        "band", "bv",
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.expr("bit_count(sig_a ^ sig_b)").cast("int")
+    return cand.withColumn("hamming", ham).where(
+        F.col("hamming") <= k
+    ).select("doc_a", "doc_b", "hamming")

@@ -120,8 +120,13 @@ _VERIFY_FIRST = (
     "ql38_kmeans_clusters",      # kmeans_fit 3-tuple caller
     "qp03_ivfpq_build_report",   # kmeans_fit 3-tuple caller
     # --- window boundary: 18 + 30 + 2 = exactly 50 ---
-    # overflow head for r9: qv08 (see band-1 note), then the leftover
-    # r4 band
+    # overflow head for r9. ql60 landed AFTER the 50-slot window was
+    # already owed to the r3 band + the round's changed set — it is
+    # hash-proven this round by the committed full-registry sim
+    # (DRIVER_SIM_r8.txt runs the identical rows+schema+hash compare)
+    # and leads the r9 gate window for its first driver row. Then qv08
+    # (see band-1 note) and the leftover r4 band.
+    "ql60_simhash_hamming",
     "qv08_batch_wire_format",
     "ql07c_features_parity",
     "ql39_pq_encode",

@@ -3420,6 +3420,48 @@ ORDER BY dev.doc_id
 """
 
 
+# --- ql60: SimHash hamming near-dup pairs (Manku pigeonhole banding) ---------
+
+
+def ql60_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs within hamming distance 3 over the 48-bit SimHash
+    (operators/dedup.simhash_hamming_pairs — Manku et al. 2007 pigeonhole
+    banding: 4 × 12-bit bands, equality self-joins, capped buckets, exact
+    bit_count(xor) check on candidates only). The third near-dup
+    signature family next to MinHash-LSH and exact cosine."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+QL60_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+h AS (SELECT doc_id, {DUCK_HASH.format(x="token")} AS h FROM toks),
+sig AS (SELECT doc_id, {dedup.simhash_oracle_expr()} AS simhash
+        FROM h GROUP BY doc_id),
+banded AS (
+    SELECT doc_id, simhash, CAST(i AS INT) AS band,
+           (simhash >> ({dedup.SIMHAM_BAND_BITS} * i))
+             & {(1 << dedup.SIMHAM_BAND_BITS) - 1} AS bv
+    FROM sig, (SELECT unnest(range({dedup.SIMHAM_BANDS})) AS i)
+),
+capped AS (
+    SELECT * FROM banded
+    QUALIFY row_number() OVER (PARTITION BY band, bv ORDER BY doc_id)
+            <= {dedup.SIMHAM_BAND_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sig_a, b.simhash AS sig_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {dedup.SIMHAM_K}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -3598,6 +3640,11 @@ QUERIES: dict[str, QuerySpec] = {
         ql59_robust_outliers,
         QL59_SQL,
         "median/MAD robust document-length outlier screen",
+    ),
+    "ql60_simhash_hamming": QuerySpec(
+        ql60_simhash_hamming,
+        QL60_SQL,
+        "SimHash hamming<=3 near-dup pairs via pigeonhole banding",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,

@@ -369,12 +369,14 @@ def test_verify_window_follows_rotation_policy():
         # round 8 extension batch 2
         "qr73_hierarchy_rollup",
     }
-    # documented exception: qv08 also changed (the shared
-    # _validated/_VALIDATED_WHERE mechanism qv05's in-window row proves)
-    # but yielded its slot to the brand-new qr73 — it sits at overflow
-    # position 51, r7-fresh gate row, adversarial-fixture differential
-    # test in this suite
-    assert names[50] == "qv08_batch_wire_format"
+    # documented exceptions at overflow positions 51/52, leading the r9
+    # window: ql60 landed after the 50 slots were already owed to the
+    # r3 band + changed set (hash-proven this round by the committed
+    # full-registry sim); qv08 also changed but shares qv05's in-window
+    # _validated/_VALIDATED_WHERE mechanism, has an r7-fresh gate row,
+    # and is adversarial-fixture differential-tested in this suite
+    assert names[50] == "ql60_simhash_hamming"
+    assert names[51] == "qv08_batch_wire_format"
     missing = changed_this_round - window
     assert not missing, f"round-changed queries outside the gate window: {missing}"
 

@@ -428,3 +428,40 @@ def test_qr52_degrades_on_bad_payloads(spark, tmp_path):
     shutil.copy(os.path.join(src, part), os.path.join(sf_dir, "events.parquet"))
 
     _differential(spark, sf_dir, qr52_variant_props, QR52_SQL)
+
+
+def test_simhash_hamming_pairs_match_brute_force(spark):
+    """Pigeonhole completeness: banding may only PRUNE by the cap, never
+    miss — on an uncapped corpus the banded candidates + exact check must
+    equal the brute-force all-pairs hamming filter. Identical texts pin
+    the hamming-0 case."""
+    from streamsurfer_spark.operators import dedup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(60)
+    )
+    dup = docs.limit(1).selectExpr("doc_id + 100000 AS doc_id", "text")
+    corpus = docs.select("doc_id", "text").unionByName(dup)
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_hamming_pairs(corpus).collect()
+    }
+
+    sigs = dedup.simhash(corpus)
+    a = sigs.selectExpr("doc_id AS doc_a", "simhash AS sig_a")
+    b = sigs.selectExpr("doc_id AS doc_b", "simhash AS sig_b")
+    brute = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in a.crossJoin(b)
+        .where("doc_a < doc_b")
+        .selectExpr(
+            "doc_a", "doc_b", "cast(bit_count(sig_a ^ sig_b) as int) AS hamming"
+        )
+        .where(f"hamming <= {dedup.SIMHAM_K}")
+        .collect()
+    }
+    assert got == brute
+    dup_key = min(k for k in got if k[1] >= 100000)
+    assert got[dup_key] == 0

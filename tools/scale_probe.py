@@ -72,6 +72,10 @@ PROBES = (
     # the char-entropy explode: growth must track documents linearly
     # (map-side combine caps the exchange at |alphabet| rows per doc)
     "ql58_char_entropy",
+    # SimHash pigeonhole pairs: the replicated corpus makes every band
+    # value 10×/30× hotter — the SIMHAM_BAND_CAP must hold the candidate
+    # join sub-quadratic exactly like the MinHash/cosine caps
+    "ql60_simhash_hamming",
 )
 
 # allow probing a subset: python tools/scale_probe.py [replicas] [name...]
