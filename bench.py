@@ -104,6 +104,7 @@ BENCH_QUERIES = (
     # SimHash pigeonhole pair search (capped band-bucket self-join)
     "ql58_char_entropy",
     "ql60_simhash_hamming",
+    "qp09_intake_gate",
 )
 
 

@@ -120,13 +120,14 @@ _VERIFY_FIRST = (
     "ql38_kmeans_clusters",      # kmeans_fit 3-tuple caller
     "qp03_ivfpq_build_report",   # kmeans_fit 3-tuple caller
     # --- window boundary: 18 + 30 + 2 = exactly 50 ---
-    # overflow head for r9. ql60 landed AFTER the 50-slot window was
-    # already owed to the r3 band + the round's changed set — it is
-    # hash-proven this round by the committed full-registry sim
-    # (DRIVER_SIM_r8.txt runs the identical rows+schema+hash compare)
-    # and leads the r9 gate window for its first driver row. Then qv08
-    # (see band-1 note) and the leftover r4 band.
+    # overflow head for r9. ql60/qp09 landed AFTER the 50-slot window
+    # was already owed to the r3 band + the round's changed set — both
+    # are hash-proven this round by targeted runs of the identical
+    # rows+schema+hash compare (tools/driver_sim.py) and lead the r9
+    # gate window for their first driver rows. Then qv08 (see band-1
+    # note) and the leftover r4 band.
     "ql60_simhash_hamming",
+    "qp09_intake_gate",
     "qv08_batch_wire_format",
     "ql07c_features_parity",
     "ql39_pq_encode",

@@ -1149,6 +1149,161 @@ ORDER BY doc_id
 QP08_SQL = _qp08_sql()
 
 
+
+# --- qp09: intake quality gate capstone (round-8 signal composition) ---------
+
+# 4-dp entropy threshold in nats: the shipped fixtures span ~2.55-2.93,
+# so 2.7 exercises both branches of the gate. Compared against the
+# scaled_round-ed per-doc value, which is hash-identical on both engines
+# — the threshold compare is therefore symmetric even exactly at 2.7.
+INTAKE_ENTROPY_TAU = 2.7
+INTAKE_MAD_K = 2
+
+
+def qp09_intake_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-intake quality gate: per-source admission report composing
+    the round-8 signal set — Gopher rule keep (ql55), character-entropy
+    boilerplate floor (ql58), and the median/MAD length-outlier screen
+    (ql59) — each signal the engine's own operator, the composition one
+    declarative plan.
+
+    A doc is admitted iff it passes ALL THREE. Empty docs (no entropy
+    row — char_entropy filters length 0) fail the entropy floor via the
+    NULL coalesce. Distributed shape: three per-doc signal frames joined
+    on the unique doc_id key (co-partitioned after the first exchange,
+    no skew), then one |sources|-row rollup; the MAD screen's percentile
+    aggregates are |sources|-row broadcasts, so the corpus crosses the
+    wire only for the doc_id joins.
+    """
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.operators.profile import robust_outliers
+
+    docs = table(spark, sf_dir, "documents")
+    g = text_ops.gopher_quality_rules(docs).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    e = text_ops.char_entropy(docs).select("doc_id", "entropy_nats")
+    o = robust_outliers(docs, "n_chars", "source", k=INTAKE_MAD_K).select(
+        "doc_id", "is_outlier"
+    )
+    j = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(g, "doc_id")
+        .join(e, "doc_id", "left")
+        .join(o, "doc_id")
+    )
+    entropy_ok = (
+        F.coalesce(F.col("entropy_nats"), F.lit(0.0))
+        >= F.lit(INTAKE_ENTROPY_TAU)
+    )
+    admitted = F.col("gopher_keep") & entropy_ok & ~F.col("is_outlier")
+    return (
+        j.select(
+            "source",
+            "n_chars",
+            F.col("gopher_keep"),
+            entropy_ok.alias("entropy_ok"),
+            "is_outlier",
+            admitted.alias("admitted"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(~F.col("gopher_keep"), 1)).alias("n_gopher_fail"),
+            F.count(F.when(~F.col("entropy_ok"), 1)).alias("n_low_entropy"),
+            F.count(F.when(F.col("is_outlier"), 1)).alias("n_outliers"),
+            F.count(F.when(F.col("admitted"), 1)).alias("n_admitted"),
+            F.sum(
+                F.when(F.col("admitted"), F.col("n_chars")).otherwise(F.lit(0))
+            ).alias("chars_admitted"),
+        )
+        .orderBy("source")
+    )
+
+
+_G = text_ops
+QP09_SQL = f"""
+WITH gopher AS (
+    SELECT doc_id,
+           ((nw >= {_G.GOPHER_MIN_WORDS} AND nw <= {_G.GOPHER_MAX_WORDS})
+            AND (sl >= {_G.GOPHER_MIN_MEAN_LEN} * nw
+                 AND sl <= {_G.GOPHER_MAX_MEAN_LEN} * nw)
+            AND (sym * {_G.GOPHER_MAX_SYMBOL_RATIO[1]}
+                 < nw * {_G.GOPHER_MAX_SYMBOL_RATIO[0]})
+            AND (aw * {_G.GOPHER_MIN_ALPHA_RATIO[1]}
+                 > nw * {_G.GOPHER_MIN_ALPHA_RATIO[0]})
+            AND (sh >= {_G.GOPHER_MIN_STOP_HITS})) AS gopher_keep
+    FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                                            w -> len(w))) AS BIGINT) AS sl,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> regexp_matches(w, '[A-Za-z]')))
+                    AS BIGINT) AS aw,
+               CAST((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) // 3
+                    AS BIGINT) AS sym,
+               CAST({{stop_hits}} AS BIGINT) AS sh
+        FROM documents
+    )
+),
+cf AS (
+    SELECT doc_id, ch, count(*) AS cf
+    FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+          FROM documents WHERE length(text) > 0)
+    GROUP BY 1, 2
+),
+ent AS (
+    SELECT doc_id,
+           CAST(round(
+               ((CAST(round(ln(n::DOUBLE) * 1000000) AS BIGINT) * n - clnc)
+                / n::DOUBLE / 1000000.0) * 10000) AS BIGINT) / 10000.0
+               AS entropy_nats
+    FROM (SELECT doc_id, CAST(sum(cf) AS BIGINT) AS n,
+                 CAST(sum(cf * CAST(round(ln(cf::DOUBLE) * 1000000) AS BIGINT))
+                      AS BIGINT) AS clnc
+          FROM cf GROUP BY 1)
+),
+med AS (
+    SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+    FROM documents GROUP BY 1
+),
+dev AS (
+    SELECT d.doc_id, d.source, d.n_chars,
+           abs(d.n_chars - m.med) AS abs_dev
+    FROM documents d JOIN med m USING (source)
+),
+mad AS (
+    SELECT source, CAST(quantile_disc(abs_dev, 0.5) AS BIGINT) AS mad
+    FROM dev GROUP BY 1
+),
+flags AS (
+    SELECT dev.source, dev.n_chars,
+           g.gopher_keep,
+           COALESCE(e.entropy_nats, 0.0) >= {INTAKE_ENTROPY_TAU}
+               AS entropy_ok,
+           dev.abs_dev > {INTAKE_MAD_K} * mad.mad AS is_outlier
+    FROM dev
+    JOIN mad USING (source)
+    JOIN gopher g USING (doc_id)
+    LEFT JOIN ent e USING (doc_id)
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(CASE WHEN NOT gopher_keep THEN 1 END) AS n_gopher_fail,
+       count(CASE WHEN NOT entropy_ok THEN 1 END) AS n_low_entropy,
+       count(CASE WHEN is_outlier THEN 1 END) AS n_outliers,
+       count(CASE WHEN gopher_keep AND entropy_ok AND NOT is_outlier
+             THEN 1 END) AS n_admitted,
+       CAST(sum(CASE WHEN gopher_keep AND entropy_ok AND NOT is_outlier
+                THEN n_chars ELSE 0 END) AS BIGINT) AS chars_admitted
+FROM flags
+GROUP BY source
+ORDER BY source
+""".replace("{stop_hits}", _duck_stop_hits("en"))
+
 QUERIES: dict[str, QuerySpec] = {
     "qp01_curation_report": QuerySpec(
         qp01_curation_report, QP01_SQL, "composed curation pipeline (capstone)"
@@ -1190,5 +1345,10 @@ QUERIES: dict[str, QuerySpec] = {
         qp08_canonical_map,
         QP08_SQL,
         "canonical-duplicate map: exact ∪ LSH ∪ containment edges → CC (capstone 8)",
+    ),
+    "qp09_intake_gate": QuerySpec(
+        qp09_intake_gate,
+        QP09_SQL,
+        "intake quality gate: Gopher ∧ entropy floor ∧ MAD screen (capstone 9)",
     ),
 }

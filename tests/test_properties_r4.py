@@ -369,14 +369,15 @@ def test_verify_window_follows_rotation_policy():
         # round 8 extension batch 2
         "qr73_hierarchy_rollup",
     }
-    # documented exceptions at overflow positions 51/52, leading the r9
-    # window: ql60 landed after the 50 slots were already owed to the
-    # r3 band + changed set (hash-proven this round by the committed
-    # full-registry sim); qv08 also changed but shares qv05's in-window
+    # documented exceptions at overflow positions 51-53, leading the r9
+    # window: ql60/qp09 landed after the 50 slots were already owed to
+    # the r3 band + changed set (hash-proven this round by targeted
+    # driver_sim runs); qv08 also changed but shares qv05's in-window
     # _validated/_VALIDATED_WHERE mechanism, has an r7-fresh gate row,
     # and is adversarial-fixture differential-tested in this suite
     assert names[50] == "ql60_simhash_hamming"
-    assert names[51] == "qv08_batch_wire_format"
+    assert names[51] == "qp09_intake_gate"
+    assert names[52] == "qv08_batch_wire_format"
     missing = changed_this_round - window
     assert not missing, f"round-changed queries outside the gate window: {missing}"
 

@@ -465,3 +465,45 @@ def test_simhash_hamming_pairs_match_brute_force(spark):
     assert got == brute
     dup_key = min(k for k in got if k[1] >= 100000)
     assert got[dup_key] == 0
+
+
+def test_intake_gate_composition_invariants(spark, tmp_path):
+    """qp09: admission is the conjunction of the three signals —
+    per-source bounds hold (inclusion-exclusion), and a length-0
+    document is REJECTED via the entropy floor (char_entropy has no row
+    for it; the NULL coalesce must not admit it)."""
+    import datetime
+
+    from streamsurfer_spark.queries.pipeline_q import qp09_intake_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    empty = spark.createDataFrame(
+        [(990001, "", "en", "srcEMPTY", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "sf")
+    import os as _os
+
+    _os.makedirs(sf_dir)
+    docs.unionByName(empty).coalesce(1).write.parquet(
+        str(tmp_path / "docs")
+    )
+    import shutil
+
+    part = [
+        p for p in _os.listdir(str(tmp_path / "docs")) if p.endswith(".parquet")
+    ][0]
+    shutil.copy(
+        _os.path.join(str(tmp_path / "docs"), part),
+        _os.path.join(sf_dir, "documents.parquet"),
+    )
+
+    rows = {r.source: r for r in qp09_intake_gate(spark, sf_dir).collect()}
+    for r in rows.values():
+        assert 0 <= r.n_admitted <= r.n_docs
+        # every rejection is explained by at least one flag
+        assert r.n_docs - r.n_admitted <= (
+            r.n_gopher_fail + r.n_low_entropy + r.n_outliers
+        )
+    e = rows["srcEMPTY"]
+    assert e.n_docs == 1 and e.n_admitted == 0 and e.n_low_entropy == 1
