@@ -126,6 +126,15 @@ _VERIFY_FIRST = (
     # rows+schema+hash compare (tools/driver_sim.py) and lead the r9
     # gate window for their first driver rows. Then qv08 (see band-1
     # note) and the leftover r4 band.
+    #
+    # ALSO changed late in r8 (the llm_q area review: cap replication in
+    # the shared bands/shingle twins, BM25 constant interpolation, exact
+    # -int ql15/ql28 reformulations, ql07c empty-payload guard):
+    # ql02/ql07c/ql09/ql15/ql28/ql32/ql34/ql44/ql45/ql49/ql54 and the
+    # qp01/qp05/qp08 capstone twins. All 14 hash-proven by a targeted
+    # driver_sim run this round plus cap-binding/empty-payload
+    # differential tests; the r9 window MUST rotate them in behind the
+    # new entries above.
     "ql60_simhash_hamming",
     "qp09_intake_gate",
     "qv08_batch_wire_format",

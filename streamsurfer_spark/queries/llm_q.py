@@ -111,7 +111,15 @@ _AFFINE_VALUES = ", ".join(
 def duck_minhash_bands(src: str) -> str:
     """CTE chain d/th/sh/ab/mh/bands replicating the Spark MinHash-LSH
     signature math over `src`(doc_id, text) — token hashes composed into
-    positional shingle hashes, affine hash family, banded keys."""
+    positional shingle hashes, affine hash family, banded keys.
+
+    The final ``bands`` CTE replicates ``lsh_candidate_pairs``'
+    LSH_BUCKET_CAP (smallest doc_ids kept per (band, band_key)) so every
+    twin built on it tracks Spark even when the cap binds — previously
+    only the QL10/QL21/QL60 twins replicated their caps, leaving the
+    five MinHash consumers (ql02/ql34/ql44/ql45/ql49 and the qp
+    capstones) to diverge on a >cap bucket (r8 area review).
+    """
     return f"""
 d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
 th AS (SELECT doc_id, [({DUCK_HASH.format(x="t")}) % {P31} for t in toks] AS th FROM d),
@@ -129,10 +137,15 @@ mh AS (
     FROM sh CROSS JOIN ab
     GROUP BY doc_id, seed
 ),
-bands AS (
+bands_raw AS (
     SELECT doc_id, seed // {dedup.ROWS_PER_BAND} AS band,
            string_agg(mh::VARCHAR, ',' ORDER BY seed) AS band_key
     FROM mh GROUP BY doc_id, seed // {dedup.ROWS_PER_BAND}
+),
+bands AS (
+    SELECT * FROM bands_raw
+    QUALIFY row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id)
+            <= {dedup.LSH_BUCKET_CAP}
 )"""
 
 
@@ -219,8 +232,6 @@ ORDER BY source
 # --- Q-L5: tokenize + term frequency (top terms per language) ----------------
 
 def ql05_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = table(spark, sf_dir, "documents")
     counts = (
         docs.select("lang", F.explode(text_ops.tokens("text")).alias("token"))
@@ -311,10 +322,16 @@ def ql07c_features_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.as_media(docs)
     py = multimodal.extract_features(media)
     hx = "hex(payload)"
+    # empty-payload guard (r8 area review): sequence(0, -1) is the
+    # DESCENDING two-element sequence [0, -1] in Spark, whose conv() of
+    # an out-of-range substr is NULL — the sum (and py_cg_match) went
+    # NULL instead of 0/TRUE on a zero-byte payload. The Python path
+    # sums no bytes to 0, so the codegen twin must too.
     byte_sum = (
+        "case when octet_length(payload) < 1 then cast(0 as bigint) else "
         f"aggregate(transform(sequence(0, octet_length(payload) - 1),"
         f" i -> cast(conv(substr({hx}, 2 * i + 1, 2), 16, 10) as bigint)),"
-        " cast(0 as bigint), (acc, v) -> acc + v)"
+        " cast(0 as bigint), (acc, v) -> acc + v) end"
     )
     cg = media.select(
         "doc_id",
@@ -352,8 +369,9 @@ WITH m AS (
 SELECT doc_id, modality,
        CAST(octet_length(payload) AS BIGINT) AS n_bytes,
        CAST(octet_length(payload) % 512 AS INT) AS feat_dim,
-       CAST(list_sum(list_transform(range(octet_length(payload)),
-                i -> ('0x' || substr(hex(payload), 2 * i + 1, 2))::BIGINT))
+       CAST(COALESCE(list_sum(list_transform(range(octet_length(payload)),
+                i -> ('0x' || substr(hex(payload), 2 * i + 1, 2))::BIGINT)),
+                0)
             AS BIGINT) AS feat_checksum,
        TRUE AS py_cg_match
 FROM m
@@ -386,9 +404,16 @@ def ql09_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 QL09_SQL = f"""
 WITH sh AS {duck_hashed_shingle_set("documents")},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+-- replicate _shingle_intersection's NGRAM_SHINGLE_DF_CAP: the join input
+-- drops shingles shared by more than cap documents (sizes stay FULL-set,
+-- exactly like the Spark side) so the twin tracks Spark when the cap binds
+shc AS (
+    SELECT * FROM sh
+    QUALIFY count(*) OVER (PARTITION BY shingle) <= {dedup.NGRAM_SHINGLE_DF_CAP}
+),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_inter,
@@ -573,18 +598,37 @@ FROM t GROUP BY doc_id ORDER BY doc_id
 def ql15_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise mean embedding per label + centroid norm — the vector
     aggregate an IVF trainer / cluster-quality monitor runs. posexplode →
-    (label, pos) partial-aggregating mean → re-assemble norm."""
+    (label, pos) partial-aggregating sum → re-assemble norm.
+
+    Exactness (r8 area review — this was the file's one remaining raw
+    cross-row float reduction): per-element values are quantized to
+    ×1e6 integers and summed in DECIMAL(38,0), and the norm is computed
+    as sqrt(Σ_pos (Σ_vec q)²) / (n · 1e6) — every cross-row aggregate is
+    exact integer math, so the result is partition-order-independent and
+    the only floats are one sqrt and one division on integers identical
+    in both engines (a raw avg() of doubles is order-dependent on
+    Spark's tree aggregation vs DuckDB's sequential sum — a half-ulp
+    flap away from a 4-dp boundary flip)."""
     emb = table(spark, sf_dir, "embeddings")
+    dec = "decimal(38,0)"
     by_dim = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("m"), F.count("*").alias("n"))
+        .agg(
+            F.sum(
+                F.round(F.col("v").cast("double") * 1_000_000)
+                .cast("bigint")
+                .cast(dec)
+            ).alias("sq"),
+            F.count("*").alias("n"),
+        )
     )
     return (
         by_dim.groupBy("label")
         .agg(
             rounding.scaled_round(
-                F.sqrt(F.sum(F.col("m") * F.col("m")))
+                F.sqrt(F.sum(F.col("sq") * F.col("sq")).cast("double"))
+                / (F.max("n") * F.lit(1_000_000.0))
             ).alias("centroid_norm"),
             F.max("n").alias("n_vectors"),
         )
@@ -595,14 +639,15 @@ def ql15_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 QL15_SQL = """
 WITH e AS (
     SELECT label, unnest(range(len(embedding))) AS pos,
-           unnest(embedding)::DOUBLE AS v
+           CAST(round(unnest(embedding)::DOUBLE * 1000000) AS HUGEINT) AS q
     FROM embeddings
 ),
 by_dim AS (
-    SELECT label, pos, avg(v) AS m, count(*) AS n FROM e GROUP BY 1, 2
+    SELECT label, pos, sum(q) AS sq, count(*) AS n FROM e GROUP BY 1, 2
 )
 SELECT label,
-       CAST(round(sqrt(sum(m * m)) * 10000) AS BIGINT) / 10000.0 AS centroid_norm,
+       CAST(round(sqrt(sum(sq * sq)::DOUBLE) / (max(n) * 1000000.0)
+                  * 10000) AS BIGINT) / 10000.0 AS centroid_norm,
        CAST(max(n) AS BIGINT) AS n_vectors
 FROM by_dim GROUP BY label ORDER BY label
 """
@@ -1162,8 +1207,6 @@ def ql27_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the bigram groupBy. lift = cnt·N / (c1·c2) is computed from
     exact integer counts (single IEEE divide → identical across engines).
     """
-    from pyspark.sql import Window
-
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("lang", text_ops.tokens("text").alias("toks"))
     bg = toks.select(
@@ -1250,7 +1293,11 @@ def ql28_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = 127/max|x|, q = round(x·scale) in int8, reconstruct q/scale.
     All math is per-row array lambdas in codegen (zero shuffles until the
     per-label rollup); per-element errors are rounded to nano units and
-    summed as exact ints, so the aggregate is partitioning-independent.
+    summed as exact ints ALL the way to the label rollup — the BIGINT
+    err9 and dim totals are divided exactly ONCE at the end, so the
+    aggregate is partitioning-independent for ANY embedding dimension
+    (the earlier per-vector err9/dim division was exact only because
+    dim=64 is a power of two — r8 area review).
     Output: per label, mean reconstruction error in nano units.
     """
     emb = table(spark, sf_dir, "embeddings")
@@ -1266,13 +1313,16 @@ def ql28_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_vec = emb.select(
         "label",
-        (err9 / F.size(a)).alias("vec_err9"),
+        err9.alias("err9"),
+        F.size(a).cast("bigint").alias("dim"),
     )
     return (
         per_vec.groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.sum("vec_err9") / F.count("*")).cast("bigint").alias("avg_err_nano"),
+            F.round(F.sum("err9") / F.sum("dim"))
+            .cast("bigint")
+            .alias("avg_err_nano"),
         )
         .orderBy("label")
     )
@@ -1293,17 +1343,19 @@ WITH v AS (
   FROM s
 ), e AS (
   SELECT label,
-         list_sum(
+         CAST(list_sum(
            list_transform(
              list_zip(a, list_transform(q, x -> x::DOUBLE / scale)),
              z -> CAST(round(abs(z[1] - z[2]) * 1e9) AS BIGINT)
            )
-         ) * 1.0 / len(a) AS vec_err9
+         ) AS BIGINT) AS err9,
+         CAST(len(a) AS BIGINT) AS dim
   FROM r
 )
 SELECT label,
        count(*) AS n_vecs,
-       CAST(round(sum(vec_err9) / count(*)) AS BIGINT) AS avg_err_nano
+       CAST(round(CAST(sum(err9) AS BIGINT) * 1.0
+                  / CAST(sum(dim) AS BIGINT)) AS BIGINT) AS avg_err_nano
 FROM e GROUP BY 1 ORDER BY 1
 """
 
@@ -1363,8 +1415,6 @@ def ql30_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     data), so it broadcasts and the corpus side is a map-only probe +
     per-doc aggregate: no shuffle proportional to corpus².
     """
-    from streamsurfer_spark.operators import dedup
-
     docs = table(spark, sf_dir, "documents")
     sh = dedup.with_shingles(docs).select(
         "doc_id", "source", F.explode(F.array_distinct("shingles")).alias("shingle")
@@ -1435,8 +1485,6 @@ def ql31_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-shingle share needs one (doc_id, shingle) aggregate — keyed by
     doc, so it scales linearly and skew-free.
     """
-    from streamsurfer_spark.operators import dedup
-
     docs = table(spark, sf_dir, "documents")
     base = dedup.with_shingles(docs)
     tok = base.select(
@@ -1519,6 +1567,13 @@ def ql32_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_oracle() -> str:
+    # constants interpolated from the operator (like _ql42_sql), never
+    # hardcoded: a BM25_K1/BM25_B tune must move this oracle in lockstep
+    # with the Spark path or the gate checks a different formula
+    # (r8 area review)
+    from streamsurfer_spark.operators.retrieval import BM25_B, BM25_K1
+
+    k1b = BM25_K1 * (1 - BM25_B)
     tf_defs = ",\n         ".join(
         "CAST(len(list_filter(string_split(text, ' '), t -> t = "
         f"'{t}')) AS BIGINT) AS tf_{t}"
@@ -1529,8 +1584,10 @@ def _bm25_oracle() -> str:
         for t in BM25_TERMS
     )
     term_scores = "\n           + ".join(
-        f"(ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5)) * tf_{t} * 2.2)"
-        f" / (tf_{t} + 1.2 * (0.25 + (0.75 * n_tokens) / avgdl))"
+        f"(ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * tf_{t} * {BM25_K1 + 1})"
+        f" / (tf_{t} + {BM25_K1} * ({k1b / BM25_K1}"
+        f" + ({BM25_B} * n_tokens) / avgdl))"
         for t in BM25_TERMS
     )
     tf_outs = ", ".join(f"tf_{t}" for t in BM25_TERMS)
@@ -2878,9 +2935,16 @@ def ql54_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QL54_SQL = f"""
 WITH sh AS {duck_hashed_shingle_set("documents")},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+-- replicate _shingle_intersection's NGRAM_SHINGLE_DF_CAP: the join input
+-- drops shingles shared by more than cap documents (sizes stay FULL-set,
+-- exactly like the Spark side) so the twin tracks Spark when the cap binds
+shc AS (
+    SELECT * FROM sh
+    QUALIFY count(*) OVER (PARTITION BY shingle) <= {dedup.NGRAM_SHINGLE_DF_CAP}
+),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 ),
 scored AS (

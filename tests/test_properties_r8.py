@@ -507,3 +507,74 @@ def test_intake_gate_composition_invariants(spark, tmp_path):
         )
     e = rows["srcEMPTY"]
     assert e.n_docs == 1 and e.n_admitted == 0 and e.n_low_entropy == 1
+
+
+def _docs_fixture(spark, tmp_path, rows):
+    """Write a documents.parquet fixture dir and return its sf_dir."""
+    import shutil
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "docs_out")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    part = [p for p in os.listdir(out) if p.endswith(".parquet")][0]
+    shutil.copy(os.path.join(out, part), os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir
+
+
+def _doc_differential(spark, sf_dir, query, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf_dir, 'documents.parquet')}')"
+    )
+    sdf = query(spark, sf_dir)
+    canon = lambda v: "NULL" if v is None else repr(v)  # noqa: E731
+    s_idx = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    rel = con.sql(sql)
+    d_idx = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
+    s = sorted(tuple(canon(r[i]) for i in s_idx) for r in [tuple(x) for x in sdf.collect()])
+    d = sorted(tuple(canon(r[i]) for i in d_idx) for r in rel.fetchall())
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    assert s == d, f"{s[:3]} != {d[:3]}"
+
+
+def test_ql07c_empty_payload_matches(spark, tmp_path):
+    """A zero-byte payload made Spark's codegen byte-sum NULL (sequence(0,
+    -1) is the DESCENDING [0, -1]) so py_cg_match went NULL while the
+    twin said TRUE (r8 area review). Both engines must now report
+    checksum 0 and match TRUE — proven by running the real query + twin
+    on a fixture containing an empty document."""
+    from streamsurfer_spark.queries.llm_q import QL07C_SQL, ql07c_features_parity
+
+    sf_dir = _docs_fixture(
+        spark,
+        tmp_path,
+        [(1, "some text", "en", "s0", 9), (2, "", "en", "s0", 0)],
+    )
+    _doc_differential(spark, sf_dir, ql07c_features_parity, QL07C_SQL)
+    rows = {r.doc_id: r for r in ql07c_features_parity(spark, sf_dir).collect()}
+    assert rows[2].feat_checksum == 0 and rows[2].py_cg_match is True
+
+
+def test_minhash_twin_tracks_bucket_cap(spark, tmp_path):
+    """With >LSH_BUCKET_CAP identical documents, Spark keeps only the cap
+    smallest ids per (band, key); the shared bands CTE must prune the
+    same way or the oracle emits pairs Spark dropped (r8 area review).
+    Proven by a 300-identical-doc corpus where the cap binds: C(256,2)
+    pairs on both sides, not C(300,2)."""
+    from streamsurfer_spark.operators.dedup import LSH_BUCKET_CAP
+    from streamsurfer_spark.queries.llm_q import QL02_SQL, ql02_minhash_lsh_pairs
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, text, "en", "s0", len(text)) for i in range(300)]
+    sf_dir = _docs_fixture(spark, tmp_path, rows)
+    _doc_differential(spark, sf_dir, ql02_minhash_lsh_pairs, QL02_SQL)
+    n = ql02_minhash_lsh_pairs(spark, sf_dir).count()
+    cap = LSH_BUCKET_CAP
+    assert n == cap * (cap - 1) // 2
