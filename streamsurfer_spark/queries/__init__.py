@@ -137,6 +137,7 @@ _VERIFY_FIRST = (
     # new entries above.
     "ql60_simhash_hamming",
     "qp09_intake_gate",
+    "qs16_stream_outer_join",
     "qv08_batch_wire_format",
     "ql07c_features_parity",
     "ql39_pq_encode",

@@ -969,6 +969,93 @@ ORDER BY 1
 QS15_SQL = _qs15_sql()
 
 
+# --- Q-S16: stream-stream LEFT OUTER interval join (real run) ----------------
+
+
+def qs16_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM left-outer interval join in a REAL availableNow run:
+    every purchase joined to same-user errors within ±6 h, and purchases
+    with NO such error emitted NULL-padded once the watermark proves no
+    match can still arrive — the state-safe outer join that only the
+    interval bound + watermark combination makes possible (qs10's
+    missing other half).
+
+    Outer-emission semantics, derived EMPIRICALLY and pinned by the
+    oracle (exact ID-set parity verified at sf0.001 and sf0.01 before
+    this entry landed):
+
+    - the effective watermark is the MIN over both input streams of
+      (that stream's max observed event time − delay). The two sides
+      filter the same file to different event types, so their maxima
+      differ — using the global file max over-emits (2 phantom rows at
+      sf0.001);
+    - an unmatched purchase emits iff ts + upper < wm_eff: its state is
+      evicted in the post-data no-data batch when no future error can
+      land in its interval. Unmatched rows younger than that stay in
+      state and are NEVER emitted by an availableNow run — the oracle
+      must replicate the cutoff, not the batch left join.
+    """
+    purchases = read_events_stream(spark, _events_path(sf_dir)).where(
+        F.col("event_type") == "purchase"
+    ).select(F.col("event_id").alias("purchase_id"), "user_id", "ts")
+    errors = read_events_stream(spark, _events_path(sf_dir)).where(
+        F.col("event_type") == "error"
+    ).select("user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts"))
+    joined = transforms.interval_join(
+        purchases,
+        errors,
+        key="user_id",
+        left_time="ts",
+        right_time="error_ts",
+        lower_seconds=-6 * 3600,
+        upper_seconds=6 * 3600,
+        how="leftOuter",
+    )
+    out = run_to_memory(
+        joined.select(
+            "purchase_id",
+            F.col("l.user_id").alias("user_id"),
+            F.date_format("ts", transforms.TS_FMT).alias("purchase_ts"),
+            "error_id",
+            F.date_format("error_ts", transforms.TS_FMT).alias("error_ts"),
+        ),
+        "append",
+    )
+    return out.orderBy("purchase_id", "error_id")
+
+
+QS16_SQL = """
+WITH m AS (
+    SELECT least(max(CASE WHEN event_type = 'purchase' THEN ts END),
+                 max(CASE WHEN event_type = 'error' THEN ts END))
+           - INTERVAL '1 day' AS wm
+    FROM events
+),
+p AS (SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'),
+e AS (SELECT user_id, event_id AS error_id, ts AS ets
+      FROM events WHERE event_type = 'error')
+SELECT p.purchase_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       e.error_id,
+       strftime(e.ets, '%Y-%m-%d %H:%M:%S') AS error_ts
+FROM p JOIN e
+  ON p.user_id = e.user_id
+ AND e.ets >= p.ts - INTERVAL '6 hours'
+ AND e.ets <= p.ts + INTERVAL '6 hours'
+UNION ALL
+SELECT p.purchase_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       NULL AS error_id, NULL AS error_ts
+FROM p, m
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.user_id = p.user_id
+                  AND e.ets >= p.ts - INTERVAL '6 hours'
+                  AND e.ets <= p.ts + INTERVAL '6 hours')
+  AND p.ts + INTERVAL '6 hours' < m.wm
+ORDER BY purchase_id, error_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qs01_stream_ingest_counts": QuerySpec(
         qs01_stream_ingest_counts, QS01_SQL, "Q-S1 real streaming ingest (availableNow)"
@@ -1019,5 +1106,10 @@ QUERIES: dict[str, QuerySpec] = {
         qs15_stream_lsh_dedup,
         QS15_SQL,
         "Q-S15 incremental LSH dedup vs band index, replayed batch (real run)",
+    ),
+    "qs16_stream_outer_join": QuerySpec(
+        qs16_stream_outer_join,
+        QS16_SQL,
+        "Q-S16 stream-stream LEFT OUTER interval join, watermark-evicted NULLs (real run)",
     ),
 }

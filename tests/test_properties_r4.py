@@ -377,7 +377,8 @@ def test_verify_window_follows_rotation_policy():
     # and is adversarial-fixture differential-tested in this suite
     assert names[50] == "ql60_simhash_hamming"
     assert names[51] == "qp09_intake_gate"
-    assert names[52] == "qv08_batch_wire_format"
+    assert names[52] == "qs16_stream_outer_join"
+    assert names[53] == "qv08_batch_wire_format"
     missing = changed_this_round - window
     assert not missing, f"round-changed queries outside the gate window: {missing}"
 
