@@ -58,7 +58,18 @@ def asof_join(
         F.struct(*left.columns).alias("_l"),
         F.lit(None).cast(r_type).alias("_r"),
     )
-    r_tag = right.select(
+    # SQL asof semantics on the right side (r8 area review): a NULL
+    # right_time can never satisfy l.t >= r.t — but NULLS-FIRST ordering
+    # would park such a row at the partition HEAD with a non-NULL
+    # payload struct, and last(ignorenulls) would carry it into every
+    # left row before the first real right row (a phantom match where
+    # the DuckDB ASOF twin yields NULL). A NULL key likewise matches
+    # nothing under equality-join semantics (Window.partitionBy would
+    # group the NULL keys into one matchable partition); left NULL-key
+    # rows still surface with a NULL payload, as a left join would.
+    r_tag = right.where(
+        F.col(right_time).isNotNull() & F.col(key).isNotNull()
+    ).select(
         F.col(key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
@@ -176,7 +187,13 @@ def asof_nearest(
         F.lit(None).cast(r_type).alias("_r"),
     )
     l_type = l_tag.schema["_l"].dataType
-    r_tag = right.select(
+    # same NULL-time/NULL-key right-side filter as asof_join (a NULL _rt
+    # candidate was incidentally nulled by the timestampdiff distance,
+    # but the NULL-key partition would still phantom-match — and an
+    # explicit filter beats relying on a downstream NULL propagation)
+    r_tag = right.where(
+        F.col(right_time).isNotNull() & F.col(key).isNotNull()
+    ).select(
         F.col(key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),

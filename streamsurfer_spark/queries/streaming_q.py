@@ -38,6 +38,53 @@ def _events_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "events.parquet")
 
 
+def _write_slices(src_path: str, key_col: str, n: int, prefix: str) -> str:
+    """Slice a parquet table into ``n`` files by ``key_col % n`` in a
+    scratch dir and return the dir — the multi-batch replay shim behind
+    every real micro-batch run (qs07/qs13/qs14/qs15).
+
+    mtimes are ALWAYS pinned strictly increasing: the file stream source
+    orders files by modification timestamp, so arrival order = slice
+    order BY CONSTRUCTION. (Previously only the qs15 copy of this block
+    pinned mtimes; the other three relied on incidental write-order
+    mtimes for the same guarantee — r8 area review.)
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamsurfer_spark.scratch import scratch_dir
+
+    tmpdir = scratch_dir(prefix)
+    t = pq.read_table(src_path)
+    rem = t.column(key_col).to_numpy() % n
+    base_mtime = 1_600_000_000  # fixed past epoch; only the ORDER matters
+    for i in range(n):
+        p = os.path.join(tmpdir, f"slice_{i}.parquet")
+        pq.write_table(t.filter(pa.array(rem == i)), p)
+        os.utime(p, times=(base_mtime + 10 * i, base_mtime + 10 * i))
+    return tmpdir
+
+
+def _latest_wins_merge(
+    cur: DataFrame, batch: DataFrame, key: str, payload: list[str]
+) -> DataFrame:
+    """union + max_by over (ts, event_id): the latest-wins state merge
+    shared by the foreachBatch upsert (qs13) and the streaming CDC apply
+    (qs14) — commutative and associative over batching, which is what
+    makes both replays idempotent. One definition, payload as data
+    (two verbatim copies had already been written — r8 area review)."""
+    return (
+        cur.unionByName(batch)
+        .groupBy(key)
+        .agg(
+            F.max_by(
+                F.struct(*payload), F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("_l")
+        )
+        .select(key, "_l.*")
+    )
+
+
 # --- Q-S1: streaming ingest (real streaming run) -----------------------------
 
 def qs01_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,17 +264,9 @@ def qs07_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     that key (proving real incremental emission — complete mode would emit
     every key every batch).
     """
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from streamsurfer_spark.scratch import scratch_dir
-
-    tmpdir = scratch_dir("qs07_slices_")
-    t = pq.read_table(_events_path(sf_dir))
-    rem = t.column("event_id").to_numpy() % QS07_N_SLICES
-    for i in range(QS07_N_SLICES):
-        pq.write_table(t.filter(pa.array(rem == i)), os.path.join(tmpdir, f"slice_{i}.parquet"))
+    tmpdir = _write_slices(
+        _events_path(sf_dir), "event_id", QS07_N_SLICES, "qs07_slices_"
+    )
 
     stream = read_events_stream(spark, tmpdir, max_files_per_trigger=1)
     agg = stream.groupBy("event_type").agg(F.count("*").alias("n_events"))
@@ -594,32 +633,14 @@ def qs13_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream is 100 TB deep: each batch's merge shuffles target ∪ batch on
     the uniform user key, and the target never exceeds the user count.
     """
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from streamsurfer_spark.scratch import scratch_dir
-
-    tmpdir = scratch_dir("qs13_slices_")
-    t = pq.read_table(_events_path(sf_dir))
-    rem = t.column("event_id").to_numpy() % QS13_N_SLICES
-    for i in range(QS13_N_SLICES):
-        pq.write_table(
-            t.filter(pa.array(rem == i)), os.path.join(tmpdir, f"slice_{i}.parquet")
-        )
+    tmpdir = _write_slices(
+        _events_path(sf_dir), "event_id", QS13_N_SLICES, "qs13_slices_"
+    )
 
     payload = ["event_id", "event_type", "cents", "ts"]
 
     def latest_wins(cur: DataFrame, batch: DataFrame) -> DataFrame:
-        return (
-            cur.unionByName(batch)
-            .groupBy("user_id")
-            .agg(
-                F.max_by(
-                    F.struct(*payload), F.struct(F.col("ts"), F.col("event_id"))
-                ).alias("_l")
-            )
-            .select("user_id", "_l.*")
-        )
+        return _latest_wins_merge(cur, batch, "user_id", payload)
 
     holder = {
         "df": spark.createDataFrame(
@@ -702,32 +723,14 @@ def qs14_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     it safe under out-of-order delivery (dropping tombstones eagerly
     would let an older upsert in a later batch resurrect the key).
     """
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from streamsurfer_spark.scratch import scratch_dir
-
-    tmpdir = scratch_dir("qs14_slices_")
-    t = pq.read_table(_events_path(sf_dir))
-    rem = t.column("event_id").to_numpy() % QS14_N_SLICES
-    for i in range(QS14_N_SLICES):
-        pq.write_table(
-            t.filter(pa.array(rem == i)), os.path.join(tmpdir, f"slice_{i}.parquet")
-        )
+    tmpdir = _write_slices(
+        _events_path(sf_dir), "event_id", QS14_N_SLICES, "qs14_slices_"
+    )
 
     payload = ["event_id", "op", "cents", "ts"]
 
     def merge_changes(cur: DataFrame, batch: DataFrame) -> DataFrame:
-        return (
-            cur.unionByName(batch)
-            .groupBy("user_id")
-            .agg(
-                F.max_by(
-                    F.struct(*payload), F.struct(F.col("ts"), F.col("event_id"))
-                ).alias("_l")
-            )
-            .select("user_id", "_l.*")
-        )
+        return _latest_wins_merge(cur, batch, "user_id", payload)
 
     holder = {
         "df": spark.createDataFrame(
@@ -823,22 +826,14 @@ def qs15_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed table, the qs13 pattern). No pair expansion anywhere — this is
     dedup against the index, not within-corpus pair mining.
     """
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from streamsurfer_spark.operators import dedup
-    from streamsurfer_spark.scratch import scratch_dir
 
-    tmpdir = scratch_dir("qs15_slices_")
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-    rem = t.column("doc_id").to_numpy() % QS15_N_SLICES
-    base_mtime = 1_600_000_000  # fixed past epoch; only the ORDER matters
-    for i in range(QS15_N_SLICES):
-        p = os.path.join(tmpdir, f"slice_{i}.parquet")
-        pq.write_table(t.filter(pa.array(rem == i)), p)
-        # strictly increasing mtimes pin the file source's arrival order
-        # to slice order (it sorts files by modification timestamp)
-        os.utime(p, times=(base_mtime + 10 * i, base_mtime + 10 * i))
+    tmpdir = _write_slices(
+        os.path.join(sf_dir, "documents.parquet"),
+        "doc_id",
+        QS15_N_SLICES,
+        "qs15_slices_",
+    )
 
     holder = {
         "index": spark.createDataFrame([], "band int, band_key string, min_arr long"),
@@ -1026,9 +1021,20 @@ def qs16_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QS16_SQL = """
 WITH m AS (
-    SELECT least(max(CASE WHEN event_type = 'purchase' THEN ts END),
-                 max(CASE WHEN event_type = 'error' THEN ts END))
-           - INTERVAL '1 day' AS wm
+    -- the CASE guard is load-bearing: DuckDB's least() SKIPS NULLs, so
+    -- with zero error-type rows a bare least() would fall back to the
+    -- purchase max and emit NULL-padded rows — while the real run's
+    -- error-side watermark never advances and Spark emits NOTHING. An
+    -- empty side must make wm NULL (no outer emission), matching the
+    -- min-over-streams rule exactly.
+    SELECT CASE WHEN max(CASE WHEN event_type = 'purchase' THEN ts END)
+                     IS NOT NULL
+                 AND max(CASE WHEN event_type = 'error' THEN ts END)
+                     IS NOT NULL
+            THEN least(max(CASE WHEN event_type = 'purchase' THEN ts END),
+                       max(CASE WHEN event_type = 'error' THEN ts END))
+                 - INTERVAL '1 day'
+            END AS wm
     FROM events
 ),
 p AS (SELECT event_id AS purchase_id, user_id, ts

@@ -557,8 +557,17 @@ def qt09_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value_cents") * F.col("dur_us")).alias("weighted_sum"),
         )
         .withColumn(
+            # try_divide, not `/`: an all-zero-duration group (duplicate
+            # timestamps with nothing later) makes total_dur_us 0, and
+            # ANSI raises DIVIDE_BY_ZERO during evaluation — before
+            # scaled_round's non-finite guard could run — while the
+            # DuckDB twin's x/0 is NULL (r8 area review; the qt12
+            # precedent)
             "twa_value",
-            scaled_round(F.col("weighted_sum") / F.col("total_dur_us") / 100.0),
+            scaled_round(
+                F.try_divide(F.col("weighted_sum"), F.col("total_dur_us"))
+                / 100.0
+            ),
         )
         .orderBy("user_id", "day")
     )

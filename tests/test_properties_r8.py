@@ -578,3 +578,41 @@ def test_minhash_twin_tracks_bucket_cap(spark, tmp_path):
     n = ql02_minhash_lsh_pairs(spark, sf_dir).count()
     cap = LSH_BUCKET_CAP
     assert n == cap * (cap - 1) // 2
+
+
+def test_asof_join_ignores_null_time_and_null_key_right_rows(spark):
+    """SQL asof semantics: a NULL right_time can never satisfy t >= rt,
+    and a NULL key matches nothing under equality-join rules — but the
+    union-sort window parked a NULL-time right row at the partition
+    HEAD (NULLS FIRST) with a live payload, phantom-matching every left
+    row before the first real right row; NULL keys grouped into one
+    matchable partition (r8 area review). Left NULL-key rows still
+    surface, NULL-padded, like a left join."""
+    import datetime
+
+    from streamsurfer_spark.operators.asof import asof_join, asof_nearest
+
+    t = lambda h: datetime.datetime(2024, 1, 1, h)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(9)), (1, t(11)), (None, t(9))],
+        "k long, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "phantom"), (1, t(10), "real"), (None, t(8), "nullk")],
+        "k long, rt timestamp, payload string",
+    )
+    got = {
+        (r.k, r.lt.hour): r.payload
+        for r in asof_join(left, right, "k", "lt", "rt", ["payload"]).collect()
+    }
+    assert got[(1, 9)] is None        # no real right row at-or-before 09
+    assert got[(1, 11)] == "real"
+    assert got[(None, 9)] is None     # left NULL key surfaces, unmatched
+
+    near = {
+        (r.k, r.lt.hour): r.payload
+        for r in asof_nearest(
+            left, right, "k", "lt", "rt", ["payload"], 24 * 3600
+        ).collect()
+    }
+    assert near[(1, 9)] == "real" and near[(None, 9)] is None
