@@ -132,3 +132,113 @@ def robust_outliers(
         dev.join(F.broadcast(mad), group_col)
         .withColumn("is_outlier", F.col("abs_dev") > F.lit(k) * F.col("mad"))
     )
+
+
+PSI_BINS = 10
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    time_col: str = "ts",
+    bins: int = PSI_BINS,
+) -> DataFrame:
+    """Population Stability Index of ``value_col``'s distribution between
+    the first and second half of the time range, per group — the standard
+    drift monitor (banking scorecards; same math as the data-drift gates
+    in training pipelines). Rule of thumb: PSI < 0.1 stable, 0.1–0.25
+    drifting, > 0.25 shifted.
+
+    PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i) over equal-width bins of the
+    group's value range, with Laplace smoothing p_i = (c1_i + 1)/(n1 + B)
+    so empty bins are defined.
+
+    Numerics (FIXTURES.md §3 discipline): values land on the fixture's
+    cent grid → exact BIGINT cents; the time split compares exact epoch
+    micros against min + (max−min) div 2; bins are pure integer math
+    ((cents − cmin)·B div (cmax − cmin + 1) — always < B, no clamp).
+    ln() is taken ONLY on integer-valued doubles (the char_entropy
+    precedent) and immediately rounded to micro-nats; each bin's term is
+    one division + one multiply on bit-identical inputs, rounded to an
+    integer (tie-proof), and the PSI sum is an exact BIGINT fold. No
+    division can see zero: the smoothed denominators are ≥ B.
+
+    Plan/scale: two passes over the group's rows (extrema, then binned
+    counts), both partial-aggregating groupBys on tiny key spaces
+    (|groups|, then |groups|·B·2); the extrema frame broadcasts back.
+    Linear at 100 TB, no wide shuffle.
+    """
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("bigint")
+    base = df.select(
+        F.col(group_col).alias("grp"), cents.alias("cents"), F.col(time_col).alias("t")
+    )
+    ext = base.groupBy("grp").agg(
+        F.min("t").alias("t_min"),
+        F.max("t").alias("t_max"),
+        F.min("cents").alias("cmin"),
+        F.max("cents").alias("cmax"),
+    )
+    # timestampdiff, not unix_micros: type-agnostic (NTZ or TZ — the
+    # sessions.py precedent) and exact at µs resolution on both engines
+    binned = (
+        base.join(F.broadcast(ext), "grp")
+        .select(
+            "grp",
+            F.expr(
+                "CASE WHEN timestampdiff(MICROSECOND, t_min, t)"
+                " <= timestampdiff(MICROSECOND, t_min, t_max) div 2"
+                " THEN 0 ELSE 1 END"
+            ).alias("half"),
+            F.expr(f"((cents - cmin) * {bins}) div (cmax - cmin + 1)").alias("bin"),
+        )
+        .groupBy("grp", "bin")
+        .agg(
+            F.sum(F.expr("CASE WHEN half = 0 THEN 1 ELSE 0 END")).alias("c1"),
+            F.sum(F.expr("CASE WHEN half = 1 THEN 1 ELSE 0 END")).alias("c2"),
+        )
+    )
+    totals = binned.groupBy("grp").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    b = bins
+    # ln per FACTOR (not of the cross-products): ln((c1+1)(n2+B)) −
+    # ln((c2+1)(n1+B)) as a 4-term sum keeps every ln argument an
+    # integer-valued double ≤ the row count — the products would overflow
+    # BIGINT (ANSI abort) once n² passes 2^63, i.e. ~3·10⁹-row groups.
+    # Same for p−q: two divisions instead of a cross-product ratio. Each
+    # step is one IEEE op on bit-identical inputs on both engines.
+    terms = binned.join(F.broadcast(totals), "grp").select(
+        "grp",
+        "n1",
+        "n2",
+        F.expr(
+            f"cast(round((ln(cast(c1 + 1 as double)) + ln(cast(n2 + {b} as double))"
+            f" - ln(cast(c2 + 1 as double)) - ln(cast(n1 + {b} as double)))"
+            f" * 1000000) as bigint)"
+        ).alias("lr_micro"),
+        F.expr(
+            f"cast(c1 + 1 as double) / cast(n1 + {b} as double)"
+            f" - cast(c2 + 1 as double) / cast(n2 + {b} as double)"
+        ).alias("pq_diff"),
+    )
+    return (
+        terms.select(
+            "grp",
+            "n1",
+            "n2",
+            F.expr("cast(round(pq_diff * lr_micro) as bigint)").alias("term_micro"),
+        )
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.max("n1").alias("n_first"),
+            F.max("n2").alias("n_second"),
+            F.expr(
+                # 10000.0D: a bare 10000.0 literal parses as DECIMAL and
+                # would type the result DECIMAL, not the oracle's DOUBLE
+                "cast(round(cast(sum(term_micro) as double) / 100) as bigint)"
+                " / 10000.0D"
+            ).alias("psi"),
+        )
+        .orderBy(group_col)
+    )

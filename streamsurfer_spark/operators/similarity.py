@@ -751,3 +751,158 @@ def lsh_near_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-energy diagnostic
+
+MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+def matryoshka_energy(
+    df: DataFrame,
+    prefix_dims: tuple[int, ...] = MATRYOSHKA_DIMS,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean fraction of embedding energy captured by each prefix
+    of the vector — the diagnostic a pipeline runs before truncating
+    Matryoshka-style embeddings (Kusupati et al. 2022) to a cheaper
+    serving dimension: if the first 16 dims already hold ~95% of the
+    squared norm, the ANN index can store 16/64 of the bytes.
+
+    Numerics (FIXTURES.md §3 discipline): components quantize to ×1000
+    BIGINT, so prefix and total energies are exact integer sums per row
+    (dim is a constant, so per-row magnitudes never grow with corpus
+    size — BIGINT suffices at any SF). The per-row fraction rounds at
+    micro scale (tie-proof integer round on a single-division double);
+    the per-group mean divides two exact integers once. Zero-norm
+    vectors yield NULL micro (try_divide ≙ DuckDB's x/0→NULL) and drop
+    from the mean via count(micro).
+
+    Plan/scale: per-row codegen expressions + one |labels|·|dims|-group
+    aggregate — map-side combine reduces the shuffle to a handful of
+    rows per partition; no join, linear at 100 TB.
+    """
+    q = quantize(df, vec_col)
+    dims = F.explode(F.array(*[F.lit(d) for d in prefix_dims])).alias("prefix_dim")
+    per = q.select(F.col(label_col).alias("label"), "qv", dims).select(
+        "label",
+        "prefix_dim",
+        F.expr(
+            "aggregate(slice(qv, 1, prefix_dim), 0L, (acc, x) -> acc + x * x)"
+        ).alias("num"),
+        F.expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)").alias("den"),
+    )
+    micro = F.when(
+        F.col("den") > 0,
+        F.round(
+            F.try_divide((F.col("num") * F.lit(1000000)).cast("double"), F.col("den").cast("double"))
+        ).cast("bigint"),
+    )
+    return (
+        per.select("label", "prefix_dim", micro.alias("micro"))
+        .groupBy("label", "prefix_dim")
+        .agg(
+            F.count("micro").cast("bigint").alias("n_vecs"),
+            scaled_round(
+                F.try_divide(F.sum("micro"), F.count("micro") * F.lit(1000000.0)), 6
+            ).alias("avg_energy_frac"),
+        )
+        .orderBy("label", "prefix_dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette vs label centroids
+
+_DEC = "decimal(38,0)"
+
+
+def label_silhouette(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label mean simplified silhouette (Hruschka et al.: distances to
+    CENTROIDS, not all points): a(i) = distance to own label centroid,
+    b(i) = nearest other-label centroid, s(i) = (b−a)/max(a,b). The
+    cluster-quality score a pipeline tracks over a labeled (or
+    kmeans-assigned) embedding column — s → 1 means tight, separated
+    labels; s ≤ 0 means the labeling carries no geometry.
+
+    Exact-arithmetic route: with q the ×1000-quantized vector and S_c/n_c
+    the per-label component sums/counts, n_c²·dist(i,c)² =
+    Σ_d (n_c·q_d − S_{c,d})² is an exact DECIMAL(38,0) integer at any
+    corpus size (same buffer discipline as embedding_corr_pairs);
+    dist = sqrt(·)/n_c costs one sqrt + one division on bit-identical
+    inputs, so a, b, and s are bit-identical doubles cross-engine — the
+    min over other labels needs NO tiebreak because only the minimum
+    VALUE (not the argmin label) is consumed. s rounds at micro scale;
+    group means divide exact integers once.
+
+    Plan/scale: the corpus NEVER shuffles — centroids aggregate to
+    |labels| rows, collapse to a ONE-row broadcast frame of
+    struct(label, n, sums[dim]), and every distance evaluates per-row
+    via zip_with/aggregate lambdas; the only exchange after the centroid
+    pass is the |labels|-group final mean. A vector with a NULL/ragged
+    embedding fails loudly in the lambda (ANSI) rather than biasing the
+    centroid it belongs to.
+    """
+    q = quantize(df, vec_col).select(
+        id_col, F.col(label_col).alias("own"), "qv"
+    )
+    cent = (
+        q.select("own", F.posexplode("qv").alias("dim", "qd"))
+        .groupBy(F.col("own").alias("cl"), "dim")
+        .agg(
+            F.sum(F.col("qd").cast(_DEC)).alias("s"),
+            F.count("*").cast(_DEC).alias("n"),
+        )
+        .groupBy("cl")
+        .agg(
+            F.max("n").alias("n"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, s))), e -> e.s)"
+            ).alias("s_arr"),
+        )
+        .agg(F.collect_list(F.struct("cl", "n", "s_arr")).alias("cents"))
+    )
+    diffs = (
+        f"zip_with(qv, c.s_arr, (x, s) -> c.n * cast(x as {_DEC}) - s)"
+    )
+    dists = (
+        f"transform(cents, c -> named_struct("
+        f"'cl', c.cl, "
+        f"'dist', sqrt(cast(aggregate(transform({diffs}, t -> t * t), "
+        f"cast(0 as {_DEC}), (acc, v) -> acc + v) as double)) / cast(c.n as double)))"
+    )
+    per = (
+        q.join(F.broadcast(cent))
+        .withColumn("dists", F.expr(dists))
+        .withColumn("a", F.expr("filter(dists, e -> e.cl = own)[0].dist"))
+        .withColumn(
+            "b",
+            F.expr("array_min(transform(filter(dists, e -> e.cl != own), e -> e.dist))"),
+        )
+        .select(
+            "own",
+            F.expr(
+                "CASE WHEN b IS NULL THEN NULL "
+                "WHEN greatest(a, b) > 0 THEN "
+                "cast(round((b - a) / greatest(a, b) * 1000000) as bigint) "
+                "ELSE 0 END"
+            ).alias("micro"),
+        )
+    )
+    return (
+        per.groupBy(F.col("own").alias("label"))
+        .agg(
+            F.count("micro").cast("bigint").alias("n_vecs"),
+            scaled_round(
+                F.try_divide(F.sum("micro"), F.count("micro") * F.lit(1000000.0)), 6
+            ).alias("avg_silhouette"),
+        )
+        .orderBy("label")
+    )

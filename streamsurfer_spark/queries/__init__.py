@@ -57,6 +57,14 @@ class QuerySpec:
 #     of window is covered by the standing full-registry sim
 #     (tools/driver_sim.py → DRIVER_SIM_r8.txt, ALL PASS).
 _VERIFY_FIRST = (
+    # (0) new in the r8 continuation session — zero gate evidence beats
+    # everything; each is differentially proven at sf0.001+sf0.01 this
+    # session (tests/test_properties_r8b.py + targeted driver-sim runs)
+    # but has no driver CORRECTNESS row yet
+    "ql61_matryoshka_energy",    # NEW: prefix-energy truncation diagnostic
+    "ql62_label_silhouette",     # NEW: silhouette vs label centroids
+    "qt16_psi_drift",            # NEW: PSI value-distribution drift
+    "qt17_linear_attribution",   # NEW: linear multi-touch attribution
     # (1) new in r8 + r8-changed plans
     "qt15_scd2_user_state",      # NEW: SCD2 history build
     "ql56_weighted_sample",      # NEW: A-ES weighted sampling
@@ -112,14 +120,14 @@ _VERIFY_FIRST = (
     "qs08_stream_sessions",
     "qs09_chained_windows",
     "qs10_interval_join",
+    # --- window boundary: 4 + 18 + 28 = exactly 50 ---
+    # The 4 continuation-session entries displaced the tail of the old
+    # prefix (qt03/qt08 from the r3 band, ql38/qp03 from the r4 fill) —
+    # those four now lead the r9 head below, ahead of ql60/qp09.
     "qt03_sessionize",
     "qt08_rolling_anomaly",
-    # (3) r4-band fill to 50 (the two r8-touched members; the other r4
-    # rows moved to the overflow head when the area-review changes took
-    # their slots)
     "ql38_kmeans_clusters",      # kmeans_fit 3-tuple caller
     "qp03_ivfpq_build_report",   # kmeans_fit 3-tuple caller
-    # --- window boundary: 18 + 30 + 2 = exactly 50 ---
     # overflow head for r9. ql60/qp09 landed AFTER the 50-slot window
     # was already owed to the r3 band + the round's changed set — both
     # are hash-proven this round by targeted runs of the identical

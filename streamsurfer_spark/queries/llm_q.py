@@ -3526,6 +3526,103 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --- ql61: Matryoshka prefix-energy diagnostic -------------------------------
+
+
+def ql61_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean fraction of embedding energy in each vector prefix, per label
+    (operators/similarity.matryoshka_energy) — the measurement that
+    decides whether Matryoshka-style truncation to 8/16/32 dims is safe
+    for the ANN serving index. Map-only codegen + one tiny aggregate."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.matryoshka_energy(emb)
+
+
+QL61_SQL = f"""
+WITH q AS (
+    SELECT label,
+           list_transform(embedding,
+                          x -> CAST(round(x::DOUBLE * {similarity.QUANT_SCALE})
+                                    AS BIGINT)) AS qv
+    FROM embeddings
+),
+per AS (
+    SELECT label, d AS prefix_dim,
+           list_sum(list_transform(qv[1:d], v -> v * v)) AS num,
+           list_sum(list_transform(qv, v -> v * v)) AS den
+    FROM q, (SELECT unnest([{", ".join(str(d) for d in similarity.MATRYOSHKA_DIMS)}]) AS d)
+),
+m AS (
+    SELECT label, prefix_dim,
+           CASE WHEN den > 0
+                THEN CAST(round((num * 1000000)::DOUBLE / den::DOUBLE) AS BIGINT)
+           END AS micro
+    FROM per
+)
+SELECT label, prefix_dim, CAST(count(micro) AS BIGINT) AS n_vecs,
+       {scaled_round_sql("sum(micro)::DOUBLE / (count(micro) * 1000000.0)", 6)}
+           AS avg_energy_frac
+FROM m GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- ql62: simplified silhouette vs label centroids ---------------------------
+
+
+def ql62_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean simplified silhouette against label centroids
+    (operators/similarity.label_silhouette — exact DECIMAL(38,0) distance
+    numerators, corpus-side pass shuffle-free via a one-row broadcast
+    centroid frame). The cluster-geometry score tracked next to
+    ql38/ql28's kmeans diagnostics."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.label_silhouette(emb)
+
+
+QL62_SQL = f"""
+WITH q AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+                          x -> CAST(round(x::DOUBLE * {similarity.QUANT_SCALE})
+                                    AS BIGINT)) AS qv
+    FROM embeddings
+),
+ex AS (
+    SELECT vec_id, label, unnest(qv) AS qd, unnest(range(len(qv))) AS dim FROM q
+),
+cent AS (
+    SELECT label AS cl, dim, sum(CAST(qd AS HUGEINT)) AS s,
+           CAST(count(*) AS HUGEINT) AS n
+    FROM ex GROUP BY 1, 2
+),
+d2 AS (
+    SELECT e.vec_id, e.label AS own, c.cl, c.n,
+           sum((c.n * e.qd - c.s) * (c.n * e.qd - c.s)) AS dnum
+    FROM ex e JOIN cent c USING (dim)
+    GROUP BY 1, 2, 3, 4
+),
+dist AS (SELECT vec_id, own, cl, sqrt(dnum::DOUBLE) / n::DOUBLE AS dist FROM d2),
+ab AS (
+    SELECT vec_id, own,
+           max(CASE WHEN cl = own THEN dist END) AS a,
+           min(CASE WHEN cl <> own THEN dist END) AS b
+    FROM dist GROUP BY 1, 2
+),
+m AS (
+    SELECT own,
+           CASE WHEN b IS NULL THEN NULL
+                WHEN greatest(a, b) > 0
+                THEN CAST(round((b - a) / greatest(a, b) * 1000000) AS BIGINT)
+                ELSE 0 END AS micro
+    FROM ab
+)
+SELECT own AS label, CAST(count(micro) AS BIGINT) AS n_vecs,
+       {scaled_round_sql("sum(micro)::DOUBLE / (count(micro) * 1000000.0)", 6)}
+           AS avg_silhouette
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -3709,6 +3806,16 @@ QUERIES: dict[str, QuerySpec] = {
         ql60_simhash_hamming,
         QL60_SQL,
         "SimHash hamming<=3 near-dup pairs via pigeonhole banding",
+    ),
+    "ql61_matryoshka_energy": QuerySpec(
+        ql61_matryoshka_energy,
+        QL61_SQL,
+        "Matryoshka prefix-energy truncation diagnostic",
+    ),
+    "ql62_label_silhouette": QuerySpec(
+        ql62_label_silhouette,
+        QL62_SQL,
+        "simplified silhouette vs label centroids (exact-int distances)",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,

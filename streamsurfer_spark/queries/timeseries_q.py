@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from streamsurfer_spark.functions.rounding import scaled_round
+from streamsurfer_spark.functions.rounding import scaled_round, scaled_round_sql
 from streamsurfer_spark.operators import sessions
 from streamsurfer_spark.operators.asof import asof_join, asof_nearest, range_join
 from streamsurfer_spark.queries import QuerySpec
@@ -1033,6 +1033,154 @@ FROM v ORDER BY user_id, version
 """
 
 
+# --- qt16: PSI distribution drift ---------------------------------------------
+
+
+def qt16_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of `value` between the first and second
+    half of each event type's time range (operators/profile.psi_drift —
+    exact cent-grid binning, micro-nat ln discipline, BIGINT PSI fold;
+    two tiny grouped passes, no wide shuffle)."""
+    ev = table(spark, sf_dir, "events")
+    from streamsurfer_spark.operators.profile import psi_drift
+
+    return psi_drift(ev)
+
+
+QT16_SQL = """
+WITH base AS (
+    SELECT event_type AS grp,
+           CAST(round(value::DOUBLE * 100) AS BIGINT) AS cents, ts
+    FROM events
+),
+ext AS (
+    SELECT grp, min(ts) ts_min, max(ts) ts_max,
+           min(cents) cmin, max(cents) cmax
+    FROM base GROUP BY 1
+),
+binned AS (
+    SELECT b.grp,
+           CASE WHEN date_diff('microsecond', ts_min, ts)
+                     <= date_diff('microsecond', ts_min, ts_max) // 2
+                THEN 0 ELSE 1 END AS half,
+           ((cents - cmin) * 10) // (cmax - cmin + 1) AS bin
+    FROM base b JOIN ext USING (grp)
+),
+cnt AS (
+    SELECT grp, bin,
+           sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c1,
+           sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c2
+    FROM binned GROUP BY 1, 2
+),
+tot AS (SELECT grp, sum(c1) AS n1, sum(c2) AS n2 FROM cnt GROUP BY 1),
+terms AS (
+    SELECT grp, n1, n2,
+           CAST(round((ln((c1 + 1)::DOUBLE) + ln((n2 + 10)::DOUBLE)
+                     - ln((c2 + 1)::DOUBLE) - ln((n1 + 10)::DOUBLE))
+                      * 1000000) AS BIGINT) AS lr_micro,
+           (c1 + 1)::DOUBLE / (n1 + 10)::DOUBLE
+             - (c2 + 1)::DOUBLE / (n2 + 10)::DOUBLE AS pq_diff
+    FROM cnt JOIN tot USING (grp)
+)
+SELECT grp AS event_type,
+       CAST(max(n1) AS BIGINT) AS n_first, CAST(max(n2) AS BIGINT) AS n_second,
+       CAST(round(sum(CAST(round(pq_diff * lr_micro) AS BIGINT))::DOUBLE / 100)
+            AS BIGINT) / 10000.0 AS psi
+FROM terms GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- qt17: linear multi-touch attribution --------------------------------------
+
+ATTRIB_LOOKBACK_S = 24 * 3600
+ATTRIB_TOUCH_TYPES = ("click", "view")
+
+
+def qt17_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits one unit of
+    credit equally across the user's click/view touches in the preceding
+    24 h (strictly before the purchase). The marketing-analytics
+    workhorse between last-touch (qt01's as-of pick) and position decay.
+
+    Composition: the candidate pairs come from operators/asof.range_join
+    (bucketed equi-join — the corpus never sees an unbounded inequality
+    join; see its module doc for the 100 TB topology), then exact
+    integer credit: per (purchase, touch_type) counts c with window
+    total k, micro-credit = round(c·10⁶/k) (one division on identical
+    doubles, tie-proof integer round), summed as BIGINT per type.
+
+    Scale: |purchases| × bounded-window touches per user — skew follows
+    hot users, which the bucketed join spreads across (user, bucket)
+    partitions; aggregation keys are (purchase, type) then |types|.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    touches = ev.where(F.col("event_type").isin(*ATTRIB_TOUCH_TYPES)).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = range_join(
+        purchases,
+        touches,
+        key="user_id",
+        left_time="p_ts",
+        right_time="t_ts",
+        lower_seconds=-ATTRIB_LOOKBACK_S,
+        upper_seconds=0,
+    ).where(F.col("t_ts") < F.col("p_ts"))
+    c = pairs.groupBy("p_id", "touch_type").agg(F.count("*").alias("c"))
+    k = c.withColumn("k", F.sum("c").over(Window.partitionBy("p_id")))
+    m = k.withColumn(
+        "micro",
+        F.expr("cast(round(cast(c * 1000000 as double) / cast(k as double)) as bigint)"),
+    )
+    return (
+        m.groupBy("touch_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_touches"),
+            F.countDistinct("p_id").cast("bigint").alias("n_purchases"),
+            scaled_round(F.sum("micro") / F.lit(1000000.0), 4).alias(
+                "attributed_credit"
+            ),
+        )
+        .orderBy("touch_type")
+    )
+
+
+QT17_SQL = f"""
+WITH p AS (
+    SELECT event_id AS p_id, user_id, ts AS p_ts
+    FROM events WHERE event_type = 'purchase'
+),
+t AS (
+    SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS touch_type
+    FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+    SELECT p.p_id, t.touch_type
+    FROM p JOIN t USING (user_id)
+    WHERE t.t_ts < p.p_ts
+      AND t.t_ts >= p.p_ts - INTERVAL {ATTRIB_LOOKBACK_S} SECOND
+),
+c AS (SELECT p_id, touch_type, count(*) AS c FROM j GROUP BY 1, 2),
+k AS (SELECT p_id, touch_type, c, sum(c) OVER (PARTITION BY p_id) AS k FROM c),
+m AS (
+    SELECT p_id, touch_type, c,
+           CAST(round((c * 1000000)::DOUBLE / k::DOUBLE) AS BIGINT) AS micro
+    FROM k
+)
+SELECT touch_type,
+       CAST(sum(c) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+       {scaled_round_sql("sum(micro)::DOUBLE / 1000000.0", 4)} AS attributed_credit
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qt01_asof_last_click": QuerySpec(
         qt01_asof_last_click, QT01_SQL, "as-of join (union-sort) vs native DuckDB ASOF"
@@ -1094,5 +1242,15 @@ QUERIES: dict[str, QuerySpec] = {
         qt15_scd2_user_state,
         QT15_SQL,
         "type-2 SCD history build with no-op-change collapse",
+    ),
+    "qt16_psi_drift": QuerySpec(
+        qt16_psi_drift,
+        QT16_SQL,
+        "PSI value-distribution drift per event type (first vs second half)",
+    ),
+    "qt17_linear_attribution": QuerySpec(
+        qt17_linear_attribution,
+        QT17_SQL,
+        "linear multi-touch attribution over a 24h lookback (range join)",
     ),
 }

@@ -1,0 +1,174 @@
+"""Round-8 second-batch operator properties.
+
+Semantic pins for the four operators added in the r8 continuation session:
+matryoshka prefix energy (monotone, exact at full dim, zero-norm exclusion),
+label silhouette (separated clusters score high, degenerate single label),
+PSI drift (planted shift detected, zero shift near zero, constant-value
+range), and linear attribution (hand-checked credit split). Cross-engine
+value parity is covered by test_oracle.py's registry sweep; these tests pin
+the SEMANTICS the oracle merely mirrors.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+
+
+def test_matryoshka_energy_monotone_and_exact_at_full_dim(spark):
+    """Energy fraction is non-decreasing in prefix length and exactly 1.0
+    at the full dimension (num == den, no float residue)."""
+    from streamsurfer_spark.operators.similarity import matryoshka_energy
+
+    rows = [
+        (1, [0.5, -0.25, 0.125, 1.0], 0),
+        (2, [1.0, 0.0, 0.0, 0.0], 0),
+        (3, [0.1, 0.2, 0.3, 0.4], 1),
+    ]
+    out = matryoshka_energy(
+        _emb_df(spark, rows), prefix_dims=(1, 2, 4)
+    ).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r.label, []).append((r.prefix_dim, r.avg_energy_frac))
+    for label, seq in by_label.items():
+        fracs = [f for _, f in sorted(seq)]
+        assert fracs == sorted(fracs), f"label {label} not monotone: {fracs}"
+        assert fracs[-1] == 1.0, f"label {label} full-dim != 1.0: {fracs[-1]}"
+
+
+def test_matryoshka_energy_zero_vector_excluded(spark):
+    """A zero-norm vector must drop from the mean (NULL micro), not crash
+    (ANSI divide) or bias the label's fraction."""
+    from streamsurfer_spark.operators.similarity import matryoshka_energy
+
+    rows = [(1, [0.0, 0.0], 0), (2, [1.0, 0.0], 0)]
+    out = matryoshka_energy(_emb_df(spark, rows), prefix_dims=(1,)).collect()
+    assert len(out) == 1
+    assert out[0].n_vecs == 1  # zero vector excluded
+    assert out[0].avg_energy_frac == 1.0
+
+
+def test_label_silhouette_separated_clusters_score_high(spark):
+    """Two tight, far-apart labels → silhouette near +1 for both."""
+    from streamsurfer_spark.operators.similarity import label_silhouette
+
+    rows = [
+        (1, [1.0, 0.01], 0),
+        (2, [1.0, -0.01], 0),
+        (3, [0.99, 0.0], 0),
+        (4, [-1.0, 0.01], 1),
+        (5, [-1.0, -0.01], 1),
+        (6, [-0.99, 0.0], 1),
+    ]
+    out = label_silhouette(_emb_df(spark, rows)).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.n_vecs == 3
+        assert r.avg_silhouette > 0.9, r
+
+
+def test_label_silhouette_single_label_is_null(spark):
+    """With one label there is no 'other centroid': b is NULL, every
+    micro is NULL, and the mean comes back NULL with n_vecs 0 (not a
+    divide error)."""
+    from streamsurfer_spark.operators.similarity import label_silhouette
+
+    rows = [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)]
+    out = label_silhouette(_emb_df(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0].n_vecs == 0
+    assert out[0].avg_silhouette is None
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+
+
+def _ts(day, hour=0, minute=0):
+    return datetime.datetime(2024, 1, day, hour, minute)
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    """First half all-low, second half all-high → PSI far above the 0.25
+    'shifted' threshold; an identically-distributed group stays near 0."""
+    from streamsurfer_spark.operators.profile import psi_drift
+
+    rows = []
+    eid = 0
+    # shifted group: value 1.00 in days 1-10, 9.00 in days 21-30
+    for d in range(1, 11):
+        eid += 1
+        rows.append((eid, _ts(d), 1, "shifted", 1.00))
+    for d in range(21, 31):
+        eid += 1
+        rows.append((eid, _ts(d), 1, "shifted", 9.00))
+    # stable group: alternating values present in BOTH halves
+    for d in range(1, 31):
+        eid += 1
+        rows.append((eid, _ts(d), 2, "stable", 1.00 if d % 2 else 9.00))
+    out = {r.event_type: r for r in psi_drift(_events_df(spark, rows)).collect()}
+    assert out["shifted"].psi > 0.25, out["shifted"]
+    assert out["stable"].psi < 0.1, out["stable"]
+    assert out["shifted"].n_first == 10 and out["shifted"].n_second == 10
+
+
+def test_psi_drift_constant_value_defined(spark):
+    """cmax == cmin (constant value) must not divide by zero: the bin
+    denominator is cmax - cmin + 1 ≥ 1, and a constant series is by
+    definition stable (PSI 0)."""
+    from streamsurfer_spark.operators.profile import psi_drift
+
+    rows = [(i, _ts(1 + i % 28), 1, "const", 5.00) for i in range(20)]
+    out = psi_drift(_events_df(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0].psi == 0.0
+
+
+def test_linear_attribution_hand_checked_split(spark):
+    """One purchase preceded by 2 clicks + 1 view within 24 h → click gets
+    2/3 credit, view 1/3; a touch outside the window or AFTER the
+    purchase contributes nothing."""
+    from streamsurfer_spark.queries.timeseries_q import qt17_linear_attribution
+
+    rows = [
+        (1, _ts(2, 12), 1, "purchase", 0.0),
+        (2, _ts(2, 10), 1, "click", 0.0),     # in window
+        (3, _ts(2, 11), 1, "click", 0.0),     # in window
+        (4, _ts(2, 9), 1, "view", 0.0),       # in window
+        (5, _ts(1, 1), 1, "click", 0.0),      # > 24h before: out
+        (6, _ts(2, 13), 1, "view", 0.0),      # after purchase: out
+        (7, _ts(2, 12), 1, "click", 0.0),     # exactly AT purchase ts: out
+    ]
+    df = _events_df(spark, rows)
+    df.createOrReplaceTempView("_attr_events")
+    import streamsurfer_spark.session as sess
+
+    orig = sess.table
+    try:
+        sess.table = lambda spark, sf_dir, name: df  # only events is read
+        import streamsurfer_spark.queries.timeseries_q as tq
+
+        tq_table = tq.table
+        tq.table = sess.table
+        try:
+            out = {r.touch_type: r for r in qt17_linear_attribution(spark, "unused").collect()}
+        finally:
+            tq.table = tq_table
+    finally:
+        sess.table = orig
+    assert out["click"].n_touches == 2
+    assert out["view"].n_touches == 1
+    assert out["click"].attributed_credit == 0.6667
+    assert out["view"].attributed_credit == 0.3333
+    assert out["click"].n_purchases == 1
