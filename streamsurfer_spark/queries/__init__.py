@@ -65,6 +65,8 @@ _VERIFY_FIRST = (
     "ql62_label_silhouette",     # NEW: silhouette vs label centroids
     "qt16_psi_drift",            # NEW: PSI value-distribution drift
     "qt17_linear_attribution",   # NEW: linear multi-touch attribution
+    "qp10_retention_waterfall",  # NEW: sequential filter waterfall capstone
+    "qs17_stream_heavy_hitters", # NEW: per-window top-K from complete state
     # (1) new in r8 + r8-changed plans
     "qt15_scd2_user_state",      # NEW: SCD2 history build
     "ql56_weighted_sample",      # NEW: A-ES weighted sampling
@@ -118,12 +120,13 @@ _VERIFY_FIRST = (
     "qr60_priority_lateness",
     "qs04_watermarked_append",
     "qs08_stream_sessions",
+    # --- window boundary: 6 + 18 + 26 = exactly 50 ---
+    # The 6 continuation-session entries displaced the tail of the old
+    # prefix (qs09/qs10/qt03/qt08 from the r3 band, ql38/qp03 from the
+    # r4 fill) — those six now lead the r9 head below, ahead of
+    # ql60/qp09.
     "qs09_chained_windows",
     "qs10_interval_join",
-    # --- window boundary: 4 + 18 + 28 = exactly 50 ---
-    # The 4 continuation-session entries displaced the tail of the old
-    # prefix (qt03/qt08 from the r3 band, ql38/qp03 from the r4 fill) —
-    # those four now lead the r9 head below, ahead of ql60/qp09.
     "qt03_sessionize",
     "qt08_rolling_anomaly",
     "ql38_kmeans_clusters",      # kmeans_fit 3-tuple caller

@@ -1304,6 +1304,202 @@ GROUP BY source
 ORDER BY source
 """.replace("{stop_hits}", _duck_stop_hits("en"))
 
+# --- qp10: sequential filter retention waterfall ------------------------------
+
+QP10_LANG_ALLOW = ("de", "en", "es", "fr")  # latin-script target set
+
+
+def qp10_retention_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention waterfall of the curation pipeline: how many documents
+    survive each SEQUENTIAL stage — Gopher rules (ql55's gate), exact
+    dedup (canonical = min doc_id per md5, among gopher survivors),
+    SimHash near-dup pruning (ql60's pair search run ON the exact-dedup
+    survivors; the GREATER doc of every ≤3-bit pair drops), then a
+    language allowlist. The per-stage drop table is the first chart of
+    any pipeline report (RefinedWeb/FineWeb-style).
+
+    Stage nesting is real, not cosmetic: the SimHash band caps and
+    signatures are computed over the stage-2 survivor set, so the
+    candidate graph is the one the production run would see. Each doc is
+    annotated once with its first failing stage; the waterfall is a
+    single one-row aggregate exploded to 5 rows — the corpus is scanned
+    once per signal, never once per stage-pair.
+
+    Scale: gopher is per-row codegen; canonical is one hash exchange on
+    md5(text) (uniform); the simhash stage inherits ql60's capped-bucket
+    topology; flags join on the unique doc_id key. Ratios are exact-int
+    divisions through scaled_round/try_divide.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from streamsurfer_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    g = text_ops.gopher_quality_rules(docs).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    d1 = docs.select("doc_id", "text", "lang").join(g, "doc_id")
+    s1 = d1.where("gopher_keep")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = s1.withColumn("canonical", F.row_number().over(w) == 1)
+    s2 = canon.where("canonical").select("doc_id", "text")
+    losers = (
+        dedup.simhash_hamming_pairs(s2)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("neardup_loser", F.lit(True))
+    )
+    lang_list = ", ".join(f"'{x}'" for x in QP10_LANG_ALLOW)
+    flags = (
+        d1.select("doc_id", "lang", "gopher_keep")
+        .join(canon.select("doc_id", "canonical"), "doc_id", "left")
+        .join(losers, "doc_id", "left")
+        .select(
+            F.expr(
+                "CASE WHEN NOT gopher_keep THEN 1 "
+                "WHEN NOT canonical THEN 2 "
+                "WHEN neardup_loser THEN 3 "
+                f"WHEN lang NOT IN ({lang_list}) THEN 4 "
+                "ELSE 9 END"
+            ).alias("fail_stage")
+        )
+    )
+    surv = lambda i: F.sum((F.col("fail_stage") > i).cast("long"))  # noqa: E731
+    a = flags.agg(
+        F.count("*").alias("n0"),
+        surv(1).alias("k1"),
+        surv(2).alias("k2"),
+        surv(3).alias("k3"),
+        surv(4).alias("k4"),
+    )
+    rows = a.select(
+        F.explode(
+            F.expr(
+                "array("
+                "named_struct('stage', 0, 'stage_name', 'intake', 'docs_in', n0, 'docs_kept', n0), "
+                "named_struct('stage', 1, 'stage_name', 'gopher_rules', 'docs_in', n0, 'docs_kept', k1), "
+                "named_struct('stage', 2, 'stage_name', 'exact_dedup', 'docs_in', k1, 'docs_kept', k2), "
+                "named_struct('stage', 3, 'stage_name', 'simhash_neardup', 'docs_in', k2, 'docs_kept', k3), "
+                "named_struct('stage', 4, 'stage_name', 'lang_filter', 'docs_in', k3, 'docs_kept', k4))"
+            )
+        ).alias("s")
+    ).select("s.*")
+    return rows.withColumn(
+        "keep_ratio",
+        scaled_round(F.try_divide(F.col("docs_kept"), F.col("docs_in")), 4),
+    ).orderBy("stage")
+
+
+def _qp10_sql() -> str:
+    from streamsurfer_spark.functions.rounding import scaled_round_sql
+    from streamsurfer_spark.operators import dedup
+    from streamsurfer_spark.queries.llm_q import DUCK_HASH
+
+    t = text_ops
+    lang_list = ", ".join(f"'{x}'" for x in QP10_LANG_ALLOW)
+    return f"""
+WITH c AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        w -> len(w))) AS BIGINT) AS sl,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> regexp_matches(w, '[A-Za-z]')))
+                AS BIGINT) AS aw,
+           CAST((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) // 3
+                AS BIGINT) AS sym,
+           CAST({_duck_stop_hits("en")} AS BIGINT) AS sh
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           ((nw >= {t.GOPHER_MIN_WORDS} AND nw <= {t.GOPHER_MAX_WORDS})
+            AND (sl >= {t.GOPHER_MIN_MEAN_LEN} * nw
+                 AND sl <= {t.GOPHER_MAX_MEAN_LEN} * nw)
+            AND (sym * {t.GOPHER_MAX_SYMBOL_RATIO[1]}
+                 < nw * {t.GOPHER_MAX_SYMBOL_RATIO[0]})
+            AND (aw * {t.GOPHER_MIN_ALPHA_RATIO[1]}
+                 > nw * {t.GOPHER_MIN_ALPHA_RATIO[0]})
+            AND (sh >= {t.GOPHER_MIN_STOP_HITS})) AS gopher_keep
+    FROM c
+),
+d1 AS (
+    SELECT d.doc_id, d.text, d.lang, g.gopher_keep
+    FROM documents d JOIN g USING (doc_id)
+),
+s1 AS (SELECT * FROM d1 WHERE gopher_keep),
+canon AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+               AS canonical
+    FROM s1
+),
+s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN canon USING (doc_id) WHERE canonical),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM s2),
+h AS (SELECT doc_id, {DUCK_HASH.format(x="token")} AS h FROM toks),
+sig AS (SELECT doc_id, {dedup.simhash_oracle_expr()} AS simhash
+        FROM h GROUP BY doc_id),
+banded AS (
+    SELECT doc_id, simhash, CAST(i AS INT) AS band,
+           (simhash >> ({dedup.SIMHAM_BAND_BITS} * i))
+             & {(1 << dedup.SIMHAM_BAND_BITS) - 1} AS bv
+    FROM sig, (SELECT unnest(range({dedup.SIMHAM_BANDS})) AS i)
+),
+capped AS (
+    SELECT * FROM banded
+    QUALIFY row_number() OVER (PARTITION BY band, bv ORDER BY doc_id)
+            <= {dedup.SIMHAM_BAND_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sig_a, b.simhash AS sig_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+),
+losers AS (
+    SELECT DISTINCT doc_b AS doc_id FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {dedup.SIMHAM_K}
+),
+flags AS (
+    SELECT CASE WHEN NOT d1.gopher_keep THEN 1
+                WHEN NOT cn.canonical THEN 2
+                WHEN l.doc_id IS NOT NULL THEN 3
+                WHEN d1.lang NOT IN ({lang_list}) THEN 4
+                ELSE 9 END AS fail_stage
+    FROM d1
+    LEFT JOIN canon cn USING (doc_id)
+    LEFT JOIN losers l USING (doc_id)
+),
+a AS (
+    SELECT CAST(count(*) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN fail_stage > 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+           CAST(sum(CASE WHEN fail_stage > 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+           CAST(sum(CASE WHEN fail_stage > 3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+           CAST(sum(CASE WHEN fail_stage > 4 THEN 1 ELSE 0 END) AS BIGINT) AS k4
+    FROM flags
+),
+wf AS (
+    SELECT 0 AS stage, 'intake' AS stage_name, n0 AS docs_in, n0 AS docs_kept FROM a
+    UNION ALL
+    SELECT 1, 'gopher_rules', n0, k1 FROM a
+    UNION ALL
+    SELECT 2, 'exact_dedup', k1, k2 FROM a
+    UNION ALL
+    SELECT 3, 'simhash_neardup', k2, k3 FROM a
+    UNION ALL
+    SELECT 4, 'lang_filter', k3, k4 FROM a
+)
+SELECT stage, stage_name, docs_in, docs_kept,
+       {scaled_round_sql("docs_kept::DOUBLE / docs_in::DOUBLE", 4)} AS keep_ratio
+FROM wf ORDER BY stage
+"""
+
+
+QP10_SQL = _qp10_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qp01_curation_report": QuerySpec(
         qp01_curation_report, QP01_SQL, "composed curation pipeline (capstone)"
@@ -1350,5 +1546,10 @@ QUERIES: dict[str, QuerySpec] = {
         qp09_intake_gate,
         QP09_SQL,
         "intake quality gate: Gopher ∧ entropy floor ∧ MAD screen (capstone 9)",
+    ),
+    "qp10_retention_waterfall": QuerySpec(
+        qp10_retention_waterfall,
+        QP10_SQL,
+        "sequential filter retention waterfall: gopher → exact → simhash → lang",
     ),
 }

@@ -1062,6 +1062,64 @@ ORDER BY purchase_id, error_id
 """
 
 
+# --- Q-S17: per-window heavy hitters (complete-mode state snapshot) ----------
+
+HH_TOP_K = 3
+
+
+def qs17_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K event types per tumbling 6 h window from a REAL stream: the
+    per-(window, type) counts live in the state store (complete mode —
+    the dashboard-feeding shape, where each micro-batch re-emits the
+    full standings) and the availableNow drain snapshots them; the top-K
+    pick runs batch-side on the |windows|·|types| snapshot with a
+    deterministic tiebreak (count desc, then event_type).
+
+    At scale the state is |windows|·|types| rows — bounded, not
+    corpus-sized — and the snapshot ranking is a window function over
+    that bounded frame; the heavy corpus work (counting) is map-side
+    partial aggregation inside the stream. Exact oracle: with all data
+    drained, complete-mode state equals the batch GROUP BY.
+    """
+    from pyspark.sql import Window
+
+    stream = read_events_stream(spark, _events_path(sf_dir))
+    counts = (
+        stream.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", transforms.TS_FMT).alias("w_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    snap = run_to_memory(counts, "complete")
+    w = Window.partitionBy("w_start").orderBy(F.desc("n_events"), "event_type")
+    return (
+        snap.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= HH_TOP_K)
+        .orderBy("w_start", "rnk")
+    )
+
+
+QS17_SQL = f"""
+WITH c AS (
+    SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S')
+               AS w_start,
+           event_type, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY w_start
+                                 ORDER BY n_events DESC, event_type) AS rnk
+    FROM c
+)
+SELECT w_start, event_type, CAST(n_events AS BIGINT) AS n_events,
+       CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= {HH_TOP_K} ORDER BY w_start, rnk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qs01_stream_ingest_counts": QuerySpec(
         qs01_stream_ingest_counts, QS01_SQL, "Q-S1 real streaming ingest (availableNow)"
@@ -1117,5 +1175,10 @@ QUERIES: dict[str, QuerySpec] = {
         qs16_stream_outer_join,
         QS16_SQL,
         "Q-S16 stream-stream LEFT OUTER interval join, watermark-evicted NULLs (real run)",
+    ),
+    "qs17_stream_heavy_hitters": QuerySpec(
+        qs17_stream_heavy_hitters,
+        QS17_SQL,
+        "Q-S17 per-window heavy hitters from complete-mode state (real run)",
     ),
 }

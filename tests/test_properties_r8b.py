@@ -172,3 +172,42 @@ def test_linear_attribution_hand_checked_split(spark):
     assert out["click"].attributed_credit == 0.6667
     assert out["view"].attributed_credit == 0.3333
     assert out["click"].n_purchases == 1
+
+
+def test_retention_waterfall_is_consistent(spark):
+    """Waterfall invariants on the real fixture: each stage's docs_in is
+    the previous stage's docs_kept, kept ≤ in everywhere, and the intake
+    row covers the whole corpus."""
+    from streamsurfer_spark.queries.pipeline_q import qp10_retention_waterfall
+
+    sf = __import__("tests.conftest", fromlist=["SF_DIR"]).SF_DIR
+    rows = qp10_retention_waterfall(spark, sf).collect()
+    assert [r.stage for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0].docs_in == rows[0].docs_kept  # intake keeps all
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.docs_in == prev.docs_kept, (prev, cur)
+        assert cur.docs_kept <= cur.docs_in, cur
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert rows[0].docs_in == n_docs
+
+
+def test_stream_heavy_hitters_bounded_and_ranked(spark):
+    """Per window: at most K rows, ranks 1..k dense, counts non-increasing
+    with rank (the tiebreak makes equal counts order by event_type)."""
+    from streamsurfer_spark.queries.streaming_q import (
+        HH_TOP_K,
+        qs17_stream_heavy_hitters,
+    )
+
+    sf = __import__("tests.conftest", fromlist=["SF_DIR"]).SF_DIR
+    rows = qs17_stream_heavy_hitters(spark, sf).collect()
+    by_w = {}
+    for r in rows:
+        by_w.setdefault(r.w_start, []).append(r)
+    assert by_w, "no windows produced"
+    for w_start, grp in by_w.items():
+        grp.sort(key=lambda r: r.rnk)
+        assert len(grp) <= HH_TOP_K
+        assert [r.rnk for r in grp] == list(range(1, len(grp) + 1))
+        counts = [r.n_events for r in grp]
+        assert counts == sorted(counts, reverse=True), (w_start, counts)
