@@ -198,8 +198,16 @@ def psi_drift(
             F.sum(F.expr("CASE WHEN half = 1 THEN 1 ELSE 0 END")).alias("c2"),
         )
     )
-    totals = binned.groupBy("grp").agg(
-        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    # group totals via a window over the ALREADY-AGGREGATED ≤|groups|·B
+    # frame, not a groupBy+join back: the join formulation references the
+    # binned subtree twice, and Spark re-executes it — the whole corpus
+    # aggregation ran twice in the executed plan (verified; the window
+    # form runs it once and only re-shuffles the tiny frame by grp)
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("grp")
+    binned = binned.withColumn("n1", F.sum("c1").over(wg)).withColumn(
+        "n2", F.sum("c2").over(wg)
     )
     b = bins
     # ln per FACTOR (not of the cross-products): ln((c1+1)(n2+B)) −
@@ -208,7 +216,7 @@ def psi_drift(
     # BIGINT (ANSI abort) once n² passes 2^63, i.e. ~3·10⁹-row groups.
     # Same for p−q: two divisions instead of a cross-product ratio. Each
     # step is one IEEE op on bit-identical inputs on both engines.
-    terms = binned.join(F.broadcast(totals), "grp").select(
+    terms = binned.select(
         "grp",
         "n1",
         "n2",

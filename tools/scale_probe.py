@@ -76,6 +76,19 @@ PROBES = (
     # value 10×/30× hotter — the SIMHAM_BAND_CAP must hold the candidate
     # join sub-quadratic exactly like the MinHash/cosine caps
     "ql60_simhash_hamming",
+    # r8-continuation additions: the waterfall capstone (per-signal corpus
+    # scans + the ql60 pair stage over survivors), the attribution range
+    # join (per-user bounded fan-out), the silhouette pass (must stay
+    # corpus-linear — the centroid frame is a one-row broadcast), and the
+    # PSI drift monitor (two grouped passes). ql61/qs17 are deliberately
+    # NOT probed: ql61 is map-only + a |labels|·|dims|-group aggregate
+    # (the ql56/ql59 no-seam class) and qs17's state is the bounded
+    # |windows|·|types| standings (micro-batch fixed costs dominate, the
+    # qs01 class).
+    "qp10_retention_waterfall",
+    "qt17_linear_attribution",
+    "ql62_label_silhouette",
+    "qt16_psi_drift",
 )
 
 # allow probing a subset: python tools/scale_probe.py [replicas] [name...]
