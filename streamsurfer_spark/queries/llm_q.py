@@ -3623,6 +3623,99 @@ FROM m GROUP BY 1 ORDER BY 1
 """
 
 
+# --- ql63: quality-threshold retention sweep ---------------------------------
+
+# exactly-representable halves: the tau literals cross the engines as
+# DECIMAL→DOUBLE casts, which double-round for general constants (the r6
+# finding) but are exact for x.0/x.5 — so the >= comparisons are on
+# bit-identical doubles by construction
+ENTROPY_TAUS = (2.0, 2.5, 3.0, 3.5, 4.0)
+
+
+def ql63_entropy_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention curve of the character-entropy quality gate: for each
+    candidate threshold τ, how many documents survive and what they look
+    like — the table a pipeline owner reads before PICKING the ql58/qp09
+    threshold, instead of guessing one. Docs with no entropy row (empty
+    text) fail every τ via the NULL coalesce.
+
+    Plan/scale: one entropy pass (ql58's bounded-explode shape), then a
+    |taus|-way map-only expansion and a |taus|-group aggregate — the
+    sweep costs |taus| extra rows per doc on the wire, nothing else.
+    """
+    docs = table(spark, sf_dir, "documents")
+    e = text_ops.char_entropy(docs).select("doc_id", "entropy_nats")
+    d = docs.select("doc_id", "n_chars").join(e, "doc_id", "left")
+    sw = d.select(
+        "n_chars",
+        "entropy_nats",
+        F.explode(F.array(*[F.lit(t) for t in ENTROPY_TAUS])).alias("tau"),
+    )
+    kept = F.coalesce(F.col("entropy_nats") >= F.col("tau"), F.lit(False))
+    n_kept = F.sum(F.col("kept").cast("long"))
+    return (
+        sw.select("tau", "n_chars", kept.alias("kept"))
+        .groupBy("tau")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            n_kept.cast("bigint").alias("n_kept"),
+            scaled_round(F.try_divide(n_kept, F.count("*")), 4).alias("keep_pct"),
+            scaled_round(
+                F.try_divide(
+                    F.sum(F.when(F.col("kept"), F.col("n_chars"))), n_kept
+                ),
+                2,
+            ).alias("mean_kept_chars"),
+        )
+        .orderBy("tau")
+    )
+
+
+_QL63_TAU_LIST = ", ".join(f"{t}::DOUBLE" for t in ENTROPY_TAUS)
+
+QL63_SQL = f"""
+WITH chars AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch
+    FROM documents WHERE length(text) > 0
+),
+cf AS (SELECT doc_id, ch, count(*) AS cf FROM chars GROUP BY 1, 2),
+per AS (
+    SELECT doc_id,
+           CAST(sum(cf) AS BIGINT) AS n_chars_counted,
+           CAST(sum(cf * CAST(round(ln(cf::DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS clnc_micro
+    FROM cf GROUP BY 1
+),
+e AS (
+    SELECT doc_id,
+           {scaled_round_sql(
+               "(CAST(round(ln(n_chars_counted::DOUBLE) * 1000000) AS BIGINT)"
+               " * n_chars_counted - clnc_micro)"
+               " / n_chars_counted::DOUBLE / 1000000.0"
+           )} AS entropy_nats
+    FROM per
+),
+sw AS (
+    SELECT d.n_chars, t.tau,
+           coalesce(e.entropy_nats >= t.tau, FALSE) AS kept
+    FROM documents d
+    LEFT JOIN e USING (doc_id)
+    CROSS JOIN (SELECT unnest([{_QL63_TAU_LIST}]) AS tau) t
+)
+SELECT tau,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       {scaled_round_sql(
+           "sum(CASE WHEN kept THEN 1 ELSE 0 END)::DOUBLE / count(*)", 4)}
+           AS keep_pct,
+       {scaled_round_sql(
+           "sum(CASE WHEN kept THEN n_chars END)::DOUBLE"
+           " / sum(CASE WHEN kept THEN 1 ELSE 0 END)", 2)}
+           AS mean_kept_chars
+FROM sw GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -3816,6 +3909,11 @@ QUERIES: dict[str, QuerySpec] = {
         ql62_label_silhouette,
         QL62_SQL,
         "simplified silhouette vs label centroids (exact-int distances)",
+    ),
+    "ql63_entropy_threshold_sweep": QuerySpec(
+        ql63_entropy_threshold_sweep,
+        QL63_SQL,
+        "retention curve over char-entropy quality thresholds",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,

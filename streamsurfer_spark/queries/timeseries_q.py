@@ -1181,6 +1181,157 @@ FROM m GROUP BY 1 ORDER BY 1
 """
 
 
+# --- qt18: CUSUM changepoint detection ----------------------------------------
+
+
+def qt18_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint over each event type's daily volume: the
+    day where |Σ_{i≤d}(x_i − mean)| peaks — the classic mean-shift
+    location estimator (the CUSUM-chart / Taylor changepoint form; the
+    cumulative deviation from the GLOBAL mean is extremal exactly at the
+    shift, unlike Page's sequential reset form, which accumulates until
+    the drift END).
+
+    Exactness: with x_d the integer daily count, scaling by the day
+    count D clears the mean's division: c_d = cum_d·D − d·T is an exact
+    BIGINT (T = Σx ≤ corpus rows; |c_d| ≤ T·D — BIGINT through ~10⁹
+    rows × 10⁴ days; the DECIMAL upgrade is mechanical if a corpus
+    outgrows it), so peak picking and the earliest-day tiebreak are
+    integer comparisons. Only the displayed peak divides (by D²: once
+    for the implicit mean, once for the per-day average deviation).
+
+    Plan/scale: one daily rollup (groupBy event_type, day — partial
+    aggregation collapses map-side), then windows over ≤|types|·|days|
+    rows sharing ONE (event_type, day) sort, then a 1-row-per-type pick.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("x"))
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("day")
+    run = wo.rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        daily.withColumn("d_idx", F.row_number().over(wo))
+        .withColumn("cum", F.sum("x").over(run))
+        .withColumn("total", F.sum("x").over(wt))
+        .withColumn("n_days", F.count("*").over(wt))
+        .withColumn(
+            "c", F.col("cum") * F.col("n_days") - F.col("d_idx") * F.col("total")
+        )
+        .withColumn("s", F.abs("c"))
+    )
+    pick = Window.partitionBy("event_type").orderBy(F.desc("s"), "day")
+    return (
+        c.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            scaled_round(
+                F.try_divide(F.col("s"), F.col("n_days") * F.col("n_days")), 2
+            ).alias("peak_cusum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QT18_SQL = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+c AS (
+    SELECT event_type, day, x,
+           row_number() OVER wo AS d_idx,
+           sum(x) OVER wrun AS cum,
+           sum(x) OVER wt AS total,
+           count(*) OVER wt AS n_days
+    FROM daily
+    WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+           wrun AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wt AS (PARTITION BY event_type)
+),
+cs AS (
+    SELECT *, abs(cum * n_days - d_idx * total) AS s FROM c
+),
+pick AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY s DESC, day) AS rn
+    FROM cs
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       strftime(day, '%Y-%m-%d') AS change_day,
+       {scaled_round_sql("s::DOUBLE / (n_days * n_days)::DOUBLE", 2)} AS peak_cusum
+FROM pick WHERE rn = 1 ORDER BY event_type
+"""
+
+
+# --- qt19: native batch session_window parity -----------------------------------
+
+QT19_GAP = "30 minutes"
+
+
+def qt19_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions via Spark's NATIVE session_window aggregate in
+    BATCH mode — the same semantics qt03 composes from lag/sum windows,
+    expressed through the engine's dedicated operator (and the same
+    session_window the streaming path uses in qs03/qs08, so batch and
+    stream sessions are provably one definition). Spark's boundary rule,
+    pinned by test_properties_r8b's planted-boundary test (which caught
+    the opposite assumption): an event at EXACTLY last + gap still
+    MERGES (adjacent [ts, ts+gap) ranges union); only a STRICTLY larger
+    gap starts a new session — the oracle mirrors that with `>`, the
+    same convention qt03's composed sessionizer uses.
+
+    Scale: session_window aggregates partition by user_id — one hash
+    exchange + per-partition sort-merge of overlapping windows; no
+    window-function pass at all.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", QT19_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), _sum6("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT).alias("session_start"),
+            F.date_format("w.end", TS_FMT).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+QT19_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+           AS session_end,
+       count(*) AS n_events,
+       {_duck_sum6("value")} AS sum_value
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qt01_asof_last_click": QuerySpec(
         qt01_asof_last_click, QT01_SQL, "as-of join (union-sort) vs native DuckDB ASOF"
@@ -1252,5 +1403,15 @@ QUERIES: dict[str, QuerySpec] = {
         qt17_linear_attribution,
         QT17_SQL,
         "linear multi-touch attribution over a 24h lookback (range join)",
+    ),
+    "qt18_cusum_changepoint": QuerySpec(
+        qt18_cusum_changepoint,
+        QT18_SQL,
+        "two-sided CUSUM volume changepoint (exact-int running windows)",
+    ),
+    "qt19_session_window_native": QuerySpec(
+        qt19_session_window_native,
+        QT19_SQL,
+        "Spark-native batch session_window vs gaps-and-islands oracle",
     ),
 }

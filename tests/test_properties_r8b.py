@@ -211,3 +211,79 @@ def test_stream_heavy_hitters_bounded_and_ranked(spark):
         assert [r.rnk for r in grp] == list(range(1, len(grp) + 1))
         counts = [r.n_events for r in grp]
         assert counts == sorted(counts, reverse=True), (w_start, counts)
+
+
+def test_entropy_sweep_monotone_retention(spark):
+    """Retention is non-increasing in τ, and every row's n_kept ≤ n_docs
+    with n_docs constant across thresholds."""
+    from streamsurfer_spark.queries.llm_q import ql63_entropy_threshold_sweep
+
+    sf = __import__("tests.conftest", fromlist=["SF_DIR"]).SF_DIR
+    rows = sorted(
+        ql63_entropy_threshold_sweep(spark, sf).collect(), key=lambda r: r.tau
+    )
+    assert len({r.n_docs for r in rows}) == 1
+    kept = [r.n_kept for r in rows]
+    assert kept == sorted(kept, reverse=True), kept
+    assert all(r.n_kept <= r.n_docs for r in rows)
+
+
+def test_cusum_changepoint_finds_planted_shift(spark):
+    """A volume series that quadruples after day 10 must peak |CUSUM|
+    exactly AT day 10 (the offline estimator is extremal at the shift);
+    a flat series has CUSUM identically zero."""
+    from streamsurfer_spark.queries.timeseries_q import qt18_cusum_changepoint
+    import streamsurfer_spark.queries.timeseries_q as tq
+
+    rows = []
+    eid = 0
+    for d in range(1, 21):
+        n = 2 if d <= 10 else 8  # shift after day 10
+        for i in range(n):
+            eid += 1
+            rows.append((eid, _ts(d, i), 1, "shifted", 1.0))
+    for d in range(1, 21):
+        for i in range(3):
+            eid += 1
+            rows.append((eid, _ts(d, i), 2, "flat", 1.0))
+    df = _events_df(spark, rows)
+    orig = tq.table
+    tq.table = lambda spark, sf_dir, name: df
+    try:
+        out = {r.event_type: r for r in qt18_cusum_changepoint(spark, "x").collect()}
+    finally:
+        tq.table = orig
+    assert out["shifted"].change_day == "2024-01-10", out["shifted"]
+    # |c_10| = |20*20 - 10*100| = 600; display divides by D² = 400
+    assert out["shifted"].peak_cusum == 1.5, out["shifted"]
+    assert out["flat"].peak_cusum == 0.0, out["flat"]
+
+
+def test_session_window_native_gap_boundary(spark):
+    """An event at EXACTLY prev + gap MERGES (adjacent [ts, ts+gap)
+    ranges union — this test originally asserted the opposite and caught
+    the oracle writing `>=`); one microsecond past the gap splits."""
+    from streamsurfer_spark.queries.timeseries_q import qt19_session_window_native
+    import streamsurfer_spark.queries.timeseries_q as tq
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1, "view", 0.0),
+        (2, base + datetime.timedelta(minutes=30), 1, "view", 0.0),  # AT gap: merges
+        (4, base, 2, "view", 0.0),
+        (5, base + datetime.timedelta(minutes=30, microseconds=1), 2, "view", 0.0),  # past gap: splits
+    ]
+    df = _events_df(spark, rows)
+    orig = tq.table
+    tq.table = lambda spark, sf_dir, name: df
+    try:
+        out = qt19_session_window_native(spark, "x").collect()
+    finally:
+        tq.table = orig
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert len(per_user[1]) == 1 and per_user[1][0].n_events == 2, per_user[1]
+    assert len(per_user[2]) == 2, per_user[2]
+    assert [r.n_events for r in per_user[2]] == [1, 1]
