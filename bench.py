@@ -105,6 +105,12 @@ BENCH_QUERIES = (
     "ql58_char_entropy",
     "ql60_simhash_hamming",
     "qp09_intake_gate",
+    # round-8 continuation: the waterfall capstone (per-signal corpus
+    # scans + the ql60 pair stage over survivors) and the silhouette
+    # pass (the per-row DECIMAL lambda is the cost driver to track —
+    # BASELINE.md r8-continuation rows)
+    "qp10_retention_waterfall",
+    "ql62_label_silhouette",
 )
 
 
