@@ -778,7 +778,9 @@ def matryoshka_energy(
     micro scale (tie-proof integer round on a single-division double);
     the per-group mean divides two exact integers once. Zero-norm
     vectors yield NULL micro (try_divide ≙ DuckDB's x/0→NULL) and drop
-    from the mean via count(micro).
+    from the mean via count(micro); NULL embeddings take the same NULL
+    route (aggregate over a NULL array is NULL) — excluded from both
+    numerator and count, never biasing the mean.
 
     Plan/scale: per-row codegen expressions + one |labels|·|dims|-group
     aggregate — map-side combine reduces the shuffle to a handful of
@@ -846,9 +848,15 @@ def label_silhouette(
     |labels| rows, collapse to a ONE-row broadcast frame of
     struct(label, n, sums[dim]), and every distance evaluates per-row
     via zip_with/aggregate lambdas; the only exchange after the centroid
-    pass is the |labels|-group final mean. A vector with a NULL/ragged
-    embedding fails loudly in the lambda (ANSI) rather than biasing the
-    centroid it belongs to.
+    pass is the |labels|-group final mean.
+
+    NULL embeddings are EXCLUDED CONSISTENTLY, not loud-failed: the
+    centroid pass drops them (posexplode of a NULL array emits nothing)
+    and the per-row pass NULLs them (zip_with over NULL is NULL → NULL
+    micro, outside count(micro)) — both passes see exactly the non-NULL
+    set, so nothing is biased. Contrast embedding_corr_pairs, which MUST
+    raise because its two passes would disagree on n. A ragged (short)
+    vector likewise nulls out via zip_with's NULL padding.
     """
     q = quantize(df, vec_col).select(
         id_col, F.col(label_col).alias("own"), "qv"

@@ -3716,6 +3716,156 @@ FROM sw GROUP BY 1 ORDER BY 1
 """
 
 
+# --- ql64: leakage-proof cluster-aware split ----------------------------------
+
+
+def ql64_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that CANNOT leak near-duplicates across
+    splits: documents are first clustered by the SimHash near-dup graph
+    (ql60's pairs → connected components, singletons stay themselves),
+    then the whole CLUSTER is hash-assigned via the ql29 split contract
+    — membership is a pure function of min(cluster), so backfills and
+    re-runs agree, and every near-dup pair lands on one side by
+    construction. This is the FIX for what ql44's leakage audit detects.
+
+    The report also quantifies the counterfactual: ``naive_leak_pairs``
+    is how many near-dup pairs a doc_id-hash split (ql29's rule applied
+    per document) would have straddled across splits — attributed to
+    doc_a's naive split. Zero on the cluster-aware assignment by
+    construction; the column shows what the operator buys.
+
+    Scale: ql60's capped banding topology + the O(log n)-round star
+    contraction (graph.py) + per-row hash assignment; the naive-leak
+    join keys on unique doc ids.
+    """
+    from streamsurfer_spark.operators.graph import connected_components
+    from streamsurfer_spark.operators.sampling import assign_split
+
+    docs = table(spark, sf_dir, "documents")
+    edges = dedup.simhash_hamming_pairs(docs).select("doc_a", "doc_b")
+    cc = connected_components(edges, src="doc_a", dst="doc_b", algorithm="star")
+    d = (
+        docs.select("doc_id")
+        .join(
+            cc.select(F.col("id").alias("doc_id"), "cluster_id"), "doc_id", "left"
+        )
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    d = assign_split(d, "cluster_id")
+    naive = assign_split(docs.select("doc_id"), "doc_id").withColumnRenamed(
+        "split", "naive_split"
+    )
+    leaks = (
+        edges.join(
+            naive.select(
+                F.col("doc_id").alias("doc_a"), F.col("naive_split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            naive.select(
+                F.col("doc_id").alias("doc_b"), F.col("naive_split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .groupBy(F.col("split_a").alias("split"))
+        .agg(F.count("*").alias("leak"))
+    )
+    agg = d.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+    )
+    return (
+        agg.join(leaks, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.coalesce("leak", F.lit(0)).cast("bigint").alias("naive_leak_pairs"),
+        )
+        .orderBy("split")
+    )
+
+
+def _ql64_sql() -> str:
+    split_case = (
+        f"CASE WHEN {DUCK_HASH.format(x='{k}::VARCHAR')} % 100 < 80 THEN 'train' "
+        f"WHEN {DUCK_HASH.format(x='{k}::VARCHAR')} % 100 < 90 THEN 'val' "
+        f"ELSE 'test' END"
+    )
+    return f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+h AS (SELECT doc_id, {DUCK_HASH.format(x="token")} AS h FROM toks),
+sig AS (SELECT doc_id, {dedup.simhash_oracle_expr()} AS simhash
+        FROM h GROUP BY doc_id),
+banded AS (
+    SELECT doc_id, simhash, CAST(i AS INT) AS band,
+           (simhash >> ({dedup.SIMHAM_BAND_BITS} * i))
+             & {(1 << dedup.SIMHAM_BAND_BITS) - 1} AS bv
+    FROM sig, (SELECT unnest(range({dedup.SIMHAM_BANDS})) AS i)
+),
+capped AS (
+    SELECT * FROM banded
+    QUALIFY row_number() OVER (PARTITION BY band, bv ORDER BY doc_id)
+            <= {dedup.SIMHAM_BAND_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sig_a, b.simhash AS sig_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a, doc_b FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {dedup.SIMHAM_K}
+),
+sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM edges
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM edges
+),
+reach(id, r) AS (
+    SELECT DISTINCT a AS id, a AS r FROM sym
+    UNION
+    SELECT sym.a AS id, reach.r FROM sym JOIN reach ON sym.b = reach.id
+),
+cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+d AS (
+    SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cc USING (doc_id)
+),
+assigned AS (
+    SELECT doc_id, cluster_id, {split_case.format(k="cluster_id")} AS split
+    FROM d
+),
+naive AS (
+    SELECT doc_id, {split_case.format(k="doc_id")} AS nsplit FROM documents
+),
+leaks AS (
+    SELECT na.nsplit AS split, CAST(count(*) AS BIGINT) AS leak
+    FROM edges e
+    JOIN naive na ON na.doc_id = e.doc_a
+    JOIN naive nb ON nb.doc_id = e.doc_b
+    WHERE na.nsplit <> nb.nsplit
+    GROUP BY 1
+),
+agg AS (
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM assigned GROUP BY 1
+)
+SELECT split, n_docs, n_clusters,
+       coalesce(l.leak, 0) AS naive_leak_pairs
+FROM agg LEFT JOIN leaks l USING (split)
+ORDER BY split
+"""
+
+
+QL64_SQL = _ql64_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -3914,6 +4064,11 @@ QUERIES: dict[str, QuerySpec] = {
         ql63_entropy_threshold_sweep,
         QL63_SQL,
         "retention curve over char-entropy quality thresholds",
+    ),
+    "ql64_cluster_aware_split": QuerySpec(
+        ql64_cluster_aware_split,
+        QL64_SQL,
+        "leakage-proof split: near-dup clusters hash-assigned whole",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,

@@ -1357,10 +1357,12 @@ def qp10_retention_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(losers, "doc_id", "left")
         .select(
             F.expr(
+                # lang IS NULL drops at stage 4 too: an allowlist that
+                # lets un-identified languages through is not a filter
                 "CASE WHEN NOT gopher_keep THEN 1 "
                 "WHEN NOT canonical THEN 2 "
                 "WHEN neardup_loser THEN 3 "
-                f"WHEN lang NOT IN ({lang_list}) THEN 4 "
+                f"WHEN lang IS NULL OR lang NOT IN ({lang_list}) THEN 4 "
                 "ELSE 9 END"
             ).alias("fail_stage")
         )
@@ -1466,7 +1468,7 @@ flags AS (
     SELECT CASE WHEN NOT d1.gopher_keep THEN 1
                 WHEN NOT cn.canonical THEN 2
                 WHEN l.doc_id IS NOT NULL THEN 3
-                WHEN d1.lang NOT IN ({lang_list}) THEN 4
+                WHEN d1.lang IS NULL OR d1.lang NOT IN ({lang_list}) THEN 4
                 ELSE 9 END AS fail_stage
     FROM d1
     LEFT JOIN canon cn USING (doc_id)

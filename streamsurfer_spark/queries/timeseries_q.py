@@ -1332,6 +1332,72 @@ ORDER BY user_id, session_start
 """
 
 
+# --- qt20: rolling distinct actives (DAU / WAU / MAU) --------------------------
+
+QT20_MAU_DAYS = 28
+
+
+def qt20_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct-user actives per day: DAU, 7-day WAU, 28-day MAU
+    — the engagement triple every product pipeline charts. Rolling
+    DISTINCT counts have no window-function form (count(DISTINCT) OVER a
+    frame is unsupported on both engines), so the operator fans each
+    (user, active-day) pair out to the ≤28 grid days it serves (a
+    map-only explode) and takes three conditional distinct counts per
+    grid day — the standard shuffle-once formulation.
+
+    Exactness: pure integer dates and counts, no floats anywhere.
+    Scale: |user-days|·28 rows into one grouped distinct-aggregate
+    (Spark plans a single Expand for the three DISTINCT branches);
+    partial distinct aggregation collapses duplicates map-side. Grid
+    days are clamped to the observed max via a one-row broadcast —
+    no driver collect.
+    """
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    ext = ev.agg(F.max(F.to_date("ts")).alias("max_day"))
+    fan = (
+        ud.select(
+            "user_id",
+            "day",
+            F.explode(F.expr(f"sequence(0, {QT20_MAU_DAYS - 1})")).alias("off"),
+        )
+        .select("user_id", F.expr("date_add(day, off)").alias("g_day"), "off")
+        .crossJoin(F.broadcast(ext))
+        .where(F.col("g_day") <= F.col("max_day"))
+    )
+    return (
+        fan.groupBy("g_day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("off") == 0, F.col("user_id"))
+            ).cast("bigint").alias("dau"),
+            F.countDistinct(
+                F.when(F.col("off") <= 6, F.col("user_id"))
+            ).cast("bigint").alias("wau7"),
+            F.countDistinct("user_id").cast("bigint").alias("mau28"),
+        )
+        .select(F.date_format("g_day", "yyyy-MM-dd").alias("day"), "dau", "wau7", "mau28")
+        .orderBy("day")
+    )
+
+
+QT20_SQL = f"""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+ext AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+fan AS (
+    SELECT user_id, day + CAST(o AS INT) AS g_day, o
+    FROM ud, (SELECT unnest(range({QT20_MAU_DAYS})) AS o)
+),
+b AS (SELECT f.* FROM fan f, ext WHERE f.g_day <= ext.max_day)
+SELECT strftime(g_day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT CASE WHEN o = 0 THEN user_id END) AS BIGINT) AS dau,
+       CAST(count(DISTINCT CASE WHEN o <= 6 THEN user_id END) AS BIGINT) AS wau7,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS mau28
+FROM b GROUP BY g_day ORDER BY day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qt01_asof_last_click": QuerySpec(
         qt01_asof_last_click, QT01_SQL, "as-of join (union-sort) vs native DuckDB ASOF"
@@ -1413,5 +1479,10 @@ QUERIES: dict[str, QuerySpec] = {
         qt19_session_window_native,
         QT19_SQL,
         "Spark-native batch session_window vs gaps-and-islands oracle",
+    ),
+    "qt20_rolling_actives": QuerySpec(
+        qt20_rolling_actives,
+        QT20_SQL,
+        "rolling DAU/WAU/MAU distinct actives (fan-out distinct aggregate)",
     ),
 }

@@ -287,3 +287,71 @@ def test_session_window_native_gap_boundary(spark):
     assert len(per_user[1]) == 1 and per_user[1][0].n_events == 2, per_user[1]
     assert len(per_user[2]) == 2, per_user[2]
     assert [r.n_events for r in per_user[2]] == [1, 1]
+
+
+def test_cluster_aware_split_eliminates_leakage(spark):
+    """Every near-dup pair lands in ONE split under the cluster-aware
+    assignment (structural: split is a function of the shared cluster),
+    while the naive doc-hash split leaks at least one pair on the real
+    fixture — the column that shows what the operator buys."""
+    from streamsurfer_spark.operators import dedup
+    from streamsurfer_spark.operators.graph import connected_components
+    from streamsurfer_spark.operators.sampling import assign_split
+    from streamsurfer_spark.queries.llm_q import ql64_cluster_aware_split
+    import pyspark.sql.functions as F
+    from streamsurfer_spark.session import table
+
+    sf = __import__("tests.conftest", fromlist=["SF_DIR"]).SF_DIR
+    rows = ql64_cluster_aware_split(spark, sf).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert sum(r.naive_leak_pairs for r in rows) > 0, (
+        "fixture has near-dup pairs; the naive split should leak some"
+    )
+    # structural zero-leak check on the cluster-aware side
+    docs = table(spark, sf, "documents")
+    edges = dedup.simhash_hamming_pairs(docs).select("doc_a", "doc_b")
+    cc = connected_components(edges, src="doc_a", dst="doc_b", algorithm="star")
+    d = (
+        docs.select("doc_id")
+        .join(cc.select(F.col("id").alias("doc_id"), "cluster_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    d = assign_split(d, "cluster_id").select("doc_id", "split")
+    crossed = (
+        edges.join(d.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa"), "doc_a")
+        .join(d.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb"), "doc_b")
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert crossed == 0
+
+
+def test_rolling_actives_nesting_and_hand_case(spark):
+    """dau ≤ wau7 ≤ mau28 on every day; a hand-built two-user case
+    produces the expected window memberships."""
+    from streamsurfer_spark.queries.timeseries_q import qt20_rolling_actives
+    import streamsurfer_spark.queries.timeseries_q as tq
+
+    sf = __import__("tests.conftest", fromlist=["SF_DIR"]).SF_DIR
+    rows = qt20_rolling_actives(spark, sf).collect()
+    assert rows, "no days"
+    for r in rows:
+        assert r.dau <= r.wau7 <= r.mau28, r
+
+    # hand case: u1 active day 1 only; u2 active day 9 only
+    hand = [
+        (1, _ts(1), 1, "view", 0.0),
+        (2, _ts(9), 2, "view", 0.0),
+    ]
+    df = _events_df(spark, hand)
+    orig = tq.table
+    tq.table = lambda spark, sf_dir, name: df
+    try:
+        out = {r.day: r for r in qt20_rolling_actives(spark, "x").collect()}
+    finally:
+        tq.table = orig
+    assert out["2024-01-01"].dau == 1 and out["2024-01-01"].mau28 == 1
+    assert out["2024-01-07"].dau == 0 and out["2024-01-07"].wau7 == 1  # u1 day7 in 7-window
+    assert out["2024-01-08"].wau7 == 0 and out["2024-01-08"].mau28 == 1
+    assert out["2024-01-09"].dau == 1 and out["2024-01-09"].wau7 == 1
+    assert out["2024-01-09"].mau28 == 2  # both users within 28 days
