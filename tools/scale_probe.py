@@ -89,6 +89,12 @@ PROBES = (
     "qt17_linear_attribution",
     "ql62_label_silhouette",
     "qt16_psi_drift",
+    # the cluster-aware split (ql60 pairs + star-contraction CC + hash
+    # assignment — CC over a denser replicated near-dup graph is the
+    # thing to watch) and the rolling-actives fan-out (28× map-side rows
+    # into a 3-way distinct Expand)
+    "ql64_cluster_aware_split",
+    "qt20_rolling_actives",
 )
 
 # allow probing a subset: python tools/scale_probe.py [replicas] [name...]
