@@ -3742,7 +3742,17 @@ def ql64_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamsurfer_spark.operators.sampling import assign_split
 
     docs = table(spark, sf_dir, "documents")
-    edges = dedup.simhash_hamming_pairs(docs).select("doc_a", "doc_b")
+    # lazy localCheckpoint (the ql57 pattern): the edge frame feeds BOTH
+    # the CC fixpoint and the naive-leak join — without it the whole
+    # simhash pipeline (tokenize → 48 counters → band self-join)
+    # re-executes for the second consumer (A/B warm loops at sf0.1:
+    # 8.7-10.4 s without the checkpoint vs 6.3-7.3 s with it). Lazy, so
+    # building the frame runs no job.
+    edges = (
+        dedup.simhash_hamming_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     cc = connected_components(edges, src="doc_a", dst="doc_b", algorithm="star")
     d = (
         docs.select("doc_id")
