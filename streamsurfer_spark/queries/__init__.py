@@ -56,11 +56,12 @@ class QuerySpec:
 #     qs01/qs02/qs11/qs12, qt10/qt11/qt13) are the r9 rotation head. Every entry regardless
 #     of window is covered by the standing full-registry sim
 #     (tools/driver_sim.py → DRIVER_SIM_r8.txt, ALL PASS).
-# (0, continuation session) 11 brand-new entries (ql61-ql64,
-#     qt16-qt20, qp10, qs17) took the window head — zero gate evidence beats
+# (0, continuation session) 12 brand-new entries (ql61-ql64,
+#     qt16-qt20, qp10, qs17, qs18) took the window head, plus qs03/qs08
+#     whose ORACLE strings changed (session-gap boundary >= -> >) — zero gate evidence beats
 #     re-proving; each is differentially hash-proven at sf0.001+sf0.01
 #     AND through targeted vanilla-session driver sims this session.
-#     They displaced the 11 prefix-tail rows (see the boundary comment
+#     They displaced the prefix-tail rows (see the boundary comment
 #     below), which now lead the r9 head.
 _VERIFY_FIRST = (
     # (0) new in the r8 continuation session — zero gate evidence beats
@@ -78,6 +79,9 @@ _VERIFY_FIRST = (
     "qt19_session_window_native", # NEW: batch session_window parity
     "ql64_cluster_aware_split",  # NEW: leakage-proof cluster-aware split
     "qt20_rolling_actives",      # NEW: rolling DAU/WAU/MAU distinct actives
+    "qs18_stream_psi_monitor",   # NEW: streaming PSI drift monitor
+    "qs03_session_window",       # oracle boundary rule fixed (>= -> >)
+    "qs08_stream_sessions",      # oracle boundary rule fixed (>= -> >)
     # (1) new in r8 + r8-changed plans
     "qt15_scd2_user_state",      # NEW: SCD2 history build
     "ql56_weighted_sample",      # NEW: A-ES weighted sampling
@@ -123,19 +127,21 @@ _VERIFY_FIRST = (
     "qr50_expectations_orders",
     "qr51_grouping_sets",
     "qr52_variant_props",
+    # --- window boundary: 14 continuation + 18 + 18 = exactly 50 ---
+    # The continuation entries (12 new + the 2 boundary-rule-fixed
+    # session oracles, which moved UP into the head since their oracle
+    # strings changed this session) displaced the tail of the old prefix
+    # (qr54/qr55/qr56/qr57/qr58/qr60/qs04/qs09/qs10/qt03/qt08 from the
+    # r3 band, ql38/qp03 from the r4 fill) — those lead the r9 head
+    # below, ahead of ql60/qp09. qs08 was already window-bound via the
+    # r3 band; its slot moved to the head with the oracle change.
     "qr54_top_supplier",
     "qr55_empty_result",
     "qr56_inventory_drawdown",
-    # --- window boundary: 11 + 18 + 21 = exactly 50 ---
-    # The 11 continuation-session entries displaced the tail of the old
-    # prefix (qr57/qr58/qr60/qs04/qs08/qs09/qs10/qt03/qt08 from the r3
-    # band, ql38/qp03 from the r4 fill) — those now lead the r9 head
-    # below, ahead of ql60/qp09.
     "qr57_try_arithmetic",
     "qr58_collated_grouping",
     "qr60_priority_lateness",
     "qs04_watermarked_append",
-    "qs08_stream_sessions",
     "qs09_chained_windows",
     "qs10_interval_join",
     "qt03_sessionize",

@@ -142,14 +142,17 @@ def qs03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transforms.session_counts(ev).orderBy("user_id", "session_start")
 
 
-# Gaps-and-islands twin of session_window: a gap >= the session gap starts a
-# new island (Spark sessions are half-open [start, last+gap), so an event at
-# exactly last+gap begins a new session — hence >=, not >).
+# Gaps-and-islands twin of session_window: only a gap STRICTLY GREATER than
+# the session gap starts a new island. Spark MERGES an event at exactly
+# last+gap (adjacent half-open [ts, ts+gap) ranges union — verified by the
+# planted-boundary test in tests/test_properties_r8b.py, which caught this
+# oracle asserting >= ; the µs-grain fixture can never hit the boundary, so
+# only a planted case could).
 QS03_SQL = """
 WITH o AS (
     SELECT user_id, ts, value, event_id,
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                     >= INTERVAL '4 hours'
+                     > INTERVAL '4 hours'
                 THEN 1 ELSE 0 END AS new_s
     FROM events
 ),
@@ -310,8 +313,9 @@ QS08_SQL = """
 WITH m AS (SELECT max(ts) - INTERVAL '1 day' AS wm FROM events),
 o AS (
     SELECT user_id, ts, value, event_id,
+           -- strictly greater: exactly-at-gap MERGES (see QS03's note)
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                     >= INTERVAL '4 hours'
+                     > INTERVAL '4 hours'
                 THEN 1 ELSE 0 END AS new_s
     FROM events
 ),
@@ -1120,6 +1124,219 @@ FROM r WHERE rnk <= {HH_TOP_K} ORDER BY w_start, rnk
 """
 
 
+# --- Q-S18: streaming PSI drift monitor --------------------------------------
+
+PSI_MON_BINS = 10
+
+
+def qs18_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: every tumbling 1-day window of the event
+    stream is scored with PSI against a STATIC reference distribution
+    (the first half of the batch table — yesterday's accepted baseline),
+    per event type. The production shape for "alert when today's value
+    distribution shifts": the stream does only the heavy, corpus-sized
+    work (per-(window, type, bin) counting, map-side combined, with the
+    per-type bin edges broadcast-joined in as a static dim); PSI is then
+    computed batch-side on the drained snapshot — a bounded
+    |windows|·|types|·B frame — with qt16's exact discipline (Laplace
+    smoothing, per-factor ln in micro-nats, BIGINT folds, zero bins
+    densified so the smoothing mass is counted).
+
+    Scale: the stream aggregation's state is |windows|·|types|·B rows;
+    the bin-edge dim is |types| rows (broadcast); nothing corpus-sized
+    survives the drain.
+    """
+    from pyspark.sql import Window
+
+    from streamsurfer_spark.session import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    b = PSI_MON_BINS
+    cents = F.round(F.col("value").cast("double") * 100).cast("bigint")
+    base = ev.select(
+        F.col("event_type").alias("grp"), cents.alias("cents"), F.col("ts").alias("t")
+    )
+    ext = base.groupBy("grp").agg(
+        F.min("t").alias("t_min"),
+        F.max("t").alias("t_max"),
+        F.min("cents").alias("cmin"),
+        F.max("cents").alias("cmax"),
+    )
+    binned = base.join(F.broadcast(ext), "grp").select(
+        "grp",
+        F.expr(
+            "CASE WHEN timestampdiff(MICROSECOND, t_min, t)"
+            " <= timestampdiff(MICROSECOND, t_min, t_max) div 2"
+            " THEN 0 ELSE 1 END"
+        ).alias("half"),
+        F.expr(f"((cents - cmin) * {b}) div (cmax - cmin + 1)").alias("bin"),
+    )
+    ref = (
+        binned.where("half = 0")
+        .groupBy("grp", "bin")
+        .agg(F.count("*").alias("c_ref"))
+    )
+
+    stream = read_events_stream(spark, _events_path(sf_dir))
+    scents = F.round(F.col("value").cast("double") * 100).cast("bigint")
+    sbinned = (
+        stream.select("ts", F.col("event_type").alias("grp"), scents.alias("cents"))
+        .join(F.broadcast(ext.select("grp", "cmin", "cmax")), "grp")
+        .select(
+            "ts",
+            "grp",
+            F.expr(f"((cents - cmin) * {b}) div (cmax - cmin + 1)").alias("bin"),
+        )
+    )
+    counts = sbinned.groupBy(
+        F.window("ts", "1 day").alias("w"), "grp", "bin"
+    ).agg(F.count("*").alias("c_win"))
+    snap = run_to_memory(
+        counts.select(
+            F.date_format("w.start", transforms.TS_FMT).alias("w_start"),
+            "grp",
+            "bin",
+            "c_win",
+        ),
+        "complete",
+    )
+    # densify to all B bins per (window, grp) so zero bins contribute
+    # their smoothed mass on BOTH sides. The axis frame derives from the
+    # snapshot itself, so its columns are RENAMED before the join back
+    # (a same-view self-join otherwise hits Spark's conflicting-
+    # references resolution error).
+    axes = (
+        snap.select(F.col("w_start").alias("xw"), F.col("grp").alias("xg"))
+        .distinct()
+        .crossJoin(
+            spark.range(b).select(F.col("id").cast("bigint").alias("xbin"))
+        )
+    )
+    dense = (
+        axes.join(
+            snap,
+            (F.col("xw") == F.col("w_start"))
+            & (F.col("xg") == F.col("grp"))
+            & (F.col("xbin") == F.col("bin")),
+            "left",
+        )
+        .select(
+            F.col("xw").alias("w_start"),
+            F.col("xg").alias("grp"),
+            F.col("xbin").alias("bin"),
+            F.coalesce("c_win", F.lit(0)).alias("c2"),
+        )
+        .join(F.broadcast(ref), ["grp", "bin"], "left")
+        .select(
+            "w_start",
+            "grp",
+            "bin",
+            "c2",
+            F.coalesce("c_ref", F.lit(0)).alias("c1"),
+        )
+    )
+    wt = Window.partitionBy("w_start", "grp")
+    dense = dense.withColumn("n1", F.sum("c1").over(wt)).withColumn(
+        "n2", F.sum("c2").over(wt)
+    )
+    terms = dense.select(
+        "w_start",
+        "grp",
+        "n1",
+        "n2",
+        F.expr(
+            f"cast(round((ln(cast(c1 + 1 as double)) + ln(cast(n2 + {b} as double))"
+            f" - ln(cast(c2 + 1 as double)) - ln(cast(n1 + {b} as double)))"
+            f" * 1000000) as bigint)"
+        ).alias("lr_micro"),
+        F.expr(
+            f"cast(c1 + 1 as double) / cast(n1 + {b} as double)"
+            f" - cast(c2 + 1 as double) / cast(n2 + {b} as double)"
+        ).alias("pq_diff"),
+    )
+    return (
+        terms.select(
+            "w_start",
+            "grp",
+            "n1",
+            "n2",
+            F.expr("cast(round(pq_diff * lr_micro) as bigint)").alias("term_micro"),
+        )
+        .groupBy("w_start", F.col("grp").alias("event_type"))
+        .agg(
+            F.max("n1").cast("bigint").alias("n_ref"),
+            F.max("n2").cast("bigint").alias("n_window"),
+            F.expr(
+                "cast(round(cast(sum(term_micro) as double) / 100) as bigint)"
+                " / 10000.0D"
+            ).alias("psi"),
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+QS18_SQL = f"""
+WITH base AS (
+    SELECT event_type AS grp,
+           CAST(round(value::DOUBLE * 100) AS BIGINT) AS cents, ts
+    FROM events
+),
+ext AS (
+    SELECT grp, min(ts) ts_min, max(ts) ts_max,
+           min(cents) cmin, max(cents) cmax
+    FROM base GROUP BY 1
+),
+binned AS (
+    SELECT b.grp, b.ts,
+           CASE WHEN date_diff('microsecond', ts_min, ts)
+                     <= date_diff('microsecond', ts_min, ts_max) // 2
+                THEN 0 ELSE 1 END AS half,
+           ((cents - cmin) * {PSI_MON_BINS}) // (cmax - cmin + 1) AS bin
+    FROM base b JOIN ext USING (grp)
+),
+ref AS (
+    SELECT grp, bin, CAST(count(*) AS BIGINT) AS c_ref
+    FROM binned WHERE half = 0 GROUP BY 1, 2
+),
+wcnt AS (
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S')
+               AS w_start,
+           grp, bin, CAST(count(*) AS BIGINT) AS c_win
+    FROM binned GROUP BY 1, 2, 3
+),
+axes AS (
+    SELECT DISTINCT w_start, grp FROM wcnt
+),
+dense AS (
+    SELECT a.w_start, a.grp, bb.bin,
+           coalesce(w.c_win, 0) AS c2, coalesce(r.c_ref, 0) AS c1
+    FROM axes a
+    CROSS JOIN (SELECT unnest(range({PSI_MON_BINS})) AS bin) bb
+    LEFT JOIN wcnt w ON w.w_start = a.w_start AND w.grp = a.grp AND w.bin = bb.bin
+    LEFT JOIN ref r ON r.grp = a.grp AND r.bin = bb.bin
+),
+tot AS (
+    SELECT *, sum(c1) OVER wt AS n1, sum(c2) OVER wt AS n2
+    FROM dense
+    WINDOW wt AS (PARTITION BY w_start, grp)
+),
+terms AS (
+    SELECT w_start, grp, n1, n2,
+           CAST(round((ln((c1 + 1)::DOUBLE) + ln((n2 + {PSI_MON_BINS})::DOUBLE)
+                     - ln((c2 + 1)::DOUBLE) - ln((n1 + {PSI_MON_BINS})::DOUBLE))
+                      * 1000000) AS BIGINT) AS lr_micro,
+           (c1 + 1)::DOUBLE / (n1 + {PSI_MON_BINS})::DOUBLE
+             - (c2 + 1)::DOUBLE / (n2 + {PSI_MON_BINS})::DOUBLE AS pq_diff
+    FROM tot
+)
+SELECT w_start, grp AS event_type,
+       CAST(max(n1) AS BIGINT) AS n_ref, CAST(max(n2) AS BIGINT) AS n_window,
+       CAST(round(sum(CAST(round(pq_diff * lr_micro) AS BIGINT))::DOUBLE / 100)
+            AS BIGINT) / 10000.0 AS psi
+FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qs01_stream_ingest_counts": QuerySpec(
         qs01_stream_ingest_counts, QS01_SQL, "Q-S1 real streaming ingest (availableNow)"
@@ -1180,5 +1397,10 @@ QUERIES: dict[str, QuerySpec] = {
         qs17_stream_heavy_hitters,
         QS17_SQL,
         "Q-S17 per-window heavy hitters from complete-mode state (real run)",
+    ),
+    "qs18_stream_psi_monitor": QuerySpec(
+        qs18_stream_psi_monitor,
+        QS18_SQL,
+        "Q-S18 streaming PSI drift monitor vs static reference (real run)",
     ),
 }

@@ -355,3 +355,46 @@ def test_rolling_actives_nesting_and_hand_case(spark):
     assert out["2024-01-08"].wau7 == 0 and out["2024-01-08"].mau28 == 1
     assert out["2024-01-09"].dau == 1 and out["2024-01-09"].wau7 == 1
     assert out["2024-01-09"].mau28 == 2  # both users within 28 days
+
+
+def test_qs03_oracle_agrees_at_exact_gap_boundary(spark):
+    """Differential at the session-gap boundary the µs-grain fixture can
+    never reach: an event at EXACTLY last+4h must MERGE on both engines.
+    This planted fixture is what caught QS03/QS08's oracles asserting
+    `>=` (split) while Spark's session_window merges."""
+    import duckdb
+
+    from streamsurfer_spark.queries.streaming_q import QS03_SQL
+    from streamsurfer_spark.streaming.transforms import session_counts
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "view", 1.0),
+        (2, base + datetime.timedelta(hours=4), 1, "view", 2.0),  # AT gap: merges
+        (3, base, 2, "view", 1.0),
+        (4, base + datetime.timedelta(hours=4, microseconds=1), 2, "view", 2.0),
+    ]
+    df = _events_df(spark, rows)
+    got = sorted(
+        tuple(r)
+        for r in session_counts(df)
+        .orderBy("user_id", "session_start")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?, ?, ?)",
+        [(i, t, u, e, v) for i, t, u, e, v in rows],
+    )
+    want = sorted(tuple(r) for r in con.sql(QS03_SQL).fetchall())
+    con.close()
+    assert got == want, (got, want)
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r[0], []).append(r)
+    assert len(by_user[1]) == 1 and by_user[1][0][2] == 2  # merged
+    assert len(by_user[2]) == 2  # split one µs past the gap
