@@ -398,3 +398,64 @@ def test_qs03_oracle_agrees_at_exact_gap_boundary(spark):
         by_user.setdefault(r[0], []).append(r)
     assert len(by_user[1]) == 1 and by_user[1][0][2] == 2  # merged
     assert len(by_user[2]) == 2  # split one µs past the gap
+
+
+def _stream_dir(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    p = tmp_path / "events.parquet"
+    pq.write_table(tbl, str(p))
+    return str(p)
+
+
+def test_watermark_finalization_emits_at_exact_boundary(spark, tmp_path):
+    """Append-mode finalization when watermark == window/session END
+    exactly: Spark EMITS, matching the oracles' `end <= wm` convention
+    (QS04/QS08). Same latent-boundary class as the session-gap rule the
+    qt19 test caught — pinned here so a Spark-side semantics change
+    (or an oracle edit to `<`) fails loudly instead of silently."""
+    import datetime
+
+    from streamsurfer_spark.streaming.ingest import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from streamsurfer_spark.streaming.transforms import (
+        watermarked_sessions,
+        watermarked_tumbling,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # tumbling: window [00:00, 06:00); max ts puts wm at 06:00 EXACTLY
+    rows = [
+        (1, base + datetime.timedelta(hours=1), 1, "view", 1.0),
+        (2, base + datetime.timedelta(days=1, hours=6), 1, "view", 1.0),
+    ]
+    stream = read_events_stream(spark, _stream_dir_mk(tmp_path, "a", rows))
+    out = run_to_memory(watermarked_tumbling(stream), "append").collect()
+    assert [r.w_start for r in out] == ["2024-01-01 00:00:00"]
+
+    # sessions: one event at 00:00 → session end 04:00; wm == 04:00 exactly
+    rows = [
+        (1, base, 1, "view", 1.0),
+        (2, base + datetime.timedelta(days=1, hours=4), 9, "view", 1.0),
+    ]
+    stream = read_events_stream(spark, _stream_dir_mk(tmp_path, "b", rows))
+    out = run_to_memory(watermarked_sessions(stream), "append").collect()
+    assert [(r.user_id, r.session_start) for r in out] == [(1, "2024-01-01 00:00:00")]
+
+
+def _stream_dir_mk(tmp_path, sub, rows):
+    d = tmp_path / sub
+    d.mkdir(parents=True, exist_ok=True)
+    return _stream_dir(d, rows)
