@@ -3876,6 +3876,102 @@ ORDER BY split
 QL64_SQL = _ql64_sql()
 
 
+# --- ql65: cross-source containment matrix ------------------------------------
+
+
+def ql65_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-containment between SOURCES — the corpus-forensics
+    matrix that answers "which feeds copy from each other" before any
+    per-document dedup runs (mirror detection, syndication, scraper
+    overlap). For each source pair: distinct-shingle set sizes, common
+    shingles, and containment = |A∩B| / min(|A|,|B|).
+
+    Scale: the (source, shingle) distinct level carries ≤ |sources| rows
+    per shingle, so unlike the document-pair families the shingle
+    self-join needs NO df cap — per-key fan-out is bounded by |sources|²
+    (≤ 190 pairs at 20 sources) regardless of corpus size, and the join
+    key is the uniform 61-bit hashed shingle. Two hash exchanges total.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = dedup.hashed_shingle_set(docs)
+    src = (
+        sh.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = src.groupBy("source").agg(F.count("*").cast("bigint").alias("n_sh"))
+    a, bq = src.alias("a"), src.alias("b")
+    pairs = (
+        a.join(
+            bq,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_sh").alias("shingles_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_sh").alias("shingles_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shingles_a",
+            "shingles_b",
+            "n_common",
+            scaled_round(
+                F.try_divide(
+                    F.col("n_common"), F.least("shingles_a", "shingles_b")
+                )
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+QL65_SQL = f"""
+WITH ss AS (
+    SELECT DISTINCT d.source, s.shingle
+    FROM {duck_hashed_shingle_set("documents")} s
+    JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM ss GROUP BY 1),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       sa.n_sh AS shingles_a, sb.n_sh AS shingles_b, n_common,
+       {scaled_round_sql("n_common::DOUBLE / least(sa.n_sh, sb.n_sh)::DOUBLE")}
+           AS containment
+FROM pairs
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -4079,6 +4175,11 @@ QUERIES: dict[str, QuerySpec] = {
         ql64_cluster_aware_split,
         QL64_SQL,
         "leakage-proof split: near-dup clusters hash-assigned whole",
+    ),
+    "ql65_source_overlap_matrix": QuerySpec(
+        ql65_source_overlap_matrix,
+        QL65_SQL,
+        "cross-source shingle-containment matrix (mirror/syndication forensics)",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,

@@ -1398,6 +1398,70 @@ FROM b GROUP BY g_day ORDER BY day
 """
 
 
+# --- qt21: rolling discrete median ---------------------------------------------
+
+QT21_FRAME_DAYS = 7
+
+
+def qt21_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row discrete median of each event type's daily cent
+    volume — the robust trend line next to qt08's rolling mean/sigma.
+    Spark has NO percentile window function, so the operator composes
+    one: collect the trailing frame, array_sort, pick element
+    ⌈n/2⌉ (1-based) — exactly SQL percentile_disc(0.5), which DuckDB's
+    windowed quantile_disc implements natively; our composed frame must
+    reproduce the dedicated implementation bit-for-bit. Everything is
+    BIGINT cents: no float exists in the whole query.
+
+    Scale: frames are constant-width (7 rows of 8-byte ints per row), so
+    the collect_list is bounded regardless of corpus size; one
+    (event_type) exchange shared by the daily rollup's partial
+    aggregation and the window sort.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value").cast("double") * 100).cast("bigint")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(cents).alias("daily_cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(QT21_FRAME_DAYS - 1), 0)
+    )
+    frame = F.array_sort(F.collect_list("daily_cents").over(w))
+    med = F.expr(
+        "element_at(_frame, cast((size(_frame) + 1) div 2 as int))"
+    )
+    return (
+        daily.withColumn("_frame", frame)
+        .withColumn("med7_cents", med)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "daily_cents",
+            "med7_cents",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+QT21_SQL = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(round(value::DOUBLE * 100) AS BIGINT)) AS BIGINT)
+               AS daily_cents
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, daily_cents,
+       CAST(quantile_disc(daily_cents, 0.5) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN {QT21_FRAME_DAYS - 1} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS med7_cents
+FROM daily
+ORDER BY event_type, day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qt01_asof_last_click": QuerySpec(
         qt01_asof_last_click, QT01_SQL, "as-of join (union-sort) vs native DuckDB ASOF"
@@ -1484,5 +1548,10 @@ QUERIES: dict[str, QuerySpec] = {
         qt20_rolling_actives,
         QT20_SQL,
         "rolling DAU/WAU/MAU distinct actives (fan-out distinct aggregate)",
+    ),
+    "qt21_rolling_median": QuerySpec(
+        qt21_rolling_median,
+        QT21_SQL,
+        "rolling 7-row discrete median (composed percentile window)",
     ),
 }

@@ -459,3 +459,60 @@ def _stream_dir_mk(tmp_path, sub, rows):
     d = tmp_path / sub
     d.mkdir(parents=True, exist_ok=True)
     return _stream_dir(d, rows)
+
+
+def test_source_overlap_matrix_invariants_and_identical_sources(spark):
+    """n_common ≤ min(set sizes) (containment ≤ 1) on the fixture; two
+    planted sources with identical text reach containment exactly 1.0."""
+    from streamsurfer_spark.queries.llm_q import ql65_source_overlap_matrix
+    import streamsurfer_spark.queries.llm_q as lq
+
+    sf = __import__("tests.conftest", fromlist=["SF_DIR"]).SF_DIR
+    rows = ql65_source_overlap_matrix(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0 < r.n_common <= min(r.shingles_a, r.shingles_b)
+        assert 0 < r.containment <= 1.0
+
+    planted = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "mirror1", 30),
+            (2, "alpha beta gamma delta epsilon", "en", "mirror2", 30),
+            (3, "totally different words here now", "en", "other", 32),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    orig = lq.table
+    lq.table = lambda spark, sf_dir, name: planted
+    try:
+        out = {
+            (r.source_a, r.source_b): r
+            for r in ql65_source_overlap_matrix(spark, "x").collect()
+        }
+    finally:
+        lq.table = orig
+    assert out[("mirror1", "mirror2")].containment == 1.0
+    assert ("mirror1", "other") not in out  # no shared 3-grams
+
+
+def test_rolling_median_matches_percentile_disc_convention(spark):
+    """The composed frame median must be percentile_disc(0.5): element
+    ⌈n/2⌉ of the sorted frame — lower-middle on even frames, own value
+    on the first row."""
+    from streamsurfer_spark.queries.timeseries_q import qt21_rolling_median
+    import streamsurfer_spark.queries.timeseries_q as tq
+
+    # one event per day, values 1..8 dollars → daily_cents 100..800
+    rows = [(d, _ts(d), 1, "t", float(d)) for d in range(1, 9)]
+    df = _events_df(spark, rows)
+    orig = tq.table
+    tq.table = lambda spark, sf_dir, name: df
+    try:
+        out = {r.day: r for r in qt21_rolling_median(spark, "x").collect()}
+    finally:
+        tq.table = orig
+    assert out["2024-01-01"].med7_cents == 100  # frame of 1
+    assert out["2024-01-02"].med7_cents == 100  # frame [100,200]: lower middle
+    assert out["2024-01-07"].med7_cents == 400  # frame 1..7 → 4th
+    assert out["2024-01-08"].med7_cents == 500  # frame 2..8 → 5th value

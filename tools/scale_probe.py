@@ -95,6 +95,10 @@ PROBES = (
     # into a 3-way distinct Expand)
     "ql64_cluster_aware_split",
     "qt20_rolling_actives",
+    # cross-source containment: the shingle self-join's per-key fan-out
+    # is bounded by |sources| — growth must track distinct source-level
+    # shingles linearly (qt21 is the constant-frame qt04 class, no probe)
+    "ql65_source_overlap_matrix",
 )
 
 # allow probing a subset: python tools/scale_probe.py [replicas] [name...]
