@@ -3972,6 +3972,144 @@ ORDER BY source_a, source_b
 """
 
 
+# --- ql66: per-source merged MinHash vs exact Jaccard -------------------------
+
+
+def ql66_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair Jaccard ESTIMATED from per-source merged MinHash
+    signatures, next to the exact set Jaccard — the mergeable-sketch
+    formulation of ql65's forensics at 100 TB: a source's signature is
+    the component-wise min over its documents' signatures (min is
+    associative, so the merge is map-side combinable and the shuffled
+    state is |sources|·N_MINHASH longs — the corpus never pairs up).
+    The exact column is what the estimate converges to; with N_MINHASH=8
+    the estimate is deliberately coarse (eighths) and the report shows
+    exactly that tradeoff (ql45 calibrates the same family per-doc).
+
+    Both columns are deterministic cross-engine: the signature chain is
+    ql02's seed-pinned affine family over P31 shingle hashes; the exact
+    sets are the P61 hashed shingles shared with ql65.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(docs.withColumn("toks", F.split("text", " ")))
+    ssig = sig.groupBy("source").agg(
+        F.array(
+            *[
+                F.min(F.element_at("sig", i + 1))
+                for i in range(dedup.N_MINHASH)
+            ]
+        ).alias("ssig")
+    )
+    a = ssig.select(F.col("source").alias("source_a"), F.col("ssig").alias("sig_a"))
+    bq = ssig.select(F.col("source").alias("source_b"), F.col("ssig").alias("sig_b"))
+    matches = F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+    est = (
+        a.crossJoin(F.broadcast(bq))
+        .where(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            scaled_round(
+                F.try_divide(matches, F.lit(dedup.N_MINHASH))
+            ).alias("est_jaccard"),
+        )
+    )
+    sh = (
+        dedup.hashed_shingle_set(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").cast("bigint").alias("n_sh"))
+    sa, sb = sh.alias("a"), sh.alias("b")
+    common = (
+        sa.join(
+            sb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        est.join(common, ["source_a", "source_b"], "left")
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"), F.col("n_sh").alias("na")
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"), F.col("n_sh").alias("nb")
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+            "est_jaccard",
+            scaled_round(
+                F.try_divide(
+                    F.coalesce("n_common", F.lit(0)),
+                    F.col("na") + F.col("nb") - F.coalesce("n_common", F.lit(0)),
+                )
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+QL66_SQL = f"""
+WITH
+{duck_minhash_bands("documents").split("bands_raw")[0].rstrip().rstrip(",")},
+smh AS (
+    SELECT doc.source, m.seed, min(m.mh) AS mh
+    FROM mh m JOIN documents doc USING (doc_id)
+    GROUP BY 1, 2
+),
+est AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS matches
+    FROM smh a JOIN smh b ON a.seed = b.seed AND a.source < b.source
+    GROUP BY 1, 2
+),
+ss AS (
+    SELECT DISTINCT d.source, s.shingle
+    FROM {duck_hashed_shingle_set("documents")} s
+    JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM ss GROUP BY 1),
+cmn AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT e.source_a, e.source_b,
+       coalesce(c.n_common, 0) AS n_common,
+       {scaled_round_sql(f"matches::DOUBLE / {dedup.N_MINHASH}::DOUBLE")}
+           AS est_jaccard,
+       {scaled_round_sql(
+           "coalesce(c.n_common, 0)::DOUBLE"
+           " / (sa.n_sh + sb.n_sh - coalesce(c.n_common, 0))::DOUBLE")}
+           AS exact_jaccard
+FROM est e
+LEFT JOIN cmn c USING (source_a, source_b)
+JOIN sizes sa ON sa.source = e.source_a
+JOIN sizes sb ON sb.source = e.source_b
+ORDER BY e.source_a, e.source_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -4180,6 +4318,11 @@ QUERIES: dict[str, QuerySpec] = {
         ql65_source_overlap_matrix,
         QL65_SQL,
         "cross-source shingle-containment matrix (mirror/syndication forensics)",
+    ),
+    "ql66_source_minhash_jaccard": QuerySpec(
+        ql66_source_minhash_jaccard,
+        QL66_SQL,
+        "mergeable per-source MinHash sketch vs exact source-pair Jaccard",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,

@@ -516,3 +516,38 @@ def test_rolling_median_matches_percentile_disc_convention(spark):
     assert out["2024-01-02"].med7_cents == 100  # frame [100,200]: lower middle
     assert out["2024-01-07"].med7_cents == 400  # frame 1..7 → 4th
     assert out["2024-01-08"].med7_cents == 500  # frame 2..8 → 5th value
+
+
+def test_source_minhash_merge_is_associative(spark):
+    """A source's merged signature must equal the component-wise min over
+    the union of its documents' shingles — i.e. splitting one source's
+    text across MORE documents must not change the merged signature, and
+    identical sources estimate Jaccard 1.0 (all components equal)."""
+    from streamsurfer_spark.queries.llm_q import ql66_source_minhash_jaccard
+    import streamsurfer_spark.queries.llm_q as lq
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    half1, half2 = "alpha beta gamma delta epsilon", "delta epsilon zeta eta theta"
+    planted = spark.createDataFrame(
+        [
+            # whole text in one doc vs the same shingle UNION across two docs
+            (1, text, "en", "one_doc", len(text)),
+            (2, half1, "en", "two_docs", len(half1)),
+            (3, half2, "en", "two_docs", len(half2)),
+            (4, "unrelated words entirely different corpus", "en", "other", 41),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    orig = lq.table
+    lq.table = lambda spark, sf_dir, name: planted
+    try:
+        out = {
+            (r.source_a, r.source_b): r
+            for r in ql66_source_minhash_jaccard(spark, "x").collect()
+        }
+    finally:
+        lq.table = orig
+    pair = out[("one_doc", "two_docs")]
+    # the shingle unions coincide, so the merged sketches are identical
+    assert pair.est_jaccard == 1.0, pair
+    assert pair.exact_jaccard == 1.0, pair
