@@ -861,13 +861,15 @@ def label_silhouette(
     q = quantize(df, vec_col).select(
         id_col, F.col(label_col).alias("own"), "qv"
     )
+    # the diff n·x − s stays BIGINT (|n·x| and |s| ≤ n·QUANT_SCALE·|x|max —
+    # exact through ~6·10¹⁵ rows per label, with a LOUD ANSI overflow
+    # beyond); only the square and its sum need DECIMAL(38,0). Measured
+    # at the 30× probe: the all-decimal lambda spent ~25% more wall on
+    # per-element decimal multiply/subtract with identical output values.
     cent = (
         q.select("own", F.posexplode("qv").alias("dim", "qd"))
         .groupBy(F.col("own").alias("cl"), "dim")
-        .agg(
-            F.sum(F.col("qd").cast(_DEC)).alias("s"),
-            F.count("*").cast(_DEC).alias("n"),
-        )
+        .agg(F.sum("qd").alias("s"), F.count("*").alias("n"))
         .groupBy("cl")
         .agg(
             F.max("n").alias("n"),
@@ -877,14 +879,13 @@ def label_silhouette(
         )
         .agg(F.collect_list(F.struct("cl", "n", "s_arr")).alias("cents"))
     )
-    diffs = (
-        f"zip_with(qv, c.s_arr, (x, s) -> c.n * cast(x as {_DEC}) - s)"
-    )
+    diffs = "zip_with(qv, c.s_arr, (x, s) -> c.n * x - s)"
     dists = (
         f"transform(cents, c -> named_struct("
         f"'cl', c.cl, "
-        f"'dist', sqrt(cast(aggregate(transform({diffs}, t -> t * t), "
-        f"cast(0 as {_DEC}), (acc, v) -> acc + v) as double)) / cast(c.n as double)))"
+        f"'dist', sqrt(cast(aggregate({diffs}, cast(0 as {_DEC}), "
+        f"(acc, v) -> acc + cast(v as {_DEC}) * cast(v as {_DEC})) as double))"
+        f" / cast(c.n as double)))"
     )
     per = (
         q.join(F.broadcast(cent))
