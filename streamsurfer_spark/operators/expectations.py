@@ -21,10 +21,18 @@ from pyspark.sql import Column, DataFrame
 
 @dataclass(frozen=True)
 class RowCheck:
-    """A row-level predicate that every row must satisfy."""
+    """A row-level predicate that every row must satisfy.
+
+    NULL-predicate convention (SQL CHECK semantics, deliberately): a
+    predicate that evaluates to NULL — e.g. ``col > 0`` on a NULL col —
+    counts as a PASS, exactly like a table CHECK constraint. Pair every
+    domain predicate with an explicit ``isNotNull`` RowCheck when
+    completeness matters (qr50 does), rather than relying on the domain
+    check to catch NULLs — it will not.
+    """
 
     name: str
-    predicate: Column  # True = row passes
+    predicate: Column  # True = row passes; NULL = pass (CHECK semantics)
 
 
 @dataclass(frozen=True)

@@ -30,7 +30,14 @@ from pyspark.sql.types import DoubleType
 
 @pandas_udf(DoubleType())
 def geo_mean_udf(v: pd.Series) -> float:  # type: ignore[misc]
-    """Grouped-agg UDAF: geometric mean (exp of mean log)."""
+    """Grouped-agg UDAF: geometric mean (exp of mean log).
+
+    Domain contract: positive inputs (ql18 feeds n_chars ≥ 1). A zero
+    makes the mean log -inf → 0.0 and a negative makes it NaN — silently,
+    on BOTH engines (the QL18 twin shares the exp(avg(ln)) form), so the
+    oracle cannot catch a domain violation; gate the input if zeros are
+    possible.
+    """
     return float(np.exp(np.log(v.astype("float64")).mean()))
 
 
