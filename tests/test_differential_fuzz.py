@@ -567,3 +567,77 @@ def test_scaled_round_agrees_on_arbitrary_doubles(spark, xs):
         con.close()
     mism = {i: (s[i], d[i], xs[i]) for i in s if s[i] != d[i]}
     assert not mism, f"scaled_round diverged on arbitrary doubles: {mism}"
+
+
+# --- r8-continuation fuzz: wide-span events on an exact half-hour grid -----
+#
+# The original event_rows strategy spans 120 seconds — dense event_id/ts
+# collisions, but no multi-day structure and no session-gap boundaries.
+# This strategy puts every timestamp on an EXACT k·30min grid across ~6
+# days: adjacent offsets differing by one grid step are EXACTLY the qt19/
+# qs03 session gap (the boundary class the planted tests pinned — here the
+# generator hits it constantly), and the span covers enough days to give
+# qt18's CUSUM, qt20's rolling windows, and qt21's frames real structure.
+
+event_rows_wide = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # user_id
+        st.integers(min_value=0, max_value=300),      # half-hours offset
+        st.sampled_from(EVENT_TYPES),                 # event_type
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+def _write_events_wide(rows, path: str) -> None:
+    n = len(rows)
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(n)), pa.int64()),
+            "ts": pa.array(
+                [_TS_BASE + hh * 1800 * 1_000_000 for _, hh, _ in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+            "event_type": pa.array([e for _, _, e in rows], pa.string()),
+            "value": pa.array([float(i % 7) + 0.25 for i in range(n)], pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(path, "events.parquet"))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "qt16_psi_drift",            # half-split + bin edges on tiny domains
+        "qt17_linear_attribution",   # touch at exactly purchase ts excluded
+        "qt18_cusum_changepoint",    # tie-heavy |c| argmax across days
+        "qt19_session_window_native",  # gap == 30min EXACTLY: merge rule
+        "qt20_rolling_actives",      # window membership at day edges
+        "qt21_rolling_median",       # even/odd frame widths, value ties
+        "qs17_stream_heavy_hitters",  # rank ties at equal counts
+        "qs18_stream_psi_monitor",   # zero-bin smoothing per window
+    ],
+)
+@given(rows=event_rows_wide)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_wide_events_match_oracle(spark, tmp_path_factory, rows, name):
+    tmp = str(tmp_path_factory.mktemp("fuzzw"))
+    _write_events_wide(rows, tmp)
+    spec = registry()[name]
+    df = spec.spark(spark, tmp)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet("
+            f"'{os.path.join(tmp, 'events.parquet')}')"
+        )
+        assert_matches_oracle(df, con, spec.oracle, name=f"{name} wide-fuzz")
+    finally:
+        con.close()
