@@ -641,3 +641,122 @@ def test_generated_wide_events_match_oracle(spark, tmp_path_factory, rows, name)
         assert_matches_oracle(df, con, spec.oracle, name=f"{name} wide-fuzz")
     finally:
         con.close()
+
+
+# --- r8-continuation fuzz: generated documents and embeddings ---------------
+#
+# Tiny-vocab documents force exact duplicates, shared shingles, and
+# near-identical SimHash signatures (the collision paths); empty texts
+# exercise ql63's no-entropy-row NULL route and the gopher expressions on
+# "". Embeddings from an exact-representable value set include ZERO
+# vectors (ql61's NULL-micro route) and can collapse to one label (ql62's
+# NULL-b route).
+
+_VOCAB = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+
+doc_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),                  # source idx
+        st.integers(min_value=0, max_value=2),                  # lang idx
+        st.lists(st.integers(min_value=0, max_value=5), max_size=8),  # token ids
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _write_docs(rows, path: str) -> None:
+    texts = [" ".join(_VOCAB[t] for t in toks) for _, _, toks in rows]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(rows))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([("en", "fr", "zh")[l] for _, l, _ in rows], pa.string()),
+            "source": pa.array([f"src{s}" for s, _, _ in rows], pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(path, "documents.parquet"))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ql63_entropy_threshold_sweep",  # empty text → NULL entropy → fails every tau
+        "ql64_cluster_aware_split",      # duplicate texts → dense near-dup clusters
+        "ql65_source_overlap_matrix",    # tiny vocab → heavy cross-source overlap
+        "ql66_source_minhash_jaccard",   # merged sketches on colliding shingles
+        "qp10_retention_waterfall",      # all stages incl. "" through gopher exprs
+    ],
+)
+@given(rows=doc_rows)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_docs_match_oracle(spark, tmp_path_factory, rows, name):
+    tmp = str(tmp_path_factory.mktemp("fuzzd"))
+    _write_docs(rows, tmp)
+    spec = registry()[name]
+    df = spec.spark(spark, tmp)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{os.path.join(tmp, 'documents.parquet')}')"
+        )
+        assert_matches_oracle(df, con, spec.oracle, name=f"{name} doc-fuzz")
+    finally:
+        con.close()
+
+
+emb_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # label
+        st.lists(
+            st.sampled_from((-1.0, -0.5, 0.0, 0.5, 1.0)), min_size=4, max_size=4
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _write_embs(rows, path: str) -> None:
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(len(rows))), pa.int64()),
+            "embedding": pa.array(
+                [v for _, v in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([l for l, _ in rows], pa.int32()),
+        }
+    )
+    pq.write_table(t, os.path.join(path, "embeddings.parquet"))
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["ql61_matryoshka_energy", "ql62_label_silhouette"],
+)
+@given(rows=emb_rows)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_embeddings_match_oracle(spark, tmp_path_factory, rows, name):
+    tmp = str(tmp_path_factory.mktemp("fuzze"))
+    _write_embs(rows, tmp)
+    spec = registry()[name]
+    df = spec.spark(spark, tmp)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+            f"'{os.path.join(tmp, 'embeddings.parquet')}')"
+        )
+        assert_matches_oracle(df, con, spec.oracle, name=f"{name} emb-fuzz")
+    finally:
+        con.close()
