@@ -619,6 +619,14 @@ def _write_events_wide(rows, path: str) -> None:
         "qt21_rolling_median",       # even/odd frame widths, value ties
         "qs17_stream_heavy_hitters",  # rank ties at equal counts
         "qs18_stream_psi_monitor",   # zero-bin smoothing per window
+        # boundary-sensitive EXISTING entries: the generator lands gaps on
+        # exactly the 4h session gap (8 grid steps) and watermark ends on
+        # window ends — direct generated-data evidence for the fixed
+        # qs03/qs08 boundary rule and the qs16 emission rule
+        "qs03_session_window",
+        "qs08_stream_sessions",
+        "qs16_stream_outer_join",
+        "qt15_scd2_user_state",
     ],
 )
 @given(rows=event_rows_wide)
