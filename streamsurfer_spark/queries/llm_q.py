@@ -4110,6 +4110,97 @@ ORDER BY e.source_a, e.source_b
 """
 
 
+# --- ql67: language-ID classifier QA metrics ----------------------------------
+
+
+def ql67_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language recall/precision of the ql12 language-ID heuristic
+    against the stored ground-truth label — the classifier-QA summary a
+    pipeline tracks per snapshot before TRUSTING a filter that routes
+    documents by predicted language (a recall drop on one language means
+    that language is silently leaking out of its pipeline). ql12 is the
+    raw confusion matrix; this is its derived metrics view.
+
+    All counts exact; recall = diag/n_actual and precision = diag/n_pred
+    are single exact-int divisions through scaled_round (try_divide:
+    a never-predicted language has NULL precision, not a divide error).
+    Map-only scoring + two tiny grouped passes over the |langs|² matrix.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pred = text_ops.predict_language(text_ops.language_scores("text"))
+    cm = (
+        docs.select(F.col("lang").alias("lt"), pred.alias("lp"))
+        .groupBy("lt", "lp")
+        .agg(F.count("*").alias("n"))
+    )
+    per_true = cm.groupBy(F.col("lt").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_actual"),
+        F.sum(F.when(F.col("lt") == F.col("lp"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    per_pred = cm.groupBy(F.col("lp").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_pred")
+    )
+    return (
+        per_true.join(per_pred, "lang", "left")
+        .select(
+            "lang",
+            "n_actual",
+            "n_correct",
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            scaled_round(F.try_divide(F.col("n_correct"), F.col("n_actual"))).alias(
+                "recall"
+            ),
+            scaled_round(F.try_divide(F.col("n_correct"), F.col("n_pred"))).alias(
+                "precision"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _ql67_sql() -> str:
+    langs = list(text_ops.STOPWORDS)
+    scores = ",\n       ".join(f"{_duck_stop_hits(lg)} AS s_{lg}" for lg in langs)
+    cases = "\n            ".join(
+        f"WHEN {' AND '.join(f's_{lg} >= s_{o}' for o in langs if o != lg)} THEN '{lg}'"
+        for lg in langs[:-1]
+    )
+    return f"""
+WITH s AS (
+    SELECT lang,
+       {scores}
+    FROM documents
+),
+cm AS (
+    SELECT lang AS lt,
+           CASE {cases}
+                ELSE '{langs[-1]}' END AS lp,
+           count(*) AS n
+    FROM s GROUP BY 1, 2
+),
+per_true AS (
+    SELECT lt AS lang,
+           CAST(sum(n) AS BIGINT) AS n_actual,
+           CAST(sum(CASE WHEN lt = lp THEN n ELSE 0 END) AS BIGINT) AS n_correct
+    FROM cm GROUP BY 1
+),
+per_pred AS (
+    SELECT lp AS lang, CAST(sum(n) AS BIGINT) AS n_pred FROM cm GROUP BY 1
+)
+SELECT t.lang, t.n_actual, t.n_correct,
+       coalesce(p.n_pred, 0) AS n_pred,
+       {scaled_round_sql("t.n_correct::DOUBLE / t.n_actual::DOUBLE")} AS recall,
+       {scaled_round_sql("t.n_correct::DOUBLE / p.n_pred::DOUBLE")} AS precision
+FROM per_true t LEFT JOIN per_pred p USING (lang)
+ORDER BY t.lang
+"""
+
+
+QL67_SQL = _ql67_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ql01_exact_dedup": QuerySpec(ql01_exact_dedup, QL01_SQL, "Q-L1 exact dedup groups"),
     "ql02_minhash_lsh_pairs": QuerySpec(ql02_minhash_lsh_pairs, QL02_SQL, "Q-L2 MinHash-LSH candidates"),
@@ -4323,6 +4414,11 @@ QUERIES: dict[str, QuerySpec] = {
         ql66_source_minhash_jaccard,
         QL66_SQL,
         "mergeable per-source MinHash sketch vs exact source-pair Jaccard",
+    ),
+    "ql67_langid_quality": QuerySpec(
+        ql67_langid_quality,
+        QL67_SQL,
+        "language-ID recall/precision vs ground truth (classifier QA)",
     ),
     "ql40_epoch_plan": QuerySpec(
         ql40_epoch_plan,

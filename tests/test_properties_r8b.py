@@ -551,3 +551,20 @@ def test_source_minhash_merge_is_associative(spark):
     # the shingle unions coincide, so the merged sketches are identical
     assert pair.est_jaccard == 1.0, pair
     assert pair.exact_jaccard == 1.0, pair
+
+
+def test_langid_quality_counts_reconcile(spark):
+    """Σ n_actual = corpus size, Σ n_pred = corpus size (every doc gets
+    exactly one prediction), n_correct ≤ min(n_actual, n_pred), and
+    recall/precision ∈ [0, 1]."""
+    from streamsurfer_spark.queries.llm_q import ql67_langid_quality
+
+    sf = __import__("tests.conftest", fromlist=["SF_DIR"]).SF_DIR
+    rows = ql67_langid_quality(spark, sf).collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert sum(r.n_actual for r in rows) == n_docs
+    assert sum(r.n_pred for r in rows) == n_docs  # lang domains coincide
+    for r in rows:
+        assert r.n_correct <= min(r.n_actual, r.n_pred) or r.n_pred == 0
+        assert 0 <= r.recall <= 1
+        assert r.precision is None or 0 <= r.precision <= 1
