@@ -695,6 +695,9 @@ def _write_docs(rows, path: str) -> None:
         "ql65_source_overlap_matrix",    # tiny vocab → heavy cross-source overlap
         "ql66_source_minhash_jaccard",   # merged sketches on colliding shingles
         "qp10_retention_waterfall",      # all stages incl. "" through gopher exprs
+        "ql67_langid_quality",           # unseen-language margins on tiny corpora
+        "ql55_gopher_rules",             # gopher exact-int thresholds on ""
+        "ql59_robust_outliers",          # MAD on tiny/tied groups
     ],
 )
 @given(rows=doc_rows)
