@@ -749,7 +749,14 @@ def _write_embs(rows, path: str) -> None:
 
 @pytest.mark.parametrize(
     "name",
-    ["ql61_matryoshka_energy", "ql62_label_silhouette"],
+    [
+        "ql61_matryoshka_energy",
+        "ql62_label_silhouette",
+        "ql03_cosine_topk",        # dense cosine ties from the exact value set
+        "ql15_label_centroids",    # centroid means on tiny/tied labels
+        "ql28_quantization_error", # int8 recon error on exact values
+        "ql57_embedding_corr",     # top-variance pick with variance ties
+    ],
 )
 @given(rows=emb_rows)
 @settings(
