@@ -56,7 +56,7 @@ class QuerySpec:
 #     qs01/qs02/qs11/qs12, qt10/qt11/qt13) are the r9 rotation head. Every entry regardless
 #     of window is covered by the standing full-registry sim
 #     (tools/driver_sim.py → DRIVER_SIM_r8.txt, ALL PASS).
-# (0, continuation session) 16 brand-new entries (ql61-ql67,
+# (0, continuation session) 17 brand-new entries (ql61-ql67, qt22,
 #     qt16-qt21, qp10, qs17, qs18) took the window head, plus qs03/qs08
 #     whose ORACLE strings changed (session-gap boundary >= -> >) — zero gate evidence beats
 #     re-proving; each is differentially hash-proven at sf0.001+sf0.01
@@ -84,6 +84,7 @@ _VERIFY_FIRST = (
     "qt21_rolling_median",       # NEW: composed percentile window
     "ql66_source_minhash_jaccard", # NEW: mergeable source MinHash sketch
     "ql67_langid_quality",       # NEW: language-ID classifier QA metrics
+    "qt22_seasonal_backtest",    # NEW: seasonal-naive forecast backtest
     "qs03_session_window",       # oracle boundary rule fixed (>= -> >)
     "qs08_stream_sessions",      # oracle boundary rule fixed (>= -> >)
     # (1) new in r8 + r8-changed plans
@@ -126,8 +127,7 @@ _VERIFY_FIRST = (
     "qr45_window_value_fns",
     "qr46_disjunctive_join",
     "qr48_nation_volume",
-    "qr49_except_all",
-    # --- window boundary: 18 continuation + 18 + 14 = exactly 50 ---
+    # --- window boundary: 19 continuation + 18 + 13 = exactly 50 ---
     # The continuation entries (12 new + the 2 boundary-rule-fixed
     # session oracles, which moved UP into the head since their oracle
     # strings changed this session) displaced the tail of the old prefix
@@ -135,6 +135,7 @@ _VERIFY_FIRST = (
     # r3 band, ql38/qp03 from the r4 fill) — those lead the r9 head
     # below, ahead of ql60/qp09. qs08 was already window-bound via the
     # r3 band; its slot moved to the head with the oracle change.
+    "qr49_except_all",
     "qr49_intersect_all",
     "qr50_expectations_orders",
     "qr51_grouping_sets",

@@ -1462,6 +1462,72 @@ ORDER BY event_type, day
 """
 
 
+# --- qt22: seasonal-naive forecast backtest -------------------------------------
+
+QT22_SEASON_DAYS = 7
+
+
+def qt22_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict today's volume
+    = the same weekday last week) per event type: scored days, MAE, and
+    signed bias — the baseline every volume-forecasting pipeline must
+    beat, and the drift alarm when a formerly-stable series stops being
+    weekly-seasonal.
+
+    Exactness: daily counts are integers; the forecast join is a
+    DAY-ALIGNED self-join on day − 7 (an exact date equality — NOT a
+    lag(7) row frame, which silently misaligns across calendar gaps), so
+    every error x − f is an exact BIGINT; MAE and bias are single
+    exact-int divisions through scaled_round.
+
+    Scale: one daily rollup (map-side combined) then a self-join of the
+    ≤|types|·|days| frame on (type, day) — both tiny regardless of
+    corpus size.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("x"))
+    fc = daily.select(
+        "event_type",
+        F.date_add("day", QT22_SEASON_DAYS).alias("day"),
+        F.col("x").alias("f"),
+    )
+    scored = daily.join(fc, ["event_type", "day"]).withColumn(
+        "e", F.col("x") - F.col("f")
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_scored"),
+            scaled_round(
+                F.try_divide(F.sum(F.abs("e")), F.count("*")), 2
+            ).alias("mae"),
+            scaled_round(F.try_divide(F.sum("e"), F.count("*")), 2).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QT22_SQL = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.event_type, d.x - f.x AS e
+    FROM daily d
+    JOIN daily f ON f.event_type = d.event_type
+                AND f.day = d.day - {QT22_SEASON_DAYS}
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       {scaled_round_sql("sum(abs(e))::DOUBLE / count(*)", 2)} AS mae,
+       {scaled_round_sql("sum(e)::DOUBLE / count(*)", 2)} AS bias
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "qt01_asof_last_click": QuerySpec(
         qt01_asof_last_click, QT01_SQL, "as-of join (union-sort) vs native DuckDB ASOF"
@@ -1553,5 +1619,10 @@ QUERIES: dict[str, QuerySpec] = {
         qt21_rolling_median,
         QT21_SQL,
         "rolling 7-row discrete median (composed percentile window)",
+    ),
+    "qt22_seasonal_backtest": QuerySpec(
+        qt22_seasonal_backtest,
+        QT22_SQL,
+        "seasonal-naive forecast backtest (day-aligned exact-int MAE/bias)",
     ),
 }

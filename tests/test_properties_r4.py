@@ -379,6 +379,7 @@ def test_verify_window_follows_rotation_policy():
         "qs17_stream_heavy_hitters", "qs18_stream_psi_monitor",
         "ql65_source_overlap_matrix", "qt21_rolling_median",
         "ql66_source_minhash_jaccard", "ql67_langid_quality",
+        "qt22_seasonal_backtest",
         # oracle strings changed in the continuation session: the
         # session-gap boundary rule fixed >= -> > after the qt19
         # planted-boundary test exposed the wrong convention
@@ -394,7 +395,7 @@ def test_verify_window_follows_rotation_policy():
     # its exact-half-up conversion is additionally pinned by the
     # differential fuzz suite.
     deferred = (
-        "qr49_intersect_all",
+        "qr49_except_all", "qr49_intersect_all",
         "qr50_expectations_orders",
         "qr51_grouping_sets", "qr52_variant_props",
         "qr54_top_supplier", "qr55_empty_result",
@@ -404,14 +405,14 @@ def test_verify_window_follows_rotation_policy():
         "qs10_interval_join", "qt03_sessionize", "qt08_rolling_anomaly",
         "ql38_kmeans_clusters", "qp03_ivfpq_build_report",
     )
-    assert tuple(names[50:67]) == deferred
+    assert tuple(names[50:68]) == deferred
     # then the r8-close overflow head: ql60/qp09/qs16 (landed after the
     # r8 window was owed) and qv08 (see the band-1 note in queries/
     # __init__.py)
-    assert names[67] == "ql60_simhash_hamming"
-    assert names[68] == "qp09_intake_gate"
-    assert names[69] == "qs16_stream_outer_join"
-    assert names[70] == "qv08_batch_wire_format"
+    assert names[68] == "ql60_simhash_hamming"
+    assert names[69] == "qp09_intake_gate"
+    assert names[70] == "qs16_stream_outer_join"
+    assert names[71] == "qv08_batch_wire_format"
     missing = changed_this_round - window - set(deferred)
     assert not missing, f"round-changed queries outside the gate window: {missing}"
 
