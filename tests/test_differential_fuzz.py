@@ -628,6 +628,16 @@ def _write_events_wide(rows, path: str) -> None:
         "qs16_stream_outer_join",
         "qt15_scd2_user_state",
         "qt22_seasonal_backtest",    # calendar gaps through the day-aligned join
+        # older boundary-sensitive rows the half-hour grid can hit exactly:
+        # qt02's ±6h bound (12 grid steps), qt09's 1h staleness cap (2
+        # steps), qt10's ±1h tolerance, qs04's watermark landing exactly on
+        # window ends, qs09's chained-window finalization, qt04's gap days
+        "qt02_range_join_errors",
+        "qt04_gapfill_daily",
+        "qt09_time_weighted_avg",
+        "qt10_nearest_error",
+        "qs04_watermarked_append",
+        "qs09_chained_windows",
     ],
 )
 @given(rows=event_rows_wide)
@@ -699,6 +709,15 @@ def _write_docs(rows, path: str) -> None:
         "ql67_langid_quality",           # unseen-language margins on tiny corpora
         "ql55_gopher_rules",             # gopher exact-int thresholds on ""
         "ql59_robust_outliers",          # MAD on tiny/tied groups
+        # tie-heavy text families on the 6-word vocab: top-term ordering
+        # ties, tf-idf ties, repetition ratios on repeated tokens, and the
+        # micro-nat surprisal fold on tiny tied counts
+        "ql04_text_stats",
+        "ql05_top_terms",
+        "ql13_fingerprint",
+        "ql22_tfidf_top_terms",
+        "ql31_repetition_metrics",
+        "ql36_unigram_surprisal",
     ],
 )
 @given(rows=doc_rows)
