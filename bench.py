@@ -7,14 +7,26 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Execution is forced with the noop sink (full computation, all operators, no
 collect/driver materialization), matching how a production job would be
 bounded by the plan, not by driver transfer.
+
+Sub-1.5 s rows are re-run twice and record the MEDIAN of 3 (r8 verdict):
+one-shot timings on sub-second plans carry whichever JIT/GC pause lands on
+them — five of the six worst baseline ratios since r5 were <1 s rows that
+every steady-state adjudication cleared. The median kills that noise at a
+bounded cost (~2 extra runs × <1.5 s each), while expensive rows stay
+one-shot so bench wall time doesn't triple.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+# rows whose FIRST run lands under this take a median-of-3; above it the
+# single measurement already dominates its noise floor
+MEDIAN_UNDER_SEC = 1.5
 
 BENCH_QUERIES = (
     # relational core (BASELINE.md gate set)
@@ -146,7 +158,18 @@ def main() -> None:
             # fixture-layout change) must not void the whole bench record
             errors[name] = f"{type(ex).__name__}: {ex}"[:300]
             continue
-        times[name] = round(time.perf_counter() - t0, 3)
+        runs = [time.perf_counter() - t0]
+        # noise-prone fast rows: two more runs, record the median (module
+        # docstring). Re-running is safe for every registry entry — the
+        # steady-state tool has looped stream/iterative rows since r5.
+        if runs[0] < MEDIAN_UNDER_SEC:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                reg[name].spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(runs), 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:

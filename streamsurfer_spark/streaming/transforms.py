@@ -63,7 +63,15 @@ def sliding_counts(
 
 
 def session_counts(df: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
-    """Per-user sessions: a gap ≥ `gap` starts a new session.
+    """Per-user sessions: a gap strictly greater than `gap` starts a new
+    session — an event at exactly last_ts + gap MERGES into the open session.
+
+    Spark's session_window treats windows as [start, start+gap) per event and
+    merges on overlap-or-touch, so the exactly-at-gap event extends the
+    session. The oracles (qs03/qs08) encode the same `>` split rule; the
+    planted-boundary test (tests/test_properties_r8b.py, qt19 exact-boundary
+    grid) pins this convention after the original `>=` doc wording caused an
+    eight-rounds-latent oracle bug (fixed r8).
 
     session_window keeps one open session per user in streaming state; the
     batch plan lowers to a sort-based session assignment within each user

@@ -337,82 +337,27 @@ def test_verify_window_follows_rotation_policy():
     assert not unknown, f"_VERIFY_FIRST names not in registry: {unknown}"
 
     changed_this_round = {
-        # round 8: the new operators (first gate row)
-        "qt15_scd2_user_state", "ql56_weighted_sample",
-        "ql57_embedding_corr", "ql58_char_entropy",
-        "ql59_robust_outliers",
-        # round 8: plan-changed by the advice fixes (values expected
-        # unchanged; the gate proves it)
-        "qr43_cdc_apply",             # apply_cdc shared NULL-op guard —
-        # the ONE registry consumer (relational_q.py apply_cdc_snapshot);
-        # qs14 reimplements its CDC merge inline and is NOT affected
-        "qp06_semdedup_report",       # kmeans_fit 3-tuple caller
-        "ql38_kmeans_clusters",       # kmeans_fit 3-tuple caller
-        "qp03_ivfpq_build_report",    # kmeans_fit 3-tuple caller
-        # checked_dot NULL-safe guard — EVERY transitive consumer
-        # (cosine_topk, lsh_ann_pairs, cosine_near_dup_pairs)
-        "ql21_cosine_near_dup",
-        "ql03_cosine_topk",
-        "ql10_lsh_ann_pairs",
-        "ql23_dedup_clusters",
-        "ql43_ann_recall",
-        "ql51_hard_negatives",
-        "ql52_multimodal_ann",
-        # round 8 area review: exact-cents qr18 threshold; try_*/string
-        # -route variant reads (qr52); exact half-up sum_div (qr57);
-        # validated-input envelope serialization (qv03/qv05/qv08)
-        "qr18_subqueries",
-        "qr52_variant_props",
-        "qr57_try_arithmetic",
-        "qv03_origin_stamp",
-        "qv05_envelope_json",
-        # round 8 extension batch 2
-        "qr73_hierarchy_rollup",
-        # round 8 continuation session: 11 brand-new operators (zero
-        # gate evidence — they take the window head by the standing
-        # zero-evidence-beats-re-proving rule)
-        "ql61_matryoshka_energy", "ql62_label_silhouette",
-        "ql63_entropy_threshold_sweep", "ql64_cluster_aware_split",
-        "qt16_psi_drift", "qt17_linear_attribution",
-        "qt18_cusum_changepoint", "qt19_session_window_native",
-        "qt20_rolling_actives", "qp10_retention_waterfall",
-        "qs17_stream_heavy_hitters", "qs18_stream_psi_monitor",
-        "ql65_source_overlap_matrix", "qt21_rolling_median",
-        "ql66_source_minhash_jaccard", "ql67_langid_quality",
-        "qt22_seasonal_backtest",
-        # oracle strings changed in the continuation session: the
-        # session-gap boundary rule fixed >= -> > after the qt19
-        # planted-boundary test exposed the wrong convention
-        "qs03_session_window", "qs08_stream_sessions",
+        # round 9: label_silhouette gained the ragged-embedding
+        # loud-fail in its per-row pass (r8 ADVICE) — values on the
+        # shipped fixtures expected unchanged; the gate proves it
+        "ql62_label_silhouette",
     }
-    # The 11 continuation entries made the required set exceed the
-    # 50-slot window (11 new + the r8 new/changed set + the 30-entry r3
-    # band = 61): 11 rows are DEFERRED to positions 50-60, leading the
-    # r9 window. Each deferred row is covered this round by the
-    # refreshed full-registry sim (DRIVER_SIM_r8.txt — the identical
-    # rows+schema+hash compare, just not driver-recorded); qr57 is the
-    # one r8-CHANGED member among them, judged safe to defer because
-    # its exact-half-up conversion is additionally pinned by the
-    # differential fuzz suite.
-    deferred = (
-        "qr49_except_all", "qr49_intersect_all",
-        "qr50_expectations_orders",
-        "qr51_grouping_sets", "qr52_variant_props",
-        "qr54_top_supplier", "qr55_empty_result",
-        "qr56_inventory_drawdown", "qr57_try_arithmetic",
-        "qr58_collated_grouping", "qr60_priority_lateness",
-        "qs04_watermarked_append", "qs09_chained_windows",
-        "qs10_interval_join", "qt03_sessionize", "qt08_rolling_anomaly",
-        "ql38_kmeans_clusters", "qp03_ivfpq_build_report",
-    )
-    assert tuple(names[50:68]) == deferred
-    # then the r8-close overflow head: ql60/qp09/qs16 (landed after the
-    # r8 window was owed) and qv08 (see the band-1 note in queries/
-    # __init__.py)
-    assert names[68] == "ql60_simhash_hamming"
-    assert names[69] == "qp09_intake_gate"
-    assert names[70] == "qs16_stream_outer_join"
-    assert names[71] == "qv08_batch_wire_format"
+    # round 9 defers NOTHING: the required set (3 never-gated + 1
+    # changed + the whole r3 and r4 bands + the promised qv08) is 44,
+    # and the 5 fillers (qp04/qs13/qs14/qr01/qr02) are discretionary
+    deferred: tuple = ()
+
+    # the r9 head: the 3 entries with NO gate row across rounds 1-8
+    # (r8 verdict item 1), then the round's one plan-changed entry and
+    # the r8-promised qv08 slot
+    assert names[0] == "ql60_simhash_hamming"
+    assert names[1] == "qp09_intake_gate"
+    assert names[2] == "qs16_stream_outer_join"
+    assert names[3] == "ql62_label_silhouette"
+    assert names[4] == "qv08_batch_wire_format"
+    # the kmeans-family adjudication targets re-gate this round
+    assert {"ql38_kmeans_clusters", "qp03_ivfpq_build_report",
+            "qp04_quality_dashboard"} <= window
     missing = changed_this_round - window - set(deferred)
     assert not missing, f"round-changed queries outside the gate window: {missing}"
 
@@ -421,16 +366,16 @@ def test_verify_window_follows_rotation_policy():
     import glob
     import json
 
-    # FROZEN to rounds 1..7: the artifacts that existed when the r8
+    # FROZEN to rounds 1..8: the artifacts that existed when the r9
     # window was designed. Globbing ALL rounds would make this test flip
     # the moment the CURRENT round's artifact lands (the window entries
-    # get gate row 8, the deliberately-deferred overflow head becomes
-    # the oldest band, missing_stale fires) — the r9 session updates
-    # both the window and this freeze together.
+    # get gate row 9, the next band becomes the oldest, missing_stale
+    # fires) — the r10 session updates both the window and this freeze
+    # together.
     rounds = {}
     paths = [
         p
-        for n in (1, 2, 3, 4, 5, 6, 7)
+        for n in (1, 2, 3, 4, 5, 6, 7, 8)
         for p in glob.glob(f"/root/repo/CORRECTNESS_r{n:02d}.json")
     ]
     if not paths:
@@ -443,7 +388,24 @@ def test_verify_window_follows_rotation_policy():
     stale = {k for k, v in rounds.items() if v == oldest and k in names}
 
     # the WHOLE oldest band must fit in the window this round — the
-    # verdict's "no gate row older than <oldest+1>" done-bar — except
-    # the 11 documented deferred rows above (sim-covered, r9 head)
+    # verdict's "no gate row older than <oldest+1>" done-bar. r9 window
+    # math: oldest = r3 (16 entries), all in-window; the ENTIRE 24-entry
+    # r4 band is in-window too, so after r9 no gate row is older than r5
     missing_stale = stale - window - set(deferred)
     assert not missing_stale, f"oldest-band entries outside the window: {missing_stale}"
+
+    # r9 additionally retires the ENTIRE next band (r4): the 22
+    # leftovers + ql38/qp03
+    next_band = {k for k, v in rounds.items() if v == oldest + 1 and k in names}
+    assert next_band <= window, f"r4-band entries outside the window: {next_band - window}"
+
+    # entries that have NEVER had a gate row (and are not rows-only
+    # by design) must not linger: the only three across rounds 1-8
+    # lead this window
+    never_gated = {n for n in names if n not in rounds}
+    # rows-only or post-r9-design additions would extend this allowance
+    # with a documented reason; none exist at design time
+    allowed_ungated: set = set()
+    assert never_gated <= window | allowed_ungated, (
+        f"never-gated entries outside the window: {never_gated - window}"
+    )

@@ -88,6 +88,37 @@ def test_label_silhouette_single_label_is_null(spark):
     assert out[0].avg_silhouette is None
 
 
+def test_label_silhouette_ragged_vector_raises(spark):
+    """A short vector must LOUD-FAIL (embedding_corr_pairs convention):
+    silently it would null out of the per-row pass while its components
+    still entered the centroid pass, and the QL62 DuckDB twin would
+    compute a partial-dim distance instead — a latent cross-engine
+    divergence (r8 ADVICE)."""
+    import pytest
+
+    from streamsurfer_spark.operators.similarity import label_silhouette
+
+    rows = [(1, [1.0, 0.0], 0), (2, [0.5], 0), (3, [-1.0, 0.0], 1)]
+    with pytest.raises(Exception, match="ragged embedding"):
+        label_silhouette(_emb_df(spark, rows)).collect()
+
+
+def test_label_silhouette_null_vector_still_excluded(spark):
+    """NULL embeddings stay consistently EXCLUDED (not ragged-raised):
+    the ragged check must pass NULL qv through to the NULL-micro path."""
+    from streamsurfer_spark.operators.similarity import label_silhouette
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, None, 0),
+        (3, [0.99, 0.01], 0),
+        (4, [-1.0, 0.0], 1),
+        (5, [-0.99, -0.01], 1),
+    ]
+    out = label_silhouette(_emb_df(spark, rows)).collect()
+    assert [r.n_vecs for r in sorted(out, key=lambda r: r.label)] == [2, 2]
+
+
 def _events_df(spark, rows):
     return spark.createDataFrame(
         rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
