@@ -48,12 +48,15 @@ class QuerySpec:
 #       minus ql38/qp03, which are r4);
 #   (f) ql38/qp03 — the r4 stragglers AND the kmeans-family bench
 #       adjudication targets (r8 verdict item 2), re-gated alongside;
-#   (g) 5 fillers: qp04 (kmeans-family consumer, r6 evidence),
+#   (g) qp06/qp08 — their Spark plans changed THIS round (CC switched
+#       label → star for the unbounded-diameter hazard; output identical
+#       by the test_graph.py parity pin, the gate re-proves it);
+#   (h) 3 fillers: qp04 (kmeans-family consumer, r6 evidence),
 #       qs13/qs14 (r5; their tie-break class gained wide-grid fuzz this
-#       round), qr01/qr02 (head of the r5 band, next-oldest evidence).
+#       round).
 # After r9 lands, no entry's latest gate row is older than r5, and the
-# r10 head is the remaining 29-entry r5 band (33 minus the 4 r5 fillers
-# above: qr03..qr70, qs07, qv06 — see the histogram).
+# r10 head is the remaining 31-entry r5 band (33 minus the 2 r5 fillers
+# above — see the histogram).
 #
 # Every entry regardless of window membership is covered by the
 # standing full-registry sim (tools/driver_sim.py → DRIVER_SIM_r9.txt,
@@ -113,13 +116,14 @@ _VERIFY_FIRST = (
     # adjudication targets (r8 verdict item 2)
     "ql38_kmeans_clusters",
     "qp03_ivfpq_build_report",
-    # (g) fillers: kmeans-family consumer + the newly-fuzzed tie-break
-    # pair + the r5-band head
+    # (g) CC label→star plan change this round
+    "qp06_semdedup_report",
+    "qp08_canonical_map",
+    # (h) fillers: kmeans-family consumer + the newly-fuzzed tie-break
+    # pair
     "qp04_quality_dashboard",
     "qs13_foreachbatch_upsert",
     "qs14_stream_cdc_apply",
-    "qr01_scan_checksum",
-    "qr02_filter_agg",
     # --- r9 window boundary: exactly 50 entries above ---
     # Post-window order (informational — every entry below has a FRESH
     # r8 gate row; the full-registry sim covers all of them each round):
@@ -148,7 +152,6 @@ _VERIFY_FIRST = (
     "ql58_char_entropy",
     "ql59_robust_outliers",
     "qr43_cdc_apply",
-    "qp06_semdedup_report",
     "ql21_cosine_near_dup",
     "ql03_cosine_topk",
     "ql10_lsh_ann_pairs",
