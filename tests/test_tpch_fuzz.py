@@ -1,0 +1,298 @@
+"""Generated TPC-H-frame differential fuzz (r9).
+
+The event/document/embedding frame families have had generated-data fuzz
+since r8; the relational family (80 qr entries, the biggest in the
+registry) was fixture-only — the exact evidence gap the r8 session-gap
+boundary bug showed matters. This module generates tiny FK-consistent
+lineitem/orders/customer frames whose value pools land on every boundary
+class the fixtures only sample:
+
+- DATES are drawn from the union of the date literals appearing in the
+  qr oracle strings themselves, ±1 day — so every BETWEEN / >= / <
+  filter edge in every query is hit EXACTLY, constantly;
+- money is cents-exact integers scaled to doubles (the fixtures' own
+  value class), with magnitudes up to the rounding-tie regime;
+- key domains are tiny, forcing duplicate groups, empty groups,
+  multi-row ties, and DANGLING o_custkey values (outer/semi/anti NULL
+  sides the fixtures' referentially-complete data never produces);
+- l_linenumber is a per-order running count (the TPC-H PK invariant
+  some window specs rely on);
+- the static dims (part/supplier/nation/region) and the unrelated
+  tables are symlinked from the sf0.001 fixture, so EVERY registry
+  entry runs unmodified against the generated directory.
+
+Exclusions (documented, not silent): qr08/qr71 build approximate
+sketches (HLL / approx quantile) whose oracle parity is an exact-twin
+tolerance formulation calibrated on the fixture distributions — fuzzing
+them needs a tolerance-aware comparator, not the exact-hash one; qr14/
+qr23/qr27/qr33/qr34/qr35/qr36/qr58/qr59/qr61 read only static tables
+(or join the generated ones trivially) and would re-test the fixture.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import re
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from streamsurfer_spark.queries import registry
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+# ---------------------------------------------------------------------------
+# value pools
+
+_EPOCH = datetime.datetime(1970, 1, 1)
+
+
+def _oracle_date_pool() -> tuple[int, ...]:
+    """Every date literal in every qr oracle, ±1 day, as µs since epoch.
+
+    Sampling from THIS pool (not a uniform range) means each generated
+    frame lands rows exactly on, just before, and just after every
+    filter boundary in the query set — the inclusive/exclusive edge
+    class that uniform sampling essentially never hits (memory:
+    time-boundary oracles).
+    """
+    dates: set[str] = set()
+    for name, spec in registry().items():
+        if spec.oracle is not None and name.startswith("qr"):
+            dates |= set(re.findall(r"\d{4}-\d{2}-\d{2}", spec.oracle))
+    pool: set[int] = set()
+    for d in sorted(dates):
+        base = datetime.datetime.strptime(d, "%Y-%m-%d")
+        if not (1990 <= base.year <= 2025):  # sentinels (1970/9999) skew sampling
+            continue
+        for off in (-1, 0, 1):
+            pool.add(
+                int((base + datetime.timedelta(days=off) - _EPOCH).total_seconds())
+                * 1_000_000
+            )
+    return tuple(sorted(pool))
+
+
+_DATE_POOL = _oracle_date_pool()
+_STATUS = ("O", "F", "P")
+_PRIO = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_SEGMENT = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+_RFLAG = ("A", "N", "R")
+_LSTATUS = ("F", "O")
+
+# customer: (nationkey, acctbal_cents, segment_idx)
+cust_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=-100_000, max_value=1_000_000),
+        st.integers(min_value=0, max_value=4),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+# orders: (cust_ref, status_idx, prio_idx, totalprice_cents, date_idx)
+# cust_ref beyond the generated customer count becomes a DANGLING key
+order_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=100, max_value=40_000_000),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+# lineitem: (order_idx, part_ref, supp_ref, qty, price_cents, disc_idx,
+#            tax_idx, rflag_idx, lstatus_idx, date_idx)
+line_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=9),   # → static part keys 0..199
+        st.integers(min_value=0, max_value=9),   # → static supplier keys 0..9
+        st.integers(min_value=1, max_value=50),
+        st.integers(min_value=100, max_value=11_000_000),
+        st.integers(min_value=0, max_value=10),  # discount 0.00..0.10
+        st.integers(min_value=0, max_value=8),   # tax 0.00..0.08
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=1),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+_STATIC_TABLES = (
+    "region", "nation", "supplier", "part", "events", "documents", "embeddings",
+)
+
+
+def _write_tpch(custs, orders, lines, path: str) -> None:
+    nc, no = len(custs), len(orders)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(nc), pa.int64()),
+                "c_name": pa.array([f"Customer#{i:09d}" for i in range(nc)], pa.string()),
+                "c_nationkey": pa.array([nk for nk, _, _ in custs], pa.int32()),
+                "c_acctbal": pa.array([ab / 100.0 for _, ab, _ in custs], pa.float64()),
+                "c_mktsegment": pa.array([_SEGMENT[s] for _, _, s in custs], pa.string()),
+            }
+        ),
+        os.path.join(path, "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(no), pa.int64()),
+                # cust_ref < nc → real FK; otherwise a dangling key the
+                # customer table never contains (outer/anti NULL class)
+                "o_custkey": pa.array(
+                    [c if c < nc else 900 + c for c, *_ in orders], pa.int64()
+                ),
+                "o_orderstatus": pa.array([_STATUS[s] for _, s, *_ in orders], pa.string()),
+                "o_totalprice": pa.array([tp / 100.0 for *_, tp, _ in orders], pa.float64()),
+                "o_orderdate": pa.array(
+                    [_DATE_POOL[d % len(_DATE_POOL)] for *_, d in orders],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array([_PRIO[p] for _, _, p, _, _ in orders], pa.string()),
+            }
+        ),
+        os.path.join(path, "orders.parquet"),
+    )
+    linenumber: dict[int, int] = {}
+    lnums = []
+    for o, *_ in lines:
+        ok = o % no
+        linenumber[ok] = linenumber.get(ok, 0) + 1
+        lnums.append(linenumber[ok])
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([o % no for o, *_ in lines], pa.int64()),
+                "l_partkey": pa.array([(p * 23) % 200 for _, p, *_ in lines], pa.int64()),
+                "l_suppkey": pa.array([s % 10 for _, _, s, *_ in lines], pa.int64()),
+                "l_linenumber": pa.array(lnums, pa.int32()),
+                "l_quantity": pa.array([float(q) for *_3, q, _p, _d, _t, _r, _l, _dt in lines], pa.float64()),
+                "l_extendedprice": pa.array([pc / 100.0 for *_4, pc, _d, _t, _r, _l, _dt in lines], pa.float64()),
+                "l_discount": pa.array([d / 100.0 for *_5, d, _t, _r, _l, _dt in lines], pa.float64()),
+                "l_tax": pa.array([t / 100.0 for *_6, t, _r, _l, _dt in lines], pa.float64()),
+                "l_returnflag": pa.array([_RFLAG[r] for *_7, r, _l, _dt in lines], pa.string()),
+                "l_linestatus": pa.array([_LSTATUS[ls] for *_8, ls, _dt in lines], pa.string()),
+                "l_shipdate": pa.array(
+                    [_DATE_POOL[dt % len(_DATE_POOL)] for *_9, dt in lines],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        os.path.join(path, "lineitem.parquet"),
+    )
+    for t in _STATIC_TABLES:
+        src = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(path, f"{t}.parquet"))
+
+
+# boundary-sensitive qr entries over the generated tables, grouped by the
+# class the generator targets (see module docstring for exclusions)
+_TPCH_FUZZ_ENTRIES = [
+    # date-literal filter edges
+    "qr02_filter_agg",
+    "qr06_hash_agg_q1",
+    "qr15_date_fns",
+    "qr38_shipping_priority",
+    "qr40_scd2_intervals",
+    "qr41_dormant_customers",
+    "qr48_nation_volume",
+    "qr55_empty_result",
+    "qr60_priority_lateness",
+    "qr63_returned_items",
+    "qr65_shipping_speed",
+    # rounding / exact-decimal arithmetic
+    "qr16_math_decimal",
+    "qr26_stats_pack",
+    "qr47_promo_share",
+    "qr53_small_quantity_revenue",
+    "qr62_product_profit",
+    "qr72_winsorized_stats",
+    # join shape: dangling keys, NULL sides, semi/anti
+    "qr03_join_orders_customer",
+    "qr04_multiway_join",
+    "qr05_left_join_histogram",
+    "qr05_semi_join",
+    "qr05_anti_join",
+    "qr18_subqueries",
+    "qr25_full_outer_join",
+    "qr37_salted_join",
+    "qr39_large_volume_customers",
+    "qr46_disjunctive_join",
+    "qr54_top_supplier",
+    "qr64_important_parts",
+    "qr66_customer_distribution",
+    "qr69_waiting_suppliers",
+    # grouping / window frames / ties
+    "qr09_rollup",
+    "qr09b_cube",
+    "qr10_window_rank",
+    "qr11_window_running",
+    "qr12_topk",
+    "qr29_range_frame",
+    "qr30_arg_extrema",
+    "qr45_window_value_fns",
+    "qr51_grouping_sets",
+    # set ops with duplicate rows
+    "qr13_union",
+    "qr13_intersect",
+    "qr13_except",
+    "qr49_except_all",
+    "qr49_intersect_all",
+    # conditional / NULL semantics / variants
+    "qr19_case_when",
+    "qr28_filtered_agg",
+    "qr31_null_semantics",
+    "qr57_try_arithmetic",
+    # reshaping + stateful snapshots + scan-level contracts
+    "qr01_scan_checksum",
+    "qr07_count_distinct",
+    "qr20_pivot",
+    "qr22_histogram",
+    "qr32_unpivot",
+    "qr42_upsert_snapshot",
+    "qr43_cdc_apply",
+    "qr44_profile_orders",
+    "qr50_expectations_orders",
+    "qr56_inventory_drawdown",
+    "qr70_schema_evolution",
+    "qr73_hierarchy_rollup",
+]
+
+
+@pytest.mark.parametrize("name", _TPCH_FUZZ_ENTRIES)
+@given(custs=cust_rows, orders=order_rows, lines=line_rows)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_tpch_match_oracle(spark, tmp_path_factory, custs, orders, lines, name):
+    tmp = str(tmp_path_factory.mktemp("tpchfuzz"))
+    _write_tpch(custs, orders, lines, tmp)
+    spec = registry()[name]
+    df = spec.spark(spark, tmp)
+    con = duckdb.connect()
+    try:
+        for t in ("lineitem", "orders", "customer", *_STATIC_TABLES):
+            p = os.path.join(tmp, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        assert_matches_oracle(df, con, spec.oracle, name=f"{name} tpch-fuzz")
+    finally:
+        con.close()
