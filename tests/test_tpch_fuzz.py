@@ -21,12 +21,21 @@ class the fixtures only sample:
   tables are symlinked from the sf0.001 fixture, so EVERY registry
   entry runs unmodified against the generated directory.
 
-Exclusions (documented, not silent): qr08/qr71 build approximate
-sketches (HLL / approx quantile) whose oracle parity is an exact-twin
-tolerance formulation calibrated on the fixture distributions — fuzzing
-them needs a tolerance-aware comparator, not the exact-hash one; qr14/
-qr23/qr27/qr33/qr34/qr35/qr36/qr58/qr59/qr61 read only static tables
-(or join the generated ones trivially) and would re-test the fixture.
+The approx-sketch entries (qr08/qr71) ARE included: their exact-twin
+formulations gate the sketch by a DATA-INDEPENDENT guarantee (HLL is
+exact at tiny cardinalities; GK rank error ≤ n/accuracy holds for any
+valid sketch), so the within-tolerance flag stays TRUE on any generated
+frame and the hashable columns are exact on both engines.
+
+Exclusions (documented, not silent): entries whose oracles reference no
+generated table (qr14/qr23/qr24/qr27/qr33/qr34/qr35/qr52/qr58 — static
+dims or synthesized frames only) would re-test the fixture; and
+qr21_percentiles, whose INTERPOLATED percentile (Spark `percentile` vs
+DuckDB `quantile_cont`) carries the documented half-ulp divergence when
+the interpolation lands on a .xx5 rounding boundary (verify-skill
+gotcha) — generated cents-exact data hits that boundary class by
+design, so fuzzing it would assert cross-engine bit-equality the
+operators do not promise. Discrete-percentile entries (qr71) are in.
 """
 
 from __future__ import annotations
@@ -233,15 +242,21 @@ _TPCH_FUZZ_ENTRIES = [
     "qr25_full_outer_join",
     "qr37_salted_join",
     "qr39_large_volume_customers",
+    "qr36_lateral_topk",
     "qr46_disjunctive_join",
     "qr54_top_supplier",
+    "qr59_min_cost_supplier",
+    "qr61_market_share",
     "qr64_important_parts",
     "qr66_customer_distribution",
+    "qr67_supplier_part_counts",
+    "qr68_promotable_suppliers",
     "qr69_waiting_suppliers",
     # grouping / window frames / ties
     "qr09_rollup",
     "qr09b_cube",
     "qr10_window_rank",
+    "qr10b_window_analytics",
     "qr11_window_running",
     "qr12_topk",
     "qr29_range_frame",
@@ -259,6 +274,9 @@ _TPCH_FUZZ_ENTRIES = [
     "qr28_filtered_agg",
     "qr31_null_semantics",
     "qr57_try_arithmetic",
+    # approx sketches gated by data-independent exact twins
+    "qr08_approx_count_distinct",
+    "qr71_approx_quantile_gate",
     # reshaping + stateful snapshots + scan-level contracts
     "qr01_scan_checksum",
     "qr07_count_distinct",
