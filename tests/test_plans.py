@@ -503,3 +503,58 @@ def test_recursive_rollup_is_engine_native(spark):
         parent = node // 10
         if node > 0 and parent in rows:
             assert r.n_desc <= rows[parent].n_desc
+
+
+def test_silhouette_corpus_never_shuffles_before_final_mean(spark):
+    """ql62: the centroid frame collapses to a ONE-row broadcast and the
+    corpus evaluates every distance per-row via lambdas — the only joins
+    are broadcast (a sort-merge join here would mean the corpus is being
+    shuffled against its own centroids), scans prune to (vec_id,
+    embedding), and the whole plan fits a fixed exchange budget
+    (centroid passes + final |labels|-group mean + sort) independent of
+    corpus size."""
+    from streamsurfer_spark.plans.inspect import formatted_plan
+
+    df = REG["ql62_label_silhouette"].spark(spark, SF_DIR)
+    assert "SortMergeJoin" not in formatted_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert exchange_count(df) <= 5
+    for schema in scan_schemas(df):
+        assert set(schema) <= {"vec_id", "embedding", "label"}
+
+
+def test_rolling_actives_bounded_expand_and_pruning(spark):
+    """qt20: the 1/7/28-day distinct-actives fan-out stays map-side (the
+    Expand feeds a partial aggregate before any wire crossing) and the
+    events scan reads only (ts, user_id) — the 28x row multiplication
+    must never be the thing that shuffles raw."""
+    df = REG["qt20_rolling_actives"].spark(spark, SF_DIR)
+    assert exchange_count(df) <= 5
+    for schema in scan_schemas(df):
+        assert set(schema) <= {"ts", "user_id"}
+
+
+def test_rolling_median_single_sort_exchange(spark):
+    """qt21: the composed percentile frame is one hash exchange for the
+    daily rollup + one RangePartitioning for the window sort + output —
+    a second hash exchange would mean the window is re-partitioning what
+    the rollup already keyed."""
+    df = REG["qt21_rolling_median"].spark(spark, SF_DIR)
+    assert exchange_count(df) <= 3
+    (schema,) = scan_schemas(df)
+    assert sorted(schema) == ["event_type", "ts", "value"]
+
+
+def test_source_overlap_scans_prune_to_join_columns(spark):
+    """ql65: the source-pair containment matrix reads documents several
+    times (shingle leg + source leg per side) but every scan must prune
+    to exactly its 2 needed columns, and the per-key fan-out join on the
+    shingle hash stays a keyed join (no cartesian): at 100 TB the scan
+    bytes, not the |sources|^2 output, dominate."""
+    from streamsurfer_spark.plans.inspect import formatted_plan
+
+    df = REG["ql65_source_overlap_matrix"].spark(spark, SF_DIR)
+    assert "CartesianProduct" not in formatted_plan(df)
+    for schema in scan_schemas(df):
+        assert set(schema) <= {"doc_id", "text", "source"}
+        assert len(schema) <= 2
