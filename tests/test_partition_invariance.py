@@ -30,6 +30,12 @@ CASES = (
     "ql40_epoch_plan",         # DECIMAL(38,0) budget products
     "ql10_lsh_ann_pairs",      # corpus-derived plane count + bucket cap
     "qp07_training_mix",       # 4-stage composition of the above
+    # r9 additions — one per r8-continuation exactness mechanism:
+    "ql62_label_silhouette",   # BIGINT diffs → DECIMAL(38,0) square-sums
+    "ql66_source_minhash_jaccard",  # mergeable per-source min sketch
+    "qt21_rolling_median",     # discrete percentile over a window frame
+    "qt16_psi_drift",          # PSI in integer micro-nat terms
+    "ql58_char_entropy",       # per-char micro-nat entropy sums
 )
 
 

@@ -110,6 +110,14 @@ def generate(src: str, dst: str, replicas: int) -> None:
 
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # stream the replicated COPYs: with order preservation on (the
+    # default) DuckDB MATERIALIZES the whole cross join before writing —
+    # at 1000× that is 600M lineitem rows (~50+ GB RSS, single-core)
+    # and OOMs the host. Row order inside the probe files is
+    # meaningless, so let the COPY stream and parallelize.
+    con.execute("SET preserve_insertion_order=false")
+    # bound DuckDB's own buffering well under the host limit
+    con.execute("SET memory_limit='24GB'")
     for t in ("lineitem", "orders", "customer", "events", "documents"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}/{t}.parquet')")
     ok = con.sql("SELECT max(l_orderkey)+1 FROM lineitem").fetchone()[0]
