@@ -94,7 +94,7 @@ def _check(spark, tmp_path, rows, name):
 )
 @given(rows=event_rows)
 @settings(
-    max_examples=8,
+    max_examples=max(8, int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -162,7 +162,7 @@ def _check_numeric(spark, tmp_path, rows, name):
 @pytest.mark.parametrize("name", ["qr30_arg_extrema", "qr72_winsorized_stats"])
 @given(rows=cents_values)
 @settings(
-    max_examples=8,
+    max_examples=max(8, int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -190,7 +190,7 @@ micro_offsets = st.lists(
 
 @given(offsets=micro_offsets)
 @settings(
-    max_examples=10,
+    max_examples=max(10, int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -261,7 +261,7 @@ props_strategy = st.lists(
 
 @given(dicts=props_strategy)
 @settings(
-    max_examples=10,
+    max_examples=max(10, int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -331,7 +331,7 @@ _raw_props = st.one_of(
 @pytest.mark.parametrize("name", ["qv02_payload_parse", "qv07_json_typed_parse"])
 @given(props=st.lists(_raw_props, min_size=1, max_size=25))
 @settings(
-    max_examples=10,
+    max_examples=max(10, int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -527,7 +527,7 @@ def test_jaccard_pairs_survive_tie_ratio(spark, tmp_path_factory):
     )
 )
 @settings(
-    max_examples=15,
+    max_examples=max(15, int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -651,7 +651,7 @@ def _write_events_wide(rows, path: str) -> None:
 )
 @given(rows=event_rows_wide)
 @settings(
-    max_examples=6,
+    max_examples=max(6, int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -731,7 +731,7 @@ def _write_docs(rows, path: str) -> None:
 )
 @given(rows=doc_rows)
 @settings(
-    max_examples=6,
+    max_examples=max(6, int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -789,7 +789,7 @@ def _write_embs(rows, path: str) -> None:
 )
 @given(rows=emb_rows)
 @settings(
-    max_examples=6,
+    max_examples=max(6, int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
