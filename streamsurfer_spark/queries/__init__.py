@@ -51,12 +51,15 @@ class QuerySpec:
 #   (g) qp06/qp08 — their Spark plans changed THIS round (CC switched
 #       label → star for the unbounded-diameter hazard; output identical
 #       by the test_graph.py parity pin, the gate re-proves it);
-#   (h) 3 fillers: qp04 (kmeans-family consumer, r6 evidence),
-#       qs13/qs14 (r5; their tie-break class gained wide-grid fuzz this
-#       round).
+#   (i) qr26 — rewritten THIS round (exact DECIMAL co-moments) after
+#       the deep TPC-H fuzz caught the Welford-aggregate rounding
+#       divergence + ANSI corr crash; plan AND oracle changed;
+#   (h) 2 fillers: qp04 (kmeans-family consumer, r6 evidence) and qs13
+#       (r5; its tie-break class gained wide-grid fuzz this round).
+#       qs14 yielded its slot to the qr26 rewrite.
 # After r9 lands, no entry's latest gate row is older than r5, and the
-# r10 head is the remaining 31-entry r5 band (33 minus the 2 r5 fillers
-# above — see the histogram).
+# r10 head is the remaining 32-entry r5 band (33 minus qs13 — see the
+# histogram; qs14 stays in it).
 #
 # Every entry regardless of window membership is covered by the
 # standing full-registry sim (tools/driver_sim.py → DRIVER_SIM_r9.txt,
@@ -119,11 +122,17 @@ _VERIFY_FIRST = (
     # (g) CC label→star plan change this round
     "qp06_semdedup_report",
     "qp08_canonical_map",
+    # (i) qr26 — REWRITTEN this round after the deep TPC-H fuzz caught
+    # the built-in Welford aggregates' last-ulp drift crossing the 2dp
+    # grain (and an ANSI corr DIVIDE_BY_ZERO on zero-variance groups);
+    # now exact DECIMAL co-moments, values unchanged on the fixtures —
+    # the gate proves it
+    "qr26_stats_pack",
     # (h) fillers: kmeans-family consumer + the newly-fuzzed tie-break
-    # pair
+    # run (qs14 yielded its discretionary slot to the qr26 rewrite; it
+    # keeps its r5 gate row + this round's wide-grid fuzz evidence)
     "qp04_quality_dashboard",
     "qs13_foreachbatch_upsert",
-    "qs14_stream_cdc_apply",
     # --- r9 window boundary: exactly 50 entries above ---
     # Post-window order (informational — every entry below has a FRESH
     # r8 gate row; the full-registry sim covers all of them each round):

@@ -970,46 +970,132 @@ ORDER BY custkey
 # --- Q-R26: statistical aggregate pack ---------------------------------------
 
 def qr26_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stddev/variance/correlation/covariance/regression aggregates.
+    """stddev/variance/correlation/covariance/regression statistics from
+    EXACT integer co-moments.
 
-    Single-pass co-moment aggregates (Welford merges) on both engines;
-    normalized stats (corr, regr) rounded at 4 dp, scale-carrying ones
-    (stddev/var/covar) at 2 dp where double co-moment drift is far below
-    the rounding grain at fixture magnitudes.
+    The original formulation used the engines' built-in Welford
+    aggregates with round-at-grain canonicalization, on the argument
+    that double co-moment drift sits far below the rounding grain "at
+    fixture magnitudes" — and the r9 deep TPC-H fuzz falsified exactly
+    that clause (covar_samp 490275.375 rounding .38 on Spark / .37 on
+    DuckDB at generated magnitudes) and additionally crashed Spark's
+    ``corr`` with an ANSI DIVIDE_BY_ZERO on a zero-variance group. The
+    robust form is the repo's standing discipline (qt11/ql57): quantize
+    both columns to cents, aggregate n/Σx/Σy/Σx²/Σy²/Σxy as exact
+    DECIMAL(38,0), and derive every statistic with the IDENTICAL double
+    expression on both engines — one correctly-rounded decimal→double
+    cast per co-moment, then the same divisions and sqrts in the same
+    order, so results are bit-identical at ANY magnitude. Degenerate
+    groups (n=1, zero variance) are NULL via try_divide, matching
+    DuckDB's x/0 = NULL, instead of raising.
+
+    Scale: one partial-aggregating groupBy (the six sums are all
+    map-side combinable); the statistics are per-group scalar math.
+    ANSI decimal overflow past ~10^38 co-moments fails LOUD, the
+    embedding_corr precedent.
     """
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n_rows"),
-            scaled_round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
-            scaled_round(F.stddev_pop("l_extendedprice"), 2).alias("sdp_price"),
-            scaled_round(F.var_samp("l_quantity"), 2).alias("var_qty"),
-            scaled_round(F.var_pop("l_quantity"), 2).alias("varp_qty"),
-            scaled_round(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
-            scaled_round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
-            scaled_round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covp_qty_price"),
-            scaled_round(F.expr("regr_slope(l_extendedprice, l_quantity)")).alias("slope"),
-            scaled_round(F.expr("regr_intercept(l_extendedprice, l_quantity)")).alias("intercept"),
-        )
-        .orderBy("l_returnflag")
+    dec = "decimal(38,0)"
+    q = li.select(
+        "l_returnflag",
+        F.expr(f"cast(cast(round(l_quantity * 100) as bigint) as {dec})").alias("x"),
+        F.expr(f"cast(cast(round(l_extendedprice * 100) as bigint) as {dec})").alias("y"),
     )
+    m = q.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    d = m.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        F.expr(f"cast(n as {dec}) * sxx - sx * sx").alias("nvarx"),
+        F.expr(f"cast(n as {dec}) * syy - sy * sy").alias("nvary"),
+        F.expr(f"cast(n as {dec}) * sxy - sx * sy").alias("ncov"),
+    )
+    nd = "cast(n as double)"
+    return d.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        scaled_round(
+            F.expr(f"sqrt(try_divide(cast(nvary as double), {nd} * ({nd} - 1.0) * 10000.0))"), 2
+        ).alias("sd_price"),
+        scaled_round(
+            F.expr(f"sqrt(cast(nvary as double) / ({nd} * {nd} * 10000.0))"), 2
+        ).alias("sdp_price"),
+        scaled_round(
+            F.expr(f"try_divide(cast(nvarx as double), {nd} * ({nd} - 1.0) * 10000.0)"), 2
+        ).alias("var_qty"),
+        scaled_round(
+            F.expr(f"cast(nvarx as double) / ({nd} * {nd} * 10000.0)"), 2
+        ).alias("varp_qty"),
+        scaled_round(
+            F.expr(
+                "try_divide(cast(ncov as double), "
+                "sqrt(cast(nvarx as double)) * sqrt(cast(nvary as double)))"
+            )
+        ).alias("corr_qty_price"),
+        scaled_round(
+            F.expr(f"try_divide(cast(ncov as double), {nd} * ({nd} - 1.0) * 10000.0)"), 2
+        ).alias("cov_qty_price"),
+        scaled_round(
+            F.expr(f"cast(ncov as double) / ({nd} * {nd} * 10000.0)"), 2
+        ).alias("covp_qty_price"),
+        scaled_round(
+            F.expr("try_divide(cast(ncov as double), cast(nvarx as double))")
+        ).alias("slope"),
+        scaled_round(
+            F.expr(
+                "try_divide(cast(sy as double) - "
+                "try_divide(cast(ncov as double), cast(nvarx as double))"
+                f" * cast(sx as double), {nd} * 100.0)"
+            )
+        ).alias("intercept"),
+    ).orderBy("l_returnflag")
 
 
 QR26_SQL = """
+WITH q AS (
+    SELECT l_returnflag,
+           CAST(CAST(round(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0)) AS x,
+           CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0)) AS y
+    FROM lineitem
+),
+m AS (
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+           CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+           CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+           CAST(sum(y * y) AS DECIMAL(38,0)) AS syy,
+           CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy
+    FROM q GROUP BY 1
+),
+d AS (
+    SELECT l_returnflag, n, sx, sy,
+           CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS nvarx,
+           CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS nvary,
+           CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS ncov
+    FROM m
+)
 SELECT l_returnflag,
-       count(*) AS n_rows,
-       CAST(round(stddev_samp(l_extendedprice) * 100) AS BIGINT) / 100.0 AS sd_price,
-       CAST(round(stddev_pop(l_extendedprice) * 100) AS BIGINT) / 100.0 AS sdp_price,
-       CAST(round(var_samp(l_quantity) * 100) AS BIGINT) / 100.0 AS var_qty,
-       CAST(round(var_pop(l_quantity) * 100) AS BIGINT) / 100.0 AS varp_qty,
-       CAST(round(corr(l_quantity, l_extendedprice) * 10000) AS BIGINT) / 10000.0 AS corr_qty_price,
-       CAST(round(covar_samp(l_quantity, l_extendedprice) * 100) AS BIGINT) / 100.0 AS cov_qty_price,
-       CAST(round(covar_pop(l_quantity, l_extendedprice) * 100) AS BIGINT) / 100.0 AS covp_qty_price,
-       CAST(round(regr_slope(l_extendedprice, l_quantity) * 10000) AS BIGINT) / 10000.0 AS slope,
-       CAST(round(regr_intercept(l_extendedprice, l_quantity) * 10000) AS BIGINT) / 10000.0 AS intercept
-FROM lineitem
-GROUP BY 1 ORDER BY 1
+       n AS n_rows,
+       CAST(round(sqrt(nvary::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0) * 10000.0)) * 100) AS BIGINT) / 100.0 AS sd_price,
+       CAST(round(sqrt(nvary::DOUBLE / (n::DOUBLE * n::DOUBLE * 10000.0)) * 100) AS BIGINT) / 100.0 AS sdp_price,
+       CAST(round((nvarx::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0) * 10000.0)) * 100) AS BIGINT) / 100.0 AS var_qty,
+       CAST(round((nvarx::DOUBLE / (n::DOUBLE * n::DOUBLE * 10000.0)) * 100) AS BIGINT) / 100.0 AS varp_qty,
+       CAST(round((ncov::DOUBLE / (sqrt(nvarx::DOUBLE) * sqrt(nvary::DOUBLE))) * 10000) AS BIGINT) / 10000.0 AS corr_qty_price,
+       CAST(round((ncov::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0) * 10000.0)) * 100) AS BIGINT) / 100.0 AS cov_qty_price,
+       CAST(round((ncov::DOUBLE / (n::DOUBLE * n::DOUBLE * 10000.0)) * 100) AS BIGINT) / 100.0 AS covp_qty_price,
+       CAST(round((ncov::DOUBLE / nvarx::DOUBLE) * 10000) AS BIGINT) / 10000.0 AS slope,
+       CAST(round(((sy::DOUBLE - (ncov::DOUBLE / nvarx::DOUBLE) * sx::DOUBLE) / (n::DOUBLE * 100.0)) * 10000) AS BIGINT) / 10000.0 AS intercept
+FROM d
+ORDER BY 1
 """
 
 

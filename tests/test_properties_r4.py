@@ -346,10 +346,15 @@ def test_verify_window_follows_rotation_policy():
         # test_graph.py parity pin — the gate re-proves it
         "qp06_semdedup_report",
         "qp08_canonical_map",
+        # round 9: rewritten to exact DECIMAL co-moments after the deep
+        # TPC-H fuzz caught the built-in Welford aggregates' rounding
+        # divergence and an ANSI corr DIVIDE_BY_ZERO on zero-variance
+        # groups; plan AND oracle strings changed
+        "qr26_stats_pack",
     }
-    # round 9 defers NOTHING: the required set (3 never-gated + 3
-    # changed + the whole r3 and r4 bands + the promised qv08) is 47,
-    # and the 3 fillers (qp04/qs13/qs14) are discretionary
+    # round 9 defers NOTHING: the required set (3 never-gated + 4
+    # changed + the whole r3 and r4 bands + the promised qv08) is 48,
+    # and the 2 fillers (qp04/qs13) are discretionary
     deferred: tuple = ()
 
     # the r9 head: the 3 entries with NO gate row across rounds 1-8
