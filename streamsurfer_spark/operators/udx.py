@@ -42,26 +42,46 @@ def geo_mean_udf(v: pd.Series) -> float:  # type: ignore[misc]
 
 
 def zscore_by_group(df, group_col: str, value_col: str, out_schema: str):
-    """Grouped-map: z-score `value_col` within each group.
+    """Grouped-map: z-score an INTEGER `value_col` within each group.
 
     applyInPandas hands each whole group as one pandas DataFrame (Arrow);
-    ddof=1 matches SQL stddev_samp. Degenerate groups z-score to 0.0 (a
-    single sample — pandas std NaN — or an all-equal group — std 0; the
-    QL19 twin replicates this with a CASE on stddev_samp > 0). Groups
-    must fit in memory — for unbounded groups use window expressions
-    instead (same math, streaming partials).
+    ddof=1 semantics match SQL stddev_samp. Degenerate groups (single
+    sample, or all-equal) z-score to 0.0; the QL19 twin replicates this
+    with a variance-numerator > 0 guard. Groups must fit in memory — for
+    unbounded groups use window expressions instead (same math,
+    streaming partials).
+
+    Numerics (r9, the qr26 lesson): pandas ``mean``/``std`` and the
+    engines' Welford aggregates accumulate doubles in different orders,
+    and that last-ulp drift CAN cross the 1e-4 rounding grain on
+    adversarial values. Since the input is integer-valued, the co-moments
+    n/Σx/Σx² are computed as EXACT Python ints and every float op is
+    mirrored expression-for-expression in QL19_SQL:
+    z = float(n·x − Σx) / sqrt(float(n·Σx² − Σx²ᵗᵒᵗ) · n / (n − 1)) —
+    one correctly-rounded int→double conversion per term, then identical
+    IEEE multiply/divide/sqrt on both engines → bit-identical z.
     """
 
     def zs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         from streamsurfer_spark.functions.rounding import scaled_round_np
 
-        v = pdf[value_col].astype("float64")
-        sd = v.std(ddof=1)
         pdf = pdf.copy()
+        xs = [int(v) for v in pdf[value_col]]
+        n = len(xs)
+        sx = sum(xs)
+        sxx = sum(v * v for v in xs)
+        a = n * sxx - sx * sx  # n²·var_pop — exact, ≥ 0
+        if n < 2 or a <= 0:
+            pdf["zscore"] = 0.0
+            return pdf
+        den = np.sqrt(np.float64(a) * np.float64(n) / (np.float64(n) - 1.0))
+        num = np.array([np.float64(n * x - sx) for x in xs])
         # tie-proof integer-scale round (r7): Series.round is half-even,
         # the engines are half-away — scaled_round_np matches them on the
         # exact binary value (twin in lockstep in QL19_SQL)
-        pdf["zscore"] = scaled_round_np((v - v.mean()) / sd if sd > 0 else v * 0.0)
+        pdf["zscore"] = scaled_round_np(num / den)
         return pdf
 
     return df.groupBy(group_col).applyInPandas(zs, schema=out_schema)

@@ -54,12 +54,13 @@ class QuerySpec:
 #   (i) qr26 — rewritten THIS round (exact DECIMAL co-moments) after
 #       the deep TPC-H fuzz caught the Welford-aggregate rounding
 #       divergence + ANSI corr crash; plan AND oracle changed;
-#   (h) 2 fillers: qp04 (kmeans-family consumer, r6 evidence) and qs13
-#       (r5; its tie-break class gained wide-grid fuzz this round).
-#       qs14 yielded its slot to the qr26 rewrite.
+#   (j) ql19 — the same Welford-drift class fixed preemptively (pandas
+#       co-moments + exact twin); plan AND oracle changed;
+#   (h) 1 filler: qp04 (kmeans-family consumer, r6 evidence). qs13 and
+#       qs14 yielded their discretionary slots to the qr26/ql19
+#       rewrites; both keep r5 gate rows + this round's wide-grid fuzz.
 # After r9 lands, no entry's latest gate row is older than r5, and the
-# r10 head is the remaining 32-entry r5 band (33 minus qs13 — see the
-# histogram; qs14 stays in it).
+# r10 head is the full 33-entry r5 band (see the histogram).
 #
 # Every entry regardless of window membership is covered by the
 # standing full-registry sim (tools/driver_sim.py → DRIVER_SIM_r9.txt,
@@ -128,11 +129,14 @@ _VERIFY_FIRST = (
     # now exact DECIMAL co-moments, values unchanged on the fixtures —
     # the gate proves it
     "qr26_stats_pack",
-    # (h) fillers: kmeans-family consumer + the newly-fuzzed tie-break
-    # run (qs14 yielded its discretionary slot to the qr26 rewrite; it
-    # keeps its r5 gate row + this round's wide-grid fuzz evidence)
+    # (j) ql19 — same Welford-drift class, fixed preemptively this
+    # round: the pandas std/mean z-score and its window-expression twin
+    # both moved to exact co-moments; plan AND oracle changed
+    "ql19_grouped_map_zscore",
+    # (h) filler: the kmeans-family consumer. qs13/qs14 yielded their
+    # discretionary slots to the qr26/ql19 rewrites; both keep r5 gate
+    # rows + this round's wide-grid fuzz evidence
     "qp04_quality_dashboard",
-    "qs13_foreachbatch_upsert",
     # --- r9 window boundary: exactly 50 entries above ---
     # Post-window order (informational — every entry below has a FRESH
     # r8 gate row; the full-registry sim covers all of them each round):

@@ -754,18 +754,31 @@ def ql19_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QL19_SQL = """
-SELECT doc_id, source,
-       -- degenerate groups (1 sample → stddev NULL; all-equal → stddev 0)
-       -- z-score to 0.0, matching the operator's sd > 0 guard — found by
-       -- the 1-row sweep (tools/empty_sweep.py one); populated groups hit
-       -- the THEN branch unchanged
-       CASE WHEN stddev_samp(n_chars) OVER w > 0
-            THEN CAST(round((n_chars - avg(n_chars) OVER w)
-                       / stddev_samp(n_chars) OVER w * 10000) AS BIGINT)
-                 / 10000.0
+-- exact-co-moment twin of zscore_by_group (r9, the qr26 lesson): the
+-- old avg/stddev_samp window form accumulated doubles in a different
+-- order than pandas and could flip the 1e-4 round on adversarial
+-- values. n/Σx/Σx² are exact DECIMAL ints; every double op below
+-- mirrors the pandas expression term-for-term, so z is bit-identical.
+-- Degenerate groups (1 sample, or all-equal → variance numerator 0)
+-- z-score to 0.0, matching the operator's guard — found by the 1-row
+-- sweep (tools/empty_sweep.py one).
+WITH s AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS DECIMAL(38,0)) AS sx,
+           CAST(sum(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS DECIMAL(38,0)) AS sxx
+    FROM documents GROUP BY 1
+)
+SELECT doc_id, d.source,
+       CASE WHEN n >= 2
+             AND CAST(n AS DECIMAL(38,0)) * sxx - sx * sx > 0
+            THEN CAST(round(
+                   (CAST(n AS DECIMAL(38,0)) * n_chars - sx)::DOUBLE
+                   / sqrt((CAST(n AS DECIMAL(38,0)) * sxx - sx * sx)::DOUBLE
+                          * n::DOUBLE / (n::DOUBLE - 1.0))
+                   * 10000) AS BIGINT) / 10000.0
             ELSE 0.0 END AS zscore
-FROM documents
-WINDOW w AS (PARTITION BY source)
+FROM documents d JOIN s USING (source)
 ORDER BY doc_id
 """
 

@@ -727,6 +727,10 @@ def _write_docs(rows, path: str) -> None:
         "ql22_tfidf_top_terms",
         "ql31_repetition_metrics",
         "ql36_unigram_surprisal",
+        # r9: the exact-co-moment z-score (pandas ints vs DECIMAL twin,
+        # rewritten after the qr26 Welford-drift find) — tiny tied
+        # n_chars groups land variance numerators of exactly 0
+        "ql19_grouped_map_zscore",
     ],
 )
 @given(rows=doc_rows)

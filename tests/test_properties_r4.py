@@ -351,10 +351,13 @@ def test_verify_window_follows_rotation_policy():
         # divergence and an ANSI corr DIVIDE_BY_ZERO on zero-variance
         # groups; plan AND oracle strings changed
         "qr26_stats_pack",
+        # round 9: the same Welford-drift class fixed preemptively in
+        # the grouped-map z-score (pandas co-moments + exact twin)
+        "ql19_grouped_map_zscore",
     }
-    # round 9 defers NOTHING: the required set (3 never-gated + 4
-    # changed + the whole r3 and r4 bands + the promised qv08) is 48,
-    # and the 2 fillers (qp04/qs13) are discretionary
+    # round 9 defers NOTHING: the required set (3 never-gated + 5
+    # changed + the whole r3 and r4 bands + the promised qv08) is 49,
+    # and the 1 filler (qp04) is discretionary
     deferred: tuple = ()
 
     # the r9 head: the 3 entries with NO gate row across rounds 1-8
