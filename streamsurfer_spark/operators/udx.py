@@ -28,17 +28,41 @@ from pyspark.sql.functions import pandas_udf, udtf
 from pyspark.sql.types import DoubleType
 
 
+# marks a non-positive input row inside geo_mean_udf's micro-nat column;
+# real |ln(x)|·1e6 values are ~1e9 for any physical doc length, nowhere
+# near this
+GEO_ZERO_SENTINEL = -(2**62)
+
+
 @pandas_udf(DoubleType())
 def geo_mean_udf(v: pd.Series) -> float:  # type: ignore[misc]
-    """Grouped-agg UDAF: geometric mean (exp of mean log).
+    """Grouped-agg UDAF: geometric mean — exp of the exact mean of
+    MICRO-NAT log values.
 
-    Domain contract: positive inputs (ql18 feeds n_chars ≥ 1). A zero
-    makes the mean log -inf → 0.0 and a negative makes it NaN — silently,
-    on BOTH engines (the QL18 twin shares the exp(avg(ln)) form), so the
-    oracle cannot catch a domain violation; gate the input if zeros are
-    possible.
+    The input is ``round(ln(x)·1e6)`` as BIGINT, computed ENGINE-side
+    (Spark JVM ln has proven bit-parity with DuckDB ln on integer-valued
+    doubles — the ql36/ql46 precedent), NOT raw doubles: the old
+    ``np.log(v).mean()`` accumulated doubles in numpy order while the
+    twin's ``avg(ln(x))`` accumulated in DuckDB order — the qr26
+    Welford-drift class. Here the sum is an exact Python int, the mean
+    is one double division mirrored term-for-term in QL18_SQL, and the
+    single exp is the only residual engine-library call (a 1-ulp exp
+    divergence would need the result within ~1e-14 of a .xx5 cent to
+    flip the 2dp round — vanishingly small, and documented rather than
+    hidden under multi-ulp sum drift).
+
+    Domain contract: the caller maps non-positive inputs to
+    GEO_ZERO_SENTINEL before the micro-nat conversion (a grouped-agg
+    pandas UDF cannot be mixed with builtin aggregates, so the zero
+    flag rides IN the column); any sentinel makes the group's geometric
+    mean 0.0 by definition, mirrored by the twin's count_if guard. This
+    function therefore only ever does exact-int arithmetic.
     """
-    return float(np.exp(np.log(v.astype("float64")).mean()))
+    vals = [int(x) for x in v]
+    if any(x == GEO_ZERO_SENTINEL for x in vals):
+        return 0.0
+    s = sum(vals)
+    return float(np.exp(np.float64(s) / (np.float64(len(vals)) * 1_000_000.0)))
 
 
 def zscore_by_group(df, group_col: str, value_col: str, out_schema: str):

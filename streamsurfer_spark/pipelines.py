@@ -85,7 +85,15 @@ def curation_report(docs: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            scaled_round(F.avg("quality_score")).alias("avg_quality"),
+            # exact mean (r9, the qr26 Welford-drift lesson): the score
+            # is a ×1e-4 grid value, so round(score·1e4) recovers its
+            # exact integer; sum BIGINT, divide once — identical to the
+            # qp04 q4 pattern, partition-order-independent
+            scaled_round(
+                F.sum(F.expr("cast(round(quality_score * 10000) as bigint)"))
+                / F.count("*")
+                / F.lit(10_000.0)
+            ).alias("avg_quality"),
         )
         .orderBy("lang_pred")
     )

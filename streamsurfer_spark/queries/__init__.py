@@ -41,9 +41,8 @@ class QuerySpec:
 #   (b) ql62 — its Spark plan changed THIS round (ragged-embedding
 #       loud-fail in the per-row pass, r8 ADVICE; values on the shipped
 #       fixtures expected unchanged — the gate proves it);
-#   (c) qv08 — slot promised in r8 (yielded to qr73; mechanism-changed
-#       in r8, differentially tested, needs its independent row);
-#   (d) the ENTIRE 22-entry r4-stale leftover band;
+#   (d) the 22-entry r4-stale leftover band MINUS qt10 (deferred, see
+#       below);
 #   (e) the ENTIRE 16-entry r3-latest band (the 18 "deferred" r8 rows
 #       minus ql38/qp03, which are r4);
 #   (f) ql38/qp03 — the r4 stragglers AND the kmeans-family bench
@@ -54,13 +53,19 @@ class QuerySpec:
 #   (i) qr26 — rewritten THIS round (exact DECIMAL co-moments) after
 #       the deep TPC-H fuzz caught the Welford-aggregate rounding
 #       divergence + ANSI corr crash; plan AND oracle changed;
-#   (j) ql19 — the same Welford-drift class fixed preemptively (pandas
-#       co-moments + exact twin); plan AND oracle changed;
-#   (h) 1 filler: qp04 (kmeans-family consumer, r6 evidence). qs13 and
-#       qs14 yielded their discretionary slots to the qr26/ql19
-#       rewrites; both keep r5 gate rows + this round's wide-grid fuzz.
-# After r9 lands, no entry's latest gate row is older than r5, and the
-# r10 head is the full 33-entry r5 band (see the histogram).
+#   (j) ql19/ql18/qp01/qr28 — the REST of the Welford-drift class,
+#       fixed preemptively this round (every raw cross-row double
+#       reduction left in the registry moved to exact co-moments /
+#       integer sums); plans AND oracle strings changed.
+# DEFERRED to the r10 head, each with a documented reason and non-gate
+# evidence this round: qv08 (r7-fresh row, shares qv05's gate-green
+# mechanism, differentially tested), qt10 (r4 row, but its ±1h
+# tolerance boundary is hit constantly by this round's wide-grid fuzz),
+# qp04 (discretionary kmeans-family filler, r6 row, steady-state
+# adjudicated this round), and the qs13/qs14 fillers (r5 rows + this
+# round's wide-grid fuzz). After r9 lands the oldest gate evidence is
+# qt10's r4 row, then the r5 band — r10 window = qt10 + qv08 + qp04 +
+# the 33-entry r5 band + that round's changes.
 #
 # Every entry regardless of window membership is covered by the
 # standing full-registry sim (tools/driver_sim.py → DRIVER_SIM_r9.txt,
@@ -74,8 +79,10 @@ _VERIFY_FIRST = (
     "qs16_stream_outer_join",
     # (b) Spark plan changed this round (ragged loud-fail, r8 ADVICE)
     "ql62_label_silhouette",
-    # (c) the slot promised in r8 (mechanism-changed there)
-    "qv08_batch_wire_format",
+    # (c) qv08's promised slot DEFERRED once more (r10 head): the
+    # Welford-class rewrites (band j) outrank it — it keeps an r7-fresh
+    # gate row, shares qv05's gate-green-this-round mechanism, and is
+    # differentially tested; see the header comment.
     # (d) the ENTIRE 22-entry r4-stale band
     "ql07c_features_parity",
     "ql39_pq_encode",
@@ -96,7 +103,10 @@ _VERIFY_FIRST = (
     "qs02_tumbling_window",
     "qs11_stateful_tracker",
     "qs12_stream_temporal_dim",
-    "qt10_nearest_error",
+    # qt10_nearest_error DEFERRED to the r10 head (with qv08/qp04): one
+    # r4 row had to yield to the Welford-class rewrites, and qt10 is the
+    # band member with the strongest other evidence THIS round (the
+    # wide-grid fuzz hits its ±1h tolerance boundary constantly)
     "qt11_seasonal_profile",
     "qt13_cohort_retention",
     # (e) the ENTIRE 16-entry r3-latest band (oldest gate evidence)
@@ -129,14 +139,14 @@ _VERIFY_FIRST = (
     # now exact DECIMAL co-moments, values unchanged on the fixtures —
     # the gate proves it
     "qr26_stats_pack",
-    # (j) ql19 — same Welford-drift class, fixed preemptively this
-    # round: the pandas std/mean z-score and its window-expression twin
-    # both moved to exact co-moments; plan AND oracle changed
+    # (j) the rest of the Welford-drift class, fixed preemptively this
+    # round after the qr26 find — every raw cross-row double reduction
+    # left in the registry moved to exact co-moments / integer sums;
+    # plans AND oracle strings changed for all four
     "ql19_grouped_map_zscore",
-    # (h) filler: the kmeans-family consumer. qs13/qs14 yielded their
-    # discretionary slots to the qr26/ql19 rewrites; both keep r5 gate
-    # rows + this round's wide-grid fuzz evidence
-    "qp04_quality_dashboard",
+    "ql18_udaf_geo_mean",
+    "qp01_curation_report",
+    "qr28_filtered_agg",
     # --- r9 window boundary: exactly 50 entries above ---
     # Post-window order (informational — every entry below has a FRESH
     # r8 gate row; the full-registry sim covers all of them each round):

@@ -720,24 +720,42 @@ ORDER BY lang, doc_id
 # --- Python extensibility matrix: UDAF / grouped-map / UDTF ------------------
 
 def ql18_udaf_geo_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-agg pandas UDAF vs the expression-equivalent oracle."""
-    from streamsurfer_spark.operators.udx import geo_mean_udf
+    """Grouped-agg pandas UDAF vs the expression-equivalent oracle.
+
+    The UDAF receives micro-nat log values computed JVM-side (see
+    geo_mean_udf's numerics note — the r9 Welford-drift fix): the exact
+    BIGINT sum makes the mean partition-order-independent, and the twin
+    mirrors the division term-for-term.
+    """
+    from streamsurfer_spark.operators.udx import GEO_ZERO_SENTINEL, geo_mean_udf
 
     docs = table(spark, sf_dir, "documents")
+    # a zero anywhere makes the geometric mean 0 by definition — marked
+    # by a sentinel IN the UDAF column (grouped-agg pandas UDFs cannot
+    # mix with builtin aggregates) and mirrored by the twin's count_if
+    # guard; the old raw exp(avg(ln)) form collapsed silently and
+    # engine-dependently (the docs fuzz feeds empty texts). ln() only
+    # evaluates on the positive branch.
+    micro_ln = F.when(
+        F.col("n_chars") > 0,
+        F.expr("cast(round(ln(cast(n_chars as double)) * 1000000) as bigint)"),
+    ).otherwise(F.lit(GEO_ZERO_SENTINEL).cast("bigint"))
     return (
         docs.groupBy("lang")
-        .agg(
-            rounding.scaled_round(
-                geo_mean_udf(F.col("n_chars").cast("double")), 2
-            ).alias("geo_mean_chars")
-        )
+        .agg(rounding.scaled_round(geo_mean_udf(micro_ln), 2).alias("geo_mean_chars"))
         .orderBy("lang")
     )
 
 
 QL18_SQL = """
-SELECT lang, CAST(round(exp(avg(ln(n_chars::DOUBLE))) * 100) AS BIGINT) / 100.0
-           AS geo_mean_chars
+SELECT lang,
+       CASE WHEN count(*) FILTER (WHERE n_chars <= 0) > 0 THEN 0.0
+            ELSE CAST(round(exp(
+                CAST(sum(CASE WHEN n_chars > 0
+                              THEN CAST(round(ln(n_chars::DOUBLE) * 1000000) AS BIGINT)
+                              ELSE 0 END) AS BIGINT)::DOUBLE
+                / (count(*)::DOUBLE * 1000000.0)) * 100) AS BIGINT) / 100.0
+       END AS geo_mean_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 

@@ -72,7 +72,11 @@ surv AS (
 SELECT lang_pred,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       CAST(round(avg(quality_score) * 10000) AS BIGINT) / 10000.0 AS avg_quality
+       -- exact mean (r9): round(score*1e4) recovers the per-doc grid
+       -- integer; BIGINT sum then one division — mirrors the Spark side
+       -- term-for-term (the qp04 q4 pattern)
+       CAST(round(CAST(sum(CAST(round(quality_score * 10000) AS BIGINT)) AS BIGINT)
+             / count(*) / 10000.0 * 10000) AS BIGINT) / 10000.0 AS avg_quality
 FROM surv GROUP BY 1 ORDER BY 1
 """
 

@@ -1151,8 +1151,21 @@ def qr28_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / SCALE6,
                 2,
             ).alias("urgent_rev"),
+            # exact mean (r9, the qr26 Welford-drift lesson): a raw
+            # double avg() accumulates in engine-specific order — sum
+            # exact cents, divide once, both engines term-for-term
             scaled_round(
-                F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2
+                F.try_divide(
+                    F.sum(
+                        F.when(
+                            F.col("o_orderstatus") == "O",
+                            F.expr("cast(round(o_totalprice * 100) as bigint)"),
+                        )
+                    ).cast("double"),
+                    F.count_if(F.col("o_orderstatus") == "O").cast("double")
+                    * F.lit(100.0),
+                ),
+                2,
             ).alias("avg_open_price"),
             scaled_round(
                 F.count_if(F.col("o_orderstatus") == "F") / F.count("*")
@@ -1169,8 +1182,11 @@ SELECT year(o_orderdate) AS o_year,
        CAST(round(coalesce(sum(CAST(round(o_totalprice * 1000000) AS BIGINT))
                 FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')), 0)
              / 1000000.0 * 100) AS BIGINT) / 100.0 AS urgent_rev,
-       CAST(round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O') * 100) AS BIGINT)
-           / 100.0 AS avg_open_price,
+       CAST(round(
+           (sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'O'))::DOUBLE
+           / ((count(*) FILTER (WHERE o_orderstatus = 'O'))::DOUBLE * 100.0)
+           * 100) AS BIGINT) / 100.0 AS avg_open_price,
        CAST(round((count(*) FILTER (WHERE o_orderstatus = 'F')) / (1.0 * count(*))
             * 10000) AS BIGINT) / 10000.0 AS finished_share
 FROM orders

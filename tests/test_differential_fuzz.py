@@ -731,6 +731,10 @@ def _write_docs(rows, path: str) -> None:
         # rewritten after the qr26 Welford-drift find) — tiny tied
         # n_chars groups land variance numerators of exactly 0
         "ql19_grouped_map_zscore",
+        # r9: micro-nat geo mean (same class, UDAF surface) and the
+        # curation capstone whose avg_quality moved to the exact q4 sum
+        "ql18_udaf_geo_mean",
+        "qp01_curation_report",
     ],
 )
 @given(rows=doc_rows)

@@ -351,14 +351,24 @@ def test_verify_window_follows_rotation_policy():
         # divergence and an ANSI corr DIVIDE_BY_ZERO on zero-variance
         # groups; plan AND oracle strings changed
         "qr26_stats_pack",
-        # round 9: the same Welford-drift class fixed preemptively in
-        # the grouped-map z-score (pandas co-moments + exact twin)
+        # round 9: the rest of the Welford-drift class, fixed
+        # preemptively (every raw cross-row double reduction moved to
+        # exact co-moments / integer sums; plans AND oracles changed)
         "ql19_grouped_map_zscore",
+        "ql18_udaf_geo_mean",
+        "qp01_curation_report",
+        "qr28_filtered_agg",
     }
-    # round 9 defers NOTHING: the required set (3 never-gated + 5
-    # changed + the whole r3 and r4 bands + the promised qv08) is 49,
-    # and the 1 filler (qp04) is discretionary
-    deferred: tuple = ()
+    # round 9 defers THREE rows, each with documented non-gate evidence
+    # this round (see the queries/__init__.py header): qv08 (r7-fresh
+    # row, qv05-shared mechanism), qt10 (r4 row; wide-grid fuzz hits its
+    # tolerance boundary constantly), qp04 (discretionary filler;
+    # steady-state adjudicated this round). They lead the r10 head.
+    deferred: tuple = (
+        "qv08_batch_wire_format",
+        "qt10_nearest_error",
+        "qp04_quality_dashboard",
+    )
 
     # the r9 head: the 3 entries with NO gate row across rounds 1-8
     # (r8 verdict item 1), then the round's one plan-changed entry and
@@ -367,10 +377,8 @@ def test_verify_window_follows_rotation_policy():
     assert names[1] == "qp09_intake_gate"
     assert names[2] == "qs16_stream_outer_join"
     assert names[3] == "ql62_label_silhouette"
-    assert names[4] == "qv08_batch_wire_format"
     # the kmeans-family adjudication targets re-gate this round
-    assert {"ql38_kmeans_clusters", "qp03_ivfpq_build_report",
-            "qp04_quality_dashboard"} <= window
+    assert {"ql38_kmeans_clusters", "qp03_ivfpq_build_report"} <= window
     missing = changed_this_round - window - set(deferred)
     assert not missing, f"round-changed queries outside the gate window: {missing}"
 
@@ -407,10 +415,12 @@ def test_verify_window_follows_rotation_policy():
     missing_stale = stale - window - set(deferred)
     assert not missing_stale, f"oldest-band entries outside the window: {missing_stale}"
 
-    # r9 additionally retires the ENTIRE next band (r4): the 22
-    # leftovers + ql38/qp03
+    # r9 additionally retires the next band (r4): the 22 leftovers +
+    # ql38/qp03, minus the one documented deferral (qt10)
     next_band = {k for k, v in rounds.items() if v == oldest + 1 and k in names}
-    assert next_band <= window, f"r4-band entries outside the window: {next_band - window}"
+    assert next_band <= window | set(deferred), (
+        f"r4-band entries outside the window: {next_band - window - set(deferred)}"
+    )
 
     # entries that have NEVER had a gate row (and are not rows-only
     # by design) must not linger: the only three across rounds 1-8
