@@ -45,8 +45,6 @@ class QuerySpec:
 #       below);
 #   (e) the ENTIRE 16-entry r3-latest band (the 18 "deferred" r8 rows
 #       minus ql38/qp03, which are r4);
-#   (f) ql38/qp03 — the r4 stragglers AND the kmeans-family bench
-#       adjudication targets (r8 verdict item 2), re-gated alongside;
 #   (g) qp06/qp08 — their Spark plans changed THIS round (CC switched
 #       label → star for the unbounded-diameter hazard; output identical
 #       by the test_graph.py parity pin, the gate re-proves it);
@@ -56,16 +54,21 @@ class QuerySpec:
 #   (j) ql19/ql18/qp01/qr28 — the REST of the Welford-drift class,
 #       fixed preemptively this round (every raw cross-row double
 #       reduction left in the registry moved to exact co-moments /
-#       integer sums); plans AND oracle strings changed.
+#       integer sums); plans AND oracle strings changed;
+#   (k) qt05/ql28 — REAL defects found AND fixed by the r9 deep fuzz
+#       (non-total min_by key; zero-vector ANSI divide), plans AND
+#       oracles changed.
 # DEFERRED to the r10 head, each with a documented reason and non-gate
 # evidence this round: qv08 (r7-fresh row, shares qv05's gate-green
 # mechanism, differentially tested), qt10 (r4 row, but its ±1h
 # tolerance boundary is hit constantly by this round's wide-grid fuzz),
-# qp04 (discretionary kmeans-family filler, r6 row, steady-state
-# adjudicated this round), and the qs13/qs14 fillers (r5 rows + this
-# round's wide-grid fuzz). After r9 lands the oldest gate evidence is
-# qt10's r4 row, then the r5 band — r10 window = qt10 + qv08 + qp04 +
-# the 33-entry r5 band + that round's changes.
+# ql38/qp03 (r4 rows; 4-loop steady-state adjudication in BASELINE.md +
+# bench medians + sibling consumer qp06 re-gating green), qp04
+# (discretionary kmeans-family filler, r6 row, steady-state adjudicated
+# this round), and the qs13/qs14 fillers (r5 rows + this round's
+# wide-grid fuzz). After r9 lands the oldest gate evidence is the r4
+# rows of qt10/ql38/qp03 — those three + qv08 + qp04 + the 33-entry r5
+# band + that round's changes form the r10 window.
 #
 # Every entry regardless of window membership is covered by the
 # standing full-registry sim (tools/driver_sim.py → DRIVER_SIM_r9.txt,
@@ -83,7 +86,7 @@ _VERIFY_FIRST = (
     # Welford-class rewrites (band j) outrank it — it keeps an r7-fresh
     # gate row, shares qv05's gate-green-this-round mechanism, and is
     # differentially tested; see the header comment.
-    # (d) the ENTIRE 22-entry r4-stale band
+    # (d) the 22-entry r4-stale band (minus the deferred qt10)
     "ql07c_features_parity",
     "ql39_pq_encode",
     "ql40_epoch_plan",
@@ -126,10 +129,19 @@ _VERIFY_FIRST = (
     "qs10_interval_join",
     "qt03_sessionize",
     "qt08_rolling_anomaly",
-    # (f) the 2 r4 stragglers — also the kmeans-family bench
-    # adjudication targets (r8 verdict item 2)
-    "ql38_kmeans_clusters",
-    "qp03_ivfpq_build_report",
+    # (f) ql38/qp03 (the r4 kmeans stragglers) DEFERRED to the r10 head:
+    # the two deep-fuzz finds (band k) outrank them, and their round-9
+    # evidence is strong — the 4-loop steady-state adjudication rows in
+    # BASELINE.md + bench medians + their sibling consumer qp06
+    # re-gating green this round.
+    # (k) qt05/ql28 — REAL defects found by the r9 deep fuzz and fixed:
+    # qt05's min_by/max_by ordering key was not total under duplicate
+    # (ts, event_id) pairs (nondeterministic open/close); ql28's
+    # 127/max|x| raised ANSI DIVIDE_BY_ZERO on Spark for all-zero
+    # vectors while the twin silently biased the mean. Plans AND oracles
+    # changed.
+    "qt05_ohlc_bars",
+    "ql28_quantization_error",
     # (g) CC label→star plan change this round
     "qp06_semdedup_report",
     "qp08_canonical_map",
@@ -191,7 +203,6 @@ _VERIFY_FIRST = (
     "ql24_chunk_windows",
     "ql25_pii_redaction",
     "ql26_export_shards",
-    "ql28_quantization_error",
     "ql29_split_manifest",
     "ql33_sequence_packing",
     "ql35_domain_mixture",

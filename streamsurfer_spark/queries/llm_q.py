@@ -1344,6 +1344,13 @@ def ql28_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is partitioning-independent for ANY embedding dimension
     (the earlier per-vector err9/dim division was exact only because
     dim=64 is a power of two — r8 area review).
+
+    An ALL-ZERO vector quantizes exactly by definition (q = 0⃗,
+    reconstruction exact) → err 0, guarded explicitly on BOTH sides: the
+    unguarded 127/max|x| raised ANSI DIVIDE_BY_ZERO on Spark while the
+    DuckDB twin's x/0 = NULL silently DROPPED the vector's error but
+    kept its dims in the denominator — found by the r9 deep fuzz (the
+    generated-embeddings pool plants zero vectors).
     Output: per label, mean reconstruction error in nano units.
     """
     emb = table(spark, sf_dir, "embeddings")
@@ -1352,10 +1359,12 @@ def ql28_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = F.lit(127.0) / absmax
     q = F.transform(a, lambda x: F.round(x * scale).cast("int"))
     recon = F.transform(q, lambda v: v.cast("double") / scale)
-    err9 = F.aggregate(
-        F.zip_with(a, recon, lambda x, y: F.round(F.abs(x - y) * 1e9).cast("bigint")),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
+    err9 = F.when(absmax == F.lit(0.0), F.lit(0).cast("bigint")).otherwise(
+        F.aggregate(
+            F.zip_with(a, recon, lambda x, y: F.round(F.abs(x - y) * 1e9).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
     )
     per_vec = emb.select(
         "label",
@@ -1389,12 +1398,17 @@ WITH v AS (
   FROM s
 ), e AS (
   SELECT label,
-         CAST(list_sum(
-           list_transform(
-             list_zip(a, list_transform(q, x -> x::DOUBLE / scale)),
-             z -> CAST(round(abs(z[1] - z[2]) * 1e9) AS BIGINT)
-           )
-         ) AS BIGINT) AS err9,
+         -- all-zero vector: exact quantization, err 0 (mirrors the
+         -- Spark-side absmax = 0 guard; the unguarded form silently
+         -- NULLed err9 via x/0 = NULL while keeping dim — r9 deep fuzz)
+         CASE WHEN list_max(list_transform(a, x -> abs(x))) = 0
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(list_sum(
+                list_transform(
+                  list_zip(a, list_transform(q, x -> x::DOUBLE / scale)),
+                  z -> CAST(round(abs(z[1] - z[2]) * 1e9) AS BIGINT)
+                )
+              ) AS BIGINT) END AS err9,
          CAST(len(a) AS BIGINT) AS dim
   FROM r
 )

@@ -223,16 +223,24 @@ ORDER BY axis.event_type, axis.day
 def qt05_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC bars per event type — the classic time-series downsample.
 
-    Open/close are selected with min_by/max_by over a (ts, event_id) struct
-    key, so the whole bar is ONE hash aggregate with map-side partial
-    aggregation: no window, no second shuffle, no per-group sort. At 100 TB
-    the group count (type × day) is tiny relative to input, so partial aggs
-    collapse nearly everything before the exchange. The oracle reaches the
-    same rows via row_number windows (DuckDB's arg_min can't take a
-    composite ordering key).
+    Open/close are selected with min_by/max_by over a (ts, event_id,
+    value) struct key, so the whole bar is ONE hash aggregate with
+    map-side partial aggregation: no window, no second shuffle, no
+    per-group sort. At 100 TB the group count (type × day) is tiny
+    relative to input, so partial aggs collapse nearly everything before
+    the exchange. The oracle reaches the same rows via row_number
+    windows (DuckDB's arg_min can't take a composite ordering key).
+
+    The key includes ``value`` to stay TOTAL even when duplicate
+    event_ids collide at one timestamp: min_by on a tied key is
+    nondeterministic, and the r9 deep fuzz (25-example collision grid)
+    produced exactly that — two rows sharing (ts, event_id) with
+    different values, Spark opening the bar at one and the oracle's
+    row_number at the other. Fixtures' unique event_ids masked it for
+    four rounds.
     """
     ev = table(spark, sf_dir, "events")
-    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    ord_key = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
     return (
         ev.groupBy(
             "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("bar_date")
@@ -255,9 +263,9 @@ WITH ranked AS (
          strftime(date_trunc('day', ts), '%Y-%m-%d') AS bar_date,
          value, ts, event_id,
          row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
-                            ORDER BY ts, event_id) AS rn_a,
+                            ORDER BY ts, event_id, value) AS rn_a,
          row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
-                            ORDER BY ts DESC, event_id DESC) AS rn_d
+                            ORDER BY ts DESC, event_id DESC, value DESC) AS rn_d
   FROM events
 )
 SELECT event_type, bar_date,

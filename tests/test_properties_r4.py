@@ -358,15 +358,25 @@ def test_verify_window_follows_rotation_policy():
         "ql18_udaf_geo_mean",
         "qp01_curation_report",
         "qr28_filtered_agg",
+        # round 9: REAL defects found and fixed by the deep fuzz —
+        # qt05's min_by ordering key was not total under duplicate
+        # (ts, event_id) pairs; ql28's 127/max|x| raised ANSI
+        # DIVIDE_BY_ZERO on all-zero vectors while its twin silently
+        # biased the mean
+        "qt05_ohlc_bars",
+        "ql28_quantization_error",
     }
-    # round 9 defers THREE rows, each with documented non-gate evidence
+    # round 9 defers FIVE rows, each with documented non-gate evidence
     # this round (see the queries/__init__.py header): qv08 (r7-fresh
     # row, qv05-shared mechanism), qt10 (r4 row; wide-grid fuzz hits its
-    # tolerance boundary constantly), qp04 (discretionary filler;
-    # steady-state adjudicated this round). They lead the r10 head.
+    # tolerance boundary constantly), ql38/qp03 (r4 rows; steady-state
+    # adjudicated + sibling qp06 re-gates), qp04 (discretionary filler;
+    # steady-state adjudicated). They lead the r10 head.
     deferred: tuple = (
         "qv08_batch_wire_format",
         "qt10_nearest_error",
+        "ql38_kmeans_clusters",
+        "qp03_ivfpq_build_report",
         "qp04_quality_dashboard",
     )
 
@@ -377,8 +387,6 @@ def test_verify_window_follows_rotation_policy():
     assert names[1] == "qp09_intake_gate"
     assert names[2] == "qs16_stream_outer_join"
     assert names[3] == "ql62_label_silhouette"
-    # the kmeans-family adjudication targets re-gate this round
-    assert {"ql38_kmeans_clusters", "qp03_ivfpq_build_report"} <= window
     missing = changed_this_round - window - set(deferred)
     assert not missing, f"round-changed queries outside the gate window: {missing}"
 
