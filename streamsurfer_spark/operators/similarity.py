@@ -221,12 +221,21 @@ def cosine_topk(
     cond = pair_cond if pair_cond is not None else F.col(id_col) != F.col("probe_id")
     joined = c.join(F.broadcast(p), cond)
     dot = checked_dot("probe_vec", vec_col)
+    # try_divide + explicit NULL exclusion: cosine is UNDEFINED against a
+    # zero-norm vector, and the raw division ANSI-raised DIVIDE_BY_ZERO
+    # (killing the whole job on one degenerate embedding) while the
+    # DuckDB twins' x/0 = NULL would have RANKED the NULL row — the r9
+    # deep fuzz produced exactly this with a planted zero vector. A NULL
+    # sim never ranks, on either engine (the twins carry the same
+    # `sim IS NOT NULL` guard).
     sims = joined.select(
         "probe_id",
         F.col(id_col),
         *corpus_cols,
-        scaled_round(dot / (F.col("probe_nrm") * F.col("corpus_nrm"))).alias("sim"),
-    )
+        scaled_round(
+            F.try_divide(dot, F.col("probe_nrm") * F.col("corpus_nrm"))
+        ).alias("sim"),
+    ).where(F.col("sim").isNotNull())
     return topk_per_key(
         sims, "probe_id", [F.desc("sim"), F.col(id_col)], k, salt_src=id_col
     ).select("probe_id", id_col, *corpus_cols, "sim", "rk")
@@ -301,7 +310,11 @@ def cosine_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            scaled_round(dot / (F.col("_na") * F.col("_nb"))).alias("sim"),
+            # try_divide: a zero-norm vector is a near-dup of NOTHING by
+            # cosine — NULL sim fails the threshold on both engines
+            # (DuckDB x/0 = NULL likewise), where the raw division
+            # ANSI-raised on one degenerate row (r9 deep-fuzz class)
+            scaled_round(F.try_divide(dot, F.col("_na") * F.col("_nb"))).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
     )
@@ -670,11 +683,17 @@ def ivf_topk(
         "sqrt(cast(aggregate(transform({a}, x -> x * x),"
         " cast(0 as bigint), (acc, v) -> acc + v) as double))"
     )
+    # try_divide + NULL exclusion: zero-norm vectors can't rank (the r9
+    # deep-fuzz zero-vector class — see cosine_topk); twins mirror with
+    # `sim IS NOT NULL`
     sim = scaled_round(
-        dot.cast("double") / (F.expr(nrm.format(a="probe_qv")) * F.expr(nrm.format(a="qv")))
+        F.try_divide(
+            dot.cast("double"),
+            F.expr(nrm.format(a="probe_qv")) * F.expr(nrm.format(a="qv")),
+        )
     )
     return topk_per_key(
-        cand.withColumn("sim", sim),
+        cand.withColumn("sim", sim).where(F.col("sim").isNotNull()),
         "probe_id",
         [F.desc("sim"), F.col(id_col)],
         k,
@@ -747,7 +766,9 @@ def lsh_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            scaled_round(dot / norms).alias("cos_sim"),
+            # try_divide: zero-norm rows drop via the NULL-fails-threshold
+            # rule, matching the exact cosine siblings (r9 deep-fuzz class)
+            scaled_round(F.try_divide(dot, norms)).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -57,18 +57,24 @@ class QuerySpec:
 #       integer sums); plans AND oracle strings changed;
 #   (k) qt05/ql28 — REAL defects found AND fixed by the r9 deep fuzz
 #       (non-total min_by key; zero-vector ANSI divide), plans AND
-#       oracles changed.
+#       oracles changed;
+#   (l) ql03/ql14 — representatives of the zero-norm cosine class fix
+#       (try_divide + NULL-sim exclusion across the vector family),
+#       plans AND oracles changed.
 # DEFERRED to the r10 head, each with a documented reason and non-gate
 # evidence this round: qv08 (r7-fresh row, shares qv05's gate-green
-# mechanism, differentially tested), qt10 (r4 row, but its ±1h
-# tolerance boundary is hit constantly by this round's wide-grid fuzz),
-# ql38/qp03 (r4 rows; 4-loop steady-state adjudication in BASELINE.md +
-# bench medians + sibling consumer qp06 re-gating green), qp04
-# (discretionary kmeans-family filler, r6 row, steady-state adjudicated
-# this round), and the qs13/qs14 fillers (r5 rows + this round's
-# wide-grid fuzz). After r9 lands the oldest gate evidence is the r4
-# rows of qt10/ql38/qp03 — those three + qv08 + qp04 + the 33-entry r5
-# band + that round's changes form the r10 window.
+# mechanism, differentially tested); qt10/qr08/qr63 (r4 rows; each has
+# two independent 25-example deep-fuzz passes this round); ql38/qp03
+# (r4 rows; 4-loop steady-state adjudication in BASELINE.md + bench
+# medians + sibling consumer qp06 re-gating green); qp04 (discretionary
+# kmeans-family filler, r6 row, steady-state adjudicated); qs13/qs14
+# (r5 rows + this round's wide-grid fuzz); and the 7 zero-norm-class
+# siblings ql10/ql21/ql23/ql42/ql43/ql51/ql52, each hash-proven by a
+# targeted driver-sim ALL PASS this round plus the extended embeddings
+# fuzz — the r8 overflow precedent for changed-beyond-capacity entries.
+# After r9 lands the oldest gate evidence is the r4 rows of
+# qt10/qr08/qr63/ql38/qp03 — those five + qv08 + qp04 + the changed
+# overflow + the r5 band form the r10 window.
 #
 # Every entry regardless of window membership is covered by the
 # standing full-registry sim (tools/driver_sim.py → DRIVER_SIM_r9.txt,
@@ -93,8 +99,11 @@ _VERIFY_FIRST = (
     "ql44_split_leakage",
     "ql48_bpe_pair_stats",
     "ql49_pagerank",
-    "qr08_approx_count_distinct",
-    "qr63_returned_items",
+    # qr08/qr63 DEFERRED to the r10 head: two r4 rows had to yield to
+    # the zero-norm-class family reps (band l), and both carry the
+    # strongest alternative evidence in the band — two independent
+    # 25-example deep TPC-H fuzz passes this round (and qr08's
+    # tolerance gate is data-independent by design)
     "qr64_important_parts",
     "qr65_shipping_speed",
     "qr66_customer_distribution",
@@ -159,6 +168,14 @@ _VERIFY_FIRST = (
     "ql18_udaf_geo_mean",
     "qp01_curation_report",
     "qr28_filtered_agg",
+    # (l) the zero-norm cosine class (deep-fuzz find #3): try_divide +
+    # NULL-sim exclusion across the whole vector family. ql03 (the raw
+    # crash example) and ql14 (the IVF rerank shape) re-gate as the
+    # family representatives; the 7 sibling consumers (ql10/ql21/ql23/
+    # ql42/ql43/ql51/ql52) overflow to the r10 head with targeted
+    # driver-sim ALL PASS this round — the r8 overflow precedent.
+    "ql03_cosine_topk",
+    "ql14_ivf_topk",
     # --- r9 window boundary: exactly 50 entries above ---
     # Post-window order (informational — every entry below has a FRESH
     # r8 gate row; the full-registry sim covers all of them each round):
@@ -188,7 +205,6 @@ _VERIFY_FIRST = (
     "ql59_robust_outliers",
     "qr43_cdc_apply",
     "ql21_cosine_near_dup",
-    "ql03_cosine_topk",
     "ql10_lsh_ann_pairs",
     "ql23_dedup_clusters",
     "ql43_ann_recall",

@@ -203,9 +203,12 @@ sims AS (
     JOIN norms nb ON nb.vec_id = d.vec_id
 ),
 ranked AS (
+    -- sim IS NOT NULL mirrors the operator's zero-norm exclusion (a
+    -- zero vector's cosine is undefined; DuckDB's x/0 = NULL must not
+    -- rank — r9 deep-fuzz class)
     SELECT probe_id, vec_id, sim,
            row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rk
-    FROM sims
+    FROM sims WHERE sim IS NOT NULL
 )
 SELECT probe_id, vec_id, sim, rk FROM ranked WHERE rk <= 5
 ORDER BY probe_id, rk
@@ -886,9 +889,10 @@ sims AS (
     JOIN norms nc ON nc.vec_id = d.vec_id
 ),
 ranked AS (
+    -- sim IS NOT NULL: the operator's zero-norm exclusion (r9)
     SELECT probe_id, vec_id, sim,
            row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rk
-    FROM sims
+    FROM sims WHERE sim IS NOT NULL
 )
 SELECT probe_id, vec_id, sim, rk FROM ranked WHERE rk <= 3
 ORDER BY probe_id, rk
@@ -1857,10 +1861,16 @@ def ql42_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qvec))
         .select(
             F.col("vec_id").alias("item_id"),
+            # try_divide + NULL exclusion: the zero-norm class (r9 deep
+            # fuzz) — a zero corpus or query vector must drop from the
+            # candidate list, not ANSI-raise or rank as NULL
             scaled_round(
-                dot / (F.expr(NORM_EXPR.format(a="embedding")) * F.col("_qn"))
+                F.try_divide(
+                    dot, F.expr(NORM_EXPR.format(a="embedding")) * F.col("_qn")
+                )
             ).alias("_vs"),
         )
+        .where(F.col("_vs").isNotNull())
         .orderBy(F.desc("_vs"), F.col("item_id"))
         .limit(RRF_CANDIDATES)
     )
@@ -1934,14 +1944,17 @@ q AS (
     FROM embeddings WHERE vec_id = {RRF_QUERY_VEC_ID}
 ),
 vec0 AS (
-    SELECT vec_id AS item_id,
-           CAST(round(list_sum(list_transform(list_zip(embedding, qv),
-                      z -> z[1]::DOUBLE * z[2]::DOUBLE))
-                 / (sqrt(list_sum(list_transform(embedding,
-                      x -> x::DOUBLE * x::DOUBLE))) * qn) * 10000) AS BIGINT)
-               / 10000.0 AS vs
-    FROM embeddings CROSS JOIN q
-    WHERE vec_id != {RRF_QUERY_VEC_ID}
+    -- vs IS NOT NULL mirrors the operator's zero-norm exclusion (r9)
+    SELECT item_id, vs FROM (
+        SELECT vec_id AS item_id,
+               CAST(round(list_sum(list_transform(list_zip(embedding, qv),
+                          z -> z[1]::DOUBLE * z[2]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(embedding,
+                          x -> x::DOUBLE * x::DOUBLE))) * qn) * 10000) AS BIGINT)
+                   / 10000.0 AS vs
+        FROM embeddings CROSS JOIN q
+        WHERE vec_id != {RRF_QUERY_VEC_ID}
+    ) WHERE vs IS NOT NULL
     ORDER BY vs DESC, item_id LIMIT {RRF_CANDIDATES}
 ),
 vec AS (
@@ -2303,10 +2316,11 @@ fsims AS (
     JOIN fnorms nb ON nb.vec_id = d.vec_id
 ),
 exact AS (
+    -- sim IS NOT NULL: the operator's zero-norm exclusion (r9)
     SELECT probe_id, vec_id FROM (
         SELECT probe_id, vec_id,
                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rk
-        FROM fsims
+        FROM fsims WHERE sim IS NOT NULL
     ) WHERE rk <= 3
 ),
 q AS (
@@ -2357,10 +2371,11 @@ qsims AS (
     JOIN qnorms nc ON nc.vec_id = d.vec_id
 ),
 approx AS (
+    -- sim IS NOT NULL: the operator's zero-norm exclusion (r9)
     SELECT probe_id, vec_id FROM (
         SELECT probe_id, vec_id,
                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rk
-        FROM qsims
+        FROM qsims WHERE sim IS NOT NULL
     ) WHERE rk <= 3
 ),
 hits AS (
@@ -2795,9 +2810,10 @@ sims AS (
     JOIN norms nb ON nb.vec_id = d.vec_id
 ),
 ranked AS (
+    -- sim IS NOT NULL: the operator's zero-norm exclusion (r9)
     SELECT probe_id, vec_id, label, sim,
            row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rk
-    FROM sims
+    FROM sims WHERE sim IS NOT NULL
 )
 SELECT probe_id, vec_id, label, sim, rk FROM ranked WHERE rk <= 3
 ORDER BY probe_id, rk
@@ -2890,9 +2906,10 @@ sims AS (
     JOIN norms nb ON nb.doc_id = d.doc_id
 ),
 ranked AS (
+    -- sim IS NOT NULL: the operator's zero-norm exclusion (r9)
     SELECT probe_id, modality, doc_id, sim,
            row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, doc_id) AS rk
-    FROM sims
+    FROM sims WHERE sim IS NOT NULL
 )
 SELECT probe_id, modality, doc_id, sim, rk FROM ranked WHERE rk <= 3
 ORDER BY probe_id, rk

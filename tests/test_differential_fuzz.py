@@ -782,6 +782,15 @@ def _write_embs(rows, path: str) -> None:
         }
     )
     pq.write_table(t, os.path.join(path, "embeddings.parquet"))
+    # ql42's BM25 leg reads documents — symlink the fixture table so the
+    # hybrid-fusion entry runs against generated embeddings (the vector
+    # leg is the fuzz target; the lexical leg stays fixture-stable)
+    from tests.conftest import SF_DIR
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    dst = os.path.join(path, "documents.parquet")
+    if os.path.exists(src) and not os.path.exists(dst):
+        os.symlink(src, dst)
 
 
 @pytest.mark.parametrize(
@@ -793,6 +802,20 @@ def _write_embs(rows, path: str) -> None:
         "ql15_label_centroids",    # centroid means on tiny/tied labels
         "ql28_quantization_error", # int8 recon error on exact values
         "ql57_embedding_corr",     # top-variance pick with variance ties
+        # r9: the rest of the vector family, after the zero-norm class
+        # (try_divide + NULL-sim exclusion) landed — the generated pool's
+        # zero vectors now exercise that path in every one of these
+        # ql10 is EXCLUDED by contract, not oversight: lsh_buckets
+        # loud-fails on dim != 64 (the plane matrix is 64-d), and the
+        # generated pool is 4-d — the guard firing IS the verified
+        # behavior (pinned in test_llm_ops)
+        "ql14_ivf_topk",
+        "ql21_cosine_near_dup",
+        "ql23_dedup_clusters",
+        "ql42_hybrid_rrf",
+        "ql43_ann_recall",
+        "ql51_hard_negatives",
+        "qp06_semdedup_report",
     ],
 )
 @given(rows=emb_rows)
@@ -812,6 +835,11 @@ def test_generated_embeddings_match_oracle(spark, tmp_path_factory, rows, name):
             "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
             f"'{os.path.join(tmp, 'embeddings.parquet')}')"
         )
+        doc_p = os.path.join(tmp, "documents.parquet")
+        if os.path.exists(doc_p):  # ql42's fixture-stable BM25 leg
+            con.execute(
+                f"CREATE VIEW documents AS SELECT * FROM read_parquet('{doc_p}')"
+            )
         assert_matches_oracle(df, con, spec.oracle, name=f"{name} emb-fuzz")
     finally:
         con.close()

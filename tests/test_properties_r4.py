@@ -365,19 +365,39 @@ def test_verify_window_follows_rotation_policy():
         # biased the mean
         "qt05_ohlc_bars",
         "ql28_quantization_error",
+        # round 9: the zero-norm cosine class (try_divide + NULL-sim
+        # exclusion) — ql03/ql14 re-gate as family representatives; the
+        # 7 siblings are in `deferred` below with targeted-sim evidence
+        # (the r8 overflow precedent)
+        "ql03_cosine_topk",
+        "ql14_ivf_topk",
+        "ql10_lsh_ann_pairs",
+        "ql21_cosine_near_dup",
+        "ql23_dedup_clusters",
+        "ql42_hybrid_rrf",
+        "ql43_ann_recall",
+        "ql51_hard_negatives",
+        "ql52_multimodal_ann",
     }
-    # round 9 defers FIVE rows, each with documented non-gate evidence
-    # this round (see the queries/__init__.py header): qv08 (r7-fresh
-    # row, qv05-shared mechanism), qt10 (r4 row; wide-grid fuzz hits its
-    # tolerance boundary constantly), ql38/qp03 (r4 rows; steady-state
-    # adjudicated + sibling qp06 re-gates), qp04 (discretionary filler;
-    # steady-state adjudicated). They lead the r10 head.
+    # round-9 deferrals, each with documented non-gate evidence this
+    # round (see the queries/__init__.py header): they lead the r10 head
     deferred: tuple = (
         "qv08_batch_wire_format",
         "qt10_nearest_error",
+        "qr08_approx_count_distinct",
+        "qr63_returned_items",
         "ql38_kmeans_clusters",
         "qp03_ivfpq_build_report",
         "qp04_quality_dashboard",
+        # zero-norm-class siblings: targeted driver-sim ALL PASS +
+        # extended embeddings fuzz this round
+        "ql10_lsh_ann_pairs",
+        "ql21_cosine_near_dup",
+        "ql23_dedup_clusters",
+        "ql42_hybrid_rrf",
+        "ql43_ann_recall",
+        "ql51_hard_negatives",
+        "ql52_multimodal_ann",
     )
 
     # the r9 head: the 3 entries with NO gate row across rounds 1-8
