@@ -425,12 +425,27 @@ def test_foreachbatch_replay_noop_only_for_idempotent_merge(spark):
 
 
 def test_semdedup_plan_broadcasts_every_stage(spark):
-    """qp06's composed plan: k-means assign + weight joins all broadcast,
-    no sort-merge join anywhere."""
+    """qp06's composed plan: k-means assign + weight joins all broadcast.
+
+    The r9 label→star CC switch legitimately introduced TWO sort-merge
+    joins, both in the component machinery: star's edge×per-node-min
+    join (two same-size-class relations — broadcasting either would be
+    wrong at 100 TB) and the final corpus×labels LeftOuter re-attach
+    (the label side is bounded only by the near-dup member count, which
+    is unbounded at real scale — the OLD blanket no-SMJ pin was a
+    label-CC-era artifact that would force an unsafe broadcast). The
+    pair-GENERATION stages must still broadcast: centroids for the
+    argmin assign and the tiny weight frames."""
+    import re
+
     from streamsurfer_spark.plans.inspect import broadcast_join_count, formatted_plan
     from streamsurfer_spark.queries import registry
 
     df = registry()["qp06_semdedup_report"].spark(spark, SF_DIR)
     plan = formatted_plan(df)
-    assert "SortMergeJoin" not in plan
+    # only the two CC-machinery joins may sort-merge (each node is
+    # listed twice in the formatted plan: tree + details sections)
+    smj_kinds = set(re.findall(r"SortMergeJoin (\w+)", plan))
+    assert smj_kinds <= {"Inner", "LeftOuter"}, smj_kinds
+    assert plan.count("SortMergeJoin") <= 4
     assert broadcast_join_count(df) >= 4
