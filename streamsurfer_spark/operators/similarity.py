@@ -908,6 +908,27 @@ def label_silhouette(
             ).alias("s_arr"),
         )
         .agg(F.collect_list(F.struct("cl", "n", "s_arr")).alias("cents"))
+        # cross-label dim uniformity (r10 ADVICE): checked HERE, at the
+        # label grain, so a whole label of longer vectors is reported as
+        # a label mismatch instead of misattributing the raise to every
+        # normal-dim row (the old corpus-wide array_max compare did that)
+        .withColumn(
+            "cents",
+            F.when(
+                F.expr("size(array_distinct(transform(cents, c -> size(c.s_arr)))) <= 1"),
+                F.col("cents"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("label_silhouette: centroid dims differ across labels: "),
+                        F.expr(
+                            "to_json(transform(cents, c -> "
+                            "named_struct('label', c.cl, 'dim', size(c.s_arr))))"
+                        ),
+                    )
+                )
+            ),
+        )
     )
     diffs = "zip_with(qv, c.s_arr, (x, s) -> c.n * x - s)"
     dists = (
@@ -917,7 +938,11 @@ def label_silhouette(
         f"(acc, v) -> acc + cast(v as {_DEC}) * cast(v as {_DEC})) as double))"
         f" / cast(c.n as double)))"
     )
-    expected_dim = "array_max(transform(cents, c -> size(c.s_arr)))"
+    # per-row check against the row's OWN label dim (r10 ADVICE): the
+    # raise then names an actually-ragged row within its label; the
+    # corpus-wide array_max form blamed every normal row when one label
+    # carried an over-long vector
+    expected_dim = "size(filter(cents, c -> c.cl = own)[0].s_arr)"
     per = (
         q.join(F.broadcast(cent))
         .withColumn(
@@ -930,10 +955,14 @@ def label_silhouette(
                     F.concat(
                         F.lit("label_silhouette: ragged embedding (size "),
                         F.size("qv").cast("string"),
-                        F.lit(" != "),
+                        F.lit(" != own-label dim "),
                         F.expr(expected_dim).cast("string"),
                         F.lit(") at id="),
                         F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                        F.lit(
+                            " (dim is the label max; the offender may be"
+                            " any longer row in the same label)"
+                        ),
                     )
                 )
             ),

@@ -92,6 +92,15 @@ def zscore_by_group(df, group_col: str, value_col: str, out_schema: str):
         from streamsurfer_spark.functions.rounding import scaled_round_np
 
         pdf = pdf.copy()
+        # loud-fail on non-integer values (r10 ADVICE): int(v) floors
+        # toward zero, so a float-valued caller would get quietly wrong
+        # z-scores instead of a contract error like the repo's other
+        # guards raise
+        for v in pdf[value_col]:
+            if v != int(v):
+                raise ValueError(
+                    f"zscore_by_group requires an INTEGER {value_col!r}; got {v!r}"
+                )
         xs = [int(v) for v in pdf[value_col]]
         n = len(xs)
         sx = sum(xs)

@@ -31,79 +31,115 @@ class QuerySpec:
 # Ordering is load-bearing: the driver's correctness gate evaluates a
 # prefix of this dict (50 entries in every round so far).
 #
-# ROUND-9 WINDOW (current). Evidence histogram going into r9, recomputed
-# from CORRECTNESS_r01..r08 (latest gate row per entry): r3=16, r4=24,
-# r5=33, r6=38, r7=47, r8=50 → 208 gated; ql60/qp09/qs16 have NO gate
-# row across 8 rounds (sim-proven only). The 50 slots, per the standing
-# policy (oldest band whole + this round's new/changed + never-gated
-# first):
-#   (a) the 3 NEVER-gated entries (r8 verdict item 1) — ql60/qp09/qs16;
-#   (b) ql62 — its Spark plan changed THIS round (ragged-embedding
-#       loud-fail in the per-row pass, r8 ADVICE; values on the shipped
-#       fixtures expected unchanged — the gate proves it);
-#   (d) the 22-entry r4-stale leftover band MINUS qt10 (deferred, see
-#       below);
-#   (e) the ENTIRE 16-entry r3-latest band (the 18 "deferred" r8 rows
-#       minus ql38/qp03, which are r4);
-#   (g) qp06/qp08 — their Spark plans changed THIS round (CC switched
-#       label → star for the unbounded-diameter hazard; output identical
-#       by the test_graph.py parity pin, the gate re-proves it);
-#   (i) qr26 — rewritten THIS round (exact DECIMAL co-moments) after
-#       the deep TPC-H fuzz caught the Welford-aggregate rounding
-#       divergence + ANSI corr crash; plan AND oracle changed;
-#   (j) ql19/ql18/qp01/qr28 — the REST of the Welford-drift class,
-#       fixed preemptively this round (every raw cross-row double
-#       reduction left in the registry moved to exact co-moments /
-#       integer sums); plans AND oracle strings changed;
-#   (k) qt05/ql28 — REAL defects found AND fixed by the r9 deep fuzz
-#       (non-total min_by key; zero-vector ANSI divide), plans AND
-#       oracles changed;
-#   (l) ql03/ql14 — representatives of the zero-norm cosine class fix
-#       (try_divide + NULL-sim exclusion across the vector family),
-#       plans AND oracles changed.
-# DEFERRED to the r10 head, each with a documented reason and non-gate
-# evidence this round: qv08 (r7-fresh row, shares qv05's gate-green
-# mechanism, differentially tested); qt10/qr08/qr63 (r4 rows; each has
-# two independent 25-example deep-fuzz passes this round); ql38/qp03
-# (r4 rows; 4-loop steady-state adjudication in BASELINE.md + bench
-# medians + sibling consumer qp06 re-gating green); qp04 (discretionary
-# kmeans-family filler, r6 row, steady-state adjudicated); qs13/qs14
-# (r5 rows + this round's wide-grid fuzz); and the 7 zero-norm-class
-# siblings ql10/ql21/ql23/ql42/ql43/ql51/ql52, each hash-proven by a
-# targeted driver-sim ALL PASS this round plus the extended embeddings
-# fuzz — the r8 overflow precedent for changed-beyond-capacity entries.
-# After r9 lands the oldest gate evidence is the r4 rows of
-# qt10/qr08/qr63/ql38/qp03 — those five + qv08 + qp04 + the changed
-# overflow + the r5 band form the r10 window.
+# ROUND-10 WINDOW (current). Evidence histogram going into r10,
+# recomputed from CORRECTNESS_r01..r09 (latest gate row per entry):
+# r4=5, r5=33, r6=34, r7=43, r8=46, r9=50 → all 211 entries gated at
+# least once. The 50 slots, per the standing policy (changed-this-round
+# + the promised deferral ledger + the entire oldest bands):
+#   (a) the 3 entries whose plan or oracle changed THIS round, all from
+#       r9 ADVICE: ql18 (oracle's zero-guard made NULL-aware — the
+#       FILTER missed NULL n_chars while count(*) counted it), ql19
+#       (loud-fail integrality assert in zscore_by_group — int(v) was
+#       silently flooring float inputs), ql62 (ragged-embedding check
+#       now compares each row to its OWN label's centroid dim, plus a
+#       label-grain cross-dim uniformity raise — the corpus-wide
+#       array_max compare blamed normal rows);
+#   (b) the ENTIRE 16-entry r9 deferral ledger, honored verbatim:
+#       qv08 (deferred twice), qt10/qr08/qr63/ql38/qp03 (the whole r4
+#       band — the oldest evidence anywhere), qp04, the 7 zero-norm-
+#       class siblings ql10/ql21/ql23/ql42/ql43/ql51/ql52 (plans AND
+#       oracles changed in r9, carried only targeted-sim + fuzz
+#       evidence), and qs13/qs14;
+#   (c) the remaining 31 entries of the r5 band — with qs13/qs14
+#       already in (b), the window retires the ENTIRE r5 band, so
+#       after r10 no gate row anywhere is older than r6.
+# 3 + 16 + 31 = exactly 50. No deferrals this round: every promised
+# entry and every changed entry is in-window.
 #
 # Every entry regardless of window membership is covered by the
-# standing full-registry sim (tools/driver_sim.py → DRIVER_SIM_r9.txt,
+# standing full-registry sim (tools/driver_sim.py → DRIVER_SIM_r*.txt,
 # ALL PASS — the identical rows+schema+hash compare, just not
 # driver-recorded). Earlier rounds' window layouts and their rationale
-# live in this file's git history (r8: commit e8e6e4f and before).
+# live in this file's git history (r9: commit a82f86a and before).
 _VERIFY_FIRST = (
-    # (a) never-gated across rounds 1-8 (r8 verdict item 1)
+    # (a) plan/oracle changed this round (r9 ADVICE fixes)
+    "ql18_udaf_geo_mean",
+    "ql19_grouped_map_zscore",
+    "ql62_label_silhouette",
+    # (b) the r9 deferral ledger, in the order it was promised:
+    # qv08 first (deferred in both r8 and r9) …
+    "qv08_batch_wire_format",
+    # … the whole r4 band (oldest gate evidence in the registry) …
+    "qt10_nearest_error",
+    "qr08_approx_count_distinct",
+    "qr63_returned_items",
+    "ql38_kmeans_clusters",
+    "qp03_ivfpq_build_report",
+    # … the r6 kmeans-family filler deferred alongside them …
+    "qp04_quality_dashboard",
+    # … the 7 zero-norm-class siblings (r9 plans+oracles changed;
+    # gate evidence predates the change — the r8 overflow precedent
+    # says they re-gate at the next window head) …
+    "ql10_lsh_ann_pairs",
+    "ql21_cosine_near_dup",
+    "ql23_dedup_clusters",
+    "ql42_hybrid_rrf",
+    "ql43_ann_recall",
+    "ql51_hard_negatives",
+    "ql52_multimodal_ann",
+    # … and the two r5-band streaming rows named in the ledger (also
+    # freshly wide-grid-fuzzed in r9)
+    "qs13_foreachbatch_upsert",
+    "qs14_stream_cdc_apply",
+    # (c) the remaining 31 entries of the r5 band — the whole band
+    # retires this round (r10 additionally re-fuzzed qs07 through the
+    # half-hour wide grid alongside the other previously fixture-only
+    # streaming oracles)
+    "qr01_scan_checksum",
+    "qr02_filter_agg",
+    "qr03_join_orders_customer",
+    "qr04_multiway_join",
+    "qr05_anti_join",
+    "qr05_left_join_histogram",
+    "qr05_semi_join",
+    "qr07_count_distinct",
+    "qr09_rollup",
+    "qr09b_cube",
+    "qr10_window_rank",
+    "qr11_window_running",
+    "qr12_topk",
+    "qr13_except",
+    "qr13_intersect",
+    "qr13_union",
+    "qr14_string_fns",
+    "qr15_date_fns",
+    "qr19_case_when",
+    "qr20_pivot",
+    "qr22_histogram",
+    "qr23_levenshtein_pairs",
+    "qr24_bit_and_array_ops",
+    "qr25_full_outer_join",
+    "qr27_string_agg",
+    "qr29_range_frame",
+    "qr30_arg_extrema",
+    "qr44_profile_orders",
+    "qr70_schema_evolution",
+    "qs07_update_mode",
+    "qv06_json_extract",
+    # --- r10 window boundary: exactly 50 entries above ---
+    # Post-window order (informational — every entry below has an r8 or
+    # r9 gate row; the full-registry sim covers all of them each round):
+    # first the r9 window's members (freshest evidence), then the r8
+    # window's, newest first.
     "ql60_simhash_hamming",
     "qp09_intake_gate",
     "qs16_stream_outer_join",
-    # (b) Spark plan changed this round (ragged loud-fail, r8 ADVICE)
-    "ql62_label_silhouette",
-    # (c) qv08's promised slot DEFERRED once more (r10 head): the
-    # Welford-class rewrites (band j) outrank it — it keeps an r7-fresh
-    # gate row, shares qv05's gate-green-this-round mechanism, and is
-    # differentially tested; see the header comment.
-    # (d) the 22-entry r4-stale band (minus the deferred qt10)
     "ql07c_features_parity",
     "ql39_pq_encode",
     "ql40_epoch_plan",
     "ql44_split_leakage",
     "ql48_bpe_pair_stats",
     "ql49_pagerank",
-    # qr08/qr63 DEFERRED to the r10 head: two r4 rows had to yield to
-    # the zero-norm-class family reps (band l), and both carry the
-    # strongest alternative evidence in the band — two independent
-    # 25-example deep TPC-H fuzz passes this round (and qr08's
-    # tolerance gate is data-independent by design)
     "qr64_important_parts",
     "qr65_shipping_speed",
     "qr66_customer_distribution",
@@ -115,13 +151,8 @@ _VERIFY_FIRST = (
     "qs02_tumbling_window",
     "qs11_stateful_tracker",
     "qs12_stream_temporal_dim",
-    # qt10_nearest_error DEFERRED to the r10 head (with qv08/qp04): one
-    # r4 row had to yield to the Welford-class rewrites, and qt10 is the
-    # band member with the strongest other evidence THIS round (the
-    # wide-grid fuzz hits its ±1h tolerance boundary constantly)
     "qt11_seasonal_profile",
     "qt13_cohort_retention",
-    # (e) the ENTIRE 16-entry r3-latest band (oldest gate evidence)
     "qr49_except_all",
     "qr49_intersect_all",
     "qr50_expectations_orders",
@@ -138,48 +169,15 @@ _VERIFY_FIRST = (
     "qs10_interval_join",
     "qt03_sessionize",
     "qt08_rolling_anomaly",
-    # (f) ql38/qp03 (the r4 kmeans stragglers) DEFERRED to the r10 head:
-    # the two deep-fuzz finds (band k) outrank them, and their round-9
-    # evidence is strong — the 4-loop steady-state adjudication rows in
-    # BASELINE.md + bench medians + their sibling consumer qp06
-    # re-gating green this round.
-    # (k) qt05/ql28 — REAL defects found by the r9 deep fuzz and fixed:
-    # qt05's min_by/max_by ordering key was not total under duplicate
-    # (ts, event_id) pairs (nondeterministic open/close); ql28's
-    # 127/max|x| raised ANSI DIVIDE_BY_ZERO on Spark for all-zero
-    # vectors while the twin silently biased the mean. Plans AND oracles
-    # changed.
     "qt05_ohlc_bars",
     "ql28_quantization_error",
-    # (g) CC label→star plan change this round
     "qp06_semdedup_report",
     "qp08_canonical_map",
-    # (i) qr26 — REWRITTEN this round after the deep TPC-H fuzz caught
-    # the built-in Welford aggregates' last-ulp drift crossing the 2dp
-    # grain (and an ANSI corr DIVIDE_BY_ZERO on zero-variance groups);
-    # now exact DECIMAL co-moments, values unchanged on the fixtures —
-    # the gate proves it
     "qr26_stats_pack",
-    # (j) the rest of the Welford-drift class, fixed preemptively this
-    # round after the qr26 find — every raw cross-row double reduction
-    # left in the registry moved to exact co-moments / integer sums;
-    # plans AND oracle strings changed for all four
-    "ql19_grouped_map_zscore",
-    "ql18_udaf_geo_mean",
     "qp01_curation_report",
     "qr28_filtered_agg",
-    # (l) the zero-norm cosine class (deep-fuzz find #3): try_divide +
-    # NULL-sim exclusion across the whole vector family. ql03 (the raw
-    # crash example) and ql14 (the IVF rerank shape) re-gate as the
-    # family representatives; the 7 sibling consumers (ql10/ql21/ql23/
-    # ql42/ql43/ql51/ql52) overflow to the r10 head with targeted
-    # driver-sim ALL PASS this round — the r8 overflow precedent.
     "ql03_cosine_topk",
     "ql14_ivf_topk",
-    # --- r9 window boundary: exactly 50 entries above ---
-    # Post-window order (informational — every entry below has a FRESH
-    # r8 gate row; the full-registry sim covers all of them each round):
-    # the r8 window's members, newest evidence first.
     "ql61_matryoshka_energy",
     "qt16_psi_drift",
     "qt17_linear_attribution",
@@ -204,12 +202,6 @@ _VERIFY_FIRST = (
     "ql58_char_entropy",
     "ql59_robust_outliers",
     "qr43_cdc_apply",
-    "ql21_cosine_near_dup",
-    "ql10_lsh_ann_pairs",
-    "ql23_dedup_clusters",
-    "ql43_ann_recall",
-    "ql51_hard_negatives",
-    "ql52_multimodal_ann",
     "qr18_subqueries",
     "qv03_origin_stamp",
     "qv05_envelope_json",

@@ -752,7 +752,12 @@ def ql18_udaf_geo_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QL18_SQL = """
 SELECT lang,
-       CASE WHEN count(*) FILTER (WHERE n_chars <= 0) > 0 THEN 0.0
+       -- NULL-aware zero guard (r10 ADVICE): the Spark side's
+       -- when(n_chars > 0).otherwise(SENTINEL) routes NULL to the
+       -- sentinel (group geo-mean 0.0); `n_chars <= 0` alone is NULL
+       -- for NULL input and the FILTER would miss it while count(*)
+       -- still inflates the divisor — cross-engine divergence
+       CASE WHEN count(*) FILTER (WHERE n_chars <= 0 OR n_chars IS NULL) > 0 THEN 0.0
             ELSE CAST(round(exp(
                 CAST(sum(CASE WHEN n_chars > 0
                               THEN CAST(round(ln(n_chars::DOUBLE) * 1000000) AS BIGINT)

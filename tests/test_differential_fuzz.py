@@ -606,6 +606,19 @@ def _write_events_wide(rows, path: str) -> None:
         }
     )
     pq.write_table(t, os.path.join(path, "events.parquet"))
+    # tiny customer dim for the stream-static join (qs06): users 0..2
+    # present, user 3 deliberately ABSENT so the inner-join miss path
+    # fires; segments collide (two users share BUILDING) so the grouped
+    # output exercises both 1- and 2-key groups
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([0, 1, 2], pa.int64()),
+            "c_mktsegment": pa.array(
+                ["BUILDING", "MACHINERY", "BUILDING"], pa.string()
+            ),
+        }
+    )
+    pq.write_table(cust, os.path.join(path, "customer.parquet"))
 
 
 @pytest.mark.parametrize(
@@ -647,6 +660,32 @@ def _write_events_wide(rows, path: str) -> None:
         # rests on
         "qs13_foreachbatch_upsert",
         "qs14_stream_cdc_apply",
+        # r10: the remaining fixture-only streaming oracles (r9 verdict
+        # item 4) — each is a REAL availableNow run, so the generated
+        # grids drive the streaming machinery itself, not a batch twin:
+        # qs01 complete-mode ingest counts (empty-type classes, ts ties);
+        # qs02/qs02b batch twins of the tumbling/sliding transforms —
+        #   every grid ts can land EXACTLY on a 6h/12h bucket edge (the
+        #   [start, end) ownership rule both engines must share);
+        # qs06 stream-static broadcast join — user 3 has NO dim row
+        #   (inner-join miss) and two users share a segment;
+        # qs07 update-mode incremental agg over 3 real micro-batches —
+        #   generated event sets make whole slices empty (event_id % 3
+        #   classes vanish), the n_updates-per-key edge;
+        # qs10 stream-stream interval join — the grid lands pairs at
+        #   EXACTLY ±6h (12 steps): both inclusive bounds on both engines;
+        # qs11 applyInPandasWithState tracker — ts ties hit the
+        #   (ts DESC, event_id DESC) last-event tie-break in state;
+        # qs12 temporal dim join — derived-dim tiers on tiny user
+        #   domains, exact-cent sums (grid values are quarters)
+        "qs01_stream_ingest_counts",
+        "qs02_tumbling_window",
+        "qs02b_sliding_window",
+        "qs06_stream_static_join",
+        "qs07_update_mode",
+        "qs10_interval_join",
+        "qs11_stateful_tracker",
+        "qs12_stream_temporal_dim",
     ],
 )
 @given(rows=event_rows_wide)
@@ -665,6 +704,10 @@ def test_generated_wide_events_match_oracle(spark, tmp_path_factory, rows, name)
         con.execute(
             "CREATE VIEW events AS SELECT * FROM read_parquet("
             f"'{os.path.join(tmp, 'events.parquet')}')"
+        )
+        con.execute(
+            "CREATE VIEW customer AS SELECT * FROM read_parquet("
+            f"'{os.path.join(tmp, 'customer.parquet')}')"
         )
         assert_matches_oracle(df, con, spec.oracle, name=f"{name} wide-fuzz")
     finally:
@@ -735,6 +778,14 @@ def _write_docs(rows, path: str) -> None:
         # curation capstone whose avg_quality moved to the exact q4 sum
         "ql18_udaf_geo_mean",
         "qp01_curation_report",
+        # r10: the streaming LSH dedup (r9 verdict item 4's last
+        # fixture-only streaming oracle) — it streams DOCUMENTS, so it
+        # lives in this family: the tiny vocab makes band-bucket
+        # collisions (and exact duplicates) constant, generated sets
+        # leave whole doc_id % 3 slices empty (empty micro-batches), and
+        # every example still replays batch 1 twice (the at-least-once
+        # idempotence path under generated collisions)
+        "qs15_stream_lsh_dedup",
     ],
 )
 @given(rows=doc_rows)

@@ -337,76 +337,34 @@ def test_verify_window_follows_rotation_policy():
     assert not unknown, f"_VERIFY_FIRST names not in registry: {unknown}"
 
     changed_this_round = {
-        # round 9: label_silhouette gained the ragged-embedding
-        # loud-fail in its per-row pass (r8 ADVICE) — values on the
-        # shipped fixtures expected unchanged; the gate proves it
-        "ql62_label_silhouette",
-        # round 9: CC switched label → star (the unbounded-diameter
-        # raise hazard at real-corpus scale); output identical by the
-        # test_graph.py parity pin — the gate re-proves it
-        "qp06_semdedup_report",
-        "qp08_canonical_map",
-        # round 9: rewritten to exact DECIMAL co-moments after the deep
-        # TPC-H fuzz caught the built-in Welford aggregates' rounding
-        # divergence and an ANSI corr DIVIDE_BY_ZERO on zero-variance
-        # groups; plan AND oracle strings changed
-        "qr26_stats_pack",
-        # round 9: the rest of the Welford-drift class, fixed
-        # preemptively (every raw cross-row double reduction moved to
-        # exact co-moments / integer sums; plans AND oracles changed)
-        "ql19_grouped_map_zscore",
+        # round 10 (all three from r9 ADVICE):
+        # ql18 — oracle's zero-guard made NULL-aware (the FILTER's
+        # n_chars <= 0 is NULL for NULL input, so a NULL row took the
+        # ELSE branch while count(*) inflated the divisor); oracle
+        # string changed, values on the shipped fixtures unchanged —
+        # the gate proves it
         "ql18_udaf_geo_mean",
-        "qp01_curation_report",
-        "qr28_filtered_agg",
-        # round 9: REAL defects found and fixed by the deep fuzz —
-        # qt05's min_by ordering key was not total under duplicate
-        # (ts, event_id) pairs; ql28's 127/max|x| raised ANSI
-        # DIVIDE_BY_ZERO on all-zero vectors while its twin silently
-        # biased the mean
-        "qt05_ohlc_bars",
-        "ql28_quantization_error",
-        # round 9: the zero-norm cosine class (try_divide + NULL-sim
-        # exclusion) — ql03/ql14 re-gate as family representatives; the
-        # 7 siblings are in `deferred` below with targeted-sim evidence
-        # (the r8 overflow precedent)
-        "ql03_cosine_topk",
-        "ql14_ivf_topk",
-        "ql10_lsh_ann_pairs",
-        "ql21_cosine_near_dup",
-        "ql23_dedup_clusters",
-        "ql42_hybrid_rrf",
-        "ql43_ann_recall",
-        "ql51_hard_negatives",
-        "ql52_multimodal_ann",
+        # ql19 — zscore_by_group gained a loud-fail integrality assert
+        # (int(v) silently floored float inputs); Spark path changed
+        "ql19_grouped_map_zscore",
+        # ql62 — ragged-embedding check re-anchored to the row's OWN
+        # label centroid dim + a label-grain cross-dim uniformity
+        # raise (the corpus-wide array_max compare misattributed the
+        # offender); Spark path changed
+        "ql62_label_silhouette",
     }
-    # round-9 deferrals, each with documented non-gate evidence this
-    # round (see the queries/__init__.py header): they lead the r10 head
-    deferred: tuple = (
-        "qv08_batch_wire_format",
-        "qt10_nearest_error",
-        "qr08_approx_count_distinct",
-        "qr63_returned_items",
-        "ql38_kmeans_clusters",
-        "qp03_ivfpq_build_report",
-        "qp04_quality_dashboard",
-        # zero-norm-class siblings: targeted driver-sim ALL PASS +
-        # extended embeddings fuzz this round
-        "ql10_lsh_ann_pairs",
-        "ql21_cosine_near_dup",
-        "ql23_dedup_clusters",
-        "ql42_hybrid_rrf",
-        "ql43_ann_recall",
-        "ql51_hard_negatives",
-        "ql52_multimodal_ann",
-    )
+    # round-10 deferrals: NONE. The window holds the complete r9
+    # deferral ledger (qv08, the whole r4 band, qp04, the 7 zero-norm
+    # siblings, qs13/qs14), this round's 3 changed entries, and the
+    # entire remaining r5 band — see the queries/__init__.py header.
+    deferred: tuple = ()
 
-    # the r9 head: the 3 entries with NO gate row across rounds 1-8
-    # (r8 verdict item 1), then the round's one plan-changed entry and
-    # the r8-promised qv08 slot
-    assert names[0] == "ql60_simhash_hamming"
-    assert names[1] == "qp09_intake_gate"
-    assert names[2] == "qs16_stream_outer_join"
-    assert names[3] == "ql62_label_silhouette"
+    # the r10 head: this round's plan/oracle-changed entries, then the
+    # twice-deferred qv08 opening the honored deferral ledger
+    assert names[0] == "ql18_udaf_geo_mean"
+    assert names[1] == "ql19_grouped_map_zscore"
+    assert names[2] == "ql62_label_silhouette"
+    assert names[3] == "qv08_batch_wire_format"
     missing = changed_this_round - window - set(deferred)
     assert not missing, f"round-changed queries outside the gate window: {missing}"
 
@@ -415,16 +373,16 @@ def test_verify_window_follows_rotation_policy():
     import glob
     import json
 
-    # FROZEN to rounds 1..8: the artifacts that existed when the r9
+    # FROZEN to rounds 1..9: the artifacts that existed when the r10
     # window was designed. Globbing ALL rounds would make this test flip
     # the moment the CURRENT round's artifact lands (the window entries
-    # get gate row 9, the next band becomes the oldest, missing_stale
-    # fires) — the r10 session updates both the window and this freeze
+    # get gate row 10, the next band becomes the oldest, missing_stale
+    # fires) — the r11 session updates both the window and this freeze
     # together.
     rounds = {}
     paths = [
         p
-        for n in (1, 2, 3, 4, 5, 6, 7, 8)
+        for n in (1, 2, 3, 4, 5, 6, 7, 8, 9)
         for p in glob.glob(f"/root/repo/CORRECTNESS_r{n:02d}.json")
     ]
     if not paths:
@@ -437,25 +395,24 @@ def test_verify_window_follows_rotation_policy():
     stale = {k for k, v in rounds.items() if v == oldest and k in names}
 
     # the WHOLE oldest band must fit in the window this round — the
-    # verdict's "no gate row older than <oldest+1>" done-bar. r9 window
-    # math: oldest = r3 (16 entries), all in-window; the ENTIRE 24-entry
-    # r4 band is in-window too, so after r9 no gate row is older than r5
+    # verdict's "no gate row older than <oldest+1>" done-bar. r10 window
+    # math: oldest = r4 (5 entries), all in-window; the ENTIRE 33-entry
+    # r5 band is in-window too, so after r10 no gate row is older than r6
     missing_stale = stale - window - set(deferred)
     assert not missing_stale, f"oldest-band entries outside the window: {missing_stale}"
 
-    # r9 additionally retires the next band (r4): the 22 leftovers +
-    # ql38/qp03, minus the one documented deferral (qt10)
+    # r10 additionally retires the next band (r5) whole: 31 entries in
+    # window slot (c) + qs13/qs14 in the deferral-ledger slot (b)
     next_band = {k for k, v in rounds.items() if v == oldest + 1 and k in names}
     assert next_band <= window | set(deferred), (
-        f"r4-band entries outside the window: {next_band - window - set(deferred)}"
+        f"r5-band entries outside the window: {next_band - window - set(deferred)}"
     )
 
     # entries that have NEVER had a gate row (and are not rows-only
-    # by design) must not linger: the only three across rounds 1-8
-    # lead this window
+    # by design) must not linger: after r9 every registry entry has at
+    # least one gate row, so this set must stay empty unless the round
+    # adds new entries (which would lead the window)
     never_gated = {n for n in names if n not in rounds}
-    # rows-only or post-r9-design additions would extend this allowance
-    # with a documented reason; none exist at design time
     allowed_ungated: set = set()
     assert never_gated <= window | allowed_ungated, (
         f"never-gated entries outside the window: {never_gated - window}"
