@@ -6,6 +6,13 @@ JIT/GC/first-compile noise lands on them. Adjudicating drift vs noise
 needs isolated warm loops: N runs per query (default 4), same session,
 warm JVM, noop sink, min/max reported.
 
+Run on a quiet DISK, not just a quiet CPU (r10 lesson, BASELINE.md
+"Round 10"): an active dirty-page writeback storm — e.g. minutes after
+writing a multi-GB probe corpus — stalls checkpoint-heavy queries
+(qp06's per-round CC checkpoints measured 2-3× their band, getting
+WORSE across warm runs) while loadavg looks normal. `sync` and let
+writeback settle before trusting a measurement.
+
 Usage:  python tools/steady_state.py [runs] name [name ...]
 """
 
