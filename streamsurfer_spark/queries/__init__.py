@@ -56,6 +56,16 @@ class QuerySpec:
 # 3 + 16 + 31 = exactly 50. No deferrals this round: every promised
 # entry and every changed entry is in-window.
 #
+# R11 DEFERRAL LEDGER (one entry): qr71_approx_quantile_gate's plan
+# changed AFTER the r10 rotation (the r10 deep fuzz caught its rank
+# audit flipping within_tol on duplicate runs; the audit is now
+# interval-based — relational_q.py docstring has the find). The r10
+# window was already exactly 50, so per the r8/r9 overflow precedent
+# qr71 re-gates at the NEXT window head; this round it carries the
+# targeted-sim green (gate form, sf0.01), the replayed falsifying
+# example, a fresh 25-example fuzz run, and the deterministic tie pin
+# (tests/test_properties_r10.py::test_qr71_rank_audit_is_duplicate_aware).
+#
 # Every entry regardless of window membership is covered by the
 # standing full-registry sim (tools/driver_sim.py → DRIVER_SIM_r*.txt,
 # ALL PASS — the identical rows+schema+hash compare, just not

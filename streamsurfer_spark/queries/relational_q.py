@@ -3452,10 +3452,21 @@ def qr71_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic: |100·rank − q·n| ≤ 100·n div ACC + 100. A sketch
     regression flips the flag and fails the hash.
 
+    The audit is DUPLICATE-AWARE (r10 deep-fuzz find): a value v that
+    appears m times occupies the whole rank interval
+    [count(x < v) + 1, count(x ≤ v)], so the target rank q·n/100 is
+    checked against that interval, not against the upper endpoint alone.
+    The upper-endpoint form failed on ties — 3 copies of one price put
+    count(≤) at rank 3 while the q50 target is 1.5, flipping the flag on
+    a perfectly valid sketch. Fixture prices are near-unique, so eight
+    rounds of gate evidence never produced a tie at a probe value; the
+    cents-exact fuzz frames hit it immediately.
+
     Scale: the sketch aggregate is one map-side-mergeable pass (no
     per-group sort); the rank audit is a second scan against ≤ 3·groups
-    broadcast rows; exact percentiles (the twin) are the only per-group
-    sort and exist purely as ground truth.
+    broadcast rows (two conditional sums instead of one — same shape);
+    exact percentiles (the twin) are the only per-group sort and exist
+    purely as ground truth.
     """
     li = _t(spark, sf_dir, "lineitem")
     # exact twin uses DISCRETE percentiles (actual data values, no
@@ -3490,18 +3501,25 @@ def qr71_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "qpct", "n", "exact_value")
         .agg(
             F.sum((F.col("l_extendedprice") <= F.col("approx_v")).cast("long")).alias(
-                "r"
-            )
+                "r_le"
+            ),
+            F.sum((F.col("l_extendedprice") < F.col("approx_v")).cast("long")).alias(
+                "r_lt"
+            ),
         )
     )
+    # target q·n must sit within tol of the approx value's rank interval
+    # [r_lt, r_le] (×100 to stay in integers): not more than tol BELOW
+    # the interval start, not more than tol ABOVE the interval end
+    tol = F.expr(f"(100 * n) div {QR71_ACC}") + F.lit(100)
     return ranks.select(
         "l_returnflag",
         "qpct",
         "n",
         "exact_value",
         (
-            F.abs(F.lit(100) * F.col("r") - F.col("qpct") * F.col("n"))
-            <= F.expr(f"(100 * n) div {QR71_ACC}") + F.lit(100)
+            (F.lit(100) * F.col("r_lt") - F.col("qpct") * F.col("n") <= tol)
+            & (F.col("qpct") * F.col("n") - F.lit(100) * F.col("r_le") <= tol)
         ).alias("within_tol"),
     ).orderBy("l_returnflag", "qpct")
 

@@ -153,3 +153,52 @@ def test_ql18_null_nchars_cross_engine(spark, tmp_path):
         assert rows["fr"] > 0.0
     finally:
         con.close()
+
+
+# --- qr71 duplicate-aware rank audit (r10 deep-fuzz find) --------------------
+
+
+def test_qr71_rank_audit_is_duplicate_aware(spark, tmp_path):
+    """The GK rank audit must check the target rank against the approx
+    value's whole rank INTERVAL [count(<v), count(<=v)], not the upper
+    endpoint: a value appearing m times occupies all m ranks, and the
+    upper-endpoint form flipped within_tol to False on a perfectly valid
+    sketch over 3 identical prices (25-example fuzz falsifying case:
+    |100·3 − 50·3| = 150 > tol 100). Fixture prices are near-unique, so
+    eight rounds of gate evidence never hit a tie at a probe value.
+
+    Three planted groups: the literal falsifying example (A), a heavy
+    duplicate run where the overshoot is maximal (N: 999 copies + 1
+    outlier — upper-endpoint error ≈ n·q, far past any tolerance), and a
+    distinct-value control (R). Differential vs the oracle (which pins
+    within_tol TRUE) plus a direct all-True assert.
+    """
+    from streamsurfer_spark.queries import registry
+    from tests.conftest import assert_matches_oracle
+
+    flags = ["A"] * 3 + ["N"] * 1000 + ["R"] * 100
+    prices = (
+        [1.0] * 3
+        + [2.5] * 999 + [9999.99]
+        + [float(i) + 0.25 for i in range(100)]
+    )
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(flags, pa.string()),
+            "l_extendedprice": pa.array(prices, pa.float64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "lineitem.parquet"))
+    spec = registry()["qr71_approx_quantile_gate"]
+    df = spec.spark(spark, str(tmp_path))
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM read_parquet("
+            f"'{os.path.join(str(tmp_path), 'lineitem.parquet')}')"
+        )
+        assert_matches_oracle(df, con, spec.oracle, name="qr71 tie audit")
+    finally:
+        con.close()
+    rows = df.collect()
+    assert len(rows) == 9 and all(r.within_tol for r in rows)
