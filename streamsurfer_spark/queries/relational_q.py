@@ -3509,8 +3509,13 @@ def qr71_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # target q·n must sit within tol of the approx value's rank interval
-    # [r_lt, r_le] (×100 to stay in integers): not more than tol BELOW
-    # the interval start, not more than tol ABOVE the interval end
+    # [r_lt + 1, r_le] (×100 to stay in integers): not more than tol
+    # BELOW the interval start, not more than tol ABOVE the interval end.
+    # The interval start is count(<v) + 1 — the FIRST rank the value
+    # occupies — matching the docstring exactly (r10 ADVICE: the earlier
+    # 100·r_lt form was one rank more lenient on the low side than
+    # documented); the +100 in tol already absorbs the integer-division
+    # floor, so no extra slack is needed or kept.
     tol = F.expr(f"(100 * n) div {QR71_ACC}") + F.lit(100)
     return ranks.select(
         "l_returnflag",
@@ -3518,7 +3523,7 @@ def qr71_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "exact_value",
         (
-            (F.lit(100) * F.col("r_lt") - F.col("qpct") * F.col("n") <= tol)
+            (F.lit(100) * (F.col("r_lt") + F.lit(1)) - F.col("qpct") * F.col("n") <= tol)
             & (F.col("qpct") * F.col("n") - F.lit(100) * F.col("r_le") <= tol)
         ).alias("within_tol"),
     ).orderBy("l_returnflag", "qpct")

@@ -160,7 +160,7 @@ def test_ql18_null_nchars_cross_engine(spark, tmp_path):
 
 def test_qr71_rank_audit_is_duplicate_aware(spark, tmp_path):
     """The GK rank audit must check the target rank against the approx
-    value's whole rank INTERVAL [count(<v), count(<=v)], not the upper
+    value's whole rank INTERVAL [count(<v)+1, count(<=v)], not the upper
     endpoint: a value appearing m times occupies all m ranks, and the
     upper-endpoint form flipped within_tol to False on a perfectly valid
     sketch over 3 identical prices (25-example fuzz falsifying case:
