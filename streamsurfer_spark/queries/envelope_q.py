@@ -165,10 +165,17 @@ def qv05_envelope_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# to_json(event_type) instead of bare '"' || event_type || '"': the
+# oracle must JSON-escape the string field exactly as Spark's to_json
+# (and Go's json.Marshal, main.go:202) do — quotes, backslashes, \t/\n
+# shorthand, \u00XX control escapes, raw UTF-8 passthrough. Probed
+# bit-identical across engines; the r11 envelope fuzz generates these
+# classes, where the unescaped concat twin silently diverged.
 QV05_SQL = f"""
 SELECT event_id,
-       '{{"event_id":' || event_id || ',"event_type":"' || event_type ||
-       '","user_id":' || user_id || '}}' AS envelope
+       '{{"event_id":' || event_id || ',"event_type":' ||
+       to_json(event_type)::VARCHAR ||
+       ',"user_id":' || user_id || '}}' AS envelope
 FROM events {_VALIDATED_WHERE}
 ORDER BY event_id
 """
@@ -287,8 +294,9 @@ def qv08_batch_wire_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 QV08_SQL = f"""
 WITH env AS (
   SELECT user_id, event_id,
-         '{{"event_id":' || event_id || ',"event_type":"' || event_type ||
-         '","user_id":' || user_id || '}}' AS e
+         '{{"event_id":' || event_id || ',"event_type":' ||
+         to_json(event_type)::VARCHAR ||
+         ',"user_id":' || user_id || '}}' AS e
   FROM events {_VALIDATED_WHERE}
 ),
 arr AS (

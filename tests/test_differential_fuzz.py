@@ -778,6 +778,21 @@ def _write_docs(rows, path: str) -> None:
         # curation capstone whose avg_quality moved to the exact q4 sum
         "ql18_udaf_geo_mean",
         "qp01_curation_report",
+        # r11: the remaining document-side capstones (r10 verdict item 3 —
+        # "their stages are fuzzed, the compositions are not"). Each is a
+        # multi-family composition, so the tiny-vocab corpus drives the
+        # stage BOUNDARIES: exact-dup groups collapsing before the DSIR
+        # gate (qp07/qp07b), empty texts through the gopher/entropy/MAD
+        # triple gate (qp09), duplicated spans + tied quality scores in
+        # the per-source rollup (qp04), the curate→decontaminate→split
+        # composition where whole sources vanish (qp05), and all three
+        # dedup signal families feeding one CC collapse (qp08)
+        "qp04_quality_dashboard",
+        "qp05_export_manifest",
+        "qp07_training_mix",
+        "qp07b_training_mix_manifest",
+        "qp08_canonical_map",
+        "qp09_intake_gate",
         # r10: the streaming LSH dedup (r9 verdict item 4's last
         # fixture-only streaming oracle) — it streams DOCUMENTS, so it
         # lives in this family: the tiny vocab makes band-bucket
@@ -867,6 +882,15 @@ def _write_embs(rows, path: str) -> None:
         "ql43_ann_recall",
         "ql51_hard_negatives",
         "qp06_semdedup_report",
+        # r11: the embedding-side capstones (r10 verdict item 3). The
+        # exact-value pool with zero vectors and duplicate vectors drives
+        # the build compositions end-to-end: qp02's budgeted-centroid IVF
+        # occupancy report (argmin ties at equal distance, single-centroid
+        # degenerate corpora) and qp03's kmeans→residual→PQ pipeline
+        # (4-dim vectors make 7 of the 8 PQ subspaces empty — the
+        # remainder-slice rule — and duplicate vectors collapse codes)
+        "qp02_vector_index_report",
+        "qp03_ivfpq_build_report",
     ],
 )
 @given(rows=emb_rows)
@@ -892,5 +916,94 @@ def test_generated_embeddings_match_oracle(spark, tmp_path_factory, rows, name):
                 f"CREATE VIEW documents AS SELECT * FROM read_parquet('{doc_p}')"
             )
         assert_matches_oracle(df, con, spec.oracle, name=f"{name} emb-fuzz")
+    finally:
+        con.close()
+
+
+# --- r11: envelope-family fuzz (r10 verdict item 3) --------------------------
+#
+# qv01/qv03/qv05/qv08 last saw generated frames in r5, before the
+# rounding discipline and before the wire-format entries existed; qv09/
+# qv10 never did. The strategy generates the producer reality the
+# reference accepts (any json.Marshal-able event): NULL required fields
+# (event_type AND user_id — the _validated partition both engines must
+# cut identically), event names with JSON-special characters (quotes,
+# backslashes, \t/\n, \u00XX control chars, raw UTF-8 — Spark's to_json
+# escapes these; the oracle's to_json() twin must match byte-for-byte),
+# exact-cent values (the money discipline), and sub-second timestamps
+# hitting the Go trailing-zero-trim edges (qv09/qv10's distinct-count
+# rides the qv04 render). event_id stays UNIQUE per frame — it is the
+# envelope wire-order key (qv08 sorts the batch array on it; a duplicate
+# key would make both engines' tie order unspecified by contract).
+
+_ETYPE_ALPHABET = (
+    'view', 'click', 'a"b', 'a\\b', 'naïve – 測試', 'a\tb', 'a\nb', '',
+    'x<y>&z', '\x01ctl\x1f', 'sp ace', "it's", None,
+)
+
+envelope_rows = st.lists(
+    st.tuples(
+        st.sampled_from(_ETYPE_ALPHABET),               # event_type (or NULL)
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # user_id
+        st.integers(min_value=-500, max_value=500),     # value in cents
+        st.one_of(
+            st.sampled_from(_EDGE_MICROS),
+            st.integers(min_value=0, max_value=3_599_999_999),
+        ),                                              # µs offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _write_envelope_events(rows, path: str) -> None:
+    n = len(rows)
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(n)), pa.int64()),
+            "ts": pa.array(
+                [_TS_BASE + off for _, _, _, off in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([u for _, u, _, _ in rows], pa.int64()),
+            "event_type": pa.array([e for e, _, _, _ in rows], pa.string()),
+            "value": pa.array([c / 100.0 for _, _, c, _ in rows], pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(path, "events.parquet"))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "qv01_validate_required",   # NULL partition counted identically
+        "qv03_origin_stamp",        # validated grouping + origin column
+        "qv05_envelope_json",       # per-event JSON escape parity
+        "qv08_batch_wire_format",   # batch-array render + byte length
+        # the two wire LOOPS (sink spool → consume → aggregate): each
+        # example spools through the REAL client seam — adversarial
+        # event names must survive serialize→chunk→record→parse losslessly
+        "qv09_consume_roundtrip",
+        "qv10_put_records_roundtrip",
+    ],
+)
+@given(rows=envelope_rows)
+@settings(
+    max_examples=max(6, int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_envelope_match_oracle(spark, tmp_path_factory, rows, name):
+    tmp = str(tmp_path_factory.mktemp("fuzzv"))
+    _write_envelope_events(rows, tmp)
+    spec = registry()[name]
+    df = spec.spark(spark, tmp)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet("
+            f"'{os.path.join(tmp, 'events.parquet')}')"
+        )
+        assert_matches_oracle(df, con, spec.oracle, name=f"{name} env-fuzz")
     finally:
         con.close()
