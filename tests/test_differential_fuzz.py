@@ -793,6 +793,13 @@ def _write_docs(rows, path: str) -> None:
         "qp07b_training_mix_manifest",
         "qp08_canonical_map",
         "qp09_intake_gate",
+        # r11: closing the r7 fixture-only tail — exact dedup on forced
+        # duplicate texts (empty-vs-empty counts as a dup group), and the
+        # two deterministic hash samplers (membership on tiny corpora
+        # where whole strata are empty or singletons)
+        "ql01_exact_dedup",
+        "ql16_hash_sample",
+        "ql17_stratified_sample",
         # r10: the streaming LSH dedup (r9 verdict item 4's last
         # fixture-only streaming oracle) — it streams DOCUMENTS, so it
         # lives in this family: the tiny vocab makes band-bucket

@@ -337,34 +337,30 @@ def test_verify_window_follows_rotation_policy():
     assert not unknown, f"_VERIFY_FIRST names not in registry: {unknown}"
 
     changed_this_round = {
-        # round 10 (all three from r9 ADVICE):
-        # ql18 — oracle's zero-guard made NULL-aware (the FILTER's
-        # n_chars <= 0 is NULL for NULL input, so a NULL row took the
-        # ELSE branch while count(*) inflated the divisor); oracle
-        # string changed, values on the shipped fixtures unchanged —
-        # the gate proves it
-        "ql18_udaf_geo_mean",
-        # ql19 — zscore_by_group gained a loud-fail integrality assert
-        # (int(v) silently floored float inputs); Spark path changed
-        "ql19_grouped_map_zscore",
-        # ql62 — ragged-embedding check re-anchored to the row's OWN
-        # label centroid dim + a label-grain cross-dim uniformity
-        # raise (the corpus-wide array_max compare misattributed the
-        # offender); Spark path changed
-        "ql62_label_silhouette",
+        # round 11:
+        # qr71 — the r10 deferral ledger's one entry (interval-based
+        # duplicate-aware rank audit, found by the r10 deep fuzz),
+        # further tightened this round per r10 ADVICE: the lower-bound
+        # check now uses 100*(r_lt+1), the documented interval start
+        "qr71_approx_quantile_gate",
+        # qv05/qv08 — ORACLES changed: the JSON string field is now
+        # rendered with DuckDB to_json() so the twin escapes quotes/
+        # backslashes/control chars exactly as Spark's to_json; the
+        # unescaped '"' || event_type || '"' concat silently diverged
+        # on adversarial event names (r11 envelope fuzz find)
+        "qv05_envelope_json",
+        "qv08_batch_wire_format",
     }
-    # round-10 deferrals: NONE. The window holds the complete r9
-    # deferral ledger (qv08, the whole r4 band, qp04, the 7 zero-norm
-    # siblings, qs13/qs14), this round's 3 changed entries, and the
-    # entire remaining r5 band — see the queries/__init__.py header.
+    # round-11 deferrals: NONE. The window holds the r10 ledger's qr71
+    # at its head, both oracle-changed envelope entries, the entire
+    # 33-entry r6 band, and a 14-entry fixture-only fill from the r7
+    # band — see the queries/__init__.py header.
     deferred: tuple = ()
 
-    # the r10 head: this round's plan/oracle-changed entries, then the
-    # twice-deferred qv08 opening the honored deferral ledger
-    assert names[0] == "ql18_udaf_geo_mean"
-    assert names[1] == "ql19_grouped_map_zscore"
-    assert names[2] == "ql62_label_silhouette"
-    assert names[3] == "qv08_batch_wire_format"
+    # the r11 head: the promised qr71, then the oracle-changed pair
+    assert names[0] == "qr71_approx_quantile_gate"
+    assert names[1] == "qv05_envelope_json"
+    assert names[2] == "qv08_batch_wire_format"
     missing = changed_this_round - window - set(deferred)
     assert not missing, f"round-changed queries outside the gate window: {missing}"
 
@@ -373,16 +369,16 @@ def test_verify_window_follows_rotation_policy():
     import glob
     import json
 
-    # FROZEN to rounds 1..9: the artifacts that existed when the r10
+    # FROZEN to rounds 1..10: the artifacts that existed when the r11
     # window was designed. Globbing ALL rounds would make this test flip
     # the moment the CURRENT round's artifact lands (the window entries
-    # get gate row 10, the next band becomes the oldest, missing_stale
-    # fires) — the r11 session updates both the window and this freeze
+    # get gate row 11, the next band becomes the oldest, missing_stale
+    # fires) — the r12 session updates both the window and this freeze
     # together.
     rounds = {}
     paths = [
         p
-        for n in (1, 2, 3, 4, 5, 6, 7, 8, 9)
+        for n in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
         for p in glob.glob(f"/root/repo/CORRECTNESS_r{n:02d}.json")
     ]
     if not paths:
@@ -395,17 +391,34 @@ def test_verify_window_follows_rotation_policy():
     stale = {k for k, v in rounds.items() if v == oldest and k in names}
 
     # the WHOLE oldest band must fit in the window this round — the
-    # verdict's "no gate row older than <oldest+1>" done-bar. r10 window
-    # math: oldest = r4 (5 entries), all in-window; the ENTIRE 33-entry
-    # r5 band is in-window too, so after r10 no gate row is older than r6
+    # verdict's "no gate row older than <oldest+1>" done-bar. r11 window
+    # math: oldest = r6 (33 entries), all in-window
     missing_stale = stale - window - set(deferred)
     assert not missing_stale, f"oldest-band entries outside the window: {missing_stale}"
 
-    # r10 additionally retires the next band (r5) whole: 31 entries in
-    # window slot (c) + qs13/qs14 in the deferral-ledger slot (b)
+    # the next band (r7, 41 entries) does NOT fit whole alongside the
+    # full r6 band + the 3 changed entries; the 14 slots left go to
+    # EXACTLY the r7 entries with no generated-frame fuzz evidence
+    # (fixture-only — the scarce-evidence class), and the 27-entry
+    # remainder is promised whole at the r12 head (it becomes the
+    # oldest band the moment CORRECTNESS_r11 lands, so the
+    # missing_stale assert above enforces the promise mechanically
+    # next round)
+    fill_r7 = {
+        "ql02_minhash_lsh_pairs", "ql07_multimodal_envelope",
+        "ql08_simhash", "ql12_language_id", "ql20_udtf_tokenize",
+        "ql32_bm25_topk", "ql46_dsir_importance",
+        "ql47_perplexity_buckets", "ql50_snapshot_novelty",
+        "qr17_array_fns", "qr21_percentiles", "qr35_lambda_pack",
+        "qt06_resample_interpolate", "qt07_ewma_smoothing",
+    }
+    assert fill_r7 <= window, (
+        f"fixture-only r7 fill outside the window: {fill_r7 - window}"
+    )
     next_band = {k for k, v in rounds.items() if v == oldest + 1 and k in names}
-    assert next_band <= window | set(deferred), (
-        f"r5-band entries outside the window: {next_band - window - set(deferred)}"
+    assert fill_r7 <= next_band, (
+        "fill entries must come from the r7 band: "
+        f"{fill_r7 - next_band} are not r7-latest"
     )
 
     # entries that have NEVER had a gate row (and are not rows-only
