@@ -355,7 +355,10 @@ NGRAM_SHINGLE_DF_CAP = 1000
 
 
 def hashed_shingle_set(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    slice_of: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Distinct (id, shingle) with 61-bit HASHED 3-gram shingles — the
     8-byte inverted-index key shared by the Jaccard/containment pair
@@ -364,16 +367,28 @@ def hashed_shingle_set(
     note: ~S²/2^62 spurious matches — statistically invisible); the
     distinct, the df-cap window, and the self-join all move 8-byte longs
     instead of materialized shingle strings — the rewrite that took the
-    span pass from 43 s to ~11 s at the 10× probe."""
-    return (
+    span pass from 43 s to ~11 s at the 10× probe.
+
+    ``slice_of=(p, n)`` keeps only shingles with pmod(shingle, n) == p,
+    filtered BEFORE the distinct so the exchange itself shrinks to the
+    slice (the point of the bounded-pass path — a post-distinct filter
+    would still shuffle the whole corpus). The shingle hash is uniform,
+    so slices are balanced; a shingle's full inverted-index posting list
+    lives wholly inside one slice, so per-slice distinct, document
+    frequency, and pair intersection are each EXACTLY the global
+    computation restricted to that slice."""
+    out = (
         df.withColumn("toks", F.split(F.col(text_col), " "))
         .withColumn("th_", F.expr(_TOKEN_HASH_EXPR))
         .select(
             F.col(id_col),
             F.explode(F.expr(_P61_SHINGLE_EXPR)).alias("shingle"),
         )
-        .distinct()
     )
+    if slice_of is not None:
+        p, n = slice_of
+        out = out.where(F.pmod(F.col("shingle"), F.lit(n)) == F.lit(p))
+    return out.distinct()
 
 
 def _shingle_intersection(
@@ -422,6 +437,59 @@ def _shingle_intersection(
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def shingle_intersection_partials(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_docs: int = NGRAM_SHINGLE_DF_CAP,
+    part: int = 0,
+    n_parts: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """ONE bounded pass of the inverted-index intersection: the slice-of-
+    shingle-space partials that sum to _shingle_intersection's globals.
+
+    Returns (inter_p, sizes_p): pair intersection counts and per-doc set
+    sizes restricted to shingles with pmod(shingle, n_parts) == part.
+    Because the distinct, the df-cap window, and the self-join are all
+    keyed on the shingle, each slice is self-contained:
+
+        n_inter(a, b) = Σ_p n_inter_p(a, b)      (disjoint shingle sets)
+        n_sh(id)      = Σ_p n_sh_p(id)
+        df(shingle)    is slice-local == global   (one slice owns it)
+
+    so summing spooled partials reproduces the monolithic result bit-for-
+    bit while each pass shuffles ~1/n_parts of the corpus — the bounded-
+    spool answer to the shingle exchange being corpus-LINEAR in scratch
+    disk (BASELINE.md: qp08's single-box 1000× DNF). Used by
+    pipeline_q.qp08_canonical_map_bounded; equality with the monolithic
+    plan is pinned by tests at two SFs.
+    """
+    from pyspark.sql import Window
+
+    sh = hashed_shingle_set(df, text_col, id_col, slice_of=(part, n_parts))
+    sizes_p = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    wdf = Window.partitionBy("shingle")
+    capped = (
+        sh.withColumn("_df", F.count("*").over(wdf))
+        .where(F.col("_df") <= max_shingle_docs)
+        .drop("_df")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    inter_p = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return inter_p, sizes_p
 
 
 def ngram_jaccard_pairs(

@@ -1163,6 +1163,114 @@ ORDER BY doc_id
 QP08_SQL = _qp08_sql()
 
 
+def qp08_canonical_map_bounded(
+    spark: SparkSession, sf_dir: str, n_passes: int = 4
+) -> DataFrame:
+    """qp08's canonical map with the containment family's corpus-linear
+    shingle exchange partitioned into ``n_passes`` bounded passes — the
+    qv10 bounded-spool recipe applied to a SHUFFLE instead of a spool
+    scan, and the literal 100 TB single-job-too-big answer: stage
+    manifests between jobs, bound each job's exchange.
+
+    Pass p runs dedup.shingle_intersection_partials over the slice
+    pmod(shingle, n_passes) == p (the distinct, the df-cap window, and
+    the self-join are all shingle-keyed, so each slice is self-contained
+    and EXACTLY the global computation restricted to its shingles) and
+    spools the pair-intersection and set-size PARTIALS to parquet —
+    tiny frames next to the shingle exchange. Completed passes drop
+    their DataFrame references and force a JVM GC so ContextCleaner
+    releases the pass's shuffle files before the next pass starts; peak
+    scratch is therefore ~1/n_passes of the monolithic exchange plus
+    the spooled partials, closing the single-box disk ceiling
+    BASELINE.md records for the monolithic plan at 1000× (5M docs).
+
+    The final aggregation sums partials (n_inter = Σ_p, n_sh = Σ_p),
+    scores containment exactly as operators/dedup.ngram_containment_pairs
+    does, and reuses qp08's exact-dup and LSH edge families verbatim —
+    output is hash-identical to qp08_canonical_map (pinned by
+    tests/test_qp08_bounded.py at sf0.001 and sf0.01). Not a registry
+    entry: same operator, different execution staging; the registry
+    gates the monolithic plan, this function carries the scale probe.
+    """
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from streamsurfer_spark.operators import dedup, graph
+    from streamsurfer_spark.queries.llm_q import CONTAIN_THRESHOLD
+    from streamsurfer_spark.scratch import scratch_dir
+
+    docs = table(spark, sf_dir, "documents")
+    spool = scratch_dir("qp08_bounded_")
+
+    for p in range(n_passes):
+        inter_p, sizes_p = dedup.shingle_intersection_partials(
+            docs, part=p, n_parts=n_passes
+        )
+        inter_p.write.mode("overwrite").parquet(
+            os.path.join(spool, f"inter/p={p}")
+        )
+        sizes_p.write.mode("overwrite").parquet(
+            os.path.join(spool, f"sizes/p={p}")
+        )
+        # release this pass's shuffle files before the next pass: drop
+        # the only references, then ask the JVM to GC so ContextCleaner
+        # deletes them — without this the passes' scratch ADDS instead
+        # of replacing and the bound is lost
+        del inter_p, sizes_p
+        spark.sparkContext._jvm.System.gc()
+
+    inter = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(spool, "inter"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("n_inter").alias("n_inter"))
+    )
+    sizes = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(spool, "sizes"))
+        .groupBy("doc_id")
+        .agg(F.sum("n_sh").alias("n_sh"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont_e = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "cab", scaled_round(F.col("n_inter").cast("double") / F.col("n_a"))
+        )
+        .withColumn(
+            "cba", scaled_round(F.col("n_inter").cast("double") / F.col("n_b"))
+        )
+        .where(F.greatest(F.col("cab"), F.col("cba")) >= CONTAIN_THRESHOLD)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+
+    w = Window.partitionBy(F.md5("text"))
+    exact_e = (
+        docs.select("doc_id", F.min("doc_id").over(w).alias("mn"))
+        .where(F.col("doc_id") != F.col("mn"))
+        .select(F.col("doc_id").alias("src"), F.col("mn").alias("dst"))
+    )
+    lsh_e = dedup.lsh_candidate_pairs(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = exact_e.unionByName(lsh_e).unionByName(cont_e)
+    cc = graph.connected_components(edges, "src", "dst", algorithm="star")
+    csizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(csizes, "cluster_id")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("cluster_id").alias("canonical_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
 
 # --- qp09: intake quality gate capstone (round-8 signal composition) ---------
 
