@@ -3447,9 +3447,10 @@ def qr71_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern for quantiles: the sketch VALUE is engine-specific, but any
     valid GK sketch guarantees rank error ≤ n/accuracy, so the hashable
     contract is (exact percentile, n, within-rank-tolerance flag). The
-    rank of each approx value is measured exactly (one conditional-sum
-    pass against the broadcast probe values) and checked as pure integer
-    arithmetic: |100·rank − q·n| ≤ 100·n div ACC + 100. A sketch
+    rank INTERVAL of each approx value is measured exactly (two
+    conditional sums against the broadcast probe values) and checked as
+    pure integer arithmetic: with tol = 100·n div ACC + 100,
+    100·(r_lt+1) − q·n ≤ tol AND q·n − 100·r_le ≤ tol. A sketch
     regression flips the flag and fails the hash.
 
     The audit is DUPLICATE-AWARE (r10 deep-fuzz find): a value v that

@@ -1,0 +1,93 @@
+"""Scale probe for qp08's bounded-pass variant (r10 verdict item 4).
+
+Generates ONLY the replicated documents table (the other tables are dead
+weight for qp08 and at 1000× would cost ~10× the disk of the corpus this
+probe is about), then runs qp08_canonical_map_bounded with a noop sink,
+logging wall time and peak scratch usage. The monolithic plan's 1000×
+history: two DNFs against this box's scratch ceiling (BASELINE.md
+"qp08 at 1000×"); the bounded variant exists to close exactly that.
+
+Usage:  python tools/qp08_bounded_probe.py [replicas] [n_passes]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def generate_documents(src: str, dst: str, replicas: int) -> None:
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET memory_limit='24GB'")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{src}/documents.parquet')"
+    )
+    dk = con.sql("SELECT max(doc_id)+1 FROM documents").fetchone()[0]
+    rng = f"(SELECT unnest(range({replicas})) AS i)"
+    # same replication recipe as tools/scale_probe.py: per-replica token
+    # suffix so the dedup corpus grows with DISTINCT content instead of
+    # stacking exact copies (which would measure the caps, not the plan)
+    con.execute(
+        f"""COPY (SELECT doc_id + i*{dk} AS doc_id,
+        array_to_string(list_transform(string_split(text, ' '),
+                                       t -> t || 'x' || i::VARCHAR), ' ') AS text,
+        lang, source, n_chars
+        FROM documents CROSS JOIN {rng}) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    n_passes = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    src, dst = "/root/testdata/sf0.1", "/tmp/sfprobe_qp08"
+
+    t0 = time.time()
+    generate_documents(src, dst, replicas)
+    print(f"generated {replicas}x documents in {time.time() - t0:.1f}s", flush=True)
+
+    # watch peak disk usage of the root volume while the probe runs —
+    # the metric the monolithic 1000× attempt died on
+    peak = {"used": 0}
+    stop = threading.Event()
+
+    def watch() -> None:
+        while not stop.is_set():
+            u = shutil.disk_usage("/tmp").used
+            peak["used"] = max(peak["used"], u)
+            stop.wait(5)
+
+    w = threading.Thread(target=watch, daemon=True)
+    w.start()
+    base_used = shutil.disk_usage("/tmp").used
+
+    from streamsurfer_spark.queries.pipeline_q import qp08_canonical_map_bounded
+    from streamsurfer_spark.session import get_spark
+
+    spark = get_spark("qp08-bounded-probe")
+    t0 = time.perf_counter()
+    qp08_canonical_map_bounded(spark, dst, n_passes=n_passes).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    stop.set()
+    w.join(timeout=10)
+    print(
+        f"{replicas}x qp08_canonical_map_bounded(n_passes={n_passes}): "
+        f"{wall:.1f}s; peak scratch above start "
+        f"{(peak['used'] - base_used) / 1e9:.1f} GB",
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
