@@ -51,13 +51,24 @@ class QuerySpec:
 #       ql37 ql45 ql53 ql54 qp02 qp05 qr31 qr32 qr33 qr34 qr36 qr37
 #       qr39 qr40 qr41 qr42 qs15 qt12 qt14 qv01 qv02 qv07 qv09);
 #   (c) a 14-entry fill from the r7 band, chosen as EXACTLY the r7
-#       entries whose only differential evidence is the fixtures — the
-#       other 27 r7 entries all run generated-frame differential fuzz
-#       (24 pre-existing + ql01/ql16/ql17 added to the doc family this
-#       round), so fixture-only rows are the scarce-evidence class the
-#       slots buy the most for: ql02 ql07 ql08 ql12 ql20 ql32 ql46
-#       ql47 ql50 qr17 qr21 qr35 qt06 qt07.
+#       entries whose only differential evidence was the fixtures at
+#       rotation time — the other 27 r7 entries all run generated-frame
+#       differential fuzz (24 pre-existing + ql01/ql16/ql17 added to
+#       the doc family this round), so fixture-only rows were the
+#       scarce-evidence class the slots buy the most for: ql02 ql07
+#       ql08 ql12 ql20 ql32 ql46 ql47 ql50 qr17 qr21 qr35 qt06 qt07.
 # 3 + 33 + 14 = exactly 50.
+#
+# POST-ROTATION (same round, after the window landed): the fixture-only
+# class was then RETIRED registry-wide — 12 of the 14 fill entries
+# gained generated-frame fuzz (doc/emb/wide-events families,
+# 25-example hunts zero finds); the remaining two are excluded with
+# documented rationale, not by gap (qr21: interpolated-percentile
+# half-ulp class the operators don't promise cross-engine — the
+# verify-skill gotcha; qr35: synthesized frames only, no generated
+# table to vary). The window stays as designed — it was correct at
+# rotation time and the gate rows these slots buy are still the
+# freshest evidence the class gets.
 #
 # R12 PLAN (not a deferral — nothing changed is out-of-window): after
 # r11 the oldest band is the 27-entry r7 remainder; the rotation-policy

@@ -686,6 +686,13 @@ def _write_events_wide(rows, path: str) -> None:
         "qs10_interval_join",
         "qs11_stateful_tracker",
         "qs12_stream_temporal_dim",
+        # r11 continuation (fixture-only retirement): the hourly
+        # resample + exact-int interpolation (grid ts land EXACTLY on
+        # hour edges — the bucket-ownership and gap-interpolation
+        # boundary class) and EWMA smoothing (exact binary-power
+        # weights over generated per-user series with ts ties)
+        "qt06_resample_interpolate",
+        "qt07_ewma_smoothing",
     ],
 )
 @given(rows=event_rows_wide)
@@ -800,6 +807,25 @@ def _write_docs(rows, path: str) -> None:
         "ql01_exact_dedup",
         "ql16_hash_sample",
         "ql17_stratified_sample",
+        # r11 continuation: the REST of the fixture-only class, retired
+        # registry-wide. Tiny-vocab duplicate texts force real LSH band
+        # collisions (ql02) and identical SimHash signatures (ql08);
+        # empty/one-token texts hit the truncated-shingle and
+        # zero-denominator edges of language-ID margins (ql12), BM25
+        # length normalization (ql32), DSIR bucket models (ql46), and
+        # the perplexity tertile rank boundaries on tied surprisals
+        # (ql47); ql20's UDTF tokenizer sees empty token lists; ql50's
+        # snapshot anti-join gets whole-source-vanishes cases; ql07's
+        # modality envelope hashes empty payloads
+        "ql02_minhash_lsh_pairs",
+        "ql07_multimodal_envelope",
+        "ql08_simhash",
+        "ql12_language_id",
+        "ql20_udtf_tokenize",
+        "ql32_bm25_topk",
+        "ql46_dsir_importance",
+        "ql47_perplexity_buckets",
+        "ql50_snapshot_novelty",
         # r10: the streaming LSH dedup (r9 verdict item 4's last
         # fixture-only streaming oracle) — it streams DOCUMENTS, so it
         # lives in this family: the tiny vocab makes band-bucket
@@ -898,6 +924,11 @@ def _write_embs(rows, path: str) -> None:
         # remainder-slice rule — and duplicate vectors collapse codes)
         "qp02_vector_index_report",
         "qp03_ivfpq_build_report",
+        # r11 continuation (fixture-only retirement): the codegen
+        # higher-order array pack — zero vectors and duplicate vectors
+        # hit the element_at/aggregate/exists edges the fixture's dense
+        # random values never pin
+        "qr17_array_fns",
     ],
 )
 @given(rows=emb_rows)
