@@ -374,10 +374,16 @@ IVF_CENTROID_MOD = 250  # every 250th vector serves as a coarse centroid
 IVF_NPROBE = 2
 # Hard ceiling on the centroid count, independent of corpus size: the
 # centroid table must stay broadcastable (65536 × 64 dims × 8 B ≈ 34 MB)
-# and the assign fan-out must stay n×k with constant k. Above
-# IVF_MAX_CENTROIDS × IVF_CENTROID_MOD vectors, the sampling modulus
-# grows instead of the centroid count.
+# and the per-row assign cost must stay bounded. Between the fixture
+# regime and this ceiling the count grows ~4·√n (the classic IVF sizing:
+# assign work n·k is then n^1.5, never quadratic — see centroid_modulus).
 IVF_MAX_CENTROIDS = 65536
+# Corpus size up to which the sampling modulus stays pinned at
+# IVF_CENTROID_MOD (every gate/sim/fuzz fixture and the recorded ≤30×
+# probes sit far below this, so oracle literals and recorded hashes never
+# move). Chosen as the crossover where the fixed-modulus count n/250
+# meets the √-regime count 4·√n: n/250 = 4·√n → n = 1e6.
+IVF_SQRT_REGIME = 1_000_000
 
 
 def quantize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -524,14 +530,26 @@ def embedding_corr_pairs(
 def centroid_modulus(n_vectors: int) -> int:
     """Sampling modulus for "every mod-th vector is a centroid".
 
-    Stays IVF_CENTROID_MOD while the resulting centroid count fits the
-    IVF_MAX_CENTROIDS budget; beyond that the modulus grows so the count
-    is capped at a CONSTANT — the broadcast size and the per-row assign
-    cost are then independent of corpus scale (at 1e9 vectors: mod=15259,
-    k=65536, not k=4e6).
+    Three regimes, all deterministic integer math:
+    - fixture (n ≤ IVF_SQRT_REGIME): pinned at IVF_CENTROID_MOD so every
+      oracle literal and recorded hash stays put;
+    - √ (above that): modulus ≈ √n/4, i.e. centroid count ≈ 4·√n — the
+      classic IVF sizing. The previous rule kept the modulus FIXED here,
+      so the count grew linearly with the corpus and total assign work
+      n·k grew QUADRATICALLY: the r11 1000× probe caught ql43 at 5M
+      vectors building 20k centroids (n·k = 1e11 candidate distances,
+      >55 GB of sort spill, DNF on this box). With 4·√n the same corpus
+      builds ~8.9k centroids and assign work is n^1.5 — at 100 TB the
+      exponent is the whole ballgame;
+    - cap (4·√n ≥ IVF_MAX_CENTROIDS, n ≥ ~2.7e8): count pinned at the
+      broadcastability ceiling (at 1e9 vectors: mod=15259, k=65536).
     """
+    import math
+
     mod = IVF_CENTROID_MOD
-    if n_vectors > IVF_MAX_CENTROIDS * IVF_CENTROID_MOD:
+    if n_vectors > IVF_SQRT_REGIME:
+        mod = max(mod, math.isqrt(n_vectors) // 4 + 1)
+    if n_vectors > IVF_MAX_CENTROIDS * mod:
         mod = -(-n_vectors // IVF_MAX_CENTROIDS)  # ceil division
     return mod
 
@@ -568,47 +586,50 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by integer L2².
 
-    centroids is bounded (≤ IVF_MAX_CENTROIDS by construction — see
-    ``centroid_modulus``) → broadcast; the argmin is a partial-aggregating
-    ``groupBy(id).agg(min_by(...))`` over the broadcast-nested-loop
-    expansion, so the n×k candidate rows collapse to n rows MAP-SIDE
-    before the only shuffle. No window, no n×k exchange. All non-id
-    columns of ``df`` ride along inside the min_by payload struct.
+    The bounded centroid set (≤ IVF_MAX_CENTROIDS by construction — see
+    ``centroid_modulus``) collapses to ONE array<struct<cent_id, cent_qv>>
+    row, broadcast to every task; the argmin is a per-row codegen loop —
+    ``array_min(transform(cents, c -> struct(dist, cent_id)))`` — so the
+    assign stage is pure map work: no n×k candidate rows exist anywhere,
+    no aggregate buffer, no sort, no shuffle of anything but the ≤34 MB
+    centroid array. Struct ordering (dist, cent_id) is the same
+    deterministic tie-break the previous min_by form used.
 
-    The struct-typed buffer makes Spark pick SortAggregate: each task
-    sorts its local n_part×k candidates once — the same local sort the
-    old window did AFTER shuffling n×k rows, now done before any wire
-    transfer. Network cost drops from O(n×k) to O(n).
+    History: the previous shape expanded n×k candidate ROWS through a
+    broadcast join into a map-side min_by SortAggregate. Same wire cost
+    (O(n)), but each task materialized and SORTED its n_part×k wide
+    candidate rows — the r11 1000× probe measured >55 GB of local sort
+    spill at 5M vectors before DNF'ing on scratch disk. The array form
+    does the identical n·k·d integer arithmetic inside one whole-stage
+    codegen projection with zero row amplification.
     """
-    cents = centroids.select(
-        F.col(id_col).alias("cent_id"), F.col("qv").alias("cent_qv")
+    one = centroids.select(
+        F.struct(
+            F.col(id_col).alias("cent_id"), F.col("qv").alias("cent_qv")
+        ).alias("c")
+    ).agg(F.array_sort(F.collect_list("c")).alias("_cents"))
+    dist = DIST_SQ_EXPR.format(a="qv", b="c.cent_qv")
+    best = F.expr(
+        f"array_min(transform(_cents, c -> struct({dist} AS dist,"
+        " c.cent_id AS cent_id)))"
     )
-    dist = F.expr(DIST_SQ_EXPR.format(a="qv", b="cent_qv"))
     carry = [c for c in df.columns if c != id_col]
-    scored = df.join(F.broadcast(cents)).withColumn("dist", dist)
-    # keep_dist carries the winning distance out in the payload — the
-    # argmin already computed it, so a caller that needs it (kmeans SSE
-    # report) avoids a second broadcast join + O(n·d) distance pass.
-    # Default off: the extra column would otherwise leak into every
-    # consumer's schema.
-    payload = [F.col(c) for c in carry] + [F.col("cent_id")]
-    if keep_dist:
-        payload.append(F.col("dist"))
-    # ordering key (dist, cent_id) is unique per candidate → deterministic
-    best = scored.groupBy(id_col).agg(
-        F.min_by(
-            F.struct(*payload),
-            F.struct(F.col("dist"), F.col("cent_id")),
-        ).alias("_best")
-    )
     out = [
         F.col(id_col),
-        *[F.col(f"_best.{c}").alias(c) for c in carry],
+        *[F.col(c) for c in carry],
         F.col("_best.cent_id").alias("cent_id"),
     ]
     if keep_dist:
+        # the argmin already computed the winning distance — callers that
+        # need it (kmeans SSE report) avoid a second O(n·d) distance pass
         out.append(F.col("_best.dist").alias("dist"))
-    return best.select(*out)
+    return (
+        df.join(F.broadcast(one))
+        .withColumn("_best", best)
+        .where(F.col("_best").isNotNull())  # empty-centroid parity: the
+        # old join-based form emitted no rows when centroids was empty
+        .select(*out)
+    )
 
 
 def ivf_topk(

@@ -2272,7 +2272,19 @@ def ql43_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     mod = similarity.probe_modulus(emb.count(), PROBE_MOD)
     probes = emb.where(F.col("vec_id") % mod == 0)
-    exact = similarity.cosine_topk(emb, probes, k=3).select("probe_id", "vec_id")
+    # The exact frame feeds TWO consumers (the hit join and the n_exact
+    # aggregate); without an eager materialization Spark re-executes the
+    # whole O(probes × corpus) exact-cosine DAG once per consumer — the
+    # r11 1000× probe measured the doubled pass directly (the composed
+    # eval wrote >55 GB of shuffle scratch and DNF'd on this box's disk
+    # while qp03's comparable single-pass build finished in 415 s).
+    # Post-top-k the frame is ≤ PROBE_BUDGET·k rows, so the checkpoint is
+    # a few KB on any cluster.
+    exact = (
+        similarity.cosine_topk(emb, probes, k=3)
+        .select("probe_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
     approx = similarity.ivf_topk(emb, k=3, probe_mod=mod).select(
         "probe_id", "vec_id"
     )

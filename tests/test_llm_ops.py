@@ -237,24 +237,39 @@ def test_ivf_recall_vs_exact(spark):
 
 
 def test_centroid_budget_constant():
-    """The IVF centroid count must be bounded by a CONSTANT regardless of
-    corpus size: below the budget threshold the modulus is the fixture
-    default (so oracle hashes never move); above it the modulus grows so
-    the count stays ≤ IVF_MAX_CENTROIDS (broadcastability at 100 TB)."""
+    """The IVF centroid count must grow SUB-LINEARLY with the corpus (the
+    r11 1000× probe caught the previous fixed-modulus rule building ~20k
+    centroids at 5M vectors — assign work n·k was quadratic and DNF'd):
+    pinned in the fixture regime (oracle hashes never move), ~4·√n in the
+    middle, capped at IVF_MAX_CENTROIDS (broadcastability at 100 TB)."""
+    import math
+
     from streamsurfer_spark.operators.similarity import (
         IVF_CENTROID_MOD,
         IVF_MAX_CENTROIDS,
+        IVF_SQRT_REGIME,
         centroid_modulus,
     )
 
     # fixture regime: modulus pinned → deterministic oracle-stable sampling
     assert centroid_modulus(10_000) == IVF_CENTROID_MOD
-    assert centroid_modulus(IVF_MAX_CENTROIDS * IVF_CENTROID_MOD) == IVF_CENTROID_MOD
-    # scale regime: count capped at the constant budget
-    for n in (10**8, 10**9, 10**12):
+    assert centroid_modulus(IVF_SQRT_REGIME) == IVF_CENTROID_MOD
+    # √ regime: count within a constant factor of 4·√n — never linear.
+    # The r11 probe's exact corpus: 5M vectors must build ~9k, not 20k.
+    assert 5_000_000 // centroid_modulus(5_000_000) < 10_000
+    for n in (2 * 10**6, 10**7, 10**8):
+        k = n // centroid_modulus(n)
+        assert k <= 5 * math.isqrt(n)
+        assert k >= 2 * math.isqrt(n) or k >= IVF_MAX_CENTROIDS
+    # cap regime: count pinned at the constant budget
+    for n in (10**9, 10**12):
         mod = centroid_modulus(n)
         assert n // mod <= IVF_MAX_CENTROIDS
         assert mod >= IVF_CENTROID_MOD
+    # continuity at the regime boundary: no cliff in the centroid count
+    below = IVF_SQRT_REGIME // centroid_modulus(IVF_SQRT_REGIME)
+    above = (IVF_SQRT_REGIME + 1) // centroid_modulus(IVF_SQRT_REGIME + 1)
+    assert abs(below - above) < below * 0.05
 
 
 def test_lsh_bucket_cap_bounds_pair_blowup(spark):

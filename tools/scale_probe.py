@@ -102,6 +102,9 @@ PROBES = (
 )
 
 # allow probing a subset: python tools/scale_probe.py [replicas] [name...]
+# --no-gen reuses an existing /tmp/sfprobe corpus: the fresh-session-per-probe
+# protocol (BASELINE.md round-10 batch 2) runs one python process per probe,
+# and regenerating the 1000× corpus (~11 min) per invocation would dominate.
 
 
 
@@ -175,12 +178,18 @@ def generate(src: str, dst: str, replicas: int) -> None:
 
 
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    probes = tuple(sys.argv[2:]) or PROBES
+    argv = [a for a in sys.argv[1:] if a != "--no-gen"]
+    skip_gen = "--no-gen" in sys.argv[1:]
+    replicas = int(argv[0]) if argv else 10
+    probes = tuple(argv[1:]) or PROBES
     src, dst = "/root/testdata/sf0.1", "/tmp/sfprobe"
-    t0 = time.time()
-    generate(src, dst, replicas)
-    print(f"generated {replicas}x probe in {time.time() - t0:.1f}s")
+    if skip_gen:
+        if not os.path.exists(os.path.join(dst, "part.parquet")):  # last COPY
+            raise SystemExit("--no-gen: no complete corpus at /tmp/sfprobe")
+    else:
+        t0 = time.time()
+        generate(src, dst, replicas)
+        print(f"generated {replicas}x probe in {time.time() - t0:.1f}s")
 
     from streamsurfer_spark.queries import registry
     from streamsurfer_spark.session import get_spark
