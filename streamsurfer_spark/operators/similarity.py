@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
@@ -578,11 +579,99 @@ def probe_modulus(n_vectors: int, base_mod: int) -> int:
     return mod
 
 
+# Above this centroid count the assign switches from the codegen
+# higher-order-function loop to the Arrow/numpy matmul path: Spark HOF
+# lambdas evaluate interpreted per element, so at k·d per row the loop's
+# constant dominates long before the √-regime k (measured: the r11 1000×
+# probe's 5M×8.9k assign ground >90 min in the HOF form). Every fixture /
+# oracle / fuzz corpus sits at k ≤ ~25 — those keep the HOF plan, so
+# gate-scale plans and explain output never change.
+IVF_ASSIGN_VECTORIZE_K = 256
+
+
+def _ivf_assign_np(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    keep_dist: bool,
+) -> DataFrame:
+    """Arrow/numpy form of ``ivf_assign`` — identical results, BLAS speed.
+
+    The bounded centroid frame (≤ IVF_MAX_CENTROIDS × 64 dims × 8 B ≈
+    34 MB — the same size contract that makes ``F.broadcast`` legal) is
+    collected once and shipped as a SparkContext broadcast; each Arrow
+    batch computes d² = |q|² + |c|² − 2·q·cᵀ with one float64 BLAS matmul
+    and takes the row argmin. Exactness: inputs are ×1000-quantized
+    integers; with |v| < 2²¹ (loud-fail assert, real quantized embeddings
+    are ~10³) every product is < 2⁴² and every 64-term sum < 2⁵⁰ — all
+    exactly representable in float64, so the distances (and therefore the
+    argmin) are bit-identical to the integer HOF form. Tie-break parity:
+    centroids are sorted by cent_id and ``argmin`` returns the FIRST
+    minimum — the same (dist, cent_id) ordering as the struct array_min.
+    Pinned against the HOF form by test_llm_ops.py::test_ivf_assign_
+    vectorized_exact_twin.
+    """
+    import numpy as np
+
+    cent_rows = centroids.select(id_col, "qv").collect()  # bounded ≤34 MB
+    out_fields = list(df.schema.fields) + [
+        T.StructField("cent_id", centroids.schema[id_col].dataType, True)
+    ]
+    if keep_dist:
+        out_fields.append(T.StructField("dist", T.LongType(), True))
+    schema = T.StructType(out_fields)
+    if not cent_rows:
+        # empty-centroid parity with the join-based form: no rows
+        return df.sparkSession.createDataFrame([], schema)
+    cid = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    cqv = np.array([list(r[1]) for r in cent_rows], dtype=np.int64)
+    order = np.argsort(cid)
+    cid, cqv = cid[order], cqv[order]
+    assert np.abs(cqv).max(initial=0) < 2**21, "centroid magnitude breaks float64 exactness"
+    bc = df.sparkSession.sparkContext.broadcast((cid, cqv))
+    in_cols = list(df.columns)
+
+    def gen(batches):
+        import pandas as pd
+
+        b_cid, b_cqv = bc.value
+        g = b_cqv.astype(np.float64)
+        cc = (g * g).sum(1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qv = np.array([list(v) for v in pdf["qv"]], dtype=np.int64)
+            assert np.abs(qv).max(initial=0) < 2**21, (
+                "vector magnitude breaks float64 exactness"
+            )
+            f = qv.astype(np.float64)
+            qq = (f * f).sum(1)
+            # sub-batch so the rows×k distance matrix stays ≤ ~512 MB
+            step = max(1, 64_000_000 // len(b_cid))
+            idx = np.empty(len(f), dtype=np.int64)
+            d2w = np.empty(len(f), dtype=np.float64)
+            for s in range(0, len(f), step):
+                d2 = qq[s : s + step, None] + cc[None, :] - 2.0 * (
+                    f[s : s + step] @ g.T
+                )
+                part = d2.argmin(1)
+                idx[s : s + len(part)] = part
+                d2w[s : s + len(part)] = d2[np.arange(len(part)), part]
+            res = pdf[in_cols].copy()
+            res["cent_id"] = b_cid[idx]
+            if keep_dist:
+                res["dist"] = d2w.astype(np.int64)  # exact integer-valued
+            yield res
+
+    return df.mapInPandas(gen, schema)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     keep_dist: bool = False,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by integer L2².
 
@@ -602,7 +691,16 @@ def ivf_assign(
     spill at 5M vectors before DNF'ing on scratch disk. The array form
     does the identical n·k·d integer arithmetic inside one whole-stage
     codegen projection with zero row amplification.
+
+    ``n_centroids`` is a caller-supplied ESTIMATE (e.g. n // mod) that
+    only picks the code path, never the semantics: above
+    IVF_ASSIGN_VECTORIZE_K the per-element-interpreted HOF loop loses to
+    the Arrow/numpy matmul form (``_ivf_assign_np``, bit-identical — see
+    its docstring), so √-regime index builds take the vectorized path
+    while every fixture-scale plan stays pure codegen.
     """
+    if n_centroids is not None and n_centroids > IVF_ASSIGN_VECTORIZE_K:
+        return _ivf_assign_np(df, centroids, id_col, keep_dist)
     one = centroids.select(
         F.struct(
             F.col(id_col).alias("cent_id"), F.col("qv").alias("cent_qv")
@@ -664,7 +762,7 @@ def ivf_topk(
     n = q.count()
     mod = centroid_modulus(n)
     cents = q.where(F.col(id_col) % mod == 0)
-    assigned = ivf_assign(q, cents, id_col)
+    assigned = ivf_assign(q, cents, id_col, n_centroids=n // mod)
 
     # constant probe budget: per-probe candidate lists grow ~linearly once
     # the centroid budget caps, so an uncapped (fraction-of-corpus) probe

@@ -102,9 +102,10 @@ def qp02_vector_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = similarity.quantize(emb).select("vec_id", "label", "qv")
     # budgeted centroid sampling: mod == IVF_CENTROID_MOD until the count
     # would exceed IVF_MAX_CENTROIDS (the count() is the index-build pass)
-    mod = similarity.centroid_modulus(q.count())
+    n = q.count()
+    mod = similarity.centroid_modulus(n)
     cents = q.where(F.col("vec_id") % mod == 0).select("vec_id", "qv")
-    assigned = similarity.ivf_assign(q, cents)
+    assigned = similarity.ivf_assign(q, cents, n_centroids=n // mod)
     cent_vecs = cents.select(
         F.col("vec_id").alias("cent_id"), F.col("qv").alias("cent_qv")
     )

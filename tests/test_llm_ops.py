@@ -272,6 +272,47 @@ def test_centroid_budget_constant():
     assert abs(below - above) < below * 0.05
 
 
+def test_ivf_assign_vectorized_exact_twin(spark):
+    """The Arrow/numpy assign path must be BIT-IDENTICAL to the codegen
+    HOF path — same assignments, same distances, same (dist, cent_id)
+    tie-break — on a corpus with duplicate vectors (argmin ties), a zero
+    vector, and enough centroids to force real multi-centroid argmins.
+    The vectorized path only engages above IVF_ASSIGN_VECTORIZE_K in
+    production (never at fixture scale), so this twin test is its
+    correctness gate."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.operators.similarity import (
+        _ivf_assign_np,
+        ivf_assign,
+        quantize,
+    )
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(400):
+        vec = [round(rnd.uniform(-2.0, 2.0), 3) for _ in range(8)]
+        rows.append((i, vec))
+    rows.append((400, rows[3][1]))  # exact duplicate → tie on dist
+    rows.append((401, [0.0] * 8))  # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = quantize(df).select("vec_id", "qv")
+    cents = q.where(F.col("vec_id") % 13 == 0)  # 31 centroids
+
+    hof = ivf_assign(q, cents, keep_dist=True).orderBy("vec_id").collect()
+    vec = (
+        _ivf_assign_np(q, cents, "vec_id", keep_dist=True)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert len(hof) == len(vec) == len(rows)
+    for a, b in zip(hof, vec):
+        assert (a.vec_id, a.cent_id, a.dist) == (b.vec_id, b.cent_id, b.dist)
+        assert list(a.qv) == list(b.qv)  # carry column rides through
+
+
 def test_lsh_bucket_cap_bounds_pair_blowup(spark):
     """A mega-duplicated document (every copy landing in the same band
     buckets) must NOT explode quadratically: with bucket_cap=c the pair
