@@ -707,25 +707,32 @@ def ivf_assign(
         ).alias("c")
     ).agg(F.array_sort(F.collect_list("c")).alias("_cents"))
     dist = DIST_SQ_EXPR.format(a="qv", b="c.cent_qv")
+    # inline(array(...)) is a generator, so the argmin loop evaluates
+    # EXACTLY once per row and lands both fields as materialized columns.
+    # Referencing the struct twice (cent_id + dist extraction) or putting
+    # it in a Filter re-evaluates the whole CodegenFallback loop per
+    # reference — measured 1.3-1.5× on the k-means/ivf fixture rows.
     best = F.expr(
-        f"array_min(transform(_cents, c -> struct({dist} AS dist,"
-        " c.cent_id AS cent_id)))"
+        f"inline(array(array_min(transform(_cents, c -> struct({dist}"
+        " AS _bdist, c.cent_id AS _bcent)))))"
     )
     carry = [c for c in df.columns if c != id_col]
     out = [
         F.col(id_col),
         *[F.col(c) for c in carry],
-        F.col("_best.cent_id").alias("cent_id"),
+        F.col("_bcent").alias("cent_id"),
     ]
     if keep_dist:
         # the argmin already computed the winning distance — callers that
         # need it (kmeans SSE report) avoid a second O(n·d) distance pass
-        out.append(F.col("_best.dist").alias("dist"))
+        out.append(F.col("_bdist").alias("dist"))
     return (
         df.join(F.broadcast(one))
-        .withColumn("_best", best)
-        .where(F.col("_best").isNotNull())  # empty-centroid parity: the
-        # old join-based form emitted no rows when centroids was empty
+        .select(F.col(id_col), *[F.col(c) for c in carry], best)
+        # empty-centroid parity: the pre-rewrite join-based form emitted
+        # no rows when centroids was empty (cheap — _bcent is a
+        # generator-materialized column, not a re-evaluation)
+        .where(F.col("_bcent").isNotNull())
         .select(*out)
     )
 
