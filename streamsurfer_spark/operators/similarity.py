@@ -589,6 +589,22 @@ def probe_modulus(n_vectors: int, base_mod: int) -> int:
 IVF_ASSIGN_VECTORIZE_K = 256
 
 
+def _check_f64_exact(dim: int, max_abs: int, what: str) -> None:
+    """Loud-fail float64-exactness bound for the vectorized assign.
+
+    Every L2² distance is a sum of ``dim`` terms, each ≤ (2·max|v|)², so
+    ``dim · (2·max|v|)² < 2⁵³`` guarantees the whole sum is an integer
+    exactly representable in float64 — the condition the bit-identical
+    claim rests on. A ValueError (not assert: ``python -O`` strips
+    asserts — r11 ADVICE) using the ACTUAL width, not the historical
+    d=64 assumption."""
+    if dim * (2 * max_abs) ** 2 >= 2**53:
+        raise ValueError(
+            f"ivf_assign {what} magnitudes break float64 exactness: "
+            f"dim={dim}, max|v|={max_abs}, need dim*(2*max)^2 < 2^53"
+        )
+
+
 def _ivf_assign_np(
     df: DataFrame,
     centroids: DataFrame,
@@ -602,12 +618,34 @@ def _ivf_assign_np(
     collected once and shipped as a SparkContext broadcast; each Arrow
     batch computes d² = |q|² + |c|² − 2·q·cᵀ with one float64 BLAS matmul
     and takes the row argmin. Exactness: inputs are ×1000-quantized
-    integers; with |v| < 2²¹ (loud-fail assert, real quantized embeddings
-    are ~10³) every product is < 2⁴² and every 64-term sum < 2⁵⁰ — all
-    exactly representable in float64, so the distances (and therefore the
-    argmin) are bit-identical to the integer HOF form. Tie-break parity:
-    centroids are sorted by cent_id and ``argmin`` returns the FIRST
-    minimum — the same (dist, cent_id) ordering as the struct array_min.
+    integers; every distance is a sum of d terms each ≤ (|x|+|y|)², so
+    requiring d·(2·max|v|)² < 2⁵³ — validated against the ACTUAL vector
+    width and magnitudes, a loud ValueError, never a strippable assert
+    (r11 ADVICE: the old |v| < 2²¹ element check silently relied on
+    d = 64; a 1024-d corpus at near-2²¹ values would have voided
+    exactness while passing) — makes every distance exactly representable
+    in float64, so the distances (and therefore the argmin) are
+    bit-identical to the integer HOF form. Tie-break parity: centroids
+    are sorted by cent_id and ``argmin`` returns the FIRST minimum — the
+    same (dist, cent_id) ordering as the struct array_min.
+
+    Degenerate-vector parity (r11 ADVICE): a NULL qv, a width-mismatched
+    qv, or a qv containing NULL elements makes every HOF distance NULL
+    (zip_with pads, NULL propagates through the aggregate), and
+    array_min's struct ordering puts NULL dist first — the codegen path
+    assigns such rows to the SMALLEST cent_id with dist NULL (verified
+    live; pinned in the twin test). This path reproduces exactly that
+    instead of crashing in np.array.
+
+    Broadcast lifecycle: the ≤34 MB broadcast is referenced only by the
+    returned frame's task closure, so it lives exactly as long as the
+    frame — when the caller drops the DataFrame the Python reference
+    dies and ContextCleaner reclaims the blocks driver- and
+    executor-side. It is NOT freed earlier: an eager unpersist here
+    would race the (lazy) consuming action. Long-lived sessions that
+    retain many built frames retain the broadcasts with them — the same
+    contract as any persist() handle (r11 ADVICE, documented choice).
+
     Pinned against the HOF form by test_llm_ops.py::test_ivf_assign_
     vectorized_exact_twin.
     """
@@ -624,10 +662,18 @@ def _ivf_assign_np(
         # empty-centroid parity with the join-based form: no rows
         return df.sparkSession.createDataFrame([], schema)
     cid = np.array([r[0] for r in cent_rows], dtype=np.int64)
-    cqv = np.array([list(r[1]) for r in cent_rows], dtype=np.int64)
+    try:
+        cqv = np.array([list(r[1]) for r in cent_rows], dtype=np.int64)
+    except (TypeError, ValueError) as ex:
+        # engine-built centroids are never NULL/ragged — a degenerate
+        # centroid is an invariant violation, not an input class to match
+        raise ValueError(
+            "ivf_assign centroids must be non-NULL rectangular integer "
+            f"vectors: {ex}"
+        ) from None
     order = np.argsort(cid)
     cid, cqv = cid[order], cqv[order]
-    assert np.abs(cqv).max(initial=0) < 2**21, "centroid magnitude breaks float64 exactness"
+    _check_f64_exact(cqv.shape[1], int(np.abs(cqv).max(initial=0)), "centroid")
     bc = df.sparkSession.sparkContext.broadcast((cid, cqv))
     in_cols = list(df.columns)
 
@@ -635,16 +681,27 @@ def _ivf_assign_np(
         import pandas as pd
 
         b_cid, b_cqv = bc.value
+        d = b_cqv.shape[1]
         g = b_cqv.astype(np.float64)
         cc = (g * g).sum(1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            qv = np.array([list(v) for v in pdf["qv"]], dtype=np.int64)
-            assert np.abs(qv).max(initial=0) < 2**21, (
-                "vector magnitude breaks float64 exactness"
+            vals = pdf["qv"].tolist()
+            f = np.zeros((len(vals), d), dtype=np.float64)
+            ok = np.ones(len(vals), dtype=bool)
+            for i, v in enumerate(vals):
+                if v is None or len(v) != d:
+                    ok[i] = False
+                    continue
+                a = np.asarray(v, dtype=np.float64)  # None elems → NaN
+                if np.isnan(a).any():
+                    ok[i] = False
+                    continue
+                f[i] = a
+            _check_f64_exact(
+                d, int(np.abs(f).max(initial=0.0)), "vector"
             )
-            f = qv.astype(np.float64)
             qq = (f * f).sum(1)
             # sub-batch so the rows×k distance matrix stays ≤ ~512 MB
             step = max(1, 64_000_000 // len(b_cid))
@@ -657,10 +714,19 @@ def _ivf_assign_np(
                 part = d2.argmin(1)
                 idx[s : s + len(part)] = part
                 d2w[s : s + len(part)] = d2[np.arange(len(part)), part]
+            # degenerate rows: smallest cent_id, NULL dist (HOF parity —
+            # b_cid is sorted, so b_cid[0] IS the array_min tie-break)
+            idx[~ok] = 0
             res = pdf[in_cols].copy()
             res["cent_id"] = b_cid[idx]
             if keep_dist:
-                res["dist"] = d2w.astype(np.int64)  # exact integer-valued
+                if ok.all():
+                    res["dist"] = d2w.astype(np.int64)  # exact int-valued
+                else:
+                    res["dist"] = pd.array(
+                        np.where(ok, d2w, 0.0).astype(np.int64), dtype="Int64"
+                    )
+                    res.loc[~ok, "dist"] = pd.NA
             yield res
 
     return df.mapInPandas(gen, schema)

@@ -31,61 +31,106 @@ class QuerySpec:
 # Ordering is load-bearing: the driver's correctness gate evaluates a
 # prefix of this dict (50 entries in every round so far).
 #
-# ROUND-11 WINDOW (current). Evidence histogram going into r11,
-# recomputed from CORRECTNESS_r01..r10 (latest gate row per entry):
-# r6=33, r7=41, r8=40, r9=47, r10=50 → all 211 entries gated at least
-# once, none older than r6. The 50 slots, per the standing policy
-# (changed-this-round + the promised deferral ledger + the entire
-# oldest band, then an oldest-evidence fill):
-#   (a) the r10 deferral ledger + this round's changed entries:
-#       qr71 (promised verbatim — the interval-based rank audit from
-#       the r10 deep-fuzz find, further tightened this round per r10
-#       ADVICE: lower bound now 100*(r_lt+1), the documented interval
-#       start), and qv05/qv08, whose ORACLES changed this round (the
-#       JSON string field now rendered with DuckDB to_json() so the
-#       twin escapes quotes/backslashes/control chars exactly as
-#       Spark's to_json — the unescaped concat silently diverged on
-#       adversarial event names, found by the new envelope fuzz);
-#   (b) the ENTIRE 33-entry r6 band — the oldest gate evidence in the
-#       registry (ql04 ql06 ql09 ql11 ql15 ql22 ql27 ql30 ql31 ql34
-#       ql37 ql45 ql53 ql54 qp02 qp05 qr31 qr32 qr33 qr34 qr36 qr37
-#       qr39 qr40 qr41 qr42 qs15 qt12 qt14 qv01 qv02 qv07 qv09);
-#   (c) a 14-entry fill from the r7 band, chosen as EXACTLY the r7
-#       entries whose only differential evidence was the fixtures at
-#       rotation time — the other 27 r7 entries all run generated-frame
-#       differential fuzz (24 pre-existing + ql01/ql16/ql17 added to
-#       the doc family this round), so fixture-only rows were the
-#       scarce-evidence class the slots buy the most for: ql02 ql07
-#       ql08 ql12 ql20 ql32 ql46 ql47 ql50 qr17 qr21 qr35 qt06 qt07.
-# 3 + 33 + 14 = exactly 50.
+# ROUND-12 WINDOW (current). Evidence histogram going into r12,
+# recomputed from CORRECTNESS_r01..r11 (latest gate row per entry):
+# r7=27, r8=38, r9=46, r10=49, r11=50 (+ ql07b rows-only, latest r8)
+# → all 211 entries gated at least once, none older than r7. The 50
+# slots, per the standing policy (changed-this-round + the promised
+# band + the entire oldest band, then an oldest-evidence fill):
+#   (a) this round's engine-touched entries: ql43 (its exact-frame
+#       localCheckpoint went eager→lazy per r11 ADVICE — gated to
+#       n>100k so fixture plans are unchanged, windowed as
+#       belt-and-suspenders) and ql14, the bench-tracked IVF-family
+#       representative for this round's similarity.py assign hardening
+#       (NULL/ragged-qv parity + the dimension-aware float64 guard —
+#       the vectorized branch only engages above k=256, likewise
+#       fixture-invisible);
+#   (b) the ENTIRE 27-entry r7 remainder — the oldest gate evidence in
+#       the registry, promised whole at the r12 head by the r11
+#       rotation (queries/__init__.py git history, r11 header; the
+#       promise is mechanically enforced by the rotation-policy test's
+#       missing_stale assert now that CORRECTNESS_r11 is on disk);
+#   (c) a 21-entry fill from the head of the r8 band in registry
+#       order, skipping ql07b (rows-only BY DESIGN — the slot buys a
+#       full rows+schema+hash check for an oracle-bearing entry
+#       instead, the same oracle-first principle registry() applies):
+#       ql13 ql24 ql25 ql26 ql29 ql33 ql35 ql41 ql56 ql57 ql58 ql59
+#       ql61 ql63 ql64 ql65 ql66 ql67 qp10 qr18 qr43.
+# 2 + 27 + 21 = exactly 50.
 #
-# POST-ROTATION (same round, after the window landed): the fixture-only
-# class was then RETIRED registry-wide — 12 of the 14 fill entries
-# gained generated-frame fuzz (doc/emb/wide-events families,
-# 25-example hunts zero finds); the remaining two are excluded with
-# documented rationale, not by gap (qr21: interpolated-percentile
-# half-ulp class the operators don't promise cross-engine — the
-# verify-skill gotcha; qr35: synthesized frames only, no generated
-# table to vary). The window stays as designed — it was correct at
-# rotation time and the gate rows these slots buy are still the
-# freshest evidence the class gets.
-#
-# R12 PLAN (not a deferral — nothing changed is out-of-window): after
-# r11 the oldest band is the 27-entry r7 remainder; the rotation-policy
-# test (tests/test_properties_r4.py) will require all 27 in the r12
-# window, leaving ~23 slots for r12-changed entries + the r8 band head.
+# R13 PLAN: after CORRECTNESS_r12 lands the oldest band is the
+# 18-entry r8 remainder (incl. ql07b) — it fits in the r13 window
+# whole with ~32 slots to spare for r13-changed entries + the r9 band
+# head; the rotation-policy test enforces the promise mechanically.
 #
 # Every entry regardless of window membership is covered by the
 # standing full-registry sim (tools/driver_sim.py → DRIVER_SIM_r*.txt,
 # ALL PASS — the identical rows+schema+hash compare, just not
 # driver-recorded). Earlier rounds' window layouts and their rationale
-# live in this file's git history (r10: commit ab67056 and before).
+# live in this file's git history (r11: commit d07571e and before).
 _VERIFY_FIRST = (
-    # (a) the r10 deferral ledger + this round's oracle-changed entries
+    # (a) this round's engine-touched entries (IVF family)
+    "ql43_ann_recall",
+    "ql14_ivf_topk",
+    # (b) the ENTIRE 27-entry r7 remainder — the oldest gate band
+    "ql01_exact_dedup",
+    "ql05_top_terms",
+    "ql16_hash_sample",
+    "ql17_stratified_sample",
+    "ql36_unigram_surprisal",
+    "ql55_gopher_rules",
+    "qp07_training_mix",
+    "qp07b_training_mix_manifest",
+    "qr06_hash_agg_q1",
+    "qr10b_window_analytics",
+    "qr16_math_decimal",
+    "qr38_shipping_priority",
+    "qr47_promo_share",
+    "qr53_small_quantity_revenue",
+    "qr59_min_cost_supplier",
+    "qr61_market_share",
+    "qr62_product_profit",
+    "qr72_winsorized_stats",
+    "qs02b_sliding_window",
+    "qs05_dedup_earliest",
+    "qs06_stream_static_join",
+    "qt01_asof_last_click",
+    "qt02_range_join_errors",
+    "qt04_gapfill_daily",
+    "qt09_time_weighted_avg",
+    "qv04_ts_render",
+    "qv10_put_records_roundtrip",
+    # (c) the 21-entry oracle-bearing head of the r8 band
+    "ql13_fingerprint",
+    "ql24_chunk_windows",
+    "ql25_pii_redaction",
+    "ql26_export_shards",
+    "ql29_split_manifest",
+    "ql33_sequence_packing",
+    "ql35_domain_mixture",
+    "ql41_binary_header",
+    "ql56_weighted_sample",
+    "ql57_embedding_corr",
+    "ql58_char_entropy",
+    "ql59_robust_outliers",
+    "ql61_matryoshka_energy",
+    "ql63_entropy_threshold_sweep",
+    "ql64_cluster_aware_split",
+    "ql65_source_overlap_matrix",
+    "ql66_source_minhash_jaccard",
+    "ql67_langid_quality",
+    "qp10_retention_waterfall",
+    "qr18_subqueries",
+    "qr43_cdc_apply",
+    # --- r12 window boundary: exactly 50 entries above ---
+    # Post-window order (informational — every entry below has an r8,
+    # r9, r10 or r11 gate row; the full-registry sim covers all of
+    # them each round): freshest evidence first — the r11 band, then
+    # r10, then r9, then the 18-entry r8 remainder (incl. the
+    # rows-only-by-design ql07b) promised whole at the r13 head.
     "qr71_approx_quantile_gate",
     "qv05_envelope_json",
     "qv08_batch_wire_format",
-    # (b) the ENTIRE r6 band — the oldest gate evidence in the registry
     "ql04_text_stats",
     "ql06_udf_norm_parity",
     "ql09_ngram_jaccard",
@@ -119,8 +164,6 @@ _VERIFY_FIRST = (
     "qv02_payload_parse",
     "qv07_json_typed_parse",
     "qv09_consume_roundtrip",
-    # (c) the 14 fixture-only r7 entries (every other r7 entry carries
-    # generated-frame fuzz evidence; see the header comment)
     "ql02_minhash_lsh_pairs",
     "ql07_multimodal_envelope",
     "ql08_simhash",
@@ -135,11 +178,6 @@ _VERIFY_FIRST = (
     "qr35_lambda_pack",
     "qt06_resample_interpolate",
     "qt07_ewma_smoothing",
-    # --- r11 window boundary: exactly 50 entries above ---
-    # Post-window order (informational — every entry below has an r8,
-    # r9 or r10 gate row; the full-registry sim covers all of them each
-    # round): freshest evidence first — the r10 band, then r9, then r8,
-    # then the 27-entry r7 remainder promised whole at the r12 head.
     "ql10_lsh_ann_pairs",
     "ql18_udaf_geo_mean",
     "ql19_grouped_map_zscore",
@@ -147,7 +185,6 @@ _VERIFY_FIRST = (
     "ql23_dedup_clusters",
     "ql38_kmeans_clusters",
     "ql42_hybrid_rrf",
-    "ql43_ann_recall",
     "ql51_hard_negatives",
     "ql52_multimodal_ann",
     "ql62_label_silhouette",
@@ -191,7 +228,6 @@ _VERIFY_FIRST = (
     "qv06_json_extract",
     "ql03_cosine_topk",
     "ql07c_features_parity",
-    "ql14_ivf_topk",
     "ql28_quantization_error",
     "ql39_pq_encode",
     "ql40_epoch_plan",
@@ -236,27 +272,6 @@ _VERIFY_FIRST = (
     "qt11_seasonal_profile",
     "qt13_cohort_retention",
     "ql07b_multimodal_features",  # rows-only spec (pytest + ql07c twin)
-    "ql13_fingerprint",
-    "ql24_chunk_windows",
-    "ql25_pii_redaction",
-    "ql26_export_shards",
-    "ql29_split_manifest",
-    "ql33_sequence_packing",
-    "ql35_domain_mixture",
-    "ql41_binary_header",
-    "ql56_weighted_sample",
-    "ql57_embedding_corr",
-    "ql58_char_entropy",
-    "ql59_robust_outliers",
-    "ql61_matryoshka_energy",
-    "ql63_entropy_threshold_sweep",
-    "ql64_cluster_aware_split",
-    "ql65_source_overlap_matrix",
-    "ql66_source_minhash_jaccard",
-    "ql67_langid_quality",
-    "qp10_retention_waterfall",
-    "qr18_subqueries",
-    "qr43_cdc_apply",
     "qr45_window_value_fns",
     "qr46_disjunctive_join",
     "qr48_nation_volume",
@@ -274,33 +289,6 @@ _VERIFY_FIRST = (
     "qt21_rolling_median",
     "qt22_seasonal_backtest",
     "qv03_origin_stamp",
-    "ql01_exact_dedup",
-    "ql05_top_terms",
-    "ql16_hash_sample",
-    "ql17_stratified_sample",
-    "ql36_unigram_surprisal",
-    "ql55_gopher_rules",
-    "qp07_training_mix",
-    "qp07b_training_mix_manifest",
-    "qr06_hash_agg_q1",
-    "qr10b_window_analytics",
-    "qr16_math_decimal",
-    "qr38_shipping_priority",
-    "qr47_promo_share",
-    "qr53_small_quantity_revenue",
-    "qr59_min_cost_supplier",
-    "qr61_market_share",
-    "qr62_product_profit",
-    "qr72_winsorized_stats",
-    "qs02b_sliding_window",
-    "qs05_dedup_earliest",
-    "qs06_stream_static_join",
-    "qt01_asof_last_click",
-    "qt02_range_join_errors",
-    "qt04_gapfill_daily",
-    "qt09_time_weighted_avg",
-    "qv04_ts_render",
-    "qv10_put_records_roundtrip",
 )
 
 

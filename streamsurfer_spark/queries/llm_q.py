@@ -2281,14 +2281,23 @@ def ql43_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while qp03's comparable single-pass build finished in 415 s).
     # Post-top-k the frame is ≤ PROBE_BUDGET·k rows, so the checkpoint is
     # a few KB on any cluster. Gated on corpus size: at fixture scale the
-    # duplicated pass costs less than the eager checkpoint job (measured
-    # ~0.5 s), so the small-n plan stays checkpoint-free and the gate/sim
-    # plans never carry the extra job.
+    # duplicated pass costs less than the checkpoint job, so the small-n
+    # plan stays checkpoint-free and the gate/sim plans never carry the
+    # extra job. LAZY (r11 ADVICE): eager=True made merely CONSTRUCTING
+    # the frame run the full O(probes × corpus) exact pass — explain-only
+    # builds and plan audits paid the whole job; eager=False materializes
+    # once at the first action and both consumers (hit join + n_exact
+    # aggregate) read the stored blocks. Caveat (single-box acceptable,
+    # documented for cluster use): localCheckpoint blocks are
+    # non-replicated executor-local storage and lineage is truncated, so
+    # on a multi-node cluster an executor loss after materialization
+    # fails the query instead of recomputing — a durable checkpoint dir
+    # is the multi-node variant.
     exact = similarity.cosine_topk(emb, probes, k=3).select(
         "probe_id", "vec_id"
     )
     if n > 100_000:
-        exact = exact.localCheckpoint(eager=True)
+        exact = exact.localCheckpoint(eager=False)
     approx = similarity.ivf_topk(emb, k=3, probe_mod=mod).select(
         "probe_id", "vec_id"
     )

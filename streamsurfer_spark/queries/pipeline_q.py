@@ -1164,14 +1164,49 @@ ORDER BY doc_id
 QP08_SQL = _qp08_sql()
 
 
+# Bounded-pass staging calibration (r11 verdict item 3 — the 100 TB
+# recipe must not need a human to pick the knobs). The one cheap corpus
+# statistic that tracks the shingle exchange is TOTAL TEXT CHARS: each
+# char contributes ~1/6 of a shingle row (avg token ~6 chars incl.
+# space), and each shingle row costs ~1 KB of peak scratch across the
+# pass's distinct + df-cap window + self-join (shuffle write + sort
+# spill + read, before ContextCleaner frees it). Calibrated on the r11
+# 1000× probe: ~2.3e9 chars ran green at n_passes=8 under a 54.8 GB
+# peak — 160 B/char ÷ 48 GB reproduces exactly that operating point
+# (2.3e9·160/48e9 = 7.7 → 8 passes), with the measured peak sitting
+# ~14% over budget (the spooled partials ride on top). Fixture scales
+# derive 1 pass (sf0.1 is ~1.5e6 chars → 0.2 GB ≪ budget), so gate
+# plans never multi-pass. Override the budget for a box with more or
+# less scratch via SPARK_GRAFT_QP08_SCRATCH_GB.
+QP08_EXCHANGE_BYTES_PER_CHAR = 160
+
+
+def derived_qp08_passes(total_chars: int, scratch_budget_gb: float) -> int:
+    """ceil(estimated exchange bytes / scratch budget), floored at 1 —
+    split out from qp08_canonical_map_bounded so the derivation rule is
+    unit-testable without a corpus."""
+    import math
+
+    est = total_chars * QP08_EXCHANGE_BYTES_PER_CHAR
+    return max(1, math.ceil(est / (scratch_budget_gb * 1e9)))
+
+
 def qp08_canonical_map_bounded(
-    spark: SparkSession, sf_dir: str, n_passes: int = 4
+    spark: SparkSession, sf_dir: str, n_passes: int | None = None
 ) -> DataFrame:
     """qp08's canonical map with the containment family's corpus-linear
     shingle exchange partitioned into ``n_passes`` bounded passes — the
     qv10 bounded-spool recipe applied to a SHUFFLE instead of a spool
     scan, and the literal 100 TB single-job-too-big answer: stage
     manifests between jobs, bound each job's exchange.
+
+    ``n_passes=None`` (default since r12) derives the pass count from
+    the corpus: ceil(total_chars × QP08_EXCHANGE_BYTES_PER_CHAR ÷
+    scratch budget) — see the calibration note on the module constant.
+    The derived count reproduces the r11 1000× green operating point
+    (8 passes) and collapses to 1 at fixture scale, so the recipe is
+    callable with no human-picked knobs; an explicit int still
+    overrides for probes.
 
     Pass p runs dedup.shingle_intersection_partials over the slice
     pmod(shingle, n_passes) == p (the distinct, the df-cap window, and
@@ -1203,6 +1238,18 @@ def qp08_canonical_map_bounded(
     from streamsurfer_spark.scratch import scratch_dir
 
     docs = table(spark, sf_dir, "documents")
+    if n_passes is None:
+        # derive the pass count from the corpus (module constant above):
+        # one single-column aggregate — O(corpus) but column-pruned to
+        # n_chars (or a length() scan when the stat column is absent),
+        # trivial next to even one pass's exchange
+        if "n_chars" in docs.columns:
+            stat = docs.agg(F.sum("n_chars"))
+        else:
+            stat = docs.agg(F.sum(F.length("text")))
+        total_chars = stat.first()[0] or 0
+        budget_gb = float(os.environ.get("SPARK_GRAFT_QP08_SCRATCH_GB", "48"))
+        n_passes = derived_qp08_passes(total_chars, budget_gb)
     spool = scratch_dir("qp08_bounded_")
 
     for p in range(n_passes):
@@ -1218,7 +1265,12 @@ def qp08_canonical_map_bounded(
         # release this pass's shuffle files before the next pass: drop
         # the only references, then ask the JVM to GC so ContextCleaner
         # deletes them — without this the passes' scratch ADDS instead
-        # of replacing and the bound is lost
+        # of replacing and the bound is lost. EMPIRICAL RULE (r11
+        # verdict item 4): "a System.gc() makes ContextCleaner enqueue
+        # and delete dead shuffles promptly" is observed behavior, not
+        # documented API, and `_jvm` is private — the rule is
+        # version-sentineled in tests/test_properties_r12.py and listed
+        # in the empirical-rule inventory (test_properties_r11).
         del inter_p, sizes_p
         spark.sparkContext._jvm.System.gc()
 

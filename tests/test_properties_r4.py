@@ -337,30 +337,27 @@ def test_verify_window_follows_rotation_policy():
     assert not unknown, f"_VERIFY_FIRST names not in registry: {unknown}"
 
     changed_this_round = {
-        # round 11:
-        # qr71 — the r10 deferral ledger's one entry (interval-based
-        # duplicate-aware rank audit, found by the r10 deep fuzz),
-        # further tightened this round per r10 ADVICE: the lower-bound
-        # check now uses 100*(r_lt+1), the documented interval start
-        "qr71_approx_quantile_gate",
-        # qv05/qv08 — ORACLES changed: the JSON string field is now
-        # rendered with DuckDB to_json() so the twin escapes quotes/
-        # backslashes/control chars exactly as Spark's to_json; the
-        # unescaped '"' || event_type || '"' concat silently diverged
-        # on adversarial event names (r11 envelope fuzz find)
-        "qv05_envelope_json",
-        "qv08_batch_wire_format",
+        # round 12 (both changes are fixture-invisible by their gates;
+        # windowed as belt-and-suspenders — queries/__init__.py header):
+        # ql43 — the exact-frame localCheckpoint went eager→lazy per
+        # r11 ADVICE (gated to n>100k, so gate-scale plans carry no
+        # checkpoint either way)
+        "ql43_ann_recall",
+        # ql14 — the bench-tracked IVF-family representative for this
+        # round's similarity.py assign hardening (NULL/ragged-qv parity
+        # + the dimension-aware float64 ValueError guard; the
+        # vectorized branch only engages above k=256 centroids)
+        "ql14_ivf_topk",
     }
-    # round-11 deferrals: NONE. The window holds the r10 ledger's qr71
-    # at its head, both oracle-changed envelope entries, the entire
-    # 33-entry r6 band, and a 14-entry fixture-only fill from the r7
-    # band — see the queries/__init__.py header.
+    # round-12 deferrals: NONE. The window holds both engine-touched
+    # entries at its head, the entire 27-entry r7 remainder (the r11
+    # rotation's mechanical promise), and the 21-entry oracle-bearing
+    # head of the r8 band — see the queries/__init__.py header.
     deferred: tuple = ()
 
-    # the r11 head: the promised qr71, then the oracle-changed pair
-    assert names[0] == "qr71_approx_quantile_gate"
-    assert names[1] == "qv05_envelope_json"
-    assert names[2] == "qv08_batch_wire_format"
+    # the r12 head: the two engine-touched IVF-family entries
+    assert names[0] == "ql43_ann_recall"
+    assert names[1] == "ql14_ivf_topk"
     missing = changed_this_round - window - set(deferred)
     assert not missing, f"round-changed queries outside the gate window: {missing}"
 
@@ -369,16 +366,16 @@ def test_verify_window_follows_rotation_policy():
     import glob
     import json
 
-    # FROZEN to rounds 1..10: the artifacts that existed when the r11
+    # FROZEN to rounds 1..11: the artifacts that existed when the r12
     # window was designed. Globbing ALL rounds would make this test flip
     # the moment the CURRENT round's artifact lands (the window entries
-    # get gate row 11, the next band becomes the oldest, missing_stale
-    # fires) — the r12 session updates both the window and this freeze
+    # get gate row 12, the next band becomes the oldest, missing_stale
+    # fires) — the r13 session updates both the window and this freeze
     # together.
     rounds = {}
     paths = [
         p
-        for n in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+        for n in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
         for p in glob.glob(f"/root/repo/CORRECTNESS_r{n:02d}.json")
     ]
     if not paths:
@@ -391,34 +388,41 @@ def test_verify_window_follows_rotation_policy():
     stale = {k for k, v in rounds.items() if v == oldest and k in names}
 
     # the WHOLE oldest band must fit in the window this round — the
-    # verdict's "no gate row older than <oldest+1>" done-bar. r11 window
-    # math: oldest = r6 (33 entries), all in-window
+    # verdict's "no gate row older than <oldest+1>" done-bar. r12 window
+    # math: oldest = r7 (the 27-entry remainder), all in-window — this
+    # assert IS the r11 rotation's mechanical promise firing
     missing_stale = stale - window - set(deferred)
     assert not missing_stale, f"oldest-band entries outside the window: {missing_stale}"
 
-    # the next band (r7, 41 entries) does NOT fit whole alongside the
-    # full r6 band + the 3 changed entries; the 14 slots left go to
-    # EXACTLY the r7 entries with no generated-frame fuzz evidence
-    # (fixture-only — the scarce-evidence class), and the 27-entry
-    # remainder is promised whole at the r12 head (it becomes the
-    # oldest band the moment CORRECTNESS_r11 lands, so the
-    # missing_stale assert above enforces the promise mechanically
-    # next round)
-    fill_r7 = {
-        "ql02_minhash_lsh_pairs", "ql07_multimodal_envelope",
-        "ql08_simhash", "ql12_language_id", "ql20_udtf_tokenize",
-        "ql32_bm25_topk", "ql46_dsir_importance",
-        "ql47_perplexity_buckets", "ql50_snapshot_novelty",
-        "qr17_array_fns", "qr21_percentiles", "qr35_lambda_pack",
-        "qt06_resample_interpolate", "qt07_ewma_smoothing",
+    # the next band (r8, 38 entries incl. the rows-only ql07b) does NOT
+    # fit whole alongside the full r7 remainder + the 2 changed entries;
+    # the 21 slots left go to the band's HEAD in registry order,
+    # skipping ql07b so every fill slot buys a full rows+schema+hash
+    # check (the rows-only-by-design entry gains nothing an extra
+    # rows-only row wouldn't — it is covered by pytest + the ql07c
+    # exact twin); the 18-entry remainder is promised whole at the r13
+    # head (it becomes the oldest band the moment CORRECTNESS_r12
+    # lands, so the missing_stale assert above enforces the promise
+    # mechanically next round)
+    fill_r8 = {
+        "ql13_fingerprint", "ql24_chunk_windows", "ql25_pii_redaction",
+        "ql26_export_shards", "ql29_split_manifest",
+        "ql33_sequence_packing", "ql35_domain_mixture",
+        "ql41_binary_header", "ql56_weighted_sample",
+        "ql57_embedding_corr", "ql58_char_entropy",
+        "ql59_robust_outliers", "ql61_matryoshka_energy",
+        "ql63_entropy_threshold_sweep", "ql64_cluster_aware_split",
+        "ql65_source_overlap_matrix", "ql66_source_minhash_jaccard",
+        "ql67_langid_quality", "qp10_retention_waterfall",
+        "qr18_subqueries", "qr43_cdc_apply",
     }
-    assert fill_r7 <= window, (
-        f"fixture-only r7 fill outside the window: {fill_r7 - window}"
+    assert fill_r8 <= window, (
+        f"r8-band fill outside the window: {fill_r8 - window}"
     )
     next_band = {k for k, v in rounds.items() if v == oldest + 1 and k in names}
-    assert fill_r7 <= next_band, (
-        "fill entries must come from the r7 band: "
-        f"{fill_r7 - next_band} are not r7-latest"
+    assert fill_r8 <= next_band, (
+        "fill entries must come from the r8 band: "
+        f"{fill_r8 - next_band} are not r8-latest"
     )
 
     # entries that have NEVER had a gate row (and are not rows-only

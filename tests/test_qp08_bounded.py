@@ -46,3 +46,31 @@ def test_bounded_equals_monolithic_sf001(spark):
     mono = _rows(qp08_canonical_map(spark, SF_DIR_MID))
     bounded = _rows(qp08_canonical_map_bounded(spark, SF_DIR_MID, n_passes=4))
     assert bounded == mono
+
+
+def test_bounded_derived_default_equals_monolithic(spark):
+    """n_passes=None (the r12 default) derives the pass count from the
+    corpus char volume and must reproduce the monolithic hashes — the
+    no-human-in-the-loop contract of r11 verdict item 3."""
+    from streamsurfer_spark.queries.pipeline_q import (
+        qp08_canonical_map,
+        qp08_canonical_map_bounded,
+    )
+
+    mono = _rows(qp08_canonical_map(spark, SF_DIR))
+    bounded = _rows(qp08_canonical_map_bounded(spark, SF_DIR))
+    assert bounded == mono
+
+
+def test_derived_pass_count_rule():
+    """The derivation rule itself: reproduces the r11 1000× green
+    operating point (~2.3e9 chars → 8 passes at the 48 GB default
+    budget), collapses to 1 at fixture scale, floors at 1 on an empty
+    corpus, and scales inversely with the budget."""
+    from streamsurfer_spark.queries.pipeline_q import derived_qp08_passes
+
+    assert derived_qp08_passes(2_300_000_000, 48.0) == 8
+    assert derived_qp08_passes(1_485_576, 48.0) == 1  # sf0.1 census
+    assert derived_qp08_passes(0, 48.0) == 1
+    # half the scratch → twice the passes (same estimated exchange)
+    assert derived_qp08_passes(2_300_000_000, 24.0) == 16

@@ -47,8 +47,20 @@ def generate_documents(src: str, dst: str, replicas: int) -> None:
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 300
-    n_passes = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # n_passes: explicit override only — default None lets
+    # qp08_canonical_map_bounded derive it from the corpus (r11 verdict
+    # item 3; the r11 1000× green row needed a hand-picked 8)
+    n_passes = int(sys.argv[2]) if len(sys.argv) > 2 else None
     src, dst = "/root/testdata/sf0.1", "/tmp/sfprobe_qp08"
+
+    # the r11 1000× lesson, folded into the session builder so the
+    # recipe runs human-free: the default 8g/32-partition session died
+    # in the assign/exchange stages at ≥100× — a big probe needs the
+    # heap for per-task sort buffers and the partition count to keep
+    # each shuffle partition within them. Env overrides still win.
+    if replicas >= 100:
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+        os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256")
 
     t0 = time.time()
     generate_documents(src, dst, replicas)
@@ -73,6 +85,21 @@ def main() -> None:
     from streamsurfer_spark.session import get_spark
 
     spark = get_spark("qp08-bounded-probe")
+    label = n_passes
+    if n_passes is None:
+        # resolve the derived count up front so the log line records the
+        # knob the run actually used (same rule the function applies)
+        import duckdb
+
+        from streamsurfer_spark.queries.pipeline_q import derived_qp08_passes
+
+        chars = duckdb.sql(
+            f"SELECT sum(n_chars) FROM read_parquet('{dst}/documents.parquet')"
+        ).fetchone()[0]
+        budget = float(os.environ.get("SPARK_GRAFT_QP08_SCRATCH_GB", "48"))
+        n_passes = derived_qp08_passes(int(chars), budget)
+        label = f"{n_passes} (derived from {chars:.3g} chars)"
+
     t0 = time.perf_counter()
     qp08_canonical_map_bounded(spark, dst, n_passes=n_passes).write.format(
         "noop"
@@ -81,7 +108,7 @@ def main() -> None:
     stop.set()
     w.join(timeout=10)
     print(
-        f"{replicas}x qp08_canonical_map_bounded(n_passes={n_passes}): "
+        f"{replicas}x qp08_canonical_map_bounded(n_passes={label}): "
         f"{wall:.1f}s; peak scratch above start "
         f"{(peak['used'] - base_used) / 1e9:.1f} GB",
         flush=True,
