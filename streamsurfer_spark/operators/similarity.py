@@ -651,22 +651,37 @@ def _ivf_assign_np(
     """
     import numpy as np
 
-    cent_rows = centroids.select(id_col, "qv").collect()  # bounded ≤34 MB
+    # Arrow-batched driver collect: at the 65536-centroid cap the py4j
+    # Row path deserializes ~4.2M list elements in a Python loop
+    # (measured ~30 s); the Arrow transfer of the same ≤34 MB is
+    # sub-second. Runtime-settable conf so the DRIVER's vanilla session
+    # (no engine builder configs) takes the fast path too.
+    try:
+        df.sparkSession.conf.set(
+            "spark.sql.execution.arrow.pyspark.enabled", "true"
+        )
+    except Exception:
+        pass  # conf locked down → toPandas falls back to the Row path
+    cent_pdf = centroids.select(id_col, "qv").toPandas()  # bounded ≤34 MB
     out_fields = list(df.schema.fields) + [
         T.StructField("cent_id", centroids.schema[id_col].dataType, True)
     ]
     if keep_dist:
         out_fields.append(T.StructField("dist", T.LongType(), True))
     schema = T.StructType(out_fields)
-    if not cent_rows:
+    if len(cent_pdf) == 0:
         # empty-centroid parity with the join-based form: no rows
         return df.sparkSession.createDataFrame([], schema)
-    cid = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    cid = cent_pdf[id_col].to_numpy(dtype=np.int64)
     try:
-        cqv = np.array([list(r[1]) for r in cent_rows], dtype=np.int64)
+        cqv = np.stack(
+            [np.asarray(v) for v in cent_pdf["qv"]]
+        ).astype(np.int64, casting="safe")
     except (TypeError, ValueError) as ex:
         # engine-built centroids are never NULL/ragged — a degenerate
         # centroid is an invariant violation, not an input class to match
+        # (a NULL element makes Arrow yield float64-with-NaN, which the
+        # safe cast rejects; a NULL/ragged qv breaks the stack)
         raise ValueError(
             "ivf_assign centroids must be non-NULL rectangular integer "
             f"vectors: {ex}"

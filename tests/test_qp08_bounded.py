@@ -25,16 +25,27 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-@pytest.mark.parametrize("n_passes", [1, 3])
-def test_bounded_equals_monolithic_sf0001(spark, n_passes):
+@pytest.fixture(scope="module")
+def mono_sf0001(spark):
+    # the monolithic reference is identical across this module's
+    # sf0.001 comparisons — computing it once saves two full capstone
+    # runs per suite pass (r11 verdict item 6) with zero coverage loss
+    from streamsurfer_spark.queries.pipeline_q import qp08_canonical_map
+
+    return _rows(qp08_canonical_map(spark, SF_DIR))
+
+
+# n_passes=1 is NOT parametrized here: the derived-default test below
+# resolves to exactly 1 pass at this SF, so the degenerate case runs
+# through a strictly larger code path (the derivation aggregate + the
+# 1-pass spool) every suite pass anyway (r11 verdict item 6)
+def test_bounded_equals_monolithic_sf0001(spark, mono_sf0001):
     from streamsurfer_spark.queries.pipeline_q import (
-        qp08_canonical_map,
         qp08_canonical_map_bounded,
     )
 
-    mono = _rows(qp08_canonical_map(spark, SF_DIR))
-    bounded = _rows(qp08_canonical_map_bounded(spark, SF_DIR, n_passes=n_passes))
-    assert bounded == mono
+    bounded = _rows(qp08_canonical_map_bounded(spark, SF_DIR, n_passes=3))
+    assert bounded == mono_sf0001
 
 
 def test_bounded_equals_monolithic_sf001(spark):
@@ -48,18 +59,16 @@ def test_bounded_equals_monolithic_sf001(spark):
     assert bounded == mono
 
 
-def test_bounded_derived_default_equals_monolithic(spark):
+def test_bounded_derived_default_equals_monolithic(spark, mono_sf0001):
     """n_passes=None (the r12 default) derives the pass count from the
     corpus char volume and must reproduce the monolithic hashes — the
     no-human-in-the-loop contract of r11 verdict item 3."""
     from streamsurfer_spark.queries.pipeline_q import (
-        qp08_canonical_map,
         qp08_canonical_map_bounded,
     )
 
-    mono = _rows(qp08_canonical_map(spark, SF_DIR))
     bounded = _rows(qp08_canonical_map_bounded(spark, SF_DIR))
-    assert bounded == mono
+    assert bounded == mono_sf0001
 
 
 def test_derived_pass_count_rule():
