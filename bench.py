@@ -34,6 +34,16 @@ rows, leaving every expensive row a one-shot hostage to co-tenant load):
   record ALL their raw run times — so a hot artifact carries the load
   evidence that adjudicates itself instead of needing a judge-side
   quiet-host reproduction.
+- a MEMORY-BANDWIDTH canary (`membw_mbps`, a fixed single-thread 768 MB
+  numpy reduction) runs at record start/end and after every
+  ratio-triggered row. Found while closing the r12 protocol work: the
+  identical matmul microbench read 98.8 ms in the morning and 844.7 ms
+  (8.5×) the same afternoon with loadavg ≈ 0 AND /proc/stat steal ≈ 3%
+  — a co-tenant VM saturating host memory bandwidth is INVISIBLE to
+  both loadavg and steal, and shuffle/scan-bound queries are exactly
+  the bandwidth-bound class that inflates 2-4× under it. The canary's
+  quiet-host reference band is recorded in BASELINE.md; a hot record
+  with a depressed canary adjudicates itself as measurement, not plan.
 """
 
 from __future__ import annotations
@@ -248,6 +258,25 @@ def main() -> None:
         except OSError:  # platform without getloadavg — record nothing
             return None
 
+    def membw_mbps() -> float:
+        """Single-thread memory-bandwidth canary (module docstring):
+        768 MB of sequential float64 reads, ~0.1 s on a quiet host.
+        Deliberately single-threaded and allocation-free in the timed
+        region — it measures the HOST's bandwidth headroom, not our own
+        concurrency."""
+        import numpy as np
+
+        a = np.empty(32 * 1024 * 1024, dtype=np.float64)  # 256 MB
+        a.fill(1.0)  # force real physical pages (zeros may map the
+        # shared zero page and measure cache instead of DRAM)
+        a.sum()  # untimed warm pass (first-touch TLB/THP settle)
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            a.sum()
+            rates.append(a.nbytes / (time.perf_counter() - t0) / 1e6)
+        return round(statistics.median(rates))
+
     times: dict[str, float] = {}
     loads: dict[str, list] = {}
     errors: dict[str, str] = {}
@@ -259,6 +288,7 @@ def main() -> None:
     # loadavg sampled around them
     adjudicated: dict[str, dict] = {}
     load_start = loadavg_1m()
+    membw_start = membw_mbps()
     for name in BENCH_QUERIES:
         # construction is inside the clock: iterative queries (ql23) and
         # real stream runs (qs08) execute jobs while BUILDING the frame,
@@ -300,6 +330,7 @@ def main() -> None:
                 "runs": [round(r, 3) for r in runs],
                 "baseline": baseline,
                 "load": loads[name],
+                "membw_mbps": membw_mbps(),
             }
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -314,6 +345,7 @@ def main() -> None:
         "queries": times,
         "sf": sf_val,
         "loadavg": [load_start, loadavg_1m()],
+        "membw_mbps": [membw_start, membw_mbps()],
         "load_per_query": loads,
     }
     if adjudicated:

@@ -631,14 +631,13 @@ def _write_events_wide(rows, path: str) -> None:
         "qt20_rolling_actives",      # window membership at day edges
         "qt21_rolling_median",       # even/odd frame widths, value ties
         "qs17_stream_heavy_hitters",  # rank ties at equal counts
-        "qs18_stream_psi_monitor",   # zero-bin smoothing per window
+        # (qs18 moved to the reduced-example real-stream twin below)
         # boundary-sensitive EXISTING entries: the generator lands gaps on
         # exactly the 4h session gap (8 grid steps) and watermark ends on
         # window ends — direct generated-data evidence for the fixed
-        # qs03/qs08 boundary rule and the qs16 emission rule
+        # qs03/qs08 boundary rule and the qs16 emission rule (qs08/qs16
+        # themselves run as real streams → the reduced-example twin)
         "qs03_session_window",
-        "qs08_stream_sessions",
-        "qs16_stream_outer_join",
         "qt15_scd2_user_state",
         "qt22_seasonal_backtest",    # calendar gaps through the day-aligned join
         # older boundary-sensitive rows the half-hour grid can hit exactly:
@@ -650,7 +649,7 @@ def _write_events_wide(rows, path: str) -> None:
         "qt09_time_weighted_avg",
         "qt10_nearest_error",
         "qs04_watermarked_append",
-        "qs09_chained_windows",
+        # (qs09 moved to the reduced-example real-stream twin below)
         # r9: the remaining fuzz-starved streaming oracles (r8 verdict
         # item 7). Both are REAL foreachBatch runs keyed latest-wins on
         # (ts DESC, event_id DESC): the half-hour grid lands exact ts
@@ -702,6 +701,10 @@ def _write_events_wide(rows, path: str) -> None:
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_generated_wide_events_match_oracle(spark, tmp_path_factory, rows, name):
+    _check_wide(spark, tmp_path_factory, rows, name)
+
+
+def _check_wide(spark, tmp_path_factory, rows, name):
     tmp = str(tmp_path_factory.mktemp("fuzzw"))
     _write_events_wide(rows, tmp)
     spec = registry()[name]
@@ -719,6 +722,45 @@ def test_generated_wide_events_match_oracle(spark, tmp_path_factory, rows, name)
         assert_matches_oracle(df, con, spec.oracle, name=f"{name} wide-fuzz")
     finally:
         con.close()
+
+
+# REAL-STREAM rows, reduced DEFAULT examples (r11 verdict item 6): each
+# example here runs a full availableNow stream — checkpoint dir, 3 real
+# micro-batches, and (qs15's family twin below) a deliberate replay —
+# so one example costs 7-10 s of stream machinery before any data-shape
+# value lands. The r12 durations profile put 58% of suite wall in this
+# file and ~1/3 of THAT in the seven real-stream rows at 6 examples
+# each. Class coverage is unchanged — every entry still runs generated-
+# frame differential fuzz each suite pass — and example DEPTH stays the
+# deep-hunt knob's job (SPARK_GRAFT_FUZZ_EXAMPLES overrides upward,
+# exactly as before).
+_STREAM_HEAVY_EXAMPLES = max(
+    3, int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))
+)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # boundary rationale lives with the main wide-events list: qs08
+        # (exactly-at-gap sessions), qs09 (chained-window finalization),
+        # qs16 (outer-join emission rule), qs18 (zero-bin smoothing)
+        "qs08_stream_sessions",
+        "qs09_chained_windows",
+        "qs16_stream_outer_join",
+        "qs18_stream_psi_monitor",
+    ],
+)
+@given(rows=event_rows_wide)
+@settings(
+    max_examples=_STREAM_HEAVY_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_wide_events_match_oracle_stream(
+    spark, tmp_path_factory, rows, name
+):
+    _check_wide(spark, tmp_path_factory, rows, name)
 
 
 # --- r8-continuation fuzz: generated documents and embeddings ---------------
@@ -826,14 +868,10 @@ def _write_docs(rows, path: str) -> None:
         "ql46_dsir_importance",
         "ql47_perplexity_buckets",
         "ql50_snapshot_novelty",
-        # r10: the streaming LSH dedup (r9 verdict item 4's last
-        # fixture-only streaming oracle) — it streams DOCUMENTS, so it
-        # lives in this family: the tiny vocab makes band-bucket
-        # collisions (and exact duplicates) constant, generated sets
-        # leave whole doc_id % 3 slices empty (empty micro-batches), and
-        # every example still replays batch 1 twice (the at-least-once
-        # idempotence path under generated collisions)
-        "qs15_stream_lsh_dedup",
+        # (qs15_stream_lsh_dedup — the streaming LSH dedup, r9 verdict
+        # item 4's last fixture-only streaming oracle — runs in the
+        # reduced-example real-stream twin below: it streams DOCUMENTS
+        # with a deliberate batch-1 replay per example)
     ],
 )
 @given(rows=doc_rows)
@@ -843,6 +881,10 @@ def _write_docs(rows, path: str) -> None:
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_generated_docs_match_oracle(spark, tmp_path_factory, rows, name):
+    _check_docs(spark, tmp_path_factory, rows, name)
+
+
+def _check_docs(spark, tmp_path_factory, rows, name):
     tmp = str(tmp_path_factory.mktemp("fuzzd"))
     _write_docs(rows, tmp)
     spec = registry()[name]
@@ -856,6 +898,24 @@ def test_generated_docs_match_oracle(spark, tmp_path_factory, rows, name):
         assert_matches_oracle(df, con, spec.oracle, name=f"{name} doc-fuzz")
     finally:
         con.close()
+
+
+@pytest.mark.parametrize("name", ["qs15_stream_lsh_dedup"])
+@given(rows=doc_rows)
+@settings(
+    max_examples=_STREAM_HEAVY_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_docs_match_oracle_stream(
+    spark, tmp_path_factory, rows, name
+):
+    """qs15 streams documents through a REAL availableNow run with a
+    deliberate batch-1 replay per example (tiny vocab → constant
+    band-bucket collisions; doc_id % 3 slices go empty → empty
+    micro-batches) — see _STREAM_HEAVY_EXAMPLES for the reduced
+    default."""
+    _check_docs(spark, tmp_path_factory, rows, name)
 
 
 emb_rows = st.lists(
@@ -1018,11 +1078,9 @@ def _write_envelope_events(rows, path: str) -> None:
         "qv03_origin_stamp",        # validated grouping + origin column
         "qv05_envelope_json",       # per-event JSON escape parity
         "qv08_batch_wire_format",   # batch-array render + byte length
-        # the two wire LOOPS (sink spool → consume → aggregate): each
-        # example spools through the REAL client seam — adversarial
-        # event names must survive serialize→chunk→record→parse losslessly
-        "qv09_consume_roundtrip",
-        "qv10_put_records_roundtrip",
+        # (qv09/qv10 — the two wire LOOPS through the real client seam —
+        # run in the reduced-example twin below: each example pays a
+        # spool → per-record consume pass)
     ],
 )
 @given(rows=envelope_rows)
@@ -1032,6 +1090,10 @@ def _write_envelope_events(rows, path: str) -> None:
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_generated_envelope_match_oracle(spark, tmp_path_factory, rows, name):
+    _check_envelope(spark, tmp_path_factory, rows, name)
+
+
+def _check_envelope(spark, tmp_path_factory, rows, name):
     tmp = str(tmp_path_factory.mktemp("fuzzv"))
     _write_envelope_events(rows, tmp)
     spec = registry()[name]
@@ -1045,3 +1107,28 @@ def test_generated_envelope_match_oracle(spark, tmp_path_factory, rows, name):
         assert_matches_oracle(df, con, spec.oracle, name=f"{name} env-fuzz")
     finally:
         con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the two wire LOOPS (sink spool → consume → aggregate): each
+        # example spools through the REAL client seam — adversarial
+        # event names must survive serialize→chunk→record→parse
+        # losslessly. qv09 additionally pays a per-record Python
+        # DataSource read per example (the costliest single fuzz row in
+        # the r12 durations profile, 61 s at 6 examples)
+        "qv09_consume_roundtrip",
+        "qv10_put_records_roundtrip",
+    ],
+)
+@given(rows=envelope_rows)
+@settings(
+    max_examples=_STREAM_HEAVY_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_envelope_match_oracle_stream(
+    spark, tmp_path_factory, rows, name
+):
+    _check_envelope(spark, tmp_path_factory, rows, name)

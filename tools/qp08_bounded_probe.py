@@ -36,12 +36,20 @@ def generate_documents(src: str, dst: str, replicas: int) -> None:
     # same replication recipe as tools/scale_probe.py: per-replica token
     # suffix so the dedup corpus grows with DISTINCT content instead of
     # stacking exact copies (which would measure the caps, not the plan)
+    # n_chars is RECOMPUTED from the suffixed text (r12): copying the
+    # original column through understated the corpus ~35% and fed the
+    # derived-pass-count rule a stale statistic (first derived run used
+    # 5 passes on 1.49e9 reported vs ~2.3e9 actual chars — still green,
+    # see BASELINE.md, but the stat should tell the truth)
     con.execute(
-        f"""COPY (SELECT doc_id + i*{dk} AS doc_id,
-        array_to_string(list_transform(string_split(text, ' '),
-                                       t -> t || 'x' || i::VARCHAR), ' ') AS text,
-        lang, source, n_chars
-        FROM documents CROSS JOIN {rng}) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+        f"""COPY (SELECT doc_id + i*{dk} AS doc_id, text,
+        lang, source, length(text) AS n_chars
+        FROM (SELECT doc_id, i,
+              array_to_string(list_transform(string_split(text, ' '),
+                                             t -> t || 'x' || i::VARCHAR), ' ') AS text,
+              lang, source
+              FROM documents CROSS JOIN {rng}))
+        TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
     )
 
 
