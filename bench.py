@@ -344,6 +344,14 @@ def main() -> None:
         # the trigger is gated to the baseline's own scale
         baseline = BASELINE_SEC.get(name) if sf_dir.rstrip("/").endswith("sf0.1") else None
         ratio_hot = baseline is not None and runs[0] > RERUN_RATIO * baseline
+        # sample the canary AT TRIGGER TIME, while the suspect window is
+        # still (likely) active — the after-rerun sample can read healthy
+        # if the window lifts mid-row (the qr02 case, matmul_ms docstring)
+        at_trigger = (
+            {"membw_mbps": membw_mbps(), "matmul_ms": matmul_ms()}
+            if ratio_hot
+            else None
+        )
         if runs[0] < MEDIAN_UNDER_SEC or ratio_hot:
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -365,6 +373,7 @@ def main() -> None:
                 "runs": [round(r, 3) for r in runs],
                 "baseline": baseline,
                 "load": loads[name],
+                "at_trigger": at_trigger,
                 "membw_mbps": membw_mbps(),
                 "matmul_ms": matmul_ms(),
             }
