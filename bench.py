@@ -34,6 +34,17 @@ rows, leaving every expensive row a one-shot hostage to co-tenant load):
   record ALL their raw run times — so a hot artifact carries the load
   evidence that adjudicates itself instead of needing a judge-side
   quiet-host reproduction.
+- Since r13 the adjudication EVIDENCE (`load_per_query`,
+  `ratio_reruns`) travels on its own stdout line (prefixed record,
+  printed BEFORE the final line) and in a committed sidecar
+  (BENCH_EVIDENCE.json next to this file) — NOT on the final record
+  line. r12 lesson: the single line outgrew the driver's tail-capture
+  window and the official artifact recorded `parsed: null`; the final
+  line is now pinned back to the r11-proven compact shape
+  (metric/value/unit/queries/sf + the start/end load+canary pairs,
+  ~1.9 KB at 51 rows) by tests/test_properties_r13.py's byte-length
+  test. Quiet-host canary reference bands are machine-readable in
+  CANARY_BANDS.json (r12 verdict item 5); prose history in BASELINE.md.
 - a two-metric HOST CANARY runs at record start/end and after every
   ratio-triggered row: `membw_mbps` (fixed single-thread 768 MB numpy
   reduction; quiet ref ~10-11.5 GB/s) and `matmul_ms` (fixed strided
@@ -341,8 +352,11 @@ def main() -> None:
         # baseline-ratio trigger (module docstring — the r12 load rule)
         # BASELINE_SEC numbers are sf0.1 recordings — at any other SF
         # the ratio is meaningless (fixed costs dominate small SFs), so
-        # the trigger is gated to the baseline's own scale
-        baseline = BASELINE_SEC.get(name) if sf_dir.rstrip("/").endswith("sf0.1") else None
+        # the trigger is gated to the baseline's own scale. Exact
+        # path-component match (r12 ADVICE): a directory whose name
+        # merely ENDS in "sf0.1" (mysf0.1) is not the baseline scale.
+        at_baseline_sf = os.path.basename(sf_dir.rstrip("/")) == "sf0.1"
+        baseline = BASELINE_SEC.get(name) if at_baseline_sf else None
         ratio_hot = baseline is not None and runs[0] > RERUN_RATIO * baseline
         # sample the canary AT TRIGGER TIME, while the suspect window is
         # still (likely) active — the after-rerun sample can read healthy
@@ -383,6 +397,11 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # FINAL line = the compact r11-proven record (driver-parsed; byte
+    # length pinned by tests/test_properties_r13.py). The per-query load
+    # samples and ratio-rerun evidence go on their OWN earlier stdout
+    # line AND into a committed sidecar so they survive even if the
+    # driver's tail window clips stdout (module docstring, r12 lesson).
     out = {
         "metric": "bench_total_wall",
         "value": round(sum(times.values()), 3),
@@ -392,14 +411,33 @@ def main() -> None:
         "loadavg": [load_start, loadavg_1m()],
         "membw_mbps": [membw_start, membw_mbps()],
         "matmul_ms": [matmul_start, matmul_ms()],
-        "load_per_query": loads,
     }
-    if adjudicated:
-        out["ratio_reruns"] = adjudicated
     if errors:
         out["errors"] = errors
     if rerun_errors:
         out["rerun_errors"] = rerun_errors
+    evidence = {
+        "bench_evidence": {
+            "sf": sf_val,
+            "record_edges": {
+                "loadavg": out["loadavg"],
+                "membw_mbps": out["membw_mbps"],
+                "matmul_ms": out["matmul_ms"],
+            },
+            "load_per_query": loads,
+            "ratio_reruns": adjudicated,
+        }
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_EVIDENCE.json"
+    )
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(evidence, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout — the stdout evidence line still lands
+    print(json.dumps(evidence))
     print(json.dumps(out))
     spark.stop()
     if errors:

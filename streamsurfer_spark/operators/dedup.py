@@ -218,6 +218,74 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_band_pair_partials(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int = LSH_BUCKET_CAP,
+    part: int = 0,
+    n_parts: int = 1,
+) -> DataFrame:
+    """ONE bounded pass of the LSH band exchange: the slice-of-bucket-space
+    partials that sum to lsh_candidate_pairs' n_shared_bands.
+
+    The monolithic band exchange shuffles N_BANDS rows per document —
+    corpus-LINEAR scratch, and after the shingle exchange was sliced it
+    became qp08's binding scratch stage (BASELINE.md Round 12 finding 2:
+    a pass-count-INDEPENDENT ~53 GB floor at 5M docs). Same recipe as
+    shingle_intersection_partials: keep only bucket keys with
+    pmod(xxhash64(band, band_key), n_parts) == part, filtered AFTER the
+    per-row band explode but BEFORE the bucket exchange, so the shuffle
+    itself shrinks to the slice. Slice self-containment: the per-bucket
+    cap window, the same-key collect_list, and the pair expansion are
+    all (band, band_key)-keyed and a bucket lives wholly inside one
+    slice, so each slice is EXACTLY the global computation restricted to
+    its buckets; a pair's shared-band count sums across slices
+    (disjoint bucket sets):
+
+        n_shared_bands(a, b) = Σ_p n_shared_p(a, b)
+
+    xxhash64 (fixed seed, documented stable) over the bucket key is the
+    uniform slicer — band_key is itself a minhash digest string, so
+    slices are balanced. The per-slice CPU re-pays the signature math
+    each pass (the same passes-vs-scratch trade the shingle slices
+    make); signature cost is per-row expression work that scales out,
+    scratch is a single-box ceiling — the right side of the trade at
+    100 TB. Used by pipeline_q.qp08_canonical_map_bounded; equality
+    with the monolithic plan is pinned by tests/test_qp08_bounded.py
+    at two SFs × two pass counts.
+    """
+    from pyspark.sql import Window
+
+    bands = lsh_bands(minhash_signature(with_shingles(df, text_col)), id_col)
+    if n_parts > 1:
+        bands = bands.where(
+            F.pmod(F.xxhash64("band", "band_key"), F.lit(n_parts)) == F.lit(part)
+        )
+    w = Window.partitionBy("band", "band_key").orderBy(id_col)
+    capped = (
+        bands.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= bucket_cap)
+        .drop("_rn")
+    )
+    buckets = capped.groupBy("band", "band_key").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids)), y -> struct(x, y))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.x").alias("doc_a"), F.col("p.y").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
 def _simhash_expr(shift_tpl: str, bits: int = SIMHASH_BITS) -> str:
     """Bit-majority SimHash aggregate expression (engine-parametrized shift).
 

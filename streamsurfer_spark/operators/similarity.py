@@ -655,14 +655,29 @@ def _ivf_assign_np(
     # Row path deserializes ~4.2M list elements in a Python loop
     # (measured ~30 s); the Arrow transfer of the same ≤34 MB is
     # sub-second. Runtime-settable conf so the DRIVER's vanilla session
-    # (no engine builder configs) takes the fast path too.
+    # (no engine builder configs) takes the fast path too. The prior
+    # value is RESTORED after the collect (r12 ADVICE: a one-way flip
+    # was a lasting global side effect of building one query — future
+    # session code relying on non-Arrow toPandas semantics would
+    # silently change path after the first IVF build).
+    sess_conf = df.sparkSession.conf
+    arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
     try:
-        df.sparkSession.conf.set(
-            "spark.sql.execution.arrow.pyspark.enabled", "true"
-        )
+        arrow_prev = sess_conf.get(arrow_key, None)
+        sess_conf.set(arrow_key, "true")
     except Exception:
-        pass  # conf locked down → toPandas falls back to the Row path
-    cent_pdf = centroids.select(id_col, "qv").toPandas()  # bounded ≤34 MB
+        arrow_prev = False  # conf locked down → Row-path fallback, no restore
+    try:
+        cent_pdf = centroids.select(id_col, "qv").toPandas()  # bounded ≤34 MB
+    finally:
+        if arrow_prev is not False:
+            try:
+                if arrow_prev is None:
+                    sess_conf.unset(arrow_key)
+                else:
+                    sess_conf.set(arrow_key, arrow_prev)
+            except Exception:
+                pass
     out_fields = list(df.schema.fields) + [
         T.StructField("cent_id", centroids.schema[id_col].dataType, True)
     ]
@@ -705,18 +720,32 @@ def _ivf_assign_np(
             vals = pdf["qv"].tolist()
             f = np.zeros((len(vals), d), dtype=np.float64)
             ok = np.ones(len(vals), dtype=bool)
+            # exactness-guard magnitude, measured BEFORE the lossy
+            # int→float64 cast where the input is still integral (r12
+            # ADVICE: an element ≥2^53 would round before being
+            # measured, slightly understating max|v| — the guard is
+            # the loud backstop, so it reads the raw values)
+            max_abs = 0
             for i, v in enumerate(vals):
                 if v is None or len(v) != d:
                     ok[i] = False
                     continue
-                a = np.asarray(v, dtype=np.float64)  # None elems → NaN
-                if np.isnan(a).any():
-                    ok[i] = False
-                    continue
-                f[i] = a
-            _check_f64_exact(
-                d, int(np.abs(f).max(initial=0.0)), "vector"
-            )
+                ai = np.asarray(v)
+                if np.issubdtype(ai.dtype, np.integer):
+                    m = int(np.abs(ai).max(initial=0))
+                    f[i] = ai
+                else:
+                    # Arrow yields float64-with-NaN when the array had
+                    # NULL elements (docstring) — degenerate row
+                    a = np.asarray(v, dtype=np.float64)
+                    if np.isnan(a).any():
+                        ok[i] = False
+                        continue
+                    m = int(np.abs(a).max(initial=0.0))
+                    f[i] = a
+                if m > max_abs:
+                    max_abs = m
+            _check_f64_exact(d, max_abs, "vector")
             qq = (f * f).sum(1)
             # sub-batch so the rows×k distance matrix stays ≤ ~512 MB
             step = max(1, 64_000_000 // len(b_cid))

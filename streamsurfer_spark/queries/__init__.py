@@ -31,48 +31,106 @@ class QuerySpec:
 # Ordering is load-bearing: the driver's correctness gate evaluates a
 # prefix of this dict (50 entries in every round so far).
 #
-# ROUND-12 WINDOW (current). Evidence histogram going into r12,
-# recomputed from CORRECTNESS_r01..r11 (latest gate row per entry):
-# r7=27, r8=38, r9=46, r10=49, r11=50 (+ ql07b rows-only, latest r8)
-# → all 211 entries gated at least once, none older than r7. The 50
-# slots, per the standing policy (changed-this-round + the promised
-# band + the entire oldest band, then an oldest-evidence fill):
-#   (a) this round's engine-touched entries: ql43 (its exact-frame
-#       localCheckpoint went eager→lazy per r11 ADVICE — gated to
-#       n>100k so fixture plans are unchanged, windowed as
-#       belt-and-suspenders) and ql14, the bench-tracked IVF-family
-#       representative for this round's similarity.py assign hardening
-#       (NULL/ragged-qv parity + the dimension-aware float64 guard —
-#       the vectorized branch only engages above k=256, likewise
-#       fixture-invisible);
-#   (b) the ENTIRE 27-entry r7 remainder — the oldest gate evidence in
-#       the registry, promised whole at the r12 head by the r11
-#       rotation (queries/__init__.py git history, r11 header; the
-#       promise is mechanically enforced by the rotation-policy test's
-#       missing_stale assert now that CORRECTNESS_r11 is on disk);
-#   (c) a 21-entry fill from the head of the r8 band in registry
-#       order, skipping ql07b (rows-only BY DESIGN — the slot buys a
-#       full rows+schema+hash check for an oracle-bearing entry
-#       instead, the same oracle-first principle registry() applies):
-#       ql13 ql24 ql25 ql26 ql29 ql33 ql35 ql41 ql56 ql57 ql58 ql59
-#       ql61 ql63 ql64 ql65 ql66 ql67 qp10 qr18 qr43.
-# 2 + 27 + 21 = exactly 50.
+# ROUND-13 WINDOW (current). Evidence histogram going into r13,
+# recomputed from CORRECTNESS_r01..r12 (latest gate row per entry):
+# r8=18, r9=45, r10=48, r11=50, r12=50 → all 211 entries gated at
+# least once, none older than r8. The 50 slots, per the standing
+# policy (changed-this-round + the promised band + the entire oldest
+# band, then an oldest-evidence fill):
+#   (a) this round's engine-touched entries: qp08 (the bounded-pass
+#       band-exchange slicing — r12 verdict item 4 — changes
+#       pipeline_q.py's scratch staging; fixture-scale plans collapse
+#       to one slice so oracle hashes are unchanged, windowed as the
+#       proof), plus ql14 and ql43, the IVF-family representatives for
+#       this round's similarity.py edits (Arrow-conf restore around
+#       the centroid collect + the pre-cast raw-integer magnitude for
+#       the float64 guard — both r12 ADVICE, both fixture-invisible);
+#   (b) the ENTIRE 18-entry r8 remainder — the oldest gate evidence in
+#       the registry, promised whole at the r13 head by the r12
+#       rotation (R13 PLAN in this header's git history; mechanically
+#       enforced by the rotation-policy test's missing_stale assert
+#       now that CORRECTNESS_r12 is on disk). Includes ql07b, the one
+#       rows-only-by-design entry: when its band is the OLDEST the
+#       whole-band promise outranks the oracle-first fill preference
+#       (it was skipped as a FILL in r12; as stale debt it rotates).
+#   (c) a 29-entry fill from the head of the r9 band in registry
+#       order (skipping qp08, already windowed at the head):
+#       ql03 ql07c ql28 ql39 ql40 ql44 ql48 ql49 ql60 qp01 qp06 qp09
+#       qr26 qr28 qr49e qr49i qr50 qr51 qr52 qr54 qr55 qr56 qr57 qr58
+#       qr60 qr64 qr65 qr66 qr67.
+# 3 + 18 + 29 = exactly 50.
 #
-# R13 PLAN: after CORRECTNESS_r12 lands the oldest band is the
-# 18-entry r8 remainder (incl. ql07b) — it fits in the r13 window
-# whole with ~32 slots to spare for r13-changed entries + the r9 band
-# head; the rotation-policy test enforces the promise mechanically.
+# R14 PLAN: after CORRECTNESS_r13 lands the oldest band is the
+# 15-entry r9 remainder (qr68 qr69 qs01 qs02 qs04 qs09 qs10 qs11 qs12
+# qs16 qt03 qt05 qt08 qt11 qt13); it fits in the r14 window whole
+# with ~35 slots for r14-changed entries + the r10 band head; the
+# rotation-policy test enforces the promise mechanically.
 #
 # Every entry regardless of window membership is covered by the
 # standing full-registry sim (tools/driver_sim.py → DRIVER_SIM_r*.txt,
 # ALL PASS — the identical rows+schema+hash compare, just not
 # driver-recorded). Earlier rounds' window layouts and their rationale
-# live in this file's git history (r11: commit d07571e and before).
+# live in this file's git history (r12: commit 0e3cfa3 and before).
 _VERIFY_FIRST = (
-    # (a) this round's engine-touched entries (IVF family)
-    "ql43_ann_recall",
+    # (a) this round's engine-touched entries
+    "qp08_canonical_map",
     "ql14_ivf_topk",
-    # (b) the ENTIRE 27-entry r7 remainder — the oldest gate band
+    "ql43_ann_recall",
+    # (b) the ENTIRE 18-entry r8 remainder — the oldest gate band
+    "ql07b_multimodal_features",  # rows-only spec (pytest + ql07c twin)
+    "qr45_window_value_fns",
+    "qr46_disjunctive_join",
+    "qr48_nation_volume",
+    "qr73_hierarchy_rollup",
+    "qs03_session_window",
+    "qs08_stream_sessions",
+    "qs17_stream_heavy_hitters",
+    "qs18_stream_psi_monitor",
+    "qt15_scd2_user_state",
+    "qt16_psi_drift",
+    "qt17_linear_attribution",
+    "qt18_cusum_changepoint",
+    "qt19_session_window_native",
+    "qt20_rolling_actives",
+    "qt21_rolling_median",
+    "qt22_seasonal_backtest",
+    "qv03_origin_stamp",
+    # (c) the 29-entry head of the r9 band (registry order)
+    "ql03_cosine_topk",
+    "ql07c_features_parity",
+    "ql28_quantization_error",
+    "ql39_pq_encode",
+    "ql40_epoch_plan",
+    "ql44_split_leakage",
+    "ql48_bpe_pair_stats",
+    "ql49_pagerank",
+    "ql60_simhash_hamming",
+    "qp01_curation_report",
+    "qp06_semdedup_report",
+    "qp09_intake_gate",
+    "qr26_stats_pack",
+    "qr28_filtered_agg",
+    "qr49_except_all",
+    "qr49_intersect_all",
+    "qr50_expectations_orders",
+    "qr51_grouping_sets",
+    "qr52_variant_props",
+    "qr54_top_supplier",
+    "qr55_empty_result",
+    "qr56_inventory_drawdown",
+    "qr57_try_arithmetic",
+    "qr58_collated_grouping",
+    "qr60_priority_lateness",
+    "qr64_important_parts",
+    "qr65_shipping_speed",
+    "qr66_customer_distribution",
+    "qr67_supplier_part_counts",
+    # --- r13 window boundary: exactly 50 entries above ---
+    # Post-window order (informational — every entry below has an r9,
+    # r10, r11 or r12 gate row; the full-registry sim covers all of
+    # them each round): freshest evidence first — the r12 band, then
+    # r11, then r10, then the 15-entry r9 remainder promised whole at
+    # the r14 head.
     "ql01_exact_dedup",
     "ql05_top_terms",
     "ql16_hash_sample",
@@ -100,7 +158,6 @@ _VERIFY_FIRST = (
     "qt09_time_weighted_avg",
     "qv04_ts_render",
     "qv10_put_records_roundtrip",
-    # (c) the 21-entry oracle-bearing head of the r8 band
     "ql13_fingerprint",
     "ql24_chunk_windows",
     "ql25_pii_redaction",
@@ -122,12 +179,6 @@ _VERIFY_FIRST = (
     "qp10_retention_waterfall",
     "qr18_subqueries",
     "qr43_cdc_apply",
-    # --- r12 window boundary: exactly 50 entries above ---
-    # Post-window order (informational — every entry below has an r8,
-    # r9, r10 or r11 gate row; the full-registry sim covers all of
-    # them each round): freshest evidence first — the r11 band, then
-    # r10, then r9, then the 18-entry r8 remainder (incl. the
-    # rows-only-by-design ql07b) promised whole at the r13 head.
     "qr71_approx_quantile_gate",
     "qv05_envelope_json",
     "qv08_batch_wire_format",
@@ -226,36 +277,6 @@ _VERIFY_FIRST = (
     "qs14_stream_cdc_apply",
     "qt10_nearest_error",
     "qv06_json_extract",
-    "ql03_cosine_topk",
-    "ql07c_features_parity",
-    "ql28_quantization_error",
-    "ql39_pq_encode",
-    "ql40_epoch_plan",
-    "ql44_split_leakage",
-    "ql48_bpe_pair_stats",
-    "ql49_pagerank",
-    "ql60_simhash_hamming",
-    "qp01_curation_report",
-    "qp06_semdedup_report",
-    "qp08_canonical_map",
-    "qp09_intake_gate",
-    "qr26_stats_pack",
-    "qr28_filtered_agg",
-    "qr49_except_all",
-    "qr49_intersect_all",
-    "qr50_expectations_orders",
-    "qr51_grouping_sets",
-    "qr52_variant_props",
-    "qr54_top_supplier",
-    "qr55_empty_result",
-    "qr56_inventory_drawdown",
-    "qr57_try_arithmetic",
-    "qr58_collated_grouping",
-    "qr60_priority_lateness",
-    "qr64_important_parts",
-    "qr65_shipping_speed",
-    "qr66_customer_distribution",
-    "qr67_supplier_part_counts",
     "qr68_promotable_suppliers",
     "qr69_waiting_suppliers",
     "qs01_stream_ingest_counts",
@@ -271,24 +292,6 @@ _VERIFY_FIRST = (
     "qt08_rolling_anomaly",
     "qt11_seasonal_profile",
     "qt13_cohort_retention",
-    "ql07b_multimodal_features",  # rows-only spec (pytest + ql07c twin)
-    "qr45_window_value_fns",
-    "qr46_disjunctive_join",
-    "qr48_nation_volume",
-    "qr73_hierarchy_rollup",
-    "qs03_session_window",
-    "qs08_stream_sessions",
-    "qs17_stream_heavy_hitters",
-    "qs18_stream_psi_monitor",
-    "qt15_scd2_user_state",
-    "qt16_psi_drift",
-    "qt17_linear_attribution",
-    "qt18_cusum_changepoint",
-    "qt19_session_window_native",
-    "qt20_rolling_actives",
-    "qt21_rolling_median",
-    "qt22_seasonal_backtest",
-    "qv03_origin_stamp",
 )
 
 

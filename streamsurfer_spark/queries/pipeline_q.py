@@ -1211,22 +1211,32 @@ def qp08_canonical_map_bounded(
     Pass p runs dedup.shingle_intersection_partials over the slice
     pmod(shingle, n_passes) == p (the distinct, the df-cap window, and
     the self-join are all shingle-keyed, so each slice is self-contained
-    and EXACTLY the global computation restricted to its shingles) and
-    spools the pair-intersection and set-size PARTIALS to parquet —
-    tiny frames next to the shingle exchange. Completed passes drop
-    their DataFrame references and force a JVM GC so ContextCleaner
-    releases the pass's shuffle files before the next pass starts; peak
-    scratch is therefore ~1/n_passes of the monolithic exchange plus
-    the spooled partials, closing the single-box disk ceiling
-    BASELINE.md records for the monolithic plan at 1000× (5M docs).
+    and EXACTLY the global computation restricted to its shingles) and —
+    since r13 (r12 verdict item 4) — dedup.lsh_band_pair_partials over
+    the bucket-key slice pmod(xxhash64(band, band_key), n_passes) == p,
+    spooling pair-intersection, set-size, and shared-band PARTIALS to
+    parquet — tiny frames next to the sliced exchanges. The band slice
+    closes the ~53 GB pass-count-INDEPENDENT floor BASELINE.md Round 12
+    recorded: with the shingle exchange bounded, the monolithic LSH band
+    exchange (N_BANDS rows/doc) had become the binding scratch stage, so
+    the scratch budget knob bound nothing below that floor. Completed
+    passes drop their DataFrame references and force a JVM GC so
+    ContextCleaner releases the pass's shuffle files before the next
+    pass starts; peak scratch is therefore ~1/n_passes of BOTH
+    corpus-linear exchanges plus the spooled partials, closing the
+    single-box disk ceiling BASELINE.md records for the monolithic plan
+    at 1000× (5M docs).
 
-    The final aggregation sums partials (n_inter = Σ_p, n_sh = Σ_p),
-    scores containment exactly as operators/dedup.ngram_containment_pairs
-    does, and reuses qp08's exact-dup and LSH edge families verbatim —
-    output is hash-identical to qp08_canonical_map (pinned by
-    tests/test_qp08_bounded.py at sf0.001 and sf0.01). Not a registry
-    entry: same operator, different execution staging; the registry
-    gates the monolithic plan, this function carries the scale probe.
+    The final aggregation sums partials (n_inter = Σ_p, n_sh = Σ_p,
+    n_shared_bands = Σ_p — disjoint shingle/bucket sets make the sums
+    exact), scores containment exactly as
+    operators/dedup.ngram_containment_pairs does, and reuses qp08's
+    exact-dup edge family verbatim — output is hash-identical to
+    qp08_canonical_map (pinned by tests/test_qp08_bounded.py at sf0.001
+    and sf0.01, incl. pass counts that do not divide either key space
+    evenly). Not a registry entry: same operator, different execution
+    staging; the registry gates the monolithic plan, this function
+    carries the scale probe.
     """
     import os
 
@@ -1262,6 +1272,14 @@ def qp08_canonical_map_bounded(
         sizes_p.write.mode("overwrite").parquet(
             os.path.join(spool, f"sizes/p={p}")
         )
+        # the band exchange rides the same pass index: both slicers are
+        # uniform hashes over disjoint key spaces, so one loop bounds
+        # both corpus-linear exchanges at ~1/n_passes each (r12 verdict
+        # item 4 — the band exchange was the post-r11 scratch floor)
+        lsh_p = dedup.lsh_band_pair_partials(docs, part=p, n_parts=n_passes)
+        lsh_p.write.mode("overwrite").parquet(
+            os.path.join(spool, f"lsh/p={p}")
+        )
         # release this pass's shuffle files before the next pass: drop
         # the only references, then ask the JVM to GC so ContextCleaner
         # deletes them — without this the passes' scratch ADDS instead
@@ -1271,7 +1289,7 @@ def qp08_canonical_map_bounded(
         # documented API, and `_jvm` is private — the rule is
         # version-sentineled in tests/test_properties_r12.py and listed
         # in the empirical-rule inventory (test_properties_r11).
-        del inter_p, sizes_p
+        del inter_p, sizes_p, lsh_p
         spark.sparkContext._jvm.System.gc()
 
     inter = (
@@ -1307,8 +1325,16 @@ def qp08_canonical_map_bounded(
         .where(F.col("doc_id") != F.col("mn"))
         .select(F.col("doc_id").alias("src"), F.col("mn").alias("dst"))
     )
-    lsh_e = dedup.lsh_candidate_pairs(docs).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    # a pair can surface in several slices (one per shared band) — the
+    # partial-sum groupBy reproduces lsh_candidate_pairs' distinct pair
+    # set exactly; pair volume is bucket-capped, so this final exchange
+    # is bounded regardless of corpus size
+    lsh_e = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(spool, "lsh"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("n_shared_bands").alias("n_shared_bands"))
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
     edges = exact_e.unionByName(lsh_e).unionByName(cont_e)
     cc = graph.connected_components(edges, "src", "dst", algorithm="star")

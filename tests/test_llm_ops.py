@@ -325,7 +325,11 @@ def test_ivf_assign_vectorized_exact_twin(spark):
         .collect()
     )
     assert len(hof) == len(vec) == len(rows) + 4
-    min_cent = min(r.cent_id for r in hof)
+    # the degenerate contract is "smallest cent_id of the CENTROID SET"
+    # — derive it from the cents frame, not from the assignments (r12
+    # ADVICE: min over assigned centroids only pinned the semantics
+    # because vec_id 0 happened to be its own centroid)
+    min_cent = min(r.vec_id for r in cents.select("vec_id").collect())
     for a, b in zip(hof, vec):
         assert (a.vec_id, a.cent_id, a.dist) == (b.vec_id, b.cent_id, b.dist)
         assert (a.qv is None and b.qv is None) or list(a.qv) == list(b.qv)

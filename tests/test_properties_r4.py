@@ -337,27 +337,31 @@ def test_verify_window_follows_rotation_policy():
     assert not unknown, f"_VERIFY_FIRST names not in registry: {unknown}"
 
     changed_this_round = {
-        # round 12 (both changes are fixture-invisible by their gates;
-        # windowed as belt-and-suspenders — queries/__init__.py header):
-        # ql43 — the exact-frame localCheckpoint went eager→lazy per
-        # r11 ADVICE (gated to n>100k, so gate-scale plans carry no
-        # checkpoint either way)
-        "ql43_ann_recall",
-        # ql14 — the bench-tracked IVF-family representative for this
-        # round's similarity.py assign hardening (NULL/ragged-qv parity
-        # + the dimension-aware float64 ValueError guard; the
-        # vectorized branch only engages above k=256 centroids)
+        # round 13 (queries/__init__.py header):
+        # qp08 — the bounded-pass variant's LSH band exchange got the
+        # pmod-slice + spool treatment (r12 verdict item 4); fixture
+        # scale collapses to one slice so gate plans/hashes are
+        # unchanged, windowed as the proof
+        "qp08_canonical_map",
+        # ql14/ql43 — IVF-family representatives for this round's
+        # similarity.py edits (Arrow-conf restore around the centroid
+        # collect + pre-cast raw-integer magnitude for the float64
+        # guard — both r12 ADVICE, both fixture-invisible)
         "ql14_ivf_topk",
+        "ql43_ann_recall",
     }
-    # round-12 deferrals: NONE. The window holds both engine-touched
-    # entries at its head, the entire 27-entry r7 remainder (the r11
-    # rotation's mechanical promise), and the 21-entry oracle-bearing
-    # head of the r8 band — see the queries/__init__.py header.
+    # round-13 deferrals: NONE. The window holds the three
+    # engine-touched entries at its head, the entire 18-entry r8
+    # remainder (the r12 rotation's mechanical promise, incl. the
+    # rows-only-by-design ql07b — whole-band stale debt outranks the
+    # oracle-first FILL preference), and the 29-entry head of the r9
+    # band — see the queries/__init__.py header.
     deferred: tuple = ()
 
-    # the r12 head: the two engine-touched IVF-family entries
-    assert names[0] == "ql43_ann_recall"
+    # the r13 head: the three engine-touched entries
+    assert names[0] == "qp08_canonical_map"
     assert names[1] == "ql14_ivf_topk"
+    assert names[2] == "ql43_ann_recall"
     missing = changed_this_round - window - set(deferred)
     assert not missing, f"round-changed queries outside the gate window: {missing}"
 
@@ -366,16 +370,16 @@ def test_verify_window_follows_rotation_policy():
     import glob
     import json
 
-    # FROZEN to rounds 1..11: the artifacts that existed when the r12
+    # FROZEN to rounds 1..12: the artifacts that existed when the r13
     # window was designed. Globbing ALL rounds would make this test flip
     # the moment the CURRENT round's artifact lands (the window entries
-    # get gate row 12, the next band becomes the oldest, missing_stale
-    # fires) — the r13 session updates both the window and this freeze
+    # get gate row 13, the next band becomes the oldest, missing_stale
+    # fires) — the r14 session updates both the window and this freeze
     # together.
     rounds = {}
     paths = [
         p
-        for n in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+        for n in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
         for p in glob.glob(f"/root/repo/CORRECTNESS_r{n:02d}.json")
     ]
     if not paths:
@@ -388,41 +392,42 @@ def test_verify_window_follows_rotation_policy():
     stale = {k for k, v in rounds.items() if v == oldest and k in names}
 
     # the WHOLE oldest band must fit in the window this round — the
-    # verdict's "no gate row older than <oldest+1>" done-bar. r12 window
-    # math: oldest = r7 (the 27-entry remainder), all in-window — this
-    # assert IS the r11 rotation's mechanical promise firing
+    # verdict's "no gate row older than <oldest+1>" done-bar. r13 window
+    # math: oldest = r8 (the 18-entry remainder incl. ql07b), all
+    # in-window — this assert IS the r12 rotation's mechanical promise
+    # firing
     missing_stale = stale - window - set(deferred)
     assert not missing_stale, f"oldest-band entries outside the window: {missing_stale}"
 
-    # the next band (r8, 38 entries incl. the rows-only ql07b) does NOT
-    # fit whole alongside the full r7 remainder + the 2 changed entries;
-    # the 21 slots left go to the band's HEAD in registry order,
-    # skipping ql07b so every fill slot buys a full rows+schema+hash
-    # check (the rows-only-by-design entry gains nothing an extra
-    # rows-only row wouldn't — it is covered by pytest + the ql07c
-    # exact twin); the 18-entry remainder is promised whole at the r13
-    # head (it becomes the oldest band the moment CORRECTNESS_r12
-    # lands, so the missing_stale assert above enforces the promise
-    # mechanically next round)
-    fill_r8 = {
-        "ql13_fingerprint", "ql24_chunk_windows", "ql25_pii_redaction",
-        "ql26_export_shards", "ql29_split_manifest",
-        "ql33_sequence_packing", "ql35_domain_mixture",
-        "ql41_binary_header", "ql56_weighted_sample",
-        "ql57_embedding_corr", "ql58_char_entropy",
-        "ql59_robust_outliers", "ql61_matryoshka_energy",
-        "ql63_entropy_threshold_sweep", "ql64_cluster_aware_split",
-        "ql65_source_overlap_matrix", "ql66_source_minhash_jaccard",
-        "ql67_langid_quality", "qp10_retention_waterfall",
-        "qr18_subqueries", "qr43_cdc_apply",
+    # the next band (r9, 45 entries) does NOT fit whole alongside the
+    # full r8 remainder + the 3 changed entries; the 29 slots left go
+    # to the band's HEAD in registry order (qp08 is r9-latest but
+    # already windowed at the head as a changed entry); the 15-entry
+    # remainder is promised whole at the r14 head (it becomes the
+    # oldest band the moment CORRECTNESS_r13 lands, so the
+    # missing_stale assert above enforces the promise mechanically
+    # next round)
+    fill_r9 = {
+        "ql03_cosine_topk", "ql07c_features_parity",
+        "ql28_quantization_error", "ql39_pq_encode", "ql40_epoch_plan",
+        "ql44_split_leakage", "ql48_bpe_pair_stats", "ql49_pagerank",
+        "ql60_simhash_hamming", "qp01_curation_report",
+        "qp06_semdedup_report", "qp09_intake_gate", "qr26_stats_pack",
+        "qr28_filtered_agg", "qr49_except_all", "qr49_intersect_all",
+        "qr50_expectations_orders", "qr51_grouping_sets",
+        "qr52_variant_props", "qr54_top_supplier", "qr55_empty_result",
+        "qr56_inventory_drawdown", "qr57_try_arithmetic",
+        "qr58_collated_grouping", "qr60_priority_lateness",
+        "qr64_important_parts", "qr65_shipping_speed",
+        "qr66_customer_distribution", "qr67_supplier_part_counts",
     }
-    assert fill_r8 <= window, (
-        f"r8-band fill outside the window: {fill_r8 - window}"
+    assert fill_r9 <= window, (
+        f"r9-band fill outside the window: {fill_r9 - window}"
     )
     next_band = {k for k, v in rounds.items() if v == oldest + 1 and k in names}
-    assert fill_r8 <= next_band, (
-        "fill entries must come from the r8 band: "
-        f"{fill_r8 - next_band} are not r8-latest"
+    assert fill_r9 <= next_band, (
+        "fill entries must come from the r9 band: "
+        f"{fill_r9 - next_band} are not r9-latest"
     )
 
     # entries that have NEVER had a gate row (and are not rows-only

@@ -1,15 +1,20 @@
 """qp08's bounded-pass variant must be hash-identical to the monolithic
-plan (round 11, r10 verdict item 4).
+plan (round 11, r10 verdict item 4; band exchange sliced in round 13,
+r12 verdict item 4).
 
-The bounded variant partitions the containment family's corpus-linear
-shingle exchange into pmod(shingle, n_passes) slices, spooling pair /
-set-size partials between passes — the single-box answer to the 1000×
-disk-ceiling DNF recorded in BASELINE.md. Correctness rests on slice
-self-containment (distinct, df-cap, and self-join are all shingle-keyed)
-and partial-sum exactness (integer counts); these tests pin the
+The bounded variant partitions BOTH corpus-linear exchanges —
+the containment family's shingle exchange into pmod(shingle, n_passes)
+slices and the LSH band exchange into pmod(xxhash64(band, band_key),
+n_passes) slices — spooling pair / set-size / shared-band partials
+between passes — the single-box answer to the 1000× disk-ceiling DNF
+recorded in BASELINE.md (and to the post-r11 ~53 GB band-exchange
+floor). Correctness rests on slice self-containment (distinct, df-cap,
+self-join, bucket cap, and pair expansion are all keyed on the sliced
+key) and partial-sum exactness (integer counts); these tests pin the
 equality at two SFs and at two pass counts, including n_passes=1 (the
-degenerate case that must equal the monolithic plan trivially) and a
-pass count that does NOT divide the shingle space evenly.
+degenerate case that must equal the monolithic plan trivially) and
+pass counts that do NOT divide either key space evenly, plus a direct
+operator-level partial-sum twin for the band path.
 """
 
 from __future__ import annotations
@@ -69,6 +74,37 @@ def test_bounded_derived_default_equals_monolithic(spark, mono_sf0001):
 
     bounded = _rows(qp08_canonical_map_bounded(spark, SF_DIR))
     assert bounded == mono_sf0001
+
+
+def test_lsh_band_partials_sum_to_monolithic(spark):
+    """Operator-level twin for the band slice (r12 verdict item 4): the
+    per-slice shared-band partials, summed over a pass count that does
+    not divide the bucket space evenly, must reproduce
+    lsh_candidate_pairs bit-for-bit — pair set AND counts."""
+    import os
+    from functools import reduce
+
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.operators.dedup import (
+        lsh_band_pair_partials,
+        lsh_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    mono = _rows(lsh_candidate_pairs(docs))
+    parts = [lsh_band_pair_partials(docs, part=p, n_parts=5) for p in range(5)]
+    summed = (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("n_shared_bands").alias("n_shared_bands"))
+    )
+    assert _rows(summed) == mono
+    # slice disjointness: no (pair, band) is double-counted, so the
+    # per-slice pair multisets are disjoint only in BANDS, but each
+    # slice's pair rows are already grouped — total partial rows ≥ pair
+    # count, with equality iff no pair spans slices
+    assert sum(p.count() for p in parts) >= len(mono)
 
 
 def test_derived_pass_count_rule():
