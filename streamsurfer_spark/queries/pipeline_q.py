@@ -1213,23 +1213,32 @@ def qp08_canonical_map_bounded(
     the self-join are all shingle-keyed, so each slice is self-contained
     and EXACTLY the global computation restricted to its shingles) and —
     since r13 (r12 verdict item 4) — dedup.lsh_band_pair_partials over
-    the bucket-key slice pmod(xxhash64(band, band_key), n_passes) == p,
-    spooling pair-intersection, set-size, and shared-band PARTIALS to
-    parquet — tiny frames next to the sliced exchanges. The band slice
-    closes the ~53 GB pass-count-INDEPENDENT floor BASELINE.md Round 12
-    recorded: with the shingle exchange bounded, the monolithic LSH band
-    exchange (N_BANDS rows/doc) had become the binding scratch stage, so
-    the scratch budget knob bound nothing below that floor. Completed
-    passes drop their DataFrame references and force a JVM GC so
-    ContextCleaner releases the pass's shuffle files before the next
-    pass starts; peak scratch is therefore ~1/n_passes of BOTH
-    corpus-linear exchanges plus the spooled partials, closing the
-    single-box disk ceiling BASELINE.md records for the monolithic plan
-    at 1000× (5M docs).
+    the bucket-key slice pmod(xxhash64(band, band_key), n_passes) == p.
 
-    The final aggregation sums partials (n_inter = Σ_p, n_sh = Σ_p,
-    n_shared_bands = Σ_p — disjoint shingle/bucket sets make the sums
-    exact), scores containment exactly as
+    Partials are FOLDED into running accumulators between passes
+    (generation directories: read gen g ∪ pass p's partials →
+    groupBy-sum → write gen g+1, delete gen g) rather than appended as
+    per-pass spool files. The append design looked like "tiny frames"
+    but was the real post-r11 scratch floor: a near-dup pair shares
+    MANY shingles and bands, so it reappears in ~every slice and the
+    appended spool grew ~linearly with pass count (attributed by the
+    instrumented 300× probe series, BASELINE.md Round 13 — r12 had
+    blamed the band exchange; slicing it moved nothing). The fold
+    bounds the spool at the DISTINCT pair table regardless of pass
+    count, at the cost of re-aggregating the accumulator once per pass
+    — the same passes-vs-scratch trade the slices themselves make
+    (CPU/IO scales out on a cluster; scratch disk is the single-box
+    ceiling). Completed passes drop their DataFrame references and
+    force a JVM GC so ContextCleaner releases the pass's shuffle files
+    before the next pass starts; peak scratch is therefore
+    ~1/n_passes of both corpus-linear exchanges + two generations of
+    the bounded accumulator tables.
+
+    Incremental folding computes the same sums the one-shot final
+    aggregation did (n_inter = Σ_p, n_sh = Σ_p, n_shared_bands = Σ_p —
+    integer partial sums over disjoint shingle/bucket sets are
+    associative), so the final stage just READS the last generation —
+    no re-aggregation exchange — scores containment exactly as
     operators/dedup.ngram_containment_pairs does, and reuses qp08's
     exact-dup edge family verbatim — output is hash-identical to
     qp08_canonical_map (pinned by tests/test_qp08_bounded.py at sf0.001
@@ -1262,24 +1271,43 @@ def qp08_canonical_map_bounded(
         n_passes = derived_qp08_passes(total_chars, budget_gb)
     spool = scratch_dir("qp08_bounded_")
 
+    def fold(family: str, new_df: DataFrame, keys: list[str], val: str, p: int) -> None:
+        """Fold pass p's partials into the family's running accumulator:
+        gen p = groupBy-sum(gen p-1 ∪ partials_p), then delete gen p-1.
+        The write is an action, so the old generation is never both read
+        and overwritten by one job. shutil is correct here because the
+        spool is driver-local scratch (local mode / single-box probes);
+        on a shared-FS cluster the same recipe works with the FS client."""
+        import shutil
+
+        prev = os.path.join(spool, f"{family}/g={p - 1}")
+        acc = new_df
+        if p > 0:
+            acc = spark.read.parquet(prev).unionByName(new_df)
+        # sortWithinPartitions + zstd: accumulator rows are (int64 key*,
+        # int64 sum) — sorted, parquet's delta-binary-packed encoding
+        # collapses the key columns, measured ~5× smaller than the
+        # unsorted/snappy write; the sort is per-partition (no exchange)
+        acc.groupBy(*keys).agg(F.sum(val).alias(val)).sortWithinPartitions(
+            *keys
+        ).write.mode("overwrite").option("compression", "zstd").parquet(
+            os.path.join(spool, f"{family}/g={p}")
+        )
+        if p > 0:
+            shutil.rmtree(prev, ignore_errors=True)
+
     for p in range(n_passes):
         inter_p, sizes_p = dedup.shingle_intersection_partials(
             docs, part=p, n_parts=n_passes
         )
-        inter_p.write.mode("overwrite").parquet(
-            os.path.join(spool, f"inter/p={p}")
-        )
-        sizes_p.write.mode("overwrite").parquet(
-            os.path.join(spool, f"sizes/p={p}")
-        )
+        fold("inter", inter_p, ["doc_a", "doc_b"], "n_inter", p)
+        fold("sizes", sizes_p, ["doc_id"], "n_sh", p)
         # the band exchange rides the same pass index: both slicers are
         # uniform hashes over disjoint key spaces, so one loop bounds
         # both corpus-linear exchanges at ~1/n_passes each (r12 verdict
-        # item 4 — the band exchange was the post-r11 scratch floor)
+        # item 4)
         lsh_p = dedup.lsh_band_pair_partials(docs, part=p, n_parts=n_passes)
-        lsh_p.write.mode("overwrite").parquet(
-            os.path.join(spool, f"lsh/p={p}")
-        )
+        fold("lsh", lsh_p, ["doc_a", "doc_b"], "n_shared_bands", p)
         # release this pass's shuffle files before the next pass: drop
         # the only references, then ask the JVM to GC so ContextCleaner
         # deletes them — without this the passes' scratch ADDS instead
@@ -1292,18 +1320,9 @@ def qp08_canonical_map_bounded(
         del inter_p, sizes_p, lsh_p
         spark.sparkContext._jvm.System.gc()
 
-    inter = (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(os.path.join(spool, "inter"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum("n_inter").alias("n_inter"))
-    )
-    sizes = (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(os.path.join(spool, "sizes"))
-        .groupBy("doc_id")
-        .agg(F.sum("n_sh").alias("n_sh"))
-    )
+    last = f"g={n_passes - 1}"
+    inter = spark.read.parquet(os.path.join(spool, f"inter/{last}"))
+    sizes = spark.read.parquet(os.path.join(spool, f"sizes/{last}"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     cont_e = (
@@ -1325,16 +1344,11 @@ def qp08_canonical_map_bounded(
         .where(F.col("doc_id") != F.col("mn"))
         .select(F.col("doc_id").alias("src"), F.col("mn").alias("dst"))
     )
-    # a pair can surface in several slices (one per shared band) — the
-    # partial-sum groupBy reproduces lsh_candidate_pairs' distinct pair
-    # set exactly; pair volume is bucket-capped, so this final exchange
-    # is bounded regardless of corpus size
-    lsh_e = (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(os.path.join(spool, "lsh"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum("n_shared_bands").alias("n_shared_bands"))
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # a pair can surface in several slices (one per shared band); the
+    # per-pass folds already summed them, so the accumulator holds
+    # lsh_candidate_pairs' distinct pair set exactly — read-only here
+    lsh_e = spark.read.parquet(os.path.join(spool, f"lsh/{last}")).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     edges = exact_e.unionByName(lsh_e).unionByName(cont_e)
     cc = graph.connected_components(edges, "src", "dst", algorithm="star")

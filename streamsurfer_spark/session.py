@@ -64,6 +64,14 @@ def get_spark(app_name: str = "streamsurfer-spark", *, shuffle_partitions: int |
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # shuffle/spill block codec. Default = Spark's own default (lz4,
+        # fastest); big single-box scale probes set zstd (~1.5-2× smaller
+        # shuffle files) because their binding resource is scratch DISK,
+        # not CPU — see tools/qp08_bounded_probe.py
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet stores TIMESTAMP(NANOS) which parquet-mr rejects by

@@ -69,21 +69,70 @@ def main() -> None:
     if replicas >= 100:
         os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
         os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256")
+        # scratch disk is the probe's binding resource; trade CPU for
+        # ~1.5-2× smaller shuffle files (session.py knob)
+        os.environ.setdefault("SPARK_GRAFT_IO_CODEC", "zstd")
 
     t0 = time.time()
     generate_documents(src, dst, replicas)
     print(f"generated {replicas}x documents in {time.time() - t0:.1f}s", flush=True)
 
     # watch peak disk usage of the root volume while the probe runs —
-    # the metric the monolithic 1000× attempt died on
+    # the metric the monolithic 1000× attempt died on. r13: the peak
+    # alone mis-attributed the floor twice (r12 blamed the band
+    # exchange; slicing it moved nothing), so the watcher now also
+    # writes a timestamped per-directory series — total used, the
+    # partial spool, and Spark's local dirs (blockmgr-* = shuffle +
+    # localCheckpoint blocks, spark-* = everything else) — so a peak
+    # can be placed in time and attributed to a stage.
     peak = {"used": 0}
     stop = threading.Event()
+    series_path = "/tmp/qp08_probe_series.jsonl"
+    t_series = time.time()
+
+    def du_bytes(patterns: list[str]) -> int:
+        import glob
+        import subprocess
+
+        paths = [p for pat in patterns for p in glob.glob(pat)]
+        if not paths:
+            return 0
+        try:
+            out = subprocess.run(
+                ["du", "-sb", "--", *paths],
+                capture_output=True,
+                text=True,
+                timeout=30,
+            ).stdout
+            return sum(int(line.split("\t")[0]) for line in out.splitlines() if line)
+        except Exception:
+            return 0
 
     def watch() -> None:
-        while not stop.is_set():
-            u = shutil.disk_usage("/tmp").used
-            peak["used"] = max(peak["used"], u)
-            stop.wait(5)
+        import json as _json
+
+        with open(series_path, "w") as fh:
+            while not stop.is_set():
+                u = shutil.disk_usage("/tmp").used
+                peak["used"] = max(peak["used"], u)
+                fh.write(
+                    _json.dumps(
+                        {
+                            "t": round(time.time() - t_series, 1),
+                            "used_gb": round(u / 1e9, 2),
+                            "blockmgr_gb": round(
+                                du_bytes(["/tmp/blockmgr-*"]) / 1e9, 2
+                            ),
+                            "spark_gb": round(du_bytes(["/tmp/spark-*"]) / 1e9, 2),
+                            "spool_gb": round(
+                                du_bytes(["/tmp/streamsurfer_scratch_*"]) / 1e9, 2
+                            ),
+                        }
+                    )
+                    + "\n"
+                )
+                fh.flush()
+                stop.wait(5)
 
     w = threading.Thread(target=watch, daemon=True)
     w.start()
