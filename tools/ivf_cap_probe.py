@@ -59,24 +59,45 @@ def main() -> None:
     rows = synth(spark, n, 2654435761)
     rows.write.format("noop").mode("overwrite").save()  # warm the scan
 
+    # untimed warm pass at the SMALLEST sweep k: the first vectorized
+    # assign job pays JVM codegen/JIT + Arrow-path classloading that
+    # landed on whichever k ran first — the r11/r12 sweeps read k=1024
+    # consistently SLOWER than 4096 (3.27/3.26/2.96 vs 2.38/2.32/1.57 s
+    # across three sessions) purely from sweep order
+    warm = similarity.ivf_assign(
+        rows,
+        synth(spark, K_SWEEP[0], 1099511628211),
+        id_col="vec_id",
+        keep_dist=True,
+        n_centroids=K_SWEEP[0],
+    )
+    warm.write.format("noop").mode("overwrite").save()
+
     walls: dict[int, float] = {}
     for k in K_SWEEP:
         cents = synth(spark, k, 1099511628211).withColumnRenamed(
             "vec_id", "vec_id"
         )
         bcast_bytes = k * (8 + DIM * 8)
-        t0 = time.perf_counter()
-        out = similarity.ivf_assign(
-            rows, cents, id_col="vec_id", keep_dist=True, n_centroids=k
-        )
-        out.write.format("noop").mode("overwrite").save()
-        walls[k] = round(time.perf_counter() - t0, 2)
+        # best-of-2: sheds the minutes-long degraded-host bursts this
+        # box's co-tenant class produces (CANARY_BANDS.json) without
+        # hiding a real cost — a plan can't run FASTER than it is
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = similarity.ivf_assign(
+                rows, cents, id_col="vec_id", keep_dist=True, n_centroids=k
+            )
+            out.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        walls[k] = round(min(runs), 2)
         print(
             json.dumps(
                 {
                     "k": k,
                     "n": n,
                     "wall_sec": walls[k],
+                    "runs": [round(r, 2) for r in runs],
                     "broadcast_bytes": bcast_bytes,
                 }
             ),
