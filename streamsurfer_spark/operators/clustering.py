@@ -111,28 +111,36 @@ def pq_encode_quantized(
     m: int = PQ_SUBSPACES,
     k: int = PQ_CODEWORDS,
     id_col: str = "vec_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """pq_encode over an already-quantized (id, qv) frame — the reusable
     core, so IVF-PQ can feed it RESIDUAL vectors (see queries/pipeline_q
-    qp03). Same contract and scale shape as pq_encode."""
+    qp03). Same contract and scale shape as pq_encode.
+
+    ``carry`` names q-columns functionally dependent on the id (e.g. the
+    vector's cent_id) to keep through both aggregations — they ride the
+    group keys, whose groups the unique id already determines, so results
+    are unchanged while the caller skips a corpus-sized re-join on the id
+    to recover them (the qp03 r13 fix, guide §2.4)."""
     subs = q.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.posexplode(F.expr(_sub_slices(m))).alias("sub", "sv"),
     )
-    cb = seed_rows(q, k, id_col).select(
+    cb = seed_rows(q.select(id_col, "qv"), k, id_col).select(
         F.col(id_col).alias("code_id"),
         F.posexplode(F.expr(_sub_slices(m))).alias("sub", "cw"),
     )
     dist = F.expr(DIST_SQ_EXPR.format(a="sv", b="cw"))
     scored = subs.join(F.broadcast(cb), "sub").withColumn("dist", dist)
-    best = scored.groupBy(id_col, "sub").agg(
+    best = scored.groupBy(id_col, *carry, "sub").agg(
         F.min_by(
             F.struct(F.col("code_id"), F.col("dist")),
             F.struct(F.col("dist"), F.col("code_id")),
         ).alias("_best")
     )
     return (
-        best.groupBy(id_col)
+        best.groupBy(id_col, *carry)
         .agg(
             F.collect_list(
                 F.struct(F.col("sub"), F.col("_best.code_id").alias("code_id"))
@@ -141,6 +149,7 @@ def pq_encode_quantized(
         )
         .select(
             id_col,
+            *[F.col(c) for c in carry],
             F.expr(
                 "concat_ws(',', transform(array_sort(_codes), c -> cast(c.code_id as string)))"
             ).alias("pq_code"),
@@ -184,6 +193,7 @@ def kmeans_fit(
     iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Run `iters` Lloyd iterations; return (assignments, centroids, cached).
 
@@ -191,6 +201,16 @@ def kmeans_fit(
     centroids: the final (id, qv) centroid table (≤ k rows, broadcastable);
     cached: the persisted quantized input — call ``cached.unpersist()``
     once the assignment/centroid results are materialized.
+
+    ``carry`` names input columns to keep alongside (id, qv) through the
+    cache and into the returned assignments. The assign is map-only and
+    ivf_assign passes every input column through, so carrying is free on
+    the wire — while re-joining the corpus on the id afterward to recover
+    e.g. the raw embedding costs a corpus-sized self-join (the qp06 r13
+    fix, guide §2.4). The intermediate rounds never read the carried
+    columns: the persisted frame is columnar (InMemoryTableScan prunes
+    columns), so seeding/update iterations scan only (id, qv); the cost is
+    cache residency for the extra columns.
 
     The quantized input is persisted (MEMORY_AND_DISK): every round —
     seeding, each assign, each update — re-references it, and without the
@@ -205,8 +225,11 @@ def kmeans_fit(
     One-shot callers (the registry queries) may ignore it — the cache
     dies with the session.
     """
-    q = quantize(df, vec_col).select(id_col, "qv").persist()
-    cents = seed_rows(q, k, id_col)
+    q = quantize(df, vec_col).select(id_col, "qv", *carry).persist()
+    # seeds must stay (id, qv) regardless of carry: callers consume the
+    # returned centroid table with that exact schema (and with iters >= 2
+    # the returned cents are _update output, which is (id, qv) anyway)
+    cents = seed_rows(q, k, id_col).select(id_col, "qv")
     assigned = None
     for it in range(iters):
         if assigned is not None:

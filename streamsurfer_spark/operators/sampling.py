@@ -164,6 +164,34 @@ def weighted_sample(
     )
 
 
+def split_col(
+    id_col: Column | str, train_pct: int = 80, val_pct: int = 10
+) -> Column:
+    """The train/val/test assignment as a bare column expression — the
+    SAME tree assign_split attaches, exposed so consumers that already
+    hold the id (e.g. a pair table's doc_a/doc_b) can compute the split
+    in place instead of joining the corpus-sized assign_split frame back
+    on the id (two removable self-joins in ql44 — guide §2.4, r13)."""
+    if train_pct < 0 or val_pct < 0:
+        raise ValueError("train_pct and val_pct must be non-negative")
+    if not 0 < train_pct + val_pct <= 100:
+        raise ValueError("train_pct + val_pct must be in (0, 100]")
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = md5_long64(c.cast("string")) % 100
+    return (
+        # a NULL id hashes to NULL, both bucket comparisons are NULL, and
+        # the row would silently fall through to 'test' — leakage-relevant
+        # for a split contract, so fail loudly instead
+        F.when(
+            c.isNull(),
+            F.raise_error(F.lit("assign_split: NULL id_col value")),
+        )
+        .when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+
+
 def assign_split(
     df: DataFrame, id_col: str, train_pct: int = 80, val_pct: int = 10
 ) -> DataFrame:
@@ -177,24 +205,7 @@ def assign_split(
     # each percentage must be valid on its own: a negative val_pct with a
     # compensating train_pct passes the sum check yet silently empties the
     # val split (the second `when` can never fire) — r7 review
-    if train_pct < 0 or val_pct < 0:
-        raise ValueError("train_pct and val_pct must be non-negative")
-    if not 0 < train_pct + val_pct <= 100:
-        raise ValueError("train_pct + val_pct must be in (0, 100]")
-    bucket = _key_hash(id_col) % 100
-    return df.withColumn(
-        "split",
-        # a NULL id hashes to NULL, both bucket comparisons are NULL, and
-        # the row would silently fall through to 'test' — leakage-relevant
-        # for a split contract, so fail loudly instead
-        F.when(
-            F.col(id_col).isNull(),
-            F.raise_error(F.lit("assign_split: NULL id_col value")),
-        )
-        .when(bucket < train_pct, "train")
-        .when(bucket < train_pct + val_pct, "val")
-        .otherwise("test"),
-    )
+    return df.withColumn("split", split_col(id_col, train_pct, val_pct))
 
 
 EPOCH_BUDGET_NUM = 3  # token budget = total_tokens * NUM / DEN

@@ -75,6 +75,20 @@ def predict_language(scores: dict[str, Column]) -> Column:
     return expr
 
 
+def quality_score_col(text_col: Column | str = "text") -> Column:
+    """The composite quality score in [0,1] as a bare column expression —
+    the same frozen formula quality_features emits, exposed so capstones
+    can FUSE the per-row score into an existing corpus scan instead of
+    joining quality_features back on doc_id (a removable corpus self-join
+    — optimization guide §2.4; the r13 qp04 change)."""
+    tc = token_count(text_col)
+    stop_en = stopword_hits(text_col, "en")
+    return scaled_round(
+        F.least(F.lit(1.0), tc.cast("double") / 100.0) * 0.5
+        + F.least(F.lit(1.0), stop_en.cast("double") / tc * 5.0) * 0.5
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: length, token stats, punct/stopword ratios,
     and a composite score in [0,1]. Formula is frozen (oracle-replicated).
@@ -96,10 +110,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         scaled_round(n_chars.cast("double") / tc).alias("avg_token_span"),
         scaled_round(punct_chars.cast("double") / n_chars).alias("punct_ratio"),
         scaled_round(stop_en.cast("double") / tc).alias("stopword_ratio"),
-        scaled_round(
-            F.least(F.lit(1.0), tc.cast("double") / 100.0) * 0.5
-            + F.least(F.lit(1.0), stop_en.cast("double") / tc * 5.0) * 0.5
-        ).alias("quality_score"),
+        quality_score_col(text_col).alias("quality_score"),
     )
 
 
@@ -120,14 +131,9 @@ GOPHER_MIN_ALPHA_RATIO = (4, 5)  # words containing a letter > 4/5
 GOPHER_MIN_STOP_HITS = 2  # ≥ 2 English stopword occurrences
 
 
-def gopher_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document Gopher rule evaluation: the raw counts, tie-proof
-    display ratios, one boolean per rule, and the AND-of-all ``keep``.
-
-    Everything is a codegen column expression over the token array —
-    per-row, shuffle-free, linear at 100 TB. Mean-length and ratio rules
-    compare integers (sum_len vs k*n_words etc.), never doubles.
-    """
+def _gopher_exprs(text_col: Column | str = "text") -> dict[str, Column]:
+    """The Gopher rule sub-expressions, shared by gopher_quality_rules and
+    gopher_keep_col so the fused and operator forms are the SAME tree."""
     toks = tokens(text_col)
     n_words = F.size(toks).cast("long")
     sum_len = F.aggregate(
@@ -157,6 +163,52 @@ def gopher_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     pass_symbol = symbol_hits * sq < n_words * sp
     pass_alpha = alpha_words * aq > n_words * ap
     pass_stopwords = stop_hits >= GOPHER_MIN_STOP_HITS
+    return {
+        "n_words": n_words,
+        "sum_len": sum_len,
+        "alpha_words": alpha_words,
+        "stop_hits": stop_hits,
+        "pass_word_count": pass_word_count,
+        "pass_mean_len": pass_mean_len,
+        "pass_symbol": pass_symbol,
+        "pass_alpha": pass_alpha,
+        "pass_stopwords": pass_stopwords,
+        "keep": (
+            pass_word_count
+            & pass_mean_len
+            & pass_symbol
+            & pass_alpha
+            & pass_stopwords
+        ),
+    }
+
+
+def gopher_keep_col(text_col: Column | str = "text") -> Column:
+    """The AND-of-all-rules ``keep`` boolean as a bare column expression —
+    per-row codegen, so capstones composing the Gopher gate (qp09/qp10)
+    can fuse it into their existing corpus scan instead of joining
+    gopher_quality_rules back on doc_id (optimization guide §2.4)."""
+    return _gopher_exprs(text_col)["keep"]
+
+
+def gopher_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule evaluation: the raw counts, tie-proof
+    display ratios, one boolean per rule, and the AND-of-all ``keep``.
+
+    Everything is a codegen column expression over the token array —
+    per-row, shuffle-free, linear at 100 TB. Mean-length and ratio rules
+    compare integers (sum_len vs k*n_words etc.), never doubles.
+    """
+    e = _gopher_exprs(text_col)
+    n_words = e["n_words"]
+    sum_len = e["sum_len"]
+    alpha_words = e["alpha_words"]
+    stop_hits = e["stop_hits"]
+    pass_word_count = e["pass_word_count"]
+    pass_mean_len = e["pass_mean_len"]
+    pass_symbol = e["pass_symbol"]
+    pass_alpha = e["pass_alpha"]
+    pass_stopwords = e["pass_stopwords"]
     return df.select(
         "doc_id",
         n_words.alias("n_words"),

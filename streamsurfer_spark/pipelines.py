@@ -27,11 +27,15 @@ QUALITY_MIN_TOKENS = 20
 QUALITY_MAX_PUNCT_RATIO = 0.2
 
 
-def curate(docs: DataFrame) -> DataFrame:
+def curate(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Full curation pass over a `documents`-shaped table.
 
     Returns the surviving corpus with provenance columns:
-    (doc_id, lang_pred, n_tokens, quality_score, is_canonical).
+    (doc_id, lang_pred, n_tokens, quality_score, is_canonical), plus any
+    input columns named in ``carry`` — the whole chain is per-row gates
+    and windows over the full rows, so carrying a column is free, while
+    re-joining the corpus afterward to recover it costs a corpus-sized
+    self-join on doc_id (the qp05 r13 fix — guide §2.4).
     """
     pred = text_ops.predict_language(text_ops.language_scores("text"))
     tc = text_ops.token_count("text")
@@ -73,6 +77,7 @@ def curate(docs: DataFrame) -> DataFrame:
         "n_tokens",
         F.col("quality_score"),
         F.lit(True).alias("is_canonical"),
+        *[F.col(c) for c in carry],
     )
 
 

@@ -2439,18 +2439,23 @@ def ql44_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exact id checksums for drill-down.
 
     Scale: the pair table is the LSH family's bucketed/capped output (no
-    all-pairs path); the two split lookups are joins on the unique doc id.
-    A zero-row result is the healthy state — the audit is the proof, and
-    the per-pair drill-down (min_doc_a) is the triage pointer when not.
+    all-pairs path); the split is a PURE FUNCTION of the doc id
+    (sampling.split_col), so both lookups are per-row expressions on the
+    pair table itself — r13 replaced two corpus-frame joins (and the two
+    extra documents scans feeding them) with two map-only columns
+    (guide §2.4). A zero-row result is the healthy state — the audit is
+    the proof, and the per-pair drill-down (min_doc_a) is the triage
+    pointer when not.
     """
     docs = table(spark, sf_dir, "documents")
-    split = sampling.assign_split(docs, "doc_id").select("doc_id", "split")
     pairs = dedup.lsh_candidate_pairs(docs).select("doc_a", "doc_b")
-    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
-    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            sampling.split_col("doc_a").alias("split_a"),
+            sampling.split_col("doc_b").alias("split_b"),
+        )
         .where(F.col("split_a") != F.col("split_b"))
         .groupBy("split_a", "split_b")
         .agg(
@@ -2697,11 +2702,15 @@ def ql50_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct 3-gram shingles that never occur anywhere in A.
 
     Shingles are the ql37 hashed composition (one md5 per token, 61-bit
-    positional combine, never materialized as strings) so both the
-    distinct sets and the anti-join move 8-byte keys. Shape at 100 TB:
-    two shingle passes (A-set, B-set) each collapsed by a
-    partial-aggregating distinct on the uniform hash; one LEFT ANTI join
-    on that hash; the per-source rollup keys on ≤ |sources| rows.
+    positional combine, never materialized as strings) so every exchange
+    moves 8-byte keys. Shape at 100 TB (r13 rework, guide §2.3/§2.4): ONE
+    shingle pass — the A/B branches previously each re-scanned documents
+    and re-ran the per-token md5 chain (the expensive per-row work), then
+    met in a LEFT ANTI join (a third shingle-keyed exchange). Now one scan
+    tags each occurrence (is_a, B-source), one distinct collapses it, and
+    a per-shingle window MAX computes A-membership in place; the A-side
+    anti-join disappears. The per-source rollup keys on ≤ |sources| rows
+    as before.
     """
     docs = table(spark, sf_dir, "documents")
     th = f"transform(toks, t -> {md5_long64_expr('t')} % {P31})"
@@ -2720,33 +2729,46 @@ def ql50_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr(sh_hashes)).alias("shingle"),
         )
     )
-    a_set = (
-        shingled.where(F.col("doc_id") % 2 == 0).select("shingle").distinct()
+    # one distinct over (shingle, is_a, B-source): A rows collapse to one
+    # (shingle, true, NULL) row per shingle; B rows reproduce the old
+    # distinct (source, shingle) pairs. is_a is carried EXPLICITLY (not
+    # inferred from bsrc IS NULL) so a NULL-source new-crawl doc can never
+    # masquerade as old-crawl membership.
+    occ = shingled.select(
+        "shingle",
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+        F.when(F.col("doc_id") % 2 == 1, F.col("source")).alias("bsrc"),
+    ).distinct()
+    # join-parity for NULL shingles (NULL text under fuzz): an equi/anti
+    # join key never matches NULL, so a NULL-shingle A row must NOT grant
+    # membership to the NULL-shingle window partition
+    in_a = F.max(
+        (F.col("is_a") & F.col("shingle").isNotNull()).cast("int")
+    ).over(Window.partitionBy("shingle"))
+    b_rows = (
+        occ.withColumn("in_a", in_a)
+        .where(~F.col("is_a"))
+        .select(F.col("bsrc").alias("source"), "in_a")
     )
-    b_set = (
-        shingled.where(F.col("doc_id") % 2 == 1)
-        .select("source", "shingle")
-        .distinct()
+    per_source = b_rows.groupBy("source").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.when(F.col("in_a") == 0, 1).otherwise(0)).alias("n_novel"),
     )
-    novel = b_set.join(a_set, "shingle", "left_anti")
     n_docs = (
         docs.where(F.col("doc_id") % 2 == 1)
         .groupBy("source")
         .agg(F.count("*").alias("n_docs_new"))
     )
-    b_counts = b_set.groupBy("source").agg(F.count("*").alias("n_shingles"))
-    nv_counts = novel.groupBy("source").agg(F.count("*").alias("n_novel"))
     return (
-        n_docs.join(b_counts, "source")
-        .join(nv_counts, "source", "left")
+        n_docs.join(per_source, "source")
         .select(
             "source",
             "n_docs_new",
             "n_shingles",
-            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
-            scaled_round(
-                F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_shingles")
-            ).alias("novelty"),
+            "n_novel",
+            scaled_round(F.col("n_novel") / F.col("n_shingles")).alias(
+                "novelty"
+            ),
         )
         .orderBy("source")
     )
@@ -4000,11 +4022,13 @@ def ql65_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is the uniform 61-bit hashed shingle. Two hash exchanges total.
     """
     docs = table(spark, sf_dir, "documents")
-    sh = dedup.hashed_shingle_set(docs)
-    src = (
-        sh.join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "shingle")
-        .distinct()
+    # r13 (guide §2.4): hashed_shingle_set is generic over its id column,
+    # so the (source, shingle) distinct level is computed DIRECTLY — the
+    # old form built the doc-level distinct (a corpus exchange), joined
+    # documents back on doc_id to recover source (two more exchanges),
+    # then re-distinct'ed at the source level
+    src = dedup.hashed_shingle_set(docs, id_col="source").select(
+        "source", "shingle"
     )
     sizes = src.groupBy("source").agg(F.count("*").cast("bigint").alias("n_sh"))
     a, bq = src.alias("a"), src.alias("b")
@@ -4121,11 +4145,10 @@ def ql66_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_jaccard"),
         )
     )
-    sh = (
-        dedup.hashed_shingle_set(docs)
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "shingle")
-        .distinct()
+    # source-level shingle sets computed directly (the ql65 r13 rework —
+    # no doc-level distinct, no doc_id join-back)
+    sh = dedup.hashed_shingle_set(docs, id_col="source").select(
+        "source", "shingle"
     )
     sizes = sh.groupBy("source").agg(F.count("*").cast("bigint").alias("n_sh"))
     sa, sb = sh.alias("a"), sh.alias("b")

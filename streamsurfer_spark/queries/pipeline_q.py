@@ -195,10 +195,16 @@ def qp03_ivfpq_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("zip_with(qv, cent_qv, (x, y) -> x - y)").alias("qv"),
         )
     )
-    codes = clustering.pq_encode_quantized(resid.select("vec_id", "qv"))
+    # cent_id rides the PQ aggregation's group keys (functionally
+    # dependent on the unique vec_id — identical groups) instead of being
+    # re-attached by a corpus-sized codes ⋈ resid self-join on vec_id,
+    # which also re-executed the whole residual subtree a second time
+    # (r13, guide §2.4)
+    codes = clustering.pq_encode_quantized(
+        resid.select("vec_id", "cent_id", "qv"), carry=("cent_id",)
+    )
     return (
-        codes.join(resid.select("vec_id", "cent_id"), "vec_id")
-        .groupBy("cent_id")
+        codes.groupBy("cent_id")
         .agg(
             F.count("*").alias("n_vectors"),
             F.countDistinct("pq_code").alias("n_codes"),
@@ -316,9 +322,14 @@ def qp04_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (×10 000) per doc BEFORE the domain sum, so every domain mean is one
     division of exact integers.
 
-    Scale: three corpus-sized passes (each individually scale-audited in
-    its own operator), joined on the unique doc key, rolled up to the tiny
-    domain key — partial aggregation collapses everything map-side.
+    Scale: TWO corpus-sized aggregating passes (surprisal, span coverage —
+    each individually scale-audited in its own operator), joined on the
+    unique doc key, rolled up to the tiny domain key — partial aggregation
+    collapses everything map-side. The quality score is map-only per doc,
+    so it is FUSED into the base projection (r13: it was previously a
+    third corpus scan joined back on doc_id — a removable self-join,
+    guide §2.4; plans/r13/qp04_quality_dashboard_{before,after}.txt show
+    one fewer documents scan and one fewer doc_id join exchange).
     """
     import pyspark.sql.functions as F
 
@@ -332,14 +343,14 @@ def qp04_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = dedup_ops.duplicate_span_coverage(docs).select(
         "doc_id", F.col("covered_tokens")
     )
-    qual = text_ops.quality_features(docs).select(
-        "doc_id",
-        F.round(F.col("quality_score") * 10_000).cast("bigint").alias("q4"),
+    q4 = (
+        F.round(t_ops.quality_score_col("text") * 10_000)
+        .cast("bigint")
+        .alias("q4")
     )
     per_doc = (
-        docs.select("doc_id", "source")
+        docs.select("doc_id", "source", q4)
         .join(surp, "doc_id")
-        .join(qual, "doc_id")
         .join(spans, "doc_id", "left")
         .withColumn("covered_tokens", F.coalesce("covered_tokens", F.lit(0)))
     )
@@ -470,7 +481,13 @@ def qp05_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamsurfer_spark.queries.llm_q import QL30_BENCH_SOURCES, QL30_THRESHOLD
 
     docs = table(spark, sf_dir, "documents")
-    surv = curate(docs).select("doc_id", "lang_pred", "n_tokens")
+    # carry `source` through the curation chain (free — per-row gates and
+    # windows over full rows) instead of re-joining the documents scan on
+    # doc_id afterward to recover it (r13, guide §2.4: one fewer corpus
+    # self-join + one fewer documents scan)
+    surv = curate(docs, carry=("source",)).select(
+        "doc_id", "lang_pred", "n_tokens", "source"
+    )
 
     sh = dedup_ops.with_shingles(docs).select(
         "doc_id", "source", F.explode(F.array_distinct("shingles")).alias("shingle")
@@ -488,11 +505,7 @@ def qp05_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(scaled_round(F.col("_c") / F.col("_n")) >= QL30_THRESHOLD)
         .select("doc_id")
     )
-    clean = (
-        surv.join(docs.select("doc_id", "source"), "doc_id")
-        .where(~is_bench)
-        .join(contaminated, "doc_id", "left_anti")
-    )
+    clean = surv.where(~is_bench).join(contaminated, "doc_id", "left_anti")
     split = sampling.assign_split(clean, "doc_id")
     return (
         split.groupBy("split", "lang_pred")
@@ -633,8 +646,15 @@ def qp06_semdedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamsurfer_spark.operators import clustering, graph, similarity
 
     emb = table(spark, sf_dir, "embeddings")
-    assigned, _cents, _cached = clustering.kmeans_fit(emb)
-    blocked = emb.join(assigned.select("vec_id", "cent_id"), "vec_id")
+    # carry the raw embedding through the (map-only) k-means assign so the
+    # pair stage reads it straight off the assignment frame — previously
+    # `emb ⋈ assigned ON vec_id` re-attached it with a corpus self-join,
+    # and `blocked` is referenced twice (pair stage + report), so the join
+    # executed TWICE per run (r13, guide §2.4)
+    assigned, _cents, _cached = clustering.kmeans_fit(
+        emb, carry=("embedding",)
+    )
+    blocked = assigned.select("vec_id", "embedding", "cent_id")
     pairs = similarity.cosine_near_dup_pairs(
         blocked, SEMDEDUP_TAU, block_col="cent_id"
     )
@@ -1384,30 +1404,31 @@ def qp09_intake_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A doc is admitted iff it passes ALL THREE. Empty docs (no entropy
     row — char_entropy filters length 0) fail the entropy floor via the
-    NULL coalesce. Distributed shape: three per-doc signal frames joined
-    on the unique doc_id key (co-partitioned after the first exchange,
-    no skew), then one |sources|-row rollup; the MAD screen's percentile
-    aggregates are |sources|-row broadcasts, so the corpus crosses the
-    wire only for the doc_id joins.
+    NULL coalesce. Distributed shape (r13 rework, guide §2.4): the Gopher
+    gate is map-only per row and the MAD screen's corpus side is map-only
+    after two |sources|-row broadcasts — both previously came back as
+    separate per-doc frames JOINED on doc_id (two removable corpus
+    self-joins + two extra documents scans). They now fuse into ONE base
+    pass: robust_outliers' output IS the corpus frame (docs + broadcast
+    med/mad + is_outlier), the gopher keep lands as a column expression
+    on the same scan, and the only corpus-keyed join left is the entropy
+    frame (genuinely aggregated per doc — its exchange carries one narrow
+    row per doc). Then one |sources|-row rollup.
     """
     import pyspark.sql.functions as F
 
     from streamsurfer_spark.operators.profile import robust_outliers
 
     docs = table(spark, sf_dir, "documents")
-    g = text_ops.gopher_quality_rules(docs).select(
-        "doc_id", F.col("keep").alias("gopher_keep")
-    )
     e = text_ops.char_entropy(docs).select("doc_id", "entropy_nats")
-    o = robust_outliers(docs, "n_chars", "source", k=INTAKE_MAD_K).select(
-        "doc_id", "is_outlier"
+    base = robust_outliers(docs, "n_chars", "source", k=INTAKE_MAD_K).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "is_outlier",
+        text_ops.gopher_keep_col("text").alias("gopher_keep"),
     )
-    j = (
-        docs.select("doc_id", "source", "n_chars")
-        .join(g, "doc_id")
-        .join(e, "doc_id", "left")
-        .join(o, "doc_id")
-    )
+    j = base.join(e, "doc_id", "left")
     entropy_ok = (
         F.coalesce(F.col("entropy_nats"), F.lit(0.0))
         >= F.lit(INTAKE_ENTROPY_TAU)
@@ -1551,10 +1572,19 @@ def qp10_retention_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamsurfer_spark.operators import dedup
 
     docs = table(spark, sf_dir, "documents")
-    g = text_ops.gopher_quality_rules(docs).select(
-        "doc_id", F.col("keep").alias("gopher_keep")
+    # r13 (guide §2.4): the gopher gate is a map-only column expression —
+    # fused into the base projection instead of a gopher_quality_rules
+    # frame joined back on doc_id; and the survivor/canonical flags come
+    # back by UNION (window-annotated survivors ∪ gopher-fail rows with
+    # canonical NULL) instead of the previous d1 ⋈ canon corpus self-join
+    # on doc_id. Plan effect: two fewer corpus-keyed exchanges and one
+    # fewer documents scan; the fail branch is a map-only pruned re-scan.
+    d1 = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        text_ops.gopher_keep_col("text").alias("gopher_keep"),
     )
-    d1 = docs.select("doc_id", "text", "lang").join(g, "doc_id")
     s1 = d1.where("gopher_keep")
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     canon = s1.withColumn("canonical", F.row_number().over(w) == 1)
@@ -1566,9 +1596,20 @@ def qp10_retention_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("neardup_loser", F.lit(True))
     )
     lang_list = ", ".join(f"'{x}'" for x in QP10_LANG_ALLOW)
+    # the complement of s1's TRUE-only filter is "NOT TRUE" (false OR
+    # NULL) — a bare ~gopher_keep would silently drop NULL-keep rows
+    # (NULL text under fuzz) that the old left join kept with canonical
+    # NULL
+    annotated = canon.select("doc_id", "lang", "gopher_keep", "canonical").union(
+        d1.where(~F.coalesce(F.col("gopher_keep"), F.lit(False))).select(
+            "doc_id",
+            "lang",
+            "gopher_keep",
+            F.lit(None).cast("boolean").alias("canonical"),
+        )
+    )
     flags = (
-        d1.select("doc_id", "lang", "gopher_keep")
-        .join(canon.select("doc_id", "canonical"), "doc_id", "left")
+        annotated
         .join(losers, "doc_id", "left")
         .select(
             F.expr(

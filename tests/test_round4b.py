@@ -188,14 +188,20 @@ def test_seasonal_profile_broadcasts_profile(spark):
     assert "SortMergeJoin" not in formatted_plan(df)
 
 
-def test_snapshot_novelty_anti_join_on_hash(spark):
-    """ql50: the novelty check is a LEFT ANTI join (no materialized
-    intersection), keyed on the 8-byte shingle hash."""
+def test_snapshot_novelty_single_shingle_pass(spark):
+    """ql50 (r13 rework): A-membership is a window MAX over the one
+    distinct (shingle, is_a, bsrc) pass — there must be NO anti/equi join
+    on the shingle (the old two-branch shape re-scanned documents and
+    re-ran the per-token md5 chain once per branch), and only the
+    documents scans for the shingle pass + the tiny n_docs rollup."""
     from streamsurfer_spark.plans.inspect import formatted_plan
     from streamsurfer_spark.queries import registry
 
     plan = formatted_plan(registry()["ql50_snapshot_novelty"].spark(spark, SF_DIR))
-    assert "LeftAnti" in plan
+    assert "LeftAnti" not in plan
+    assert "Window" in plan  # per-shingle membership MAX
+    assert plan.count("Scan parquet ") <= 4  # tree+details sections list
+    # each scan twice: 2 logical scans (shingle pass + n_docs rollup)
 
 
 def test_approx_quantile_gate_broadcasts_probes(spark):
