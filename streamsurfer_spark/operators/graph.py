@@ -32,8 +32,130 @@ rounds where min-label propagation needs O(diameter).
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+# Edge-count ceiling for the driver-side union-find fast path (r13,
+# optimization guide §3.1's broadcast logic applied to the fixpoint): a
+# contraction ROUND costs ~5 exchanges + one convergence action no matter
+# how small the graph, so a near-dup edge set that is broadcast-class
+# anyway (1M edges of two longs ≈ 16 MB on the wire — the same size class
+# as the session's 64 MB autoBroadcastJoinThreshold and similarity.py's
+# ≤34 MB centroid collect) is solved exactly in one bounded Arrow collect
+# + O(E α(E)) union-find + one createDataFrame, instead of O(log n)
+# rounds of full-width distributed jobs. The label set produced is
+# IDENTICAL (min id per component — pinned against both distributed
+# algorithms by tests/test_graph.py); above the cap the distributed
+# fixpoint runs unchanged, so 100 TB pair graphs never touch the driver.
+# Parameterised for cluster tuning like the shuffle-partition knob.
+CC_DRIVER_EDGE_CAP = int(
+    os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGE_CAP", "1000000")
+)
+
+
+def _arrow_collect(df: DataFrame):
+    """Bounded driver collect via Arrow toPandas with the conf
+    set/restore dance (same contract as similarity._ivf_assign_np's
+    centroid collect: the DRIVER's vanilla session has no engine
+    configs, and the flip must not outlive the call)."""
+    sess_conf = df.sparkSession.conf
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    try:
+        prev = sess_conf.get(key, None)
+        sess_conf.set(key, "true")
+    except Exception:
+        prev = False
+    try:
+        return df.toPandas()
+    finally:
+        if prev is not False:
+            try:
+                if prev is None:
+                    sess_conf.unset(key)
+                else:
+                    sess_conf.set(key, prev)
+            except Exception:
+                pass
+
+
+def _driver_components(edge_rows, extra_nodes=()) -> dict:
+    """Union-find with min-label extraction over an in-memory edge list.
+
+    Returns {node: component_min}. Self-loops register the node; ordering
+    uses plain ``<`` — identical to Spark's ordering for the id types the
+    pair generators emit (integers, and strings, whose UTF8 binary order
+    equals codepoint order).
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    def add(x):
+        if x not in parent:
+            parent[x] = x
+
+    for a, b in edge_rows:
+        add(a)
+        add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    for x in extra_nodes:
+        add(x)
+    mins: dict = {}
+    for x in parent:
+        r = find(x)
+        m = mins.get(r)
+        if m is None or x < m:
+            mins[r] = x
+    return {x: mins[find(x)] for x in parent}
+
+
+def _cc_driver_result(
+    spark, labels: dict, id_type
+) -> DataFrame:
+    """(id, cluster_id) DataFrame from a driver-solved label map, with the
+    exact schema the distributed paths emit."""
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", id_type, True),
+            StructField("cluster_id", id_type, True),
+        ]
+    )
+    if not labels:
+        return spark.createDataFrame([], schema)
+    ids = list(labels.keys())
+    pdf = pd.DataFrame({"id": ids, "cluster_id": [labels[i] for i in ids]})
+    sess_conf = spark.conf
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    try:
+        prev = sess_conf.get(key, None)
+        sess_conf.set(key, "true")
+    except Exception:
+        prev = False
+    try:
+        return spark.createDataFrame(pdf, schema)
+    finally:
+        if prev is not False:
+            try:
+                if prev is None:
+                    sess_conf.unset(key)
+                else:
+                    sess_conf.set(key, prev)
+            except Exception:
+                pass
+
 
 def connected_components(
     edges: DataFrame,
@@ -82,6 +204,23 @@ def connected_components(
         return (row.n, row.h)
 
     prev_sum = _checksum(labels)
+
+    # broadcast-class graph → exact driver union-find (see
+    # CC_DRIVER_EDGE_CAP). The node count came free with the convergence
+    # checksum; the symmetrized edge count is one cached-read job (sym is
+    # persisted and was just materialized through labels' distinct).
+    if prev_sum[0] <= CC_DRIVER_EDGE_CAP and (
+        sym.count() <= 2 * CC_DRIVER_EDGE_CAP
+    ):
+        pdf = _arrow_collect(sym)
+        lbl_map = _driver_components(
+            zip(pdf["a"].tolist(), pdf["b"].tolist())
+        )
+        id_type = sym.schema["a"].dataType
+        out = _cc_driver_result(edges.sparkSession, lbl_map, id_type)
+        labels.unpersist()
+        sym.unpersist()
+        return out
 
     for it in range(max_iter):
         # candidate labels: own label ∪ every neighbor's label, then min.
@@ -170,6 +309,23 @@ def _connected_components_star(
         return (row.n, row.h)
 
     prev = checksum(e)
+    if prev[0] <= CC_DRIVER_EDGE_CAP:
+        # broadcast-class graph: solve exactly on the driver (module
+        # constant above). The checksum that gates this already
+        # materialized the persisted edge set, so the collect reads
+        # cached blocks; selfers is collected under the same cap with a
+        # loud fallback (limit cap+1) since its size is not yet known.
+        selfer_rows = selfers.limit(CC_DRIVER_EDGE_CAP + 1).collect()
+        if len(selfer_rows) <= CC_DRIVER_EDGE_CAP:
+            pdf = _arrow_collect(e)
+            labels = _driver_components(
+                zip(pdf["a"].tolist(), pdf["b"].tolist()),
+                extra_nodes=[r[0] for r in selfer_rows],
+            )
+            id_type = e.schema["a"].dataType
+            out = _cc_driver_result(edges.sparkSession, labels, id_type)
+            e.unpersist()
+            return out
     for it in range(max_iter):
         # ---- large-star: neighbors above u hang off min(Γ(u) ∪ {u})
         sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))

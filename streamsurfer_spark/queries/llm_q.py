@@ -24,7 +24,7 @@ from streamsurfer_spark.functions.hashing import (
     affine_params,
     md5_long64_expr,
 )
-from streamsurfer_spark.operators.similarity import DOT_EXPR, NORM_EXPR
+from streamsurfer_spark.operators.similarity import dot_sql, norm_sql
 from streamsurfer_spark.operators import (
     clustering,
     dedup,
@@ -1858,9 +1858,9 @@ def ql42_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qvec = emb.where(F.col("vec_id") == RRF_QUERY_VEC_ID).select(
         F.col("embedding").alias("_qv"),
-        F.expr(NORM_EXPR.format(a="embedding")).alias("_qn"),
+        F.expr(norm_sql("embedding")).alias("_qn"),
     )
-    dot = F.expr(DOT_EXPR.format(a="embedding", b="_qv"))
+    dot = F.expr(dot_sql("embedding", "_qv"))
     vec = (
         emb.where(F.col("vec_id") != RRF_QUERY_VEC_ID)
         .crossJoin(F.broadcast(qvec))
@@ -1871,7 +1871,7 @@ def ql42_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             # candidate list, not ANSI-raise or rank as NULL
             scaled_round(
                 F.try_divide(
-                    dot, F.expr(NORM_EXPR.format(a="embedding")) * F.col("_qn")
+                    dot, F.expr(norm_sql("embedding")) * F.col("_qn")
                 )
             ).alias("_vs"),
         )

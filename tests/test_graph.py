@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import pytest
 
+from streamsurfer_spark.operators import graph
 from streamsurfer_spark.operators.graph import connected_components
 
 
@@ -18,12 +19,19 @@ def _cc(spark, edges, **kw):
     return {r.id: r.cluster_id for r in out.collect()}
 
 
+@pytest.fixture
+def force_distributed(monkeypatch):
+    """Route connected_components past the r13 driver union-find fast
+    path so the distributed fixpoint loops stay covered."""
+    monkeypatch.setattr(graph, "CC_DRIVER_EDGE_CAP", -1)
+
+
 def test_two_components(spark):
     got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
-def test_chain_longer_than_checkpoint_interval(spark):
+def test_chain_longer_than_checkpoint_interval(spark, force_distributed):
     # a 9-node path: min label must walk the whole chain (8 hops > the
     # localCheckpoint interval of 5), covering the lineage-truncation path
     edges = [(i, i + 1) for i in range(1, 9)]
@@ -37,7 +45,7 @@ def test_direction_does_not_matter(spark):
     assert got == {1: 1, 5: 1, 9: 1}
 
 
-def test_max_iter_exceeded_raises(spark):
+def test_max_iter_exceeded_raises(spark, force_distributed):
     edges = [(i, i + 1) for i in range(1, 9)]
     df = spark.createDataFrame(edges, "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
@@ -51,7 +59,52 @@ def test_star_matches_label_on_mixed_graph(spark):
     assert _cc(spark, edges, algorithm="star") == _cc(spark, edges, algorithm="label")
 
 
-def test_star_adversarial_long_chain_converges_in_log_rounds(spark):
+def test_driver_fastpath_matches_distributed(spark, monkeypatch):
+    """The r13 driver union-find fast path must label EXACTLY like both
+    distributed fixpoints — same node set, same min-label clusters —
+    across the crafted shapes (mixed components, self-loop-only node,
+    reversed/duplicate edges, string ids)."""
+    shapes = [
+        [(1, 2), (2, 3), (3, 1), (10, 11), (20, 21), (21, 22), (22, 23), (40, 41)],
+        [(7, 7), (1, 2)],
+        [(5, 1), (1, 5), (5, 9), (9, 5), (9, 5)],
+        # chain diameter must stay under label propagation's max_iter=25
+        # so the forced-distributed comparison run can converge
+        [(i, i + 1) for i in range(1, 20)],
+    ]
+    for edges in shapes:
+        for alg in ("label", "star"):
+            monkeypatch.setattr(graph, "CC_DRIVER_EDGE_CAP", 10_000)
+            fast = _cc(spark, edges, algorithm=alg)
+            monkeypatch.setattr(graph, "CC_DRIVER_EDGE_CAP", -1)
+            slow = _cc(spark, edges, algorithm=alg)
+            assert fast == slow, (alg, edges[:3])
+    # string ids: UTF8 binary order == codepoint order, so the driver
+    # min matches Spark's min
+    sdf = spark.createDataFrame([("b", "a"), ("b", "c")], "src string, dst string")
+    monkeypatch.setattr(graph, "CC_DRIVER_EDGE_CAP", 10_000)
+    fast = {r.id: r.cluster_id for r in connected_components(sdf).collect()}
+    monkeypatch.setattr(graph, "CC_DRIVER_EDGE_CAP", -1)
+    slow = {r.id: r.cluster_id for r in connected_components(sdf).collect()}
+    assert fast == slow == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_driver_fastpath_schema_and_empty(spark):
+    """Fast-path output schema must equal the distributed schema (id,
+    cluster_id with the edge id type), and an empty edge frame yields an
+    empty result, not an error."""
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    out = connected_components(df)
+    assert [f.name for f in out.schema.fields] == ["id", "cluster_id"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["bigint", "bigint"]
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
+    assert connected_components(empty, algorithm="star").count() == 0
+
+
+def test_star_adversarial_long_chain_converges_in_log_rounds(
+    spark, force_distributed
+):
     # a 64-node path has diameter 63: min-label propagation needs ~63
     # rounds, the star contraction halves path length every round, so
     # 10 rounds (~log2(64) + slack) must suffice

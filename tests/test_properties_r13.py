@@ -64,3 +64,140 @@ def test_canary_bands_machine_readable():
     # the mechanical rule: inside-band iff membw >= floor AND matmul <= cap
     assert q["membw_mbps_min"] <= bands["membw_mbps"]["quiet_band"][0]
     assert q["matmul_ms_max"] >= bands["matmul_ms"]["quiet_band"][1]
+
+
+# ---------------------------------------------------------------------------
+# 3. Unrolled codegen dot/norm fast paths (similarity.dot_sql / norm_sql /
+#    lsh_buckets' inlined plane dot) must be BITWISE identical to the HOF
+#    forms they replace, across the full adversarial value domain: the
+#    CASE-guard width check, NULL arrays, NULL elements (poisoning), -0.0,
+#    NaN/Infinity propagation, denormals, and ragged widths that must fall
+#    back to the HOF branch. Float64 equality is compared on the IEEE bit
+#    pattern (struct.pack), so -0.0 vs 0.0 or differing NaN handling fails.
+# ---------------------------------------------------------------------------
+
+
+def _f64_key(v):
+    import math
+    import struct
+
+    if v is None:
+        return None
+    if math.isnan(v):
+        return "NaN"  # any NaN bit pattern counts as the same poison value
+    return struct.pack(">d", v)
+
+
+def test_unrolled_dot_norm_bitwise_equals_hof(spark):
+    import random
+
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.operators.similarity import (
+        DIM,
+        DOT_EXPR,
+        NORM_EXPR,
+        dot_sql,
+        norm_sql,
+    )
+
+    rng = random.Random(0xC0FFEE13)
+
+    def vec(width, special_rate=0.25):
+        out = []
+        for _ in range(width):
+            r = rng.random()
+            if r < special_rate:
+                out.append(
+                    rng.choice(
+                        [
+                            None,
+                            0.0,
+                            -0.0,
+                            float("nan"),
+                            float("inf"),
+                            float("-inf"),
+                            5e-324,  # denormal
+                            1e308,
+                            -1e308,
+                        ]
+                    )
+                )
+            else:
+                out.append(rng.uniform(-1e6, 1e6))
+        return out
+
+    rows = []
+    # standard width (fast path), clean + special values
+    for _ in range(40):
+        rows.append((vec(DIM, 0.0), vec(DIM, 0.0)))
+    for _ in range(40):
+        rows.append((vec(DIM), vec(DIM)))
+    # ragged / fallback widths, incl. one side at DIM
+    for w in (0, 1, DIM - 1, DIM + 1, 7):
+        rows.append((vec(w), vec(w)))
+        rows.append((vec(DIM), vec(w)))
+        rows.append((vec(w), vec(DIM)))
+    # NULL arrays
+    rows.append((None, vec(DIM)))
+    rows.append((vec(DIM), None))
+    rows.append((None, None))
+
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    got = df.select(
+        F.expr(dot_sql("a", "b")).alias("dot_fast"),
+        F.expr(DOT_EXPR.format(a="a", b="b")).alias("dot_hof"),
+        F.expr(norm_sql("a")).alias("nrm_fast"),
+        F.expr(NORM_EXPR.format(a="a")).alias("nrm_hof"),
+    ).collect()
+    assert len(got) == len(rows)
+    for i, r in enumerate(got):
+        assert _f64_key(r.dot_fast) == _f64_key(r.dot_hof), (i, r)
+        assert _f64_key(r.nrm_fast) == _f64_key(r.nrm_hof), (i, r)
+
+
+def test_lsh_bucket_unroll_bitwise_equals_hof(spark):
+    """lsh_buckets' inlined plane dot (literal weights, unrolled) must
+    bucket EVERY vector exactly as the old zip_with/aggregate form did —
+    including NULL-element rows, whose NULL dot must still yield bit 0."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.operators.similarity import (
+        DIM,
+        DOT_EXPR,
+        N_PLANES,
+        lsh_buckets,
+        plane_weights,
+    )
+
+    rng = random.Random(0x13B0CCE7)
+    rows = []
+    for i in range(120):
+        v = [float(rng.randint(-1000, 1000)) for _ in range(DIM)]
+        if i % 7 == 0:
+            v[rng.randrange(DIM)] = None  # NULL element → NULL dot → bit 0
+        if i % 11 == 0:
+            v[rng.randrange(DIM)] = 0.0  # boundary: dot can land on 0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+
+    fast = {
+        r.id: r.bucket
+        for r in lsh_buckets(df, vec_col="embedding", id_col="id").collect()
+    }
+
+    # the pre-r13 HOF form, verbatim: literal weight array zip_with'd in
+    bits = []
+    for p, weights in enumerate(plane_weights(N_PLANES)):
+        arr = f"array({', '.join(str(w) for w in weights)})"
+        dot = DOT_EXPR.format(a=arr, b="embedding")
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    old = {
+        r.id: r.bucket
+        for r in df.select(
+            "id", F.expr(" + ".join(bits)).alias("bucket")
+        ).collect()
+    }
+    assert fast == old
