@@ -412,18 +412,17 @@ def lsh_buckets(
     raise_error()s per row otherwise: a mismatched corpus fails loudly on
     the first batch instead of producing plausible garbage.
     """
+    # NOT unrolled (r13): 8 planes × DIM terms is ~512 multiply-adds —
+    # unrolling them blew the fused stage past the JVM's 64 KB method
+    # limit in ql10's bucket+pair plan ("Code grows beyond 64 KB",
+    # whole-stage codegen then falls back to INTERPRETED execution for
+    # the entire stage, a net loss). The bucket pass is O(n) rows while
+    # the dot/norm unrolls ride the O(pairs) stages, so the HOF form
+    # here costs little and keeps every stage's generated method small.
     bits = []
     for p, weights in enumerate(plane_weights(n_planes)):
-        # unrolled product chain (see dot_sql): the plane weights are
-        # integer LITERALS, so each term constant-folds to one codegen
-        # multiply — same left-assoc float64 order as the HOF form, and
-        # the surrounding size(vec)=DIM guard makes the indexing safe
-        dot = _unrolled_sum_sql(
-            [
-                f"(cast({w} as double) * cast({vec_col}[{i}] as double))"
-                for i, w in enumerate(weights)
-            ]
-        )
+        arr = f"array({', '.join(str(w) for w in weights)})"
+        dot = DOT_EXPR.format(a=arr, b=vec_col)
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
     bucket = " + ".join(bits)
     guarded = (
