@@ -131,8 +131,16 @@ def minhash_signature(df: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     return with_sh.withColumn("sig", F.array(*mins))
 
 
-def lsh_bands(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Explode the signature into (id, band, band_key) rows.
+def lsh_bands(
+    df: DataFrame, id_col: str = "doc_id", carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Explode the signature into (id[, *carry], band, band_key) rows.
+
+    ``carry`` names input columns to keep alongside the id through the
+    explode. The whole signature→band chain is map-only, so carrying is
+    free on the wire, while re-joining the source frame on the id
+    afterward to recover e.g. per-doc metadata costs a corpus-sized
+    equi-join per call site (the qs15 r13 fix, guide §2.4).
 
     band_key is the comma-joined signature slice — collisions in a band are
     LSH candidate hits. Output is N_BANDS rows per document.
@@ -156,7 +164,9 @@ def lsh_bands(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         f"CAST(size(sig) AS STRING), ' != {n} (N_BANDS*ROWS_PER_BAND)')) END"
     )
     return df.select(
-        F.col(id_col), F.posexplode(F.expr(guarded)).alias("band", "band_key")
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.posexplode(F.expr(guarded)).alias("band", "band_key"),
     )
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -101,7 +102,16 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "modality": pdf["modality"],
                     "n_bytes": pdf["n_bytes"],
                     "feat_dim": [len(d) % 512 for d in decoded],
-                    "feat_checksum": [sum(d) for d in decoded],
+                    # np.frombuffer + int64 sum, not Python sum(): the
+                    # byte-wise Python loop was O(payload bytes) of
+                    # interpreter work per row (guide §4.2 — hand whole
+                    # buffers to native code). Same integer result: a
+                    # uint8 view summed into int64 cannot overflow below
+                    # 2^55 bytes per payload.
+                    "feat_checksum": [
+                        int(np.frombuffer(d, dtype=np.uint8).sum(dtype=np.int64))
+                        for d in decoded
+                    ],
                 }
             )
 

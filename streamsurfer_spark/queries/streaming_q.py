@@ -858,15 +858,19 @@ def qs15_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # child survives it. (Round-6 rework: the old shape checkpointed
             # decisions AND index eagerly every batch, recomputing the
             # banding ~3x per run — 9.2 s warm at sf0.1, now ~6.5 s.)
-            bands = (
-                dedup.lsh_bands(
-                    dedup.minhash_signature(
-                        dedup.with_shingles(docs.select("doc_id", "text"))
+            # arr/source CARRIED through the map-only signature→band
+            # chain (lsh_bands carry param) instead of re-joined on
+            # doc_id afterward — the join cost an exchange pair per
+            # micro-batch for columns the chain passes through for free
+            # (r13, guide §2.4)
+            bands = dedup.lsh_bands(
+                dedup.minhash_signature(
+                    dedup.with_shingles(
+                        docs.select("doc_id", "text", "arr", "source")
                     )
-                )
-                .join(docs.select("doc_id", "arr", "source"), "doc_id")
-                .localCheckpoint(eager=True)
-            )
+                ),
+                carry=("arr", "source"),
+            ).localCheckpoint(eager=True)
             b_min = bands.groupBy("band", "band_key").agg(F.min("arr").alias("b_min"))
             eff = (
                 b_min.join(holder["index"], ["band", "band_key"], "left")
