@@ -489,18 +489,33 @@ def _shingle_intersection(
     suppresses pairs that were never near-duplicates. (Previously two
     verbatim copies in the two pair functions — r7 review.)
     """
-    sh = hashed_shingle_set(df, text_col, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     from pyspark.sql import Window
 
+    sh = hashed_shingle_set(df, text_col, id_col)
+    # per-doc set size (the score denominator) rides each shingle row as
+    # a second window over the SAME distinct frame, computed BEFORE the
+    # df-cap filter so it counts the FULL set. Previously n_a/n_b came
+    # from a separate `sizes` aggregate joined back on each pair side —
+    # with a self-join that meant the corpus→md5→explode→distinct chain
+    # executed FOUR times (2 pair sides + 2 sizes subtrees); carrying the
+    # count removes both sizes subtrees outright (r13, guide §2.4:
+    # 8 → 4 raw Scan parquet, 24 → 16 raw Exchange strings in the
+    # containment plan). The pair sides still compute twice — persisting
+    # would hide stats from AQE and degrade the broadcast to sort-merge
+    # (the documented trap).
     wdf = Window.partitionBy("shingle")
+    wdoc = Window.partitionBy(id_col)
     sh = (
-        sh.withColumn("_df", F.count("*").over(wdf))
+        sh.withColumn("n_sh", F.count("*").over(wdoc))
+        .withColumn("_df", F.count("*").over(wdf))
         .where(F.col("_df") <= max_shingle_docs)
         .drop("_df")
     )
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    # n_a/n_b are functionally dependent on doc_a/doc_b, so adding them
+    # to the grouping keys yields identical groups — and spares the
+    # two post-aggregation joins entirely
+    return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -509,12 +524,12 @@ def _shingle_intersection(
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count("*").alias("n_inter"))
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return inter.join(sa, "doc_a").join(sb, "doc_b")
 
 
 def shingle_intersection_partials(

@@ -66,10 +66,37 @@ def curate(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     # stage 4: near-dup pruning — drop the higher doc_id of every LSH
     # candidate pair (canonical = lowest id in its near-dup cluster, per
     # the pair relation; transitive closure is a judged non-goal at this
-    # stage — production runs connected components on the pair table)
-    pairs = dedup.lsh_candidate_pairs(exact)
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    survivors = exact.join(losers, "doc_id", "left_anti")
+    # stage — production runs connected components on the pair table).
+    # r13 (guide §2.4): a doc is a pair's doc_b iff some bucket ranks it
+    # [2, cap] under the SAME (band, band_key) window lsh_candidate_pairs
+    # caps with — its partner is that bucket's rank-1 doc — so the loser
+    # set falls out of the banding window directly. The old shape built
+    # the full pair expansion (collect_list + explode + pair groupBy +
+    # distinct) and LEFT ANTI-joined it back to `exact`, executing the
+    # exact subtree (scan + gates + md5 window) a second time; now the
+    # survivor columns ride the map-only band chain (lsh_bands carry) and
+    # one per-doc groupBy replaces expansion + anti-join. Docs ranked past
+    # the cap in EVERY bucket produce no pair under either shape — the
+    # [2, cap] flag (not a bare rn >= 2) keeps that exact semantics.
+    out_cols = ["doc_id", "lang_pred", "n_tokens", "quality_score", *carry]
+    bands = dedup.lsh_bands(
+        dedup.minhash_signature(dedup.with_shingles(exact)),
+        carry=out_cols[1:],
+    )
+    wb = Window.partitionBy("band", "band_key").orderBy("doc_id")
+    survivors = (
+        bands.withColumn("_rn", F.row_number().over(wb))
+        .groupBy(*out_cols)
+        .agg(
+            F.max(
+                (
+                    (F.col("_rn") >= 2)
+                    & (F.col("_rn") <= dedup.LSH_BUCKET_CAP)
+                ).cast("int")
+            ).alias("_loser")
+        )
+        .where(F.col("_loser") == 0)
+    )
 
     return survivors.select(
         "doc_id",
