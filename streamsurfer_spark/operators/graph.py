@@ -281,24 +281,31 @@ def _connected_components_star(
     """
     # nodes whose ONLY edges are self-loops are filtered out of `e` below
     # and would VANISH from the output while the label algorithm keeps
-    # them (r7 review) — collect them as singleton clusters and re-attach
+    # them (r7 review) — keep them as singleton clusters and re-attach
     # at the end. Near-dup pair generators emit id_a < id_b (no
     # self-loops), so this side is typically empty and the anti-join
     # below is over an empty build side.
-    selfers = (
-        edges.where(F.col(src) == F.col(dst))
-        .select(F.col(src).alias("id"))
-        .distinct()
-    )
-    e = (
+    #
+    # ONE canonicalized distinct feeds BOTH e and selfers (r13, guide
+    # §2.4): selfers previously re-derived from raw `edges`, so its
+    # single evaluation (the result-frame anti-join, or the fast path's
+    # collect) re-executed the caller's ENTIRE pair-generation pipeline a
+    # second time — the upstream LSH/cosine/containment stages are far
+    # more expensive than the edge list they emit. A self-loop (x, x)
+    # canonicalizes to (x, x), so filtering the cached distinct by a = b
+    # yields exactly the old distinct selfer set.
+    eall = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("a"),
             F.least(F.col(src), F.col(dst)).alias("b"),
         )
-        .where(F.col("a") != F.col("b"))
         .distinct()
         .persist()
     )
+    selfers = eall.where(F.col("a") == F.col("b")).select(
+        F.col("a").alias("id")
+    )
+    e = eall.where(F.col("a") != F.col("b"))
 
     def checksum(d: DataFrame) -> tuple:
         row = d.agg(
@@ -324,7 +331,7 @@ def _connected_components_star(
             )
             id_type = e.schema["a"].dataType
             out = _cc_driver_result(edges.sparkSession, labels, id_type)
-            e.unpersist()
+            eall.unpersist()
             return out
     for it in range(max_iter):
         # ---- large-star: neighbors above u hang off min(Γ(u) ∪ {u})
@@ -354,6 +361,11 @@ def _connected_components_star(
         # set ~8x (sym twice, large three times), so without per-round
         # truncation the logical plan grows 8^rounds
         cur = checksum(small)
+        # eall stays cached for the whole loop: selfers filters it at the
+        # END (convergence branch), and re-deriving selfers from raw
+        # `edges` there would re-run the caller's pair pipeline. Round-1's
+        # `e` is a plain filter over it, so this unpersist is a no-op
+        # then and releases the per-round checkpoint afterwards.
         e.unpersist()
         e = small
         if cur == prev:
@@ -363,12 +375,19 @@ def _connected_components_star(
             labeled = e.select(
                 F.col("a").alias("id"), F.col("b").alias("cluster_id")
             ).union(roots)
-            singles = selfers.join(labeled, "id", "left_anti").select(
-                F.col("id"), F.col("id").alias("cluster_id")
+            # eagerly materialized (tiny: self-loop-only nodes) so eall
+            # can be released NOW — a lazy anti-join would read it at
+            # result-materialization time, after the unpersist
+            singles = (
+                selfers.join(labeled, "id", "left_anti")
+                .select(F.col("id"), F.col("id").alias("cluster_id"))
+                .localCheckpoint(eager=True)
             )
+            eall.unpersist()
             return labeled.union(singles)
         prev = cur
 
+    eall.unpersist()
     raise RuntimeError(
         f"star contraction did not converge in {max_iter} iterations"
     )
