@@ -477,19 +477,21 @@ def _shingle_intersection(
 ) -> DataFrame:
     """Shared inverted-index intersection behind the Jaccard and
     containment pair families: distinct hashed shingles → df-cap prune →
-    upper-triangle self-join → (doc_a, doc_b, n_inter, n_a, n_b).
+    per-shingle pair expansion → (doc_a, doc_b, n_inter, n_a, n_b).
 
     The frequency prune is a count window over the shingle key — one
-    exchange that the self-join then reuses (same partitioning), so the
-    cap costs no extra shuffle. Set sizes (the score denominators) are
-    computed from the FULL shingle sets, so scores are exact for pairs
-    whose intersection survives; pairs held together only by
+    exchange that the pair expansion then reuses (same partitioning), so
+    the cap costs no extra shuffle. Set sizes (the score denominators)
+    are computed from the FULL shingle sets, so scores are exact for
+    pairs whose intersection survives; pairs held together only by
     >cap-frequency shingles are dropped — by construction those have
     ≲ cap/|A∪B| of signal from such shingles, i.e. the prune only
     suppresses pairs that were never near-duplicates. (Previously two
     verbatim copies in the two pair functions — r7 review.)
     """
     from pyspark.sql import Window
+
+    from streamsurfer_spark.functions.pairs import grouped_pair_expand
 
     sh = hashed_shingle_set(df, text_col, id_col)
     # per-doc set size (the score denominator) rides each shingle row as
@@ -498,11 +500,8 @@ def _shingle_intersection(
     # from a separate `sizes` aggregate joined back on each pair side —
     # with a self-join that meant the corpus→md5→explode→distinct chain
     # executed FOUR times (2 pair sides + 2 sizes subtrees); carrying the
-    # count removes both sizes subtrees outright (r13, guide §2.4:
-    # 8 → 4 raw Scan parquet, 24 → 16 raw Exchange strings in the
-    # containment plan). The pair sides still compute twice — persisting
-    # would hide stats from AQE and degrade the broadcast to sort-merge
-    # (the documented trap).
+    # count removed both sizes subtrees, and grouped_pair_expand removed
+    # the second pair side (r13, guide §2.4): the chain now runs ONCE.
     wdf = Window.partitionBy("shingle")
     wdoc = Window.partitionBy(id_col)
     sh = (
@@ -511,21 +510,16 @@ def _shingle_intersection(
         .where(F.col("_df") <= max_shingle_docs)
         .drop("_df")
     )
-    a, b = sh.alias("a"), sh.alias("b")
     # n_a/n_b are functionally dependent on doc_a/doc_b, so adding them
     # to the grouping keys yields identical groups — and spares the
     # two post-aggregation joins entirely
     return (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        grouped_pair_expand(sh, ["shingle"], [id_col, "n_sh"])
         .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+            F.col(f"_pa.{id_col}").alias("doc_a"),
+            F.col(f"_pb.{id_col}").alias("doc_b"),
+            F.col("_pa.n_sh").alias("n_a"),
+            F.col("_pb.n_sh").alias("n_b"),
         )
         .agg(F.count("*").alias("n_inter"))
         .select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
@@ -561,6 +555,8 @@ def shingle_intersection_partials(
     """
     from pyspark.sql import Window
 
+    from streamsurfer_spark.functions.pairs import grouped_pair_expand
+
     sh = hashed_shingle_set(df, text_col, id_col, slice_of=(part, n_parts))
     sizes_p = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     wdf = Window.partitionBy("shingle")
@@ -569,16 +565,15 @@ def shingle_intersection_partials(
         .where(F.col("_df") <= max_shingle_docs)
         .drop("_df")
     )
-    a, b = capped.alias("a"), capped.alias("b")
+    # grouped_pair_expand, not a shingle-keyed self-join: one evaluation
+    # of the slice's distinct chain per pass instead of two (r13) — the
+    # slice-sum identity is unchanged (the expansion is still wholly
+    # (shingle)-keyed, so a bucket lives inside one slice)
     inter_p = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        grouped_pair_expand(capped, ["shingle"], [id_col])
         .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col(f"_pa.{id_col}").alias("doc_a"),
+            F.col(f"_pb.{id_col}").alias("doc_b"),
         )
         .agg(F.count("*").alias("n_inter"))
     )
@@ -691,12 +686,17 @@ def simhash_hamming_pairs(
 
     Distributed shape (100 TB): signatures are one 48-counter row per
     doc (map-side combined); banding fans out k+1 rows per doc; the
-    self-join keys are (band, 12-bit value) — 4×4096 uniform-ish
+    pair-expansion keys are (band, 12-bit value) — 4×4096 uniform-ish
     buckets, membership capped at SIMHAM_BAND_CAP pre-exchange; the
     exact hamming check (bit_count(xor)) runs only on candidates. No
-    row ever carries text past the signature stage.
+    row ever carries text past the signature stage. The expansion is
+    ``grouped_pair_expand`` (single evaluation), not a band-keyed
+    self-join — the join form ran the token-explode + 48-counter
+    signature aggregate once PER SIDE (r13, guide §2.4).
     """
     from pyspark.sql import Window
+
+    from streamsurfer_spark.functions.pairs import grouped_pair_expand
 
     bands = F.array(*[F.lit(i) for i in range(k + 1)])
     sigs = simhash(df, text_col=text_col, id_col=id_col)
@@ -716,18 +716,14 @@ def simhash_hamming_pairs(
         .where(F.col("_rn") <= SIMHAM_BAND_CAP)
         .drop("_rn")
     )
-    a = capped.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"),
-        "band", "bv",
-    )
-    b = capped.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"),
-        "band", "bv",
-    )
     cand = (
-        a.join(b, ["band", "bv"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        grouped_pair_expand(capped, ["band", "bv"], [id_col, "simhash"])
+        .select(
+            F.col(f"_pa.{id_col}").alias("doc_a"),
+            F.col(f"_pb.{id_col}").alias("doc_b"),
+            F.col("_pa.simhash").alias("sig_a"),
+            F.col("_pb.simhash").alias("sig_b"),
+        )
         .distinct()
     )
     ham = F.expr("bit_count(sig_a ^ sig_b)").cast("int")

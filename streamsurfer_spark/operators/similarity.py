@@ -39,6 +39,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from streamsurfer_spark.functions.hashing import md5_long64_py
+from streamsurfer_spark.functions.pairs import grouped_pair_expand
 from streamsurfer_spark.functions.rounding import scaled_round
 
 N_PLANES = 8
@@ -329,13 +330,19 @@ def cosine_near_dup_pairs(
     across engines, see functions/rounding.py) reaches ``threshold``.
     Returns (id_a, id_b, sim) with id_a < id_b.
 
-    Scale notes: the self-join is equi-keyed on the block column, so cost is
+    Scale notes: the pair stage is keyed on the block column, so cost is
     O(Σ min(block, cap)²), not O(n²) — the same blocking argument as LSH,
     but with a semantic block (label/near-dup cluster/shard) instead of a
     hash bucket, and the same hard cap on pathological keys
     (``block_cap``; see COSINE_BLOCK_CAP). Norms are computed once per row
     BEFORE the pair stage (2/3 less arithmetic in the quadratic part); AQE
     splits residual skew below the cap.
+
+    The pair expansion is ``grouped_pair_expand`` (single evaluation of
+    the normed/capped input, groupBy reusing the cap window's exchange)
+    rather than a block-keyed self-join — the join form evaluated the
+    whole input subtree TWICE (r13, guide §2.4; for qp06 that subtree is
+    the k-means broadcast-argmin assign over the corpus).
     """
     w = Window.partitionBy("_blk").orderBy(id_col)
     normed = (
@@ -349,22 +356,17 @@ def cosine_near_dup_pairs(
         .where(F.col("_rn") <= block_cap)
         .drop("_rn")
     )
-    a = normed.select(
-        F.col(id_col).alias("id_a"),
-        F.col("_blk"),
-        F.col(vec_col).alias("_va"),
-        F.col("_nrm").alias("_na"),
-    )
-    b = normed.select(
-        F.col(id_col).alias("id_b"),
-        F.col("_blk").alias("_blk_b"),
-        F.col(vec_col).alias("_vb"),
-        F.col("_nrm").alias("_nb"),
+    flat = grouped_pair_expand(normed, ["_blk"], [id_col, vec_col, "_nrm"]).select(
+        F.col(f"_pa.{id_col}").alias("id_a"),
+        F.col(f"_pb.{id_col}").alias("id_b"),
+        F.col(f"_pa.{vec_col}").alias("_va"),
+        F.col(f"_pb.{vec_col}").alias("_vb"),
+        F.col("_pa._nrm").alias("_na"),
+        F.col("_pb._nrm").alias("_nb"),
     )
     dot = checked_dot("_va", "_vb")
     return (
-        a.join(b, (F.col("_blk") == F.col("_blk_b")) & (F.col("id_a") < F.col("id_b")))
-        .select(
+        flat.select(
             "id_a",
             "id_b",
             # try_divide: a zero-norm vector is a near-dup of NOTHING by
@@ -1027,7 +1029,7 @@ def lsh_near_pairs(
 ) -> DataFrame:
     """Approximate near-duplicate pairs: same LSH bucket AND cosine ≥ t.
 
-    The self-join is keyed on the bucket id (uniform by construction), so
+    The pair stage is keyed on the bucket id (uniform by construction), so
     the shuffle is balanced; cosine is verified exactly inside the bucket.
     Two structural guards keep the pair stage from going quadratic:
 
@@ -1053,18 +1055,23 @@ def lsh_near_pairs(
         .where(F.col("_rn") <= bucket_cap)
         .drop("_rn")
     )
-    a, c = b.alias("a"), b.alias("b")
-    dot = checked_dot(f"a.{vec_col}", f"b.{vec_col}")
-    norms = F.col("a._nrm") * F.col("b._nrm")
+    # grouped_pair_expand, not a bucket-keyed self-join: the join form
+    # evaluated the whole scan → lsh_buckets (8 HOF plane dots per row)
+    # → norm → cap-window subtree once PER SIDE (r13, guide §2.4)
+    flat = grouped_pair_expand(b, ["bucket"], [id_col, vec_col, "_nrm"]).select(
+        F.col(f"_pa.{id_col}").alias("id_a"),
+        F.col(f"_pb.{id_col}").alias("id_b"),
+        F.col(f"_pa.{vec_col}").alias("_va"),
+        F.col(f"_pb.{vec_col}").alias("_vb"),
+        F.col("_pa._nrm").alias("_na"),
+        F.col("_pb._nrm").alias("_nb"),
+    )
+    dot = checked_dot("_va", "_vb")
+    norms = F.col("_na") * F.col("_nb")
     return (
-        a.join(
-            c,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        flat.select(
+            "id_a",
+            "id_b",
             # try_divide: zero-norm rows drop via the NULL-fails-threshold
             # rule, matching the exact cosine siblings (r9 deep-fuzz class)
             scaled_round(F.try_divide(dot, norms)).alias("cos_sim"),

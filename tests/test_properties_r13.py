@@ -201,3 +201,64 @@ def test_lsh_bucket_unroll_bitwise_equals_hof(spark):
         ).collect()
     }
     assert fast == old
+
+
+def test_grouped_pair_expand_matches_self_join(spark):
+    """grouped_pair_expand (the r13 single-evaluation pair stage) must
+    reproduce the capped self-join's output EXACTLY, including the three
+    parity edges the rewrite could silently change: NULL group keys (an
+    equi-join key never matches NULL), duplicate first-member values
+    (the join's strict a.id < b.id drops equal-id pairs), and
+    multi-column keys. Compared as sorted multisets so a duplicated id
+    pairing with a third member still counts once per copy."""
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.functions.pairs import grouped_pair_expand
+
+    rows = [
+        # group g1: 3 members -> 3 pairs
+        ("g1", 0, 1, 10),
+        ("g1", 0, 2, 20),
+        ("g1", 0, 3, 30),
+        # group g2: singleton -> no pairs
+        ("g2", 0, 4, 40),
+        # NULL in either key column -> never pairs (even with itself)
+        (None, 0, 5, 50),
+        (None, 0, 6, 60),
+        ("g3", None, 7, 70),
+        # duplicate id within a group: copies never pair with EACH OTHER
+        # (strict <) but each copy pairs with the third member
+        ("g4", 1, 8, 80),
+        ("g4", 1, 8, 81),
+        ("g4", 1, 9, 90),
+    ]
+    df = spark.createDataFrame(rows, "k string, k2 int, id long, payload long")
+
+    for keys in (["k"], ["k", "k2"]):
+        a = df.select(
+            *keys, F.col("id").alias("id_a"), F.col("payload").alias("p_a")
+        ).alias("a")
+        b = df.select(
+            *[F.col(c).alias(f"{c}_b") for c in keys],
+            F.col("id").alias("id_b"),
+            F.col("payload").alias("p_b"),
+        ).alias("b")
+        cond = F.col("id_a") < F.col("id_b")
+        for c in keys:
+            cond = cond & (F.col(c) == F.col(f"{c}_b"))
+        joined = sorted(
+            (r.id_a, r.id_b, r.p_a, r.p_b)
+            for r in a.join(b, cond).select("id_a", "id_b", "p_a", "p_b").collect()
+        )
+        expanded = sorted(
+            (r["_pa"]["id"], r["_pb"]["id"], r["_pa"]["payload"], r["_pb"]["payload"])
+            for r in grouped_pair_expand(df, keys, ["id", "payload"]).collect()
+        )
+        assert expanded == joined, keys
+    # the non-degenerate content sanity: g1's three pairs are present
+    got = {
+        (r["_pa"]["id"], r["_pb"]["id"])
+        for r in grouped_pair_expand(df, ["k"], ["id", "payload"]).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= got
+    assert not any(x == y for x, y in got)
