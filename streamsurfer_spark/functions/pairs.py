@@ -54,7 +54,19 @@ def grouped_pair_expand(
 
     The input must already be membership-capped (the caller's cap window)
     — the per-group array is bounded by that cap.
+
+    The helper binds internal columns ``_ms``/``_i`` plus the two output
+    struct names; a caller whose frame already carries one of those names
+    would silently mis-bind (r13 ADVICE), so they are asserted absent.
     """
+    reserved = {"_ms", "_i", a_name, b_name}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"grouped_pair_expand: input columns collide with reserved "
+            f"names {sorted(clash)}; rename them or pass different "
+            f"a_name/b_name"
+        )
     filt = df
     for k in keys:
         filt = filt.where(F.col(k).isNotNull())

@@ -230,7 +230,13 @@ def gopher_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+    materialize=None,
+) -> DataFrame:
     """Unigram-LM quality score: per-document mean token surprisal
     (-ln p(token)) under the corpus's own unigram distribution — the
     classic cheap perplexity proxy for training-data quality filtering
@@ -250,9 +256,32 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     bounded because the fat side is already (doc, token)-distinct, with
     AQE skew-split as backstop. Final groupBy(doc) is partial-aggregating
     on a unique key.
+
+    ``carry``: extra ``df`` columns rode through the aggregation keys
+    (must be functionally dependent on ``id_col`` — per-doc metadata like
+    lang/source). Saves the caller a join back on the id (the r13
+    kmeans_fit/lsh_bands carry pattern, guide §2.4); row values are
+    unchanged because the added keys split no group.
+
+    ``materialize``: optional ``DataFrame -> DataFrame`` hook applied to
+    the tf frame, which this operator references TWICE (the vocabulary
+    chain and the fat join side) — Spark plans no common-subtree reuse,
+    so without it the tokenize/explode/groupBy over ``df`` (and the whole
+    upstream of ``df``) evaluates twice. Capstones with an expensive
+    upstream pass a lineage truncation (e.g.
+    ``lambda d: d.localCheckpoint(eager=False)``); the default None keeps
+    the pure declarative plan (right where ``df`` is a bare scan — ql36).
+    Values are unchanged either way; the tf ⋈ costed join is sort-merge
+    in both forms (no stats-hiding broadcast trap here — r10 lesson).
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    toks = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    tf = toks.groupBy(id_col, *carry, "token").agg(F.count("*").alias("tf"))
+    if materialize is not None:
+        tf = materialize(tf)
     vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     costed = vocab.crossJoin(F.broadcast(total)).select(
@@ -263,7 +292,7 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
     return (
         tf.join(costed, "token")
-        .groupBy(id_col)
+        .groupBy(id_col, *carry)
         .agg(
             F.sum("tf").alias("n_tokens"),
             F.sum(F.col("tf") * F.col("cost_micro")).alias("surprisal_micro"),
@@ -296,6 +325,7 @@ def dsir_importance(
     lang_col: str = "lang",
     id_col: str = "doc_id",
     n_buckets: int = DSIR_BUCKETS,
+    materialize=None,
 ) -> DataFrame:
     """Per-document DSIR importance score over hashed-bigram features.
 
@@ -344,6 +374,13 @@ def dsir_importance(
         )
     )
     tf = buckets.groupBy(id_col, lang_col, "bucket").agg(F.count("*").alias("tf"))
+    # tf feeds both the bucket models and the fat scoring side; the
+    # optional hook truncates lineage so the per-token md5 chain (and the
+    # whole upstream of ``df``) evaluates once — same contract as
+    # unigram_surprisal's ``materialize`` (the weights join keeps its
+    # explicit broadcast hint, so no stats-hiding trap).
+    if materialize is not None:
+        tf = materialize(tf)
     # both bucket models in ONE corpus pass: cnt_t is a conditional sum, not
     # a second aggregation over the fat (doc, bucket) side
     models = tf.groupBy("bucket").agg(

@@ -9,6 +9,8 @@ parts.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from streamsurfer_spark.functions.rounding import scaled_round
@@ -793,55 +795,101 @@ QP06_SQL = _qp06_sql()
 # --- qp07: training-mix capstone (dedup → DSIR → perplexity cut → targets) ---
 
 
-def qp07_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-4 data-selection recipe as ONE composed plan (capstone 7):
-    exact dedup (min-id survivor per content hash) → DSIR gate (keep
-    documents whose hashed-bigram log-ratio vs the 'en' target is
-    positive — compared on the exact BIGINT micro-nat sum, no float
-    threshold) → CCNet-style per-language perplexity cut (drop the worst
-    tertile by unigram surprisal, deterministic integer-rank boundary) →
-    per-source √-temperature sampling targets (ql35's formula). A
-    hash-match proves the 4-stage composition end to end: every stage's
-    population is exactly the previous stage's survivors.
+# A checkpointed survivor manifest is broadcast back onto the corpus only
+# under this row cap (~32 MB of framed doc_ids — the session's 64 MB
+# broadcast standard): lineage truncation hides the manifest's size from
+# AQE (stats on a LogicalRDD default to "huge"), so without the explicit
+# gated hint every manifest join would plan as a corpus-wide sort-merge —
+# the r10-measured 3× trap that kept qp07 monolithic until r14. Above the
+# cap the planner's shuffle join runs unchanged (a 100 TB survivor
+# manifest is never broadcast). Env-tunable like CC_DRIVER_EDGE_CAP.
+MANIFEST_BROADCAST_ROW_CAP = int(
+    os.environ.get("SPARK_GRAFT_MANIFEST_BROADCAST_ROW_CAP", str(4_000_000))
+)
 
-    Scale: each stage is individually audited (ql01 / ql46 / ql47 / ql35
-    scale notes); composing them adds joins on the unique doc_id only.
-    The only global sort is the per-language rank — the documented
-    approx_percentile swap at corpus scale (see ql47).
 
-    Lineage note: expressed as ONE declarative plan, every downstream
-    reuse of a stage re-derives its upstream (the plan re-scans the
-    pruned corpus ~24×). That is the right trade at fixture scale —
-    persisting the survivor lists here hides stats from AQE and turns
-    the broadcast argmin joins into sort-merge (measured 3× slower). At
-    100 TB you run the stages as separate jobs that CHECKPOINT survivor
-    manifests (doc_id lists) to storage between passes, exactly as
-    qp05's export path does with its shard manifest — each pass is then
-    one pruned scan + one manifest join.
+def _training_mix_stages(
+    spark: SparkSession, sf_dir: str, checkpoint
+) -> DataFrame:
+    """The 4-stage training-mix selection shared by qp07/qp07b: exact
+    dedup (min-id survivor per content hash) → DSIR gate (keep documents
+    whose hashed-bigram log-ratio vs the 'en' target is positive —
+    compared on the exact BIGINT micro-nat sum, no float threshold) →
+    CCNet-style per-language perplexity cut (drop the worst tertile by
+    unigram surprisal, deterministic integer-rank boundary) →
+    per-source √-temperature sampling targets (ql35's formula).
+
+    ``checkpoint(df, name) -> DataFrame`` truncates lineage at each
+    stage's survivor doc_id manifest — the capstone's one degree of
+    freedom (r13 verdict item 1). qp07 passes a localCheckpoint (executor
+    blocks, no storage round-trip); qp07b passes a parquet write+readback
+    (the durable-manifest 100 TB shape). Either way each stage is one
+    pruned corpus scan + one manifest join instead of a re-derivation of
+    every upstream stage (~24 corpus scans in the r13 monolithic plan).
+
+    Returns ``keep``: the stage-3 survivor rows (doc_id, source,
+    n_tokens) ready for the stage-4 aggregation.
     """
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
     from streamsurfer_spark.operators import text as text_ops
-    from streamsurfer_spark.queries.llm_q import MIX_FACTOR
+
+    # Each stage's twice-referenced tf frame is lineage-truncated in
+    # executor blocks (lazy localCheckpoint) — without it the per-token
+    # md5 chain over the pruned corpus evaluates twice per stage
+    # (phase-measured: stage 2 was ~55% of qp07's wall with the double
+    # evaluation). Intra-stage and strategy-independent, so both the
+    # localCheckpoint (qp07) and durable-manifest (qp07b) variants use it.
+    tf_ck = lambda d: d.localCheckpoint(eager=False)  # noqa: E731
 
     docs = table(spark, sf_dir, "documents")
-    kept_ids = docs.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
+
+    # stage 1: exact dedup → manifest
+    m1 = checkpoint(
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id"),
+        "stage1_exact_dedup",
     )
-    base = docs.join(kept_ids.select("doc_id"), "doc_id")
-    ds = text_ops.dsir_importance(base).where(F.col("logratio_micro") > 0)
-    base2 = base.join(ds.select("doc_id"), "doc_id")
-    sur = text_ops.unigram_surprisal(base2)
-    scored = sur.join(base2.select("doc_id", "lang", "source"), "doc_id")
+
+    # stage 2: DSIR gate over the stage-1 survivors → manifest
+    base = docs.join(m1, "doc_id")
+    m2 = checkpoint(
+        text_ops.dsir_importance(base, materialize=tf_ck)
+        .where(F.col("logratio_micro") > 0)
+        .select("doc_id"),
+        "stage2_dsir_gate",
+    )
+
+    # stage 3: per-language perplexity cut over the stage-2 survivors.
+    # m2 ⊆ m1 (stage 2 scored only stage-1 survivors), so docs ⋈ m2 is
+    # exactly the old base ⋈ ds frame — one manifest join, not two.
+    # lang/source ride the surprisal aggregation keys (carry) instead of
+    # a corpus join-back on doc_id (guide §2.4).
+    base2 = docs.join(m2, "doc_id")
+    sur = text_ops.unigram_surprisal(
+        base2, carry=("lang", "source"), materialize=tf_ck
+    )
     w = Window.partitionBy("lang").orderBy("avg_surprisal_nats", "doc_id")
-    ranked = scored.select(
+    ranked = sur.select(
+        "doc_id",
         "source",
         "n_tokens",
         F.row_number().over(w).alias("rn"),
         F.count("*").over(Window.partitionBy("lang")).alias("n"),
     )
-    keep = ranked.where(F.col("rn") * 3 <= F.col("n") * 2)
+    return ranked.where(F.col("rn") * 3 <= F.col("n") * 2).select(
+        "doc_id", "source", "n_tokens"
+    )
+
+
+def _mix_targets(keep: DataFrame) -> DataFrame:
+    """Stage 4: per-source √-temperature sampling targets (shared)."""
+    import pyspark.sql.functions as F
+
+    from streamsurfer_spark.queries.llm_q import MIX_FACTOR
+
     return (
         keep.groupBy("source")
         .agg(
@@ -851,7 +899,7 @@ def qp07_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            "n_tokens",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
             F.least(
                 F.col("n_docs"),
                 F.floor(F.sqrt(F.col("n_docs")) * MIX_FACTOR).cast("long"),
@@ -859,6 +907,39 @@ def qp07_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def qp07_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 data-selection recipe (capstone 7) — see
+    ``_training_mix_stages`` for the 4 stages. A hash-match proves the
+    composition end to end: every stage's population is exactly the
+    previous stage's survivors.
+
+    Scale: each stage is individually audited (ql01 / ql46 / ql47 / ql35
+    scale notes); composing them adds joins on the unique doc_id only.
+    The only global sort is the per-language rank — the documented
+    approx_percentile swap at corpus scale (see ql47).
+
+    Lineage note (r13 → r14): expressed as ONE declarative plan, every
+    downstream reuse of a stage re-derived its upstream (~24 corpus
+    scans). r14 applies the documented production shape IN PLACE: each
+    survivor manifest is localCheckpoint'ed (lazy — materialized once at
+    the first action, a few KB of executor blocks at fixture scale) and
+    re-attached with a row-count-gated broadcast hint
+    (MANIFEST_BROADCAST_ROW_CAP) because truncated lineage hides the
+    manifest's true size from AQE. The count that feeds the gate runs on
+    the already-materialized blocks. Results are bit-identical: the
+    checkpoint changes physical execution only.
+    """
+    import pyspark.sql.functions as F
+
+    def local_manifest(df: DataFrame, name: str) -> DataFrame:
+        ck = df.localCheckpoint(eager=False)
+        if ck.count() <= MANIFEST_BROADCAST_ROW_CAP:
+            return F.broadcast(ck)
+        return ck
+
+    return _mix_targets(_training_mix_stages(spark, sf_dir, local_manifest))
 
 
 def _qp07_sql() -> str:
@@ -978,74 +1059,32 @@ def qp07b_training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The manifests land in a process-scoped scratch dir (reclaimed at
     exit); at real scale they'd be object-store paths.
+
+    r14: shares ``_training_mix_stages`` with qp07 (the checkpoint
+    strategy is the ONLY difference — r13 verdict item 1's "parameter,
+    not duplicate code path"). The stage-3 manifest now carries
+    (doc_id, source, n_tokens) so stage 4 aggregates straight off the
+    manifest — at 100 TB the targets job reads no corpus at all, and at
+    fixture scale the old stage-4 corpus re-join (plus its recompute of
+    n_tokens from the text) disappears. n_tokens is identical either
+    way: sum(tf) over a doc's tokens = size(split(text)).
     """
-    import os
-
-    import pyspark.sql.functions as F
-    from pyspark.sql import Window
-
-    from streamsurfer_spark.queries.llm_q import MIX_FACTOR
     from streamsurfer_spark.scratch import scratch_dir
 
     root = scratch_dir("qp07b_manifests_")
 
-    def checkpoint_manifest(df: DataFrame, name: str) -> DataFrame:
-        """Write a doc_id manifest and read it back: truncates lineage at a
-        durable artifact, exactly what separate jobs at scale would do."""
+    def durable_manifest(df: DataFrame, name: str) -> DataFrame:
+        """Write a survivor manifest and read it back: truncates lineage
+        at a durable artifact, exactly what separate jobs at scale would
+        do. The parquet round-trip hands the planner REAL size stats, so
+        the manifest join broadcasts at fixture scale and degrades to a
+        shuffle join at 100 TB with no gating code."""
         path = os.path.join(root, name)
-        df.select("doc_id").write.mode("overwrite").parquet(path)
+        df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    docs = table(spark, sf_dir, "documents")
-
-    # stage 1 job: exact dedup → manifest
-    m1 = checkpoint_manifest(
-        docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id")),
-        "stage1_exact_dedup",
-    )
-
-    # stage 2 job: DSIR gate over the stage-1 survivors → manifest
-    base = docs.join(m1, "doc_id")
-    m2 = checkpoint_manifest(
-        text_ops.dsir_importance(base).where(F.col("logratio_micro") > 0),
-        "stage2_dsir_gate",
-    )
-
-    # stage 3 job: per-language perplexity cut over stage-2 survivors →
-    # survivor-id manifest (checkpoint_manifest persists doc_id only;
-    # stage 4 re-joins documents to recover source/n_tokens)
-    base2 = docs.join(m2, "doc_id")
-    sur = text_ops.unigram_surprisal(base2)
-    scored = sur.join(base2.select("doc_id", "lang", "source"), "doc_id")
-    w = Window.partitionBy("lang").orderBy("avg_surprisal_nats", "doc_id")
-    ranked = scored.select(
-        "doc_id",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("lang")).alias("n"),
-    )
-    m3 = checkpoint_manifest(
-        ranked.where(F.col("rn") * 3 <= F.col("n") * 2), "stage3_perplexity_cut"
-    )
-
-    # stage 4 job: √-temperature targets from the final survivor manifest
-    kept = docs.join(m3, "doc_id")
-    toks = kept.select(
-        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
-    )
-    return (
-        toks.groupBy("source")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
-        .select(
-            "source",
-            "n_docs",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.least(
-                F.col("n_docs"),
-                F.floor(F.sqrt(F.col("n_docs")) * MIX_FACTOR).cast("long"),
-            ).alias("target_n"),
-        )
-        .orderBy("source")
-    )
+    keep = _training_mix_stages(spark, sf_dir, durable_manifest)
+    return _mix_targets(durable_manifest(keep, "stage3_perplexity_cut"))
 
 
 # --- qp08: unified canonical-duplicate map (capstone 8) ----------------------

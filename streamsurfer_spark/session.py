@@ -73,6 +73,15 @@ def get_spark(app_name: str = "streamsurfer-spark", *, shuffle_partitions: int |
             os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
         )
         .config("spark.ui.enabled", "false")
+        # Python workers (UDF executors AND the Python streaming-source
+        # runner) get 15 s by default to connect back to the JVM after
+        # spawn; under co-tenant host contention a fork+import can exceed
+        # that (observed once in the r13 driver's pytest run: a 23-minute
+        # suite hit SocketTimeoutException inside the streaming source
+        # runner). 120 s trades slower surfacing of a genuinely dead
+        # worker for immunity to contention stalls; zero effect on any
+        # healthy-path timing.
+        .config("spark.python.authenticate.socketTimeout", "120s")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet stores TIMESTAMP(NANOS) which parquet-mr rejects by
         # default; read as long and convert ns→µs in table() below.
