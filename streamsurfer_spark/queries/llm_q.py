@@ -35,6 +35,7 @@ from streamsurfer_spark.operators import (
     similarity,
 )
 from streamsurfer_spark.functions import rounding
+from streamsurfer_spark.functions.pairs import grouped_pair_expand
 from streamsurfer_spark.functions.rounding import scaled_round, scaled_round_sql
 from streamsurfer_spark.operators import text as text_ops
 from streamsurfer_spark.queries import QuerySpec
@@ -4026,57 +4027,43 @@ def ql65_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the (source, shingle) distinct level is computed DIRECTLY — the
     # old form built the doc-level distinct (a corpus exchange), joined
     # documents back on doc_id to recover source (two more exchanges),
-    # then re-distinct'ed at the source level
+    # then re-distinct'ed at the source level.
+    # r14 (guide §2.4, the r13-ADVICE leftover): ONE evaluation of the
+    # shingle chain total. The old shape evaluated it FOUR times — the
+    # two self-join sides plus a sizes aggregate referenced by two
+    # broadcast joins. Now the per-source set size rides every shingle
+    # row (window over the distinct frame, counted BEFORE the pair
+    # helper's NULL-key drop — same as the r13 _shingle_intersection
+    # sizes carry) and lands in the pair groupBy keys (functionally
+    # dependent on the sources); the self-join becomes
+    # grouped_pair_expand on the shingle key (membership per shingle is
+    # bounded by |sources|, no cap needed).
     src = dedup.hashed_shingle_set(docs, id_col="source").select(
         "source", "shingle"
     )
-    sizes = src.groupBy("source").agg(F.count("*").cast("bigint").alias("n_sh"))
-    a, bq = src.alias("a"), src.alias("b")
+    sized = src.withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy("source")).cast("bigint")
+    )
     pairs = (
-        a.join(
-            bq,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
+        grouped_pair_expand(sized, ["shingle"], ["source", "n_sh"])
         .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            F.col("_pa.source").alias("source_a"),
+            F.col("_pa.n_sh").alias("shingles_a"),
+            F.col("_pb.source").alias("source_b"),
+            F.col("_pb.n_sh").alias("shingles_b"),
         )
         .agg(F.count("*").cast("bigint").alias("n_common"))
     )
-    return (
-        pairs.join(
-            F.broadcast(
-                sizes.select(
-                    F.col("source").alias("source_a"),
-                    F.col("n_sh").alias("shingles_a"),
-                )
-            ),
-            "source_a",
-        )
-        .join(
-            F.broadcast(
-                sizes.select(
-                    F.col("source").alias("source_b"),
-                    F.col("n_sh").alias("shingles_b"),
-                )
-            ),
-            "source_b",
-        )
-        .select(
-            "source_a",
-            "source_b",
-            "shingles_a",
-            "shingles_b",
-            "n_common",
-            scaled_round(
-                F.try_divide(
-                    F.col("n_common"), F.least("shingles_a", "shingles_b")
-                )
-            ).alias("containment"),
-        )
-        .orderBy("source_a", "source_b")
-    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "shingles_a",
+        "shingles_b",
+        "n_common",
+        scaled_round(
+            F.try_divide(F.col("n_common"), F.least("shingles_a", "shingles_b"))
+        ).alias("containment"),
+    ).orderBy("source_a", "source_b")
 
 
 QL65_SQL = f"""
@@ -4123,13 +4110,20 @@ def ql66_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     sig = dedup.minhash_signature(docs.withColumn("toks", F.split("text", " ")))
-    ssig = sig.groupBy("source").agg(
-        F.array(
-            *[
-                F.min(F.element_at("sig", i + 1))
-                for i in range(dedup.N_MINHASH)
-            ]
-        ).alias("ssig")
+    # lazy lineage truncation (r14): the crossJoin below references the
+    # merged-signature frame on BOTH sides, so without it the whole
+    # corpus signature chain evaluates twice for a |sources|-row result
+    ssig = (
+        sig.groupBy("source")
+        .agg(
+            F.array(
+                *[
+                    F.min(F.element_at("sig", i + 1))
+                    for i in range(dedup.N_MINHASH)
+                ]
+            ).alias("ssig")
+        )
+        .localCheckpoint(eager=False)
     )
     a = ssig.select(F.col("source").alias("source_a"), F.col("ssig").alias("sig_a"))
     bq = ssig.select(F.col("source").alias("source_b"), F.col("ssig").alias("sig_b"))
@@ -4146,21 +4140,28 @@ def ql66_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # source-level shingle sets computed directly (the ql65 r13 rework —
-    # no doc-level distinct, no doc_id join-back)
+    # no doc-level distinct, no doc_id join-back).
+    # r14 (guide §2.4): the shingle chain evaluates TWICE total instead
+    # of four times — grouped_pair_expand replaces the self-join (one
+    # evaluation), and the sizes aggregate is lineage-truncated (lazy
+    # localCheckpoint of a |sources|-row frame) so its two broadcast
+    # join references read the same materialization. Unlike ql65 the
+    # sizes can't ride the pair rows: est enumerates ALL source pairs
+    # (exact_jaccard is defined at n_common = 0), so the size lookup
+    # must cover pairs with no common shingle.
     sh = dedup.hashed_shingle_set(docs, id_col="source").select(
         "source", "shingle"
     )
-    sizes = sh.groupBy("source").agg(F.count("*").cast("bigint").alias("n_sh"))
-    sa, sb = sh.alias("a"), sh.alias("b")
+    sizes = (
+        sh.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
     common = (
-        sa.join(
-            sb,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
+        grouped_pair_expand(sh, ["shingle"], ["source"])
         .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            F.col("_pa.source").alias("source_a"),
+            F.col("_pb.source").alias("source_b"),
         )
         .agg(F.count("*").cast("bigint").alias("n_common"))
     )
