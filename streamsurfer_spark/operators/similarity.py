@@ -88,33 +88,44 @@ def _unrolled_sum_sql(terms: list[str]) -> str:
     return e
 
 
-def dot_sql(a: str, b: str, dim: int = DIM) -> str:
+def dot_sql(a: str, b: str, dim: int = DIM, unroll: bool = True) -> str:
     """DOT_EXPR with the unrolled fast path for width ``dim``.
 
     ``a``/``b`` must be plain column names (the unroll references each
-    64 times)."""
+    64 times). ``unroll=False`` returns the plain HOF form — bit-identical
+    output (the unroll reproduces the HOF accumulator order exactly); use
+    it at call sites whose row count is small enough that the unroll's
+    fixed codegen-compile cost outweighs the per-element interpreter
+    saving (measured on ql42: three 64-term unrolls over one ~O(n_vec)
+    projection ran ~1.2× slower than the HOF forms, r14 A/B)."""
+    hof = DOT_EXPR.format(a=a, b=b)
+    if not unroll:
+        return f"({hof})"
     unrolled = _unrolled_sum_sql(
         [
             f"(cast({a}[{i}] as double) * cast({b}[{i}] as double))"
             for i in range(dim)
         ]
     )
-    hof = DOT_EXPR.format(a=a, b=b)
     return (
         f"(CASE WHEN size({a}) = {dim} AND size({b}) = {dim}"
         f" THEN {unrolled} ELSE {hof} END)"
     )
 
 
-def norm_sql(a: str, dim: int = DIM) -> str:
-    """NORM_EXPR with the unrolled fast path for width ``dim``."""
+def norm_sql(a: str, dim: int = DIM, unroll: bool = True) -> str:
+    """NORM_EXPR with the unrolled fast path for width ``dim``.
+
+    ``unroll=False`` as in :func:`dot_sql`."""
+    hof = NORM_EXPR.format(a=a)
+    if not unroll:
+        return f"({hof})"
     unrolled = _unrolled_sum_sql(
         [
             f"(cast({a}[{i}] as double) * cast({a}[{i}] as double))"
             for i in range(dim)
         ]
     )
-    hof = NORM_EXPR.format(a=a)
     return f"(CASE WHEN size({a}) = {dim} THEN sqrt({unrolled}) ELSE {hof} END)"
 
 

@@ -31,53 +31,116 @@ class QuerySpec:
 # Ordering is load-bearing: the driver's correctness gate evaluates a
 # prefix of this dict (50 entries in every round so far).
 #
-# ROUND-13 WINDOW (current). Evidence histogram going into r13,
-# recomputed from CORRECTNESS_r01..r12 (latest gate row per entry):
-# r8=18, r9=45, r10=48, r11=50, r12=50 → all 211 entries gated at
-# least once, none older than r8. The 50 slots, per the standing
+# ROUND-14 WINDOW (current). Evidence histogram going into r14,
+# recomputed from CORRECTNESS_r01..r13 (latest gate row per entry):
+# r9=15, r10=48, r11=50, r12=48, r13=50 → all 211 entries gated at
+# least once, none older than r9. The 50 slots, per the standing
 # policy (changed-this-round + the promised band + the entire oldest
 # band, then an oldest-evidence fill):
-#   (a) this round's engine-touched entries: qp08 (the bounded-pass
-#       band-exchange slicing — r12 verdict item 4 — changes
-#       pipeline_q.py's scratch staging; fixture-scale plans collapse
-#       to one slice so oracle hashes are unchanged, windowed as the
-#       proof), plus ql14 and ql43, the IVF-family representatives for
-#       this round's similarity.py edits (Arrow-conf restore around
-#       the centroid collect + the pre-cast raw-integer magnitude for
-#       the float64 guard — both r12 ADVICE, both fixture-invisible);
-#   (b) the ENTIRE 18-entry r8 remainder — the oldest gate evidence in
-#       the registry, promised whole at the r13 head by the r12
-#       rotation (R13 PLAN in this header's git history; mechanically
+#   (a) this round's engine-touched entries (7): qp07/qp07b (staged
+#       checkpointed capstone — r13 verdict item 1), ql65/ql66 (the
+#       source-shingle chain now evaluates once — r13 ADVICE), ql42
+#       (HOF dot/norm at the small-row call site — r13 verdict item
+#       4), ql36/ql46 (carry/materialize hooks on their operators);
+#   (b) the 10 r13-TOUCHED entries the r13 driver window never
+#       oracle-gated (r13 verdict item 2): ql23 ql34 qs15 qp10 qp04
+#       qp05 ql50 qp03 ql02 ql10 — including both driver-union-find
+#       beneficiaries (ql23/ql34);
+#   (c) the ENTIRE 15-entry r9 remainder — the oldest gate evidence in
+#       the registry, promised whole at the r14 head by the r13
+#       rotation (R14 PLAN in this header's git history; mechanically
 #       enforced by the rotation-policy test's missing_stale assert
-#       now that CORRECTNESS_r12 is on disk). Includes ql07b, the one
-#       rows-only-by-design entry: when its band is the OLDEST the
-#       whole-band promise outranks the oracle-first fill preference
-#       (it was skipped as a FILL in r12; as stale debt it rotates).
-#   (c) a 29-entry fill from the head of the r9 band in registry
-#       order (skipping qp08, already windowed at the head):
-#       ql03 ql07c ql28 ql39 ql40 ql44 ql48 ql49 ql60 qp01 qp06 qp09
-#       qr26 qr28 qr49e qr49i qr50 qr51 qr52 qr54 qr55 qr56 qr57 qr58
-#       qr60 qr64 qr65 qr66 qr67.
-# 3 + 18 + 29 = exactly 50.
+#       now that CORRECTNESS_r13 is on disk);
+#   (d) an 18-entry fill from the head of the r10 band in registry
+#       order (skipping ql10/ql23/ql42/qp03/qp04, already windowed
+#       above): ql18 ql19 ql21 ql38 ql51 ql52 ql62 qr01 qr02 qr03
+#       qr04 qr05a qr05l qr05s qr07 qr08 qr09 qr09b.
+# 7 + 10 + 15 + 18 = exactly 50.
 #
-# R14 PLAN: after CORRECTNESS_r13 lands the oldest band is the
-# 15-entry r9 remainder (qr68 qr69 qs01 qs02 qs04 qs09 qs10 qs11 qs12
-# qs16 qt03 qt05 qt08 qt11 qt13); it fits in the r14 window whole
-# with ~35 slots for r14-changed entries + the r10 band head; the
-# rotation-policy test enforces the promise mechanically.
+# R15 PLAN: after CORRECTNESS_r14 lands the oldest band is the
+# 25-entry r10 remainder (qr10..qr30 window/set/string families,
+# qr44 qr63 qr70 qs07 qs13 qs14 qt10 qv06); it fits in the r15 window
+# whole with ~25 slots for r15-changed entries + the r11 band head;
+# the rotation-policy test enforces the promise mechanically.
 #
 # Every entry regardless of window membership is covered by the
 # standing full-registry sim (tools/driver_sim.py → DRIVER_SIM_r*.txt,
 # ALL PASS — the identical rows+schema+hash compare, just not
 # driver-recorded). Earlier rounds' window layouts and their rationale
-# live in this file's git history (r12: commit 0e3cfa3 and before).
+# live in this file's git history (r13: commit b338ee3 and before).
 _VERIFY_FIRST = (
-    # (a) this round's engine-touched entries
+    # (a) r14 engine-touched entries: the staged-checkpoint capstone
+    #     rewrite (qp07/qp07b), the shingle-chain single-evaluation
+    #     rewrite (ql65/ql66), the ql42 HOF dot/norm switch, and the
+    #     carry/materialize hooks added to unigram_surprisal /
+    #     dsir_importance (ql36/ql46 are those operators' registry faces)
+    "qp07_training_mix",
+    "qp07b_training_mix_manifest",
+    "ql65_source_overlap_matrix",
+    "ql66_source_minhash_jaccard",
+    "ql42_hybrid_rrf",
+    "ql36_unigram_surprisal",
+    "ql46_dsir_importance",
+    # (b) the 10 r13-touched entries the r13 driver window never
+    #     oracle-gated (r13 verdict item 1/next-round item 2; ql42,
+    #     ql65, ql66 from that list are already above as r14-touched)
+    "ql23_dedup_clusters",
+    "ql34_cluster_representatives",
+    "qs15_stream_lsh_dedup",
+    "qp10_retention_waterfall",
+    "qp04_quality_dashboard",
+    "qp05_export_manifest",
+    "ql50_snapshot_novelty",
+    "qp03_ivfpq_build_report",
+    "ql02_minhash_lsh_pairs",
+    "ql10_lsh_ann_pairs",
+    # (c) the ENTIRE 15-entry r9 remainder — the oldest gate band,
+    #     promised whole at the r14 head by the r13 rotation
+    #     (mechanically enforced by the rotation-policy test)
+    "qr68_promotable_suppliers",
+    "qr69_waiting_suppliers",
+    "qs01_stream_ingest_counts",
+    "qs02_tumbling_window",
+    "qs04_watermarked_append",
+    "qs09_chained_windows",
+    "qs10_interval_join",
+    "qs11_stateful_tracker",
+    "qs12_stream_temporal_dim",
+    "qs16_stream_outer_join",
+    "qt03_sessionize",
+    "qt05_ohlc_bars",
+    "qt08_rolling_anomaly",
+    "qt11_seasonal_profile",
+    "qt13_cohort_retention",
+    # (d) an 18-entry fill from the head of the r10 band in registry
+    #     order (skipping entries already windowed above)
+    "ql18_udaf_geo_mean",
+    "ql19_grouped_map_zscore",
+    "ql21_cosine_near_dup",
+    "ql38_kmeans_clusters",
+    "ql51_hard_negatives",
+    "ql52_multimodal_ann",
+    "ql62_label_silhouette",
+    "qr01_scan_checksum",
+    "qr02_filter_agg",
+    "qr03_join_orders_customer",
+    "qr04_multiway_join",
+    "qr05_anti_join",
+    "qr05_left_join_histogram",
+    "qr05_semi_join",
+    "qr07_count_distinct",
+    "qr08_approx_count_distinct",
+    "qr09_rollup",
+    "qr09b_cube",
+    # --- r14 window boundary: exactly 50 entries above ---
+    # Post-window order (informational — every entry below has an
+    # r10..r13 gate row; the full-registry sim covers all of them
+    # each round): freshest evidence first — the r13 band, then r12,
+    # r11, and the r10 remainder.
     "qp08_canonical_map",
     "ql14_ivf_topk",
     "ql43_ann_recall",
-    # (b) the ENTIRE 18-entry r8 remainder — the oldest gate band
-    "ql07b_multimodal_features",  # rows-only spec (pytest + ql07c twin)
+    "ql07b_multimodal_features",
     "qr45_window_value_fns",
     "qr46_disjunctive_join",
     "qr48_nation_volume",
@@ -95,7 +158,6 @@ _VERIFY_FIRST = (
     "qt21_rolling_median",
     "qt22_seasonal_backtest",
     "qv03_origin_stamp",
-    # (c) the 29-entry head of the r9 band (registry order)
     "ql03_cosine_topk",
     "ql07c_features_parity",
     "ql28_quantization_error",
@@ -125,20 +187,11 @@ _VERIFY_FIRST = (
     "qr65_shipping_speed",
     "qr66_customer_distribution",
     "qr67_supplier_part_counts",
-    # --- r13 window boundary: exactly 50 entries above ---
-    # Post-window order (informational — every entry below has an r9,
-    # r10, r11 or r12 gate row; the full-registry sim covers all of
-    # them each round): freshest evidence first — the r12 band, then
-    # r11, then r10, then the 15-entry r9 remainder promised whole at
-    # the r14 head.
     "ql01_exact_dedup",
     "ql05_top_terms",
     "ql16_hash_sample",
     "ql17_stratified_sample",
-    "ql36_unigram_surprisal",
     "ql55_gopher_rules",
-    "qp07_training_mix",
-    "qp07b_training_mix_manifest",
     "qr06_hash_agg_q1",
     "qr10b_window_analytics",
     "qr16_math_decimal",
@@ -173,10 +226,7 @@ _VERIFY_FIRST = (
     "ql61_matryoshka_energy",
     "ql63_entropy_threshold_sweep",
     "ql64_cluster_aware_split",
-    "ql65_source_overlap_matrix",
-    "ql66_source_minhash_jaccard",
     "ql67_langid_quality",
-    "qp10_retention_waterfall",
     "qr18_subqueries",
     "qr43_cdc_apply",
     "qr71_approx_quantile_gate",
@@ -191,13 +241,11 @@ _VERIFY_FIRST = (
     "ql27_bigram_collocations",
     "ql30_decontamination",
     "ql31_repetition_metrics",
-    "ql34_cluster_representatives",
     "ql37_duplicate_spans",
     "ql45_minhash_calibration",
     "ql53_vocab_diagnostics",
     "ql54_containment_pairs",
     "qp02_vector_index_report",
-    "qp05_export_manifest",
     "qr31_null_semantics",
     "qr32_unpivot",
     "qr33_posexplode",
@@ -208,50 +256,23 @@ _VERIFY_FIRST = (
     "qr40_scd2_intervals",
     "qr41_dormant_customers",
     "qr42_upsert_snapshot",
-    "qs15_stream_lsh_dedup",
     "qt12_funnel",
     "qt14_transition_matrix",
     "qv01_validate_required",
     "qv02_payload_parse",
     "qv07_json_typed_parse",
     "qv09_consume_roundtrip",
-    "ql02_minhash_lsh_pairs",
     "ql07_multimodal_envelope",
     "ql08_simhash",
     "ql12_language_id",
     "ql20_udtf_tokenize",
     "ql32_bm25_topk",
-    "ql46_dsir_importance",
     "ql47_perplexity_buckets",
-    "ql50_snapshot_novelty",
     "qr17_array_fns",
     "qr21_percentiles",
     "qr35_lambda_pack",
     "qt06_resample_interpolate",
     "qt07_ewma_smoothing",
-    "ql10_lsh_ann_pairs",
-    "ql18_udaf_geo_mean",
-    "ql19_grouped_map_zscore",
-    "ql21_cosine_near_dup",
-    "ql23_dedup_clusters",
-    "ql38_kmeans_clusters",
-    "ql42_hybrid_rrf",
-    "ql51_hard_negatives",
-    "ql52_multimodal_ann",
-    "ql62_label_silhouette",
-    "qp03_ivfpq_build_report",
-    "qp04_quality_dashboard",
-    "qr01_scan_checksum",
-    "qr02_filter_agg",
-    "qr03_join_orders_customer",
-    "qr04_multiway_join",
-    "qr05_anti_join",
-    "qr05_left_join_histogram",
-    "qr05_semi_join",
-    "qr07_count_distinct",
-    "qr08_approx_count_distinct",
-    "qr09_rollup",
-    "qr09b_cube",
     "qr10_window_rank",
     "qr11_window_running",
     "qr12_topk",
@@ -277,21 +298,6 @@ _VERIFY_FIRST = (
     "qs14_stream_cdc_apply",
     "qt10_nearest_error",
     "qv06_json_extract",
-    "qr68_promotable_suppliers",
-    "qr69_waiting_suppliers",
-    "qs01_stream_ingest_counts",
-    "qs02_tumbling_window",
-    "qs04_watermarked_append",
-    "qs09_chained_windows",
-    "qs10_interval_join",
-    "qs11_stateful_tracker",
-    "qs12_stream_temporal_dim",
-    "qs16_stream_outer_join",
-    "qt03_sessionize",
-    "qt05_ohlc_bars",
-    "qt08_rolling_anomaly",
-    "qt11_seasonal_profile",
-    "qt13_cohort_retention",
 )
 
 

@@ -1857,11 +1857,17 @@ def ql42_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_lex = Window.orderBy(F.desc("_ls"), F.col("item_id"))
     lex = lex.withColumn("r_lex", F.row_number().over(w_lex))
 
+    # HOF (non-unrolled) dot/norm forms: this stage is one projection over
+    # the embeddings table against a single broadcast query vector — small
+    # enough that the unrolled CASE's fixed codegen-compile cost exceeds
+    # its per-element saving (r14 A/B: HOF ~1.2× faster here; the forms
+    # are bit-identical so the result is unchanged). The unroll stays on
+    # the O(pairs·d) cosine stages in operators/similarity.py.
     qvec = emb.where(F.col("vec_id") == RRF_QUERY_VEC_ID).select(
         F.col("embedding").alias("_qv"),
-        F.expr(norm_sql("embedding")).alias("_qn"),
+        F.expr(norm_sql("embedding", unroll=False)).alias("_qn"),
     )
-    dot = F.expr(dot_sql("embedding", "_qv"))
+    dot = F.expr(dot_sql("embedding", "_qv", unroll=False))
     vec = (
         emb.where(F.col("vec_id") != RRF_QUERY_VEC_ID)
         .crossJoin(F.broadcast(qvec))
@@ -1872,7 +1878,7 @@ def ql42_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             # candidate list, not ANSI-raise or rank as NULL
             scaled_round(
                 F.try_divide(
-                    dot, F.expr(norm_sql("embedding")) * F.col("_qn")
+                    dot, F.expr(norm_sql("embedding", unroll=False)) * F.col("_qn")
                 )
             ).alias("_vs"),
         )

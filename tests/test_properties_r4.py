@@ -337,31 +337,40 @@ def test_verify_window_follows_rotation_policy():
     assert not unknown, f"_VERIFY_FIRST names not in registry: {unknown}"
 
     changed_this_round = {
-        # round 13 (queries/__init__.py header):
-        # qp08 — the bounded-pass variant's LSH band exchange got the
-        # pmod-slice + spool treatment (r12 verdict item 4); fixture
-        # scale collapses to one slice so gate plans/hashes are
-        # unchanged, windowed as the proof
-        "qp08_canonical_map",
-        # ql14/ql43 — IVF-family representatives for this round's
-        # similarity.py edits (Arrow-conf restore around the centroid
-        # collect + pre-cast raw-integer magnitude for the float64
-        # guard — both r12 ADVICE, both fixture-invisible)
-        "ql14_ivf_topk",
-        "ql43_ann_recall",
+        # round 14 (queries/__init__.py header):
+        # qp07/qp07b — the staged checkpointed capstone (r13 verdict
+        # item 1); ql65/ql66 — source-shingle chain evaluated once
+        # (r13 ADVICE); ql42 — HOF dot/norm at the small-row call site
+        # (r13 verdict item 4); ql36/ql46 — carry/materialize hooks on
+        # unigram_surprisal / dsir_importance
+        "qp07_training_mix",
+        "qp07b_training_mix_manifest",
+        "ql65_source_overlap_matrix",
+        "ql66_source_minhash_jaccard",
+        "ql42_hybrid_rrf",
+        "ql36_unigram_surprisal",
+        "ql46_dsir_importance",
+        # plus the 10 r13-touched entries the r13 driver window never
+        # oracle-gated (r13 verdict item 2) — windowed this round so the
+        # INDEPENDENT driver artifact finally covers them
+        "ql23_dedup_clusters",
+        "ql34_cluster_representatives",
+        "qs15_stream_lsh_dedup",
+        "qp10_retention_waterfall",
+        "qp04_quality_dashboard",
+        "qp05_export_manifest",
+        "ql50_snapshot_novelty",
+        "qp03_ivfpq_build_report",
+        "ql02_minhash_lsh_pairs",
+        "ql10_lsh_ann_pairs",
     }
-    # round-13 deferrals: NONE. The window holds the three
-    # engine-touched entries at its head, the entire 18-entry r8
-    # remainder (the r12 rotation's mechanical promise, incl. the
-    # rows-only-by-design ql07b — whole-band stale debt outranks the
-    # oracle-first FILL preference), and the 29-entry head of the r9
-    # band — see the queries/__init__.py header.
+    # round-14 deferrals: NONE.
     deferred: tuple = ()
 
-    # the r13 head: the three engine-touched entries
-    assert names[0] == "qp08_canonical_map"
-    assert names[1] == "ql14_ivf_topk"
-    assert names[2] == "ql43_ann_recall"
+    # the r14 head: the seven r14-engine-touched entries
+    assert names[0] == "qp07_training_mix"
+    assert names[1] == "qp07b_training_mix_manifest"
+    assert names[2] == "ql65_source_overlap_matrix"
     missing = changed_this_round - window - set(deferred)
     assert not missing, f"round-changed queries outside the gate window: {missing}"
 
@@ -370,16 +379,16 @@ def test_verify_window_follows_rotation_policy():
     import glob
     import json
 
-    # FROZEN to rounds 1..12: the artifacts that existed when the r13
+    # FROZEN to rounds 1..13: the artifacts that existed when the r14
     # window was designed. Globbing ALL rounds would make this test flip
     # the moment the CURRENT round's artifact lands (the window entries
-    # get gate row 13, the next band becomes the oldest, missing_stale
-    # fires) — the r14 session updates both the window and this freeze
+    # get gate row 14, the next band becomes the oldest, missing_stale
+    # fires) — the r15 session updates both the window and this freeze
     # together.
     rounds = {}
     paths = [
         p
-        for n in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+        for n in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13)
         for p in glob.glob(f"/root/repo/CORRECTNESS_r{n:02d}.json")
     ]
     if not paths:
@@ -392,42 +401,37 @@ def test_verify_window_follows_rotation_policy():
     stale = {k for k, v in rounds.items() if v == oldest and k in names}
 
     # the WHOLE oldest band must fit in the window this round — the
-    # verdict's "no gate row older than <oldest+1>" done-bar. r13 window
-    # math: oldest = r8 (the 18-entry remainder incl. ql07b), all
-    # in-window — this assert IS the r12 rotation's mechanical promise
-    # firing
+    # verdict's "no gate row older than <oldest+1>" done-bar. r14 window
+    # math: oldest = r9 (the 15-entry remainder), all in-window — this
+    # assert IS the r13 rotation's mechanical promise firing
     missing_stale = stale - window - set(deferred)
     assert not missing_stale, f"oldest-band entries outside the window: {missing_stale}"
 
-    # the next band (r9, 45 entries) does NOT fit whole alongside the
-    # full r8 remainder + the 3 changed entries; the 29 slots left go
-    # to the band's HEAD in registry order (qp08 is r9-latest but
-    # already windowed at the head as a changed entry); the 15-entry
-    # remainder is promised whole at the r14 head (it becomes the
-    # oldest band the moment CORRECTNESS_r13 lands, so the
+    # the next band (r10, 48 entries) does NOT fit whole alongside the
+    # r9 remainder + the 17 changed/never-gated entries; the 18 slots
+    # left go to the band's HEAD in registry order (ql10/ql23/ql42/
+    # qp03/qp04 are r10-latest but already windowed above); the
+    # 25-entry r10 remainder is promised whole at the r15 head (it
+    # becomes the oldest band the moment CORRECTNESS_r14 lands, so the
     # missing_stale assert above enforces the promise mechanically
     # next round)
-    fill_r9 = {
-        "ql03_cosine_topk", "ql07c_features_parity",
-        "ql28_quantization_error", "ql39_pq_encode", "ql40_epoch_plan",
-        "ql44_split_leakage", "ql48_bpe_pair_stats", "ql49_pagerank",
-        "ql60_simhash_hamming", "qp01_curation_report",
-        "qp06_semdedup_report", "qp09_intake_gate", "qr26_stats_pack",
-        "qr28_filtered_agg", "qr49_except_all", "qr49_intersect_all",
-        "qr50_expectations_orders", "qr51_grouping_sets",
-        "qr52_variant_props", "qr54_top_supplier", "qr55_empty_result",
-        "qr56_inventory_drawdown", "qr57_try_arithmetic",
-        "qr58_collated_grouping", "qr60_priority_lateness",
-        "qr64_important_parts", "qr65_shipping_speed",
-        "qr66_customer_distribution", "qr67_supplier_part_counts",
+    fill_r10 = {
+        "ql18_udaf_geo_mean", "ql19_grouped_map_zscore",
+        "ql21_cosine_near_dup", "ql38_kmeans_clusters",
+        "ql51_hard_negatives", "ql52_multimodal_ann",
+        "ql62_label_silhouette", "qr01_scan_checksum", "qr02_filter_agg",
+        "qr03_join_orders_customer", "qr04_multiway_join",
+        "qr05_anti_join", "qr05_left_join_histogram", "qr05_semi_join",
+        "qr07_count_distinct", "qr08_approx_count_distinct",
+        "qr09_rollup", "qr09b_cube",
     }
-    assert fill_r9 <= window, (
-        f"r9-band fill outside the window: {fill_r9 - window}"
+    assert fill_r10 <= window, (
+        f"r10-band fill outside the window: {fill_r10 - window}"
     )
     next_band = {k for k, v in rounds.items() if v == oldest + 1 and k in names}
-    assert fill_r9 <= next_band, (
-        "fill entries must come from the r9 band: "
-        f"{fill_r9 - next_band} are not r9-latest"
+    assert fill_r10 <= next_band, (
+        "fill entries must come from the r10 band: "
+        f"{fill_r10 - next_band} are not r10-latest"
     )
 
     # entries that have NEVER had a gate row (and are not rows-only
