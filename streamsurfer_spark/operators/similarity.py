@@ -129,7 +129,7 @@ def norm_sql(a: str, dim: int = DIM, unroll: bool = True) -> str:
     return f"(CASE WHEN size({a}) = {dim} THEN sqrt({unrolled}) ELSE {hof} END)"
 
 
-def checked_dot(a: str, b: str):
+def checked_dot(a: str, b: str, unroll: bool = True):
     """DOT_EXPR with a loud dimension guard for the exact cosine paths.
 
     ``zip_with`` PADS the shorter array with NULLs (it does not truncate),
@@ -154,7 +154,7 @@ def checked_dot(a: str, b: str):
     size_b = F.size(F.col(b))
     return F.when(
         F.col(a).isNotNull() & F.col(b).isNotNull() & (size_a == size_b),
-        F.expr(dot_sql(a, b)),
+        F.expr(dot_sql(a, b, unroll=unroll)),
     ).otherwise(
         F.raise_error(
             F.concat(
@@ -275,21 +275,29 @@ def cosine_topk(
     """
     # norms factored out pre-join: computed once per row instead of once
     # per (probe, corpus) pair — 2/3 less arithmetic in the O(p·n) stage
+    # HOF (non-unrolled) dot/norm forms throughout this operator: the dot
+    # sits in the projection ON the BroadcastNestedLoopJoin output, where
+    # the unrolled 64-term CASE measured SLOWER than the HOF aggregate at
+    # the query level (r14 interleaved A/B, outputs row-identical:
+    # ql03 HOF median 1.26 s vs unrolled 2.25 s, ql43 2.92 vs 4.28 —
+    # ql43's r12→r13 creep attributes to the r13 unroll landing here).
+    # The unroll stays on the capped block/bucket pair stages, whose
+    # grouped-expand projections showed it flat-to-positive (qp06 A/B).
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         *[F.col(c).alias(f"probe_{c}") for c in probe_cols],
         F.col(vec_col).alias("probe_vec"),
-        F.expr(norm_sql(vec_col)).alias("probe_nrm"),
+        F.expr(norm_sql(vec_col, unroll=False)).alias("probe_nrm"),
     )
     c = corpus.select(
         F.col(id_col),
         *corpus_cols,
         F.col(vec_col),
-        F.expr(norm_sql(vec_col)).alias("corpus_nrm"),
+        F.expr(norm_sql(vec_col, unroll=False)).alias("corpus_nrm"),
     )
     cond = pair_cond if pair_cond is not None else F.col(id_col) != F.col("probe_id")
     joined = c.join(F.broadcast(p), cond)
-    dot = checked_dot("probe_vec", vec_col)
+    dot = checked_dot("probe_vec", vec_col, unroll=False)
     # try_divide + explicit NULL exclusion: cosine is UNDEFINED against a
     # zero-norm vector, and the raw division ANSI-raised DIVIDE_BY_ZERO
     # (killing the whole job on one degenerate embedding) while the

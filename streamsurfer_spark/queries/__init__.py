@@ -37,11 +37,16 @@ class QuerySpec:
 # least once, none older than r9. The 50 slots, per the standing
 # policy (changed-this-round + the promised band + the entire oldest
 # band, then an oldest-evidence fill):
-#   (a) this round's engine-touched entries (7): qp07/qp07b (staged
-#       checkpointed capstone — r13 verdict item 1), ql65/ql66 (the
-#       source-shingle chain now evaluates once — r13 ADVICE), ql42
-#       (HOF dot/norm at the small-row call site — r13 verdict item
-#       4), ql36/ql46 (carry/materialize hooks on their operators);
+#   (a) this round's engine-touched entries (9 + 2 in fill): qp07/qp07b
+#       (staged checkpointed capstone — r13 verdict item 1), ql65/ql66
+#       (the source-shingle chain now evaluates once — r13 ADVICE),
+#       ql42 (HOF dot/norm at the small-row call site — r13 verdict
+#       item 4), ql03/ql43 (cosine_topk's dot/norm switched to the HOF
+#       forms — the r13 unroll measured SLOWER at the query level in
+#       the BroadcastNestedLoopJoin projection and is ql43's r13-creep
+#       attribution; ql51/ql52, the other two cosine_topk consumers,
+#       double as fill entries below), ql36/ql46 (carry/materialize
+#       hooks on their operators);
 #   (b) the 10 r13-TOUCHED entries the r13 driver window never
 #       oracle-gated (r13 verdict item 2): ql23 ql34 qs15 qp10 qp04
 #       qp05 ql50 qp03 ql02 ql10 — including both driver-union-find
@@ -51,11 +56,12 @@ class QuerySpec:
 #       rotation (R14 PLAN in this header's git history; mechanically
 #       enforced by the rotation-policy test's missing_stale assert
 #       now that CORRECTNESS_r13 is on disk);
-#   (d) an 18-entry fill from the head of the r10 band in registry
+#   (d) a 16-entry fill from the head of the r10 band in registry
 #       order (skipping ql10/ql23/ql42/qp03/qp04, already windowed
-#       above): ql18 ql19 ql21 ql38 ql51 ql52 ql62 qr01 qr02 qr03
-#       qr04 qr05a qr05l qr05s qr07 qr08 qr09 qr09b.
-# 7 + 10 + 15 + 18 = exactly 50.
+#       above; ql51/ql52 double as changed entries): ql18 ql19 ql21
+#       ql38 ql51 ql52 ql62 qr01 qr02 qr03 qr04 qr05a qr05l qr05s
+#       qr07 qr08.
+# 9 + 10 + 15 + 16 = exactly 50.
 #
 # R15 PLAN: after CORRECTNESS_r14 lands the oldest band is the
 # 25-entry r10 remainder (qr10..qr30 window/set/string families,
@@ -79,6 +85,8 @@ _VERIFY_FIRST = (
     "ql65_source_overlap_matrix",
     "ql66_source_minhash_jaccard",
     "ql42_hybrid_rrf",
+    "ql03_cosine_topk",
+    "ql43_ann_recall",
     "ql36_unigram_surprisal",
     "ql46_dsir_importance",
     # (b) the 10 r13-touched entries the r13 driver window never
@@ -130,8 +138,6 @@ _VERIFY_FIRST = (
     "qr05_semi_join",
     "qr07_count_distinct",
     "qr08_approx_count_distinct",
-    "qr09_rollup",
-    "qr09b_cube",
     # --- r14 window boundary: exactly 50 entries above ---
     # Post-window order (informational — every entry below has an
     # r10..r13 gate row; the full-registry sim covers all of them
@@ -139,7 +145,6 @@ _VERIFY_FIRST = (
     # r11, and the r10 remainder.
     "qp08_canonical_map",
     "ql14_ivf_topk",
-    "ql43_ann_recall",
     "ql07b_multimodal_features",
     "qr45_window_value_fns",
     "qr46_disjunctive_join",
@@ -158,7 +163,6 @@ _VERIFY_FIRST = (
     "qt21_rolling_median",
     "qt22_seasonal_backtest",
     "qv03_origin_stamp",
-    "ql03_cosine_topk",
     "ql07c_features_parity",
     "ql28_quantization_error",
     "ql39_pq_encode",
@@ -298,6 +302,8 @@ _VERIFY_FIRST = (
     "qs14_stream_cdc_apply",
     "qt10_nearest_error",
     "qv06_json_extract",
+    "qr09_rollup",
+    "qr09b_cube",
 )
 
 

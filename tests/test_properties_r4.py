@@ -350,6 +350,13 @@ def test_verify_window_follows_rotation_policy():
         "ql42_hybrid_rrf",
         "ql36_unigram_surprisal",
         "ql46_dsir_importance",
+        # ql03/ql43 + ql51/ql52 — cosine_topk's dot/norm switched to the
+        # HOF forms (the r13 unroll measured slower at the query level in
+        # the BNLJ projection; ql43's r13-creep attribution)
+        "ql03_cosine_topk",
+        "ql43_ann_recall",
+        "ql51_hard_negatives",
+        "ql52_multimodal_ann",
         # plus the 10 r13-touched entries the r13 driver window never
         # oracle-gated (r13 verdict item 2) — windowed this round so the
         # INDEPENDENT driver artifact finally covers them
@@ -408,7 +415,7 @@ def test_verify_window_follows_rotation_policy():
     assert not missing_stale, f"oldest-band entries outside the window: {missing_stale}"
 
     # the next band (r10, 48 entries) does NOT fit whole alongside the
-    # r9 remainder + the 17 changed/never-gated entries; the 18 slots
+    # r9 remainder + the changed/never-gated entries; the 16 slots
     # left go to the band's HEAD in registry order (ql10/ql23/ql42/
     # qp03/qp04 are r10-latest but already windowed above); the
     # 25-entry r10 remainder is promised whole at the r15 head (it
@@ -423,7 +430,6 @@ def test_verify_window_follows_rotation_policy():
         "qr03_join_orders_customer", "qr04_multiway_join",
         "qr05_anti_join", "qr05_left_join_histogram", "qr05_semi_join",
         "qr07_count_distinct", "qr08_approx_count_distinct",
-        "qr09_rollup", "qr09b_cube",
     }
     assert fill_r10 <= window, (
         f"r10-band fill outside the window: {fill_r10 - window}"
