@@ -419,6 +419,10 @@ def main() -> None:
     evidence = {
         "bench_evidence": {
             "sf": sf_val,
+            # pins the sidecar to ITS record (r13 verdict minor item 6:
+            # a stale sidecar next to a newer record is otherwise
+            # indistinguishable from the record's own evidence)
+            "record_total_wall": out["value"],
             "record_edges": {
                 "loadavg": out["loadavg"],
                 "membw_mbps": out["membw_mbps"],

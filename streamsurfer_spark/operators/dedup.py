@@ -18,10 +18,10 @@ for the 100 TB north star:
   at fixture scale we run it on everything sharing >=1 shingle.
 
 Hashing is the md5-based portable scheme from functions/hashing.py so every
-operator is DuckDB-oracle-checkable; for production throughput, replace the
-``md5_long64_expr`` call sites with ``xxhash64`` (≈3× faster, same
-topology — there is no runtime knob, the swap is a one-line edit per
-expression builder in functions/hashing.py).
+operator is DuckDB-oracle-checkable; for production throughput set
+SPARK_GRAFT_HASH64=xxhash64 (functions/hashing.py hash64_expr — ≈3× faster,
+same topology and the same 60-bit positive domain; oracle parity is then
+deliberately forfeited, so fixture verification keeps the md5 default).
 """
 
 from __future__ import annotations
@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from streamsurfer_spark.functions.hashing import (
     P31,
     affine_params,
-    md5_long64_expr,
+    hash64_expr,
     md5_long64_py,
 )
 from streamsurfer_spark.functions.rounding import scaled_round
@@ -64,7 +64,7 @@ P61 = 2_305_843_009_213_693_951
 # each other AND with the DuckDB twin (queries/llm_q.py
 # duck_hashed_shingle_set) for the oracle gate to hold — previously two
 # character-identical copies that could silently drift (r7 review).
-_TOKEN_HASH_EXPR = f"transform(toks, t -> {md5_long64_expr('t')} % {P31})"
+_TOKEN_HASH_EXPR = f"transform(toks, t -> {hash64_expr('t')} % {P31})"
 _P61_SHINGLE_EXPR = (
     f"transform(sequence(1, greatest(size(toks) - {SHINGLE_N - 1}, 1)),"
     f" i -> (try_element_at(th_, i) * {SHINGLE_C1}) % {P61}"
@@ -116,7 +116,7 @@ def minhash_signature(df: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     shingle window and all seeds. try_element_at: trailing shingles of
     short documents treat missing tokens as hash 0 (ANSI-safe).
     """
-    th = f"transform(toks, t -> {md5_long64_expr('t')} % {P31})"
+    th = f"transform(toks, t -> {hash64_expr('t')} % {P31})"
     sh = (
         f"transform(sequence(1, greatest(size(toks) - {SHINGLE_N - 1}, 1)),"
         f" i -> ((try_element_at(th_, i) * {SHINGLE_C1}) % {P31}"
@@ -321,7 +321,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
-    ).withColumn("h", F.expr(md5_long64_expr("token")))
+    ).withColumn("h", F.expr(hash64_expr("token")))
     return toks.groupBy(id_col).agg(
         F.expr(_simhash_expr("shiftright(h, {b})")).alias("simhash")
     )
